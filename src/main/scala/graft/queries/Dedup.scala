@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication family over `documents` — the operators a training-data
+  * pipeline runs at 100 TB:
+  *
+  *  - exact:    hash-groupBy on md5(text). One shuffle on the digest;
+  *              map-side combine keeps it skew-safe.
+  *  - n-gram Jaccard: inverted-index self-join on shingles (NOT an O(n²)
+  *              cross join) + exact integer-arithmetic Jaccard test.
+  *  - MinHash+LSH: k=32 permutation minima, banded into 8×4; candidate
+  *              pairs only from shared LSH buckets, verified with exact
+  *              Jaccard — the classic sub-quadratic near-dup pipeline.
+  *  - SimHash:  64-bit majority-vote signature via explode + ONE
+  *              partial/final aggregate pass; near-dups = band-join
+  *              candidates with hamming ≤ 3.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: digest → group size + surviving doc_id. */
+  val q40DedupExact: Q = Q(
+    "q40_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("text_md5")),
+    Some("""
+      SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY text_md5"""),
+    doc = "exact dedup via md5 hash-groupBy")
+
+  /** Surviving rows after exact dedup (min doc_id per digest), via a
+    * ranking window instead of a groupBy+join. */
+  val q41DedupSurvivors: Q = Q(
+    "q41_dedup_survivors",
+    (s, d) => {
+      val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1
+      ORDER BY doc_id"""),
+    doc = "dedup survivor selection (window)")
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    * Jaccard >= 1/2 tested as `2*inter >= union` in integer arithmetic —
+    * no float boundary. Distinct shingles per doc, join on shingle,
+    * count shared, derive union from per-doc set sizes. */
+  val q42NgramJaccard: Q = Q(
+    "q42_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs
+        .select(col("doc_id"), explode(array_distinct(Text.shingles(col("text"), 3))).as("sh"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"), col("inter"),
+                (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
+        .filter(col("inter") * 2 >= col("un"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(sh3)) AS sh FROM (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                   i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                        regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                        regexp_split_to_array(trim(text), '\s+')[i+2]) AS sh3
+          FROM documents WHERE length(trim(text)) > 0) t),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS un
+      FROM pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE inter * 2 >= sa.sz + sb.sz - inter
+      ORDER BY id_a, id_b"""),
+    doc = "exact n-gram Jaccard via inverted-index join")
+
+  /** MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates, verified
+    * with exact Jaccard (>= 1/2, integer test). Hash family:
+    * h_i(x) = xxhash64(shingle, seed=i) (Spark's seeded xxhash64), min per
+    * doc. Not ANSI-expressible (seeded xxhash64) → rows-only; ScalaTest
+    * asserts candidate-set ⊇ all true pairs found by q42 on the fixture. */
+  val q43MinhashLsh: Q = Q(
+    "q43_minhash_lsh",
+    (s, d) => minhashPairs(Tables.documents(s, d)),
+    None,
+    doc = "MinHash+LSH banded near-dup (sub-quadratic)")
+
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
+    val k = 32
+    val bands = 8
+    val rows = k / bands
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(Text.shingles(col("text"), 3))).as("sh"))
+    // k independent hashes via xxhash64(i, shingle) — the hash of the
+    // band index chains into the shingle hash, giving k decorrelated
+    // families from the one public builtin. One explode + one groupBy
+    // (map-side combine) computes all k minima.
+    val hashCols = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+    // band key = hash of the band's row minima; bucket-join per band
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // exact-Jaccard verification of candidates only
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.as("pa"), col("id_a") === col("pa.doc_id"))
+      .join(sh.as("pb"), col("id_b") === col("pb.doc_id") && col("pa.sh") === col("pb.sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+              (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
+      .filter(col("inter") * 2 >= col("un"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash-64 signatures + hamming-≤3 near-dup pairs. Signature =
+    * per-bit majority vote over token xxhash64s, computed with explode +
+    * one 64-column partial/final aggregate (single shuffle); candidate
+    * generation by 4×16-bit band join; exact popcount verification. */
+  val q44Simhash: Q = Q(
+    "q44_simhash",
+    (s, d) => {
+      val sigs = simhashSignatures(Tables.documents(s, d))
+      val banded = (0 until 4).map { b =>
+        sigs.select(col("doc_id"), col("sig"), lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+      }.reduce(_ unionByName _)
+      banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+                bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None,
+    doc = "SimHash-64 near-dup (band join + popcount)")
+
+  private[graft] def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"v$b")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    agg.select(col("doc_id"), sig.as("sig"))
+  }
+
+  def defs: Seq[Q] = Seq(q40DedupExact, q41DedupSurvivors, q42NgramJaccard, q43MinhashLsh, q44Simhash)
+}

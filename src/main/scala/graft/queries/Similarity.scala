@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - Brute-force cosine top-k: the exactness baseline. The query set is
+  *    broadcast; the corpus scan streams once; per-row dot products stay
+  *    in codegen'd higher-order functions (zip_with + aggregate).
+  *  - LSH-bucketed ANN: random-hyperplane signs (deterministic seeded
+  *    planes) bucket the corpus; only same-bucket candidates are scored.
+  *    At 100 TB the bucket join replaces the full cross product.
+  *  - Near-dup pairs by cosine threshold: self-join, oracle-checked.
+  *
+  * Dot products are computed in DOUBLE with identical left-to-right
+  * accumulation in both engines, so scores are bit-identical and
+  * orderings/thresholds cannot diverge.
+  */
+object Similarity {
+
+  /** cosine(a, b) for two array<float> columns, accumulated in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force exact top-5 cosine neighbors for query vectors
+    * vec_id < 20. The tiny query side is broadcast; ranking is a window
+    * over (query, score desc). */
+  val q50CosineTopK: Q = Q(
+    "q50_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+                cosine(col("q_emb"), col("embedding")).as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+                 FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               list_dot_product(q.q_emb, CAST(e.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM scored)
+      SELECT q_id, rk, n_id, round(cos, 6) AS cos_r
+      FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk"""),
+    doc = "brute-force cosine top-k (broadcast queries)")
+
+  /** Near-duplicate vector pairs: cosine >= 0.99 over the label-0 slice,
+    * inverted through a self-join. Oracle mirrors with a cross join —
+    * exact because both engines accumulate the same doubles in the same
+    * order. */
+  val q51CosineNearDup: Q = Q(
+    "q51_cosine_near_dup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+                cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .filter(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_r
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) *
+             sqrt(list_dot_product(b.emb, b.emb))) >= 0.9
+      ORDER BY id_a, id_b"""),
+    doc = "embedding-cosine near-dup pairs")
+
+  /** LSH-bucketed approximate NN: 8 deterministic random hyperplanes
+    * (seeded hash-derived components) → 8-bit sign bucket; candidates
+    * share a bucket; exact rescoring within buckets. Approximate → no
+    * SQL oracle; ScalaTest measures recall vs q50 on the fixture. */
+  val q52LshAnn: Q = Q(
+    "q52_lsh_ann",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = 64
+      val nPlanes = 8
+      // plane p component j = deterministic pseudo-random in [-1,1):
+      // ((xxhash64(p, j) mod 2^20) / 2^19) - 1
+      def planeComp(p: Int, j: Int): Column =
+        (pmod(xxhash64(lit(p), lit(j)), lit(1L << 20)).cast("double") / lit((1L << 19).toDouble)) - lit(1.0)
+      def bucketOf(v: Column): Column =
+        (0 until nPlanes).map { p =>
+          val dot = (0 until dim).map(j => element_at(v, j + 1).cast("double") * planeComp(p, j))
+            .reduce(_ + _)
+          when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce((a, b) => a + b)
+      val bucketed = emb.select(col("vec_id"), col("embedding"),
+        bucketOf(col("embedding")).as("bucket"))
+      val queries = bucketed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      val scored = bucketed.join(broadcast(queries), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+                cosine(col("q_emb"), col("embedding")).as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    None,
+    doc = "LSH (random hyperplane) bucketed ANN")
+
+  def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn)
+}

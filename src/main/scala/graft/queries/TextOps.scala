@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, n-gram frequency (generator/explode surface), and
+  * language identification. All stay inside whole-stage codegen
+  * (builtin functions only) except lang-id, which is a Catalyst-friendly
+  * heuristic over stopword hit counts.
+  */
+object TextOps {
+
+  /** Token counts via whitespace split — the "BPE-ish regex" baseline. */
+  val q30TokenStats: Q = Q(
+    "q30_token_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("text_len"),
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, length(text) AS text_len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+      ORDER BY doc_id"""),
+    doc = "whitespace tokenization stats")
+
+  /** Quality scoring: length / punctuation ratio / stopword ratio /
+    * mean token length — per-row double arithmetic (deterministic). */
+  val q31QualityScore: Q = Q(
+    "q31_quality_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = when(length(trim(col("text"))) === 0, 0)
+        .otherwise(size(split(trim(col("text")), "\\s+")))
+      val stopHits = size(filter(
+        split(trim(col("text")), "\\s+"),
+        t => t.isin("the", "a", "an", "of", "to", "and", "in", "is")))
+      docs.select(
+          col("doc_id"),
+          toks.as("n_tokens"),
+          stopHits.as("n_stop"),
+          round(stopHits.cast("double") / greatest(toks, lit(1)).cast("double"), 6)
+            .as("stop_ratio"),
+          round(length(col("text")).cast("double") / greatest(toks, lit(1)).cast("double"), 6)
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   x -> x IN ('the','a','an','of','to','and','in','is'))) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_tokens, n_stop,
+             round(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS stop_ratio,
+             round(CAST(length(text) AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS chars_per_token
+      FROM t
+      ORDER BY doc_id"""),
+    doc = "document quality heuristics")
+
+  /** Token frequency via explode (the Generator/UDTF surface, SURVEY §2.10). */
+  val q32TokenFreq: Q = Q(
+    "q32_token_freq",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+    Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents) t
+      WHERE length(token) > 0
+      GROUP BY token
+      ORDER BY n DESC, token
+      LIMIT 50"""),
+    doc = "explode/unnest generator + frequency top-k")
+
+  /** Deterministic 64-bit rolling-hash document fingerprint (FNV-1a over
+    * the token stream). Same arithmetic is expressible in DuckDB via a
+    * bigint fold, but int128/overflow semantics differ — kept rows-only;
+    * correctness is asserted in ScalaTest against a reimplementation. */
+  val q33Fingerprint: Q = Q(
+    "q33_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Text.fingerprint64(col("text")).as("fp64"))
+        .orderBy(col("doc_id")),
+    None,
+    doc = "rolling-hash fingerprint (FNV-1a over tokens)")
+
+  /** Language identification: stopword-profile heuristic scored per
+    * language, argmax with deterministic tie-break. Rows-only (the
+    * scoring tables live in Scala); accuracy asserted in ScalaTest. */
+  val q34LangId: Q = Q(
+    "q34_lang_id",
+    (s, d) =>
+      graft.functions.LangId.predict(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("pred_lang"))
+        .orderBy(col("doc_id")),
+    None,
+    doc = "n-gram/stopword language-ID heuristic")
+
+  def defs: Seq[Q] = Seq(q30TokenStats, q31QualityScore, q32TokenFreq, q33Fingerprint, q34LangId)
+}
