@@ -1,0 +1,142 @@
+package graft.kv
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte encodings compatible with HBase's `Bytes` utility semantics, per
+  * the reference's type table (SURVEY.md §1.3; decode sites
+  * `/root/reference/src/main/scala/com/dm/hbase/spark3/datasource/HbasePartitionReader.scala:60-80`):
+  * big-endian fixed-width numerics, UTF-8 strings, single-byte booleans,
+  * and temporal types stored as epoch-MILLIS longs (the reference writer
+  * stores `Instant.toEpochMilli`, `TestDataWriter.scala:54-63`).
+  *
+  * Unlike the reference, comparisons NEVER happen on these bytes —
+  * predicate evaluation decodes first (the reference's byte-order
+  * comparator is wrong for negative numerics, SURVEY.md §4b).
+  */
+object BytesCodec {
+
+  // ---- encode (external JVM value → stored bytes) ----
+
+  def encodeLong(v: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(v).array()
+  def encodeInt(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+  def encodeShort(v: Short): Array[Byte] = ByteBuffer.allocate(2).putShort(v).array()
+  def encodeDouble(v: Double): Array[Byte] = encodeLong(java.lang.Double.doubleToLongBits(v))
+  def encodeFloat(v: Float): Array[Byte] = encodeInt(java.lang.Float.floatToIntBits(v))
+  def encodeBoolean(v: Boolean): Array[Byte] = Array(if (v) (-1).toByte else 0.toByte)
+  def encodeString(v: String): Array[Byte] = v.getBytes(StandardCharsets.UTF_8)
+
+  /** Encode a Catalyst-internal value of `dt` to stored bytes.
+    * Temporal internal values (days / micros) are converted to the
+    * reference's epoch-millis-long physical encoding. */
+  def encode(dt: DataType, v: Any): Array[Byte] = dt match {
+    case LongType      => encodeLong(v.asInstanceOf[Long])
+    case IntegerType   => encodeInt(v.asInstanceOf[Int])
+    case ShortType     => encodeShort(v.asInstanceOf[Short])
+    case ByteType      => Array(v.asInstanceOf[Byte])
+    case DoubleType    => encodeDouble(v.asInstanceOf[Double])
+    case FloatType     => encodeFloat(v.asInstanceOf[Float])
+    case BooleanType   => encodeBoolean(v.asInstanceOf[Boolean])
+    case StringType    => encodeString(v.toString)
+    case BinaryType    => v.asInstanceOf[Array[Byte]]
+    case DateType      => // internal: days since epoch → millis at midnight UTC
+      encodeLong(v.asInstanceOf[Int].toLong * 86400000L)
+    case TimestampType => // internal: micros → millis (reference precision)
+      encodeLong(Math.floorDiv(v.asInstanceOf[Long], 1000L))
+    case other => throw new IllegalArgumentException(s"Unsupported KV type: $other")
+  }
+
+  // ---- decode (stored bytes → Catalyst internal value) ----
+
+  def decodeLong(b: Array[Byte]): Long = ByteBuffer.wrap(b).getLong
+  def decodeInt(b: Array[Byte]): Int = ByteBuffer.wrap(b).getInt
+  def decodeShort(b: Array[Byte]): Short = ByteBuffer.wrap(b).getShort
+  def decodeDouble(b: Array[Byte]): Double = java.lang.Double.longBitsToDouble(decodeLong(b))
+  def decodeFloat(b: Array[Byte]): Float = java.lang.Float.intBitsToFloat(decodeInt(b))
+  def decodeBoolean(b: Array[Byte]): Boolean = b(0) != 0
+
+  /** Decode stored bytes to the Catalyst-internal representation of `dt`
+    * (UTF8String for strings, days int for dates, micros long for
+    * timestamps — the reference does the same conversions at
+    * `HbasePartitionReader.scala:64-78`). */
+  def decode(dt: DataType, b: Array[Byte]): Any = dt match {
+    case LongType      => decodeLong(b)
+    case IntegerType   => decodeInt(b)
+    case ShortType     => decodeShort(b)
+    case ByteType      => b(0)
+    case DoubleType    => decodeDouble(b)
+    case FloatType     => decodeFloat(b)
+    case BooleanType   => decodeBoolean(b)
+    case StringType    => UTF8String.fromBytes(b)
+    case BinaryType    => b
+    case DateType      => (decodeLong(b) / 86400000L).toInt
+    case TimestampType => Math.multiplyExact(decodeLong(b), 1000L)
+    case other => throw new IllegalArgumentException(s"Unsupported KV type: $other")
+  }
+
+  /** Decode to an external JVM value (for predicate evaluation against
+    * v1 `sources.Filter` literals, which are external values). */
+  def decodeExternal(dt: DataType, b: Array[Byte]): Any = dt match {
+    case StringType    => new String(b, StandardCharsets.UTF_8)
+    case DateType      => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(decodeLong(b) / 86400000L))
+    case TimestampType => new java.sql.Timestamp(decodeLong(b))
+    case _             => decode(dt, b)
+  }
+
+  // ---- order-preserving ROWKEY encoding ----
+  // The reference stores raw big-endian keys, where unsigned byte order
+  // diverges from value order for negative numerics (SURVEY.md §4b) —
+  // which would make rowkey-range shard pruning unsound. Rowkeys here use
+  // an order-preserving transform instead (sign-bit flip for integrals,
+  // IEEE total-order for floats), the standard manual fix HBase schema
+  // designers apply. Cell VALUES keep the reference's raw Bytes encoding.
+
+  def encodeKey(dt: DataType, v: Any): Array[Byte] = dt match {
+    case LongType      => encodeLong(v.asInstanceOf[Long] ^ Long.MinValue)
+    case IntegerType   => encodeInt(v.asInstanceOf[Int] ^ Int.MinValue)
+    case ShortType     => encodeShort((v.asInstanceOf[Short] ^ Short.MinValue).toShort)
+    case ByteType      => Array(((v.asInstanceOf[Byte] ^ 0x80) & 0xff).toByte)
+    case DoubleType    =>
+      val bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      encodeLong(if (bits >= 0) bits ^ Long.MinValue else ~bits)
+    case FloatType     =>
+      val bits = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+      encodeInt(if (bits >= 0) bits ^ Int.MinValue else ~bits)
+    case DateType      => encodeLong(v.asInstanceOf[Int].toLong * 86400000L ^ Long.MinValue)
+    case TimestampType => encodeLong(Math.floorDiv(v.asInstanceOf[Long], 1000L) ^ Long.MinValue)
+    case BooleanType | StringType | BinaryType => encode(dt, v)
+    case other => throw new IllegalArgumentException(s"Unsupported rowkey type: $other")
+  }
+
+  def decodeKey(dt: DataType, b: Array[Byte]): Any = dt match {
+    case LongType      => decodeLong(b) ^ Long.MinValue
+    case IntegerType   => decodeInt(b) ^ Int.MinValue
+    case ShortType     => (decodeShort(b) ^ Short.MinValue).toShort
+    case ByteType      => ((b(0) ^ 0x80) & 0xff).toByte
+    case DoubleType    =>
+      val raw = decodeLong(b)
+      java.lang.Double.longBitsToDouble(if (raw < 0) raw ^ Long.MinValue else ~raw)
+    case FloatType     =>
+      val raw = decodeInt(b)
+      java.lang.Float.intBitsToFloat(if (raw < 0) raw ^ Int.MinValue else ~raw)
+    case DateType      => (((decodeLong(b) ^ Long.MinValue)) / 86400000L).toInt
+    case TimestampType => Math.multiplyExact(decodeLong(b) ^ Long.MinValue, 1000L)
+    case BooleanType | StringType | BinaryType => decode(dt, b)
+    case other => throw new IllegalArgumentException(s"Unsupported rowkey type: $other")
+  }
+
+  /** Unsigned lexicographic byte comparison (HBase rowkey order). */
+  def compareKeys(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = (a(i) & 0xff) - (b(i) & 0xff)
+      if (x != 0) return x
+      i += 1
+    }
+    a.length - b.length
+  }
+}

@@ -1,0 +1,103 @@
+package graft.kv
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Catalog JSON for a KV table — same two accepted shapes as the
+  * reference (`/root/reference/src/main/scala/com/dm/hbase/spark3/datasource/HbaseTableCatalog.scala:49-78`):
+  *
+  *  1. map form:  `"columns": {"name": {"cf": "columns", "col": "name",
+  *     "type": "string"}, …}`
+  *  2. compact list form: `"columns": ["name string columns col", …]`
+  *     (space-separated `name type cf [qualifier]`, qualifier defaults
+  *     to the field name)
+  *
+  * plus `"table": {"namespace": …, "name": …}` (namespace defaults to
+  * `"default"`) and `"rowkey": <logical column name>`. The rowkey is a
+  * pseudo column family with the literal name `"rowkey"`
+  * (`HbaseTableCatalog.scala:45`).
+  *
+  * The (cf, qualifier) binding travels in Spark column METADATA
+  * (`columnFamily` / `column` keys), exactly as the reference does at
+  * `DefaultSource.scala:25-28`, keeping the pruned schema
+  * self-describing across the driver→executor serialization boundary.
+  */
+final case class KvColumn(name: String, cf: String, qualifier: String, dataType: DataType) {
+  def isRowkey: Boolean = cf == KvCatalog.RowkeyCf
+}
+
+final case class KvCatalog(namespace: String, table: String, rowkey: String,
+                           columns: Seq[KvColumn]) {
+  def qualifiedName: String = s"$namespace:$table"
+  def rowkeyColumn: KvColumn = columns.find(_.name == rowkey).getOrElse(
+    throw new IllegalArgumentException(s"rowkey column '$rowkey' not declared"))
+
+  /** Catalog → Spark schema. Rowkey is non-nullable; cells nullable
+    * (missing cell ≡ SQL NULL, reference `DefaultSource.scala:24`). */
+  def schema: StructType = StructType(columns.map { c =>
+    val md = new MetadataBuilder()
+      .putString("columnFamily", c.cf)
+      .putString("column", c.qualifier)
+      .build()
+    StructField(c.name, c.dataType, nullable = !c.isRowkey, metadata = md)
+  })
+}
+
+object KvCatalog {
+  val RowkeyCf = "rowkey"
+
+  private val mapper = new ObjectMapper()
+
+  /** Reference type-string table (`DefaultSource.scala:45-64`) plus the
+    * extensions the reference stubs out. */
+  def parseType(s: String): DataType = s.toLowerCase match {
+    case "boolean"                    => BooleanType
+    case "char" | "varchar" | "string" => StringType
+    case "int" | "integer"            => IntegerType
+    case "binary"                     => BinaryType
+    case "byte"                       => ByteType
+    case "date"                       => DateType
+    case "double"                     => DoubleType
+    case "float"                      => FloatType
+    case "long" | "bigint"            => LongType
+    case "short"                      => ShortType
+    case "timestamp"                  => TimestampType
+    case other => throw new IllegalArgumentException(s"Unsupported type $other")
+  }
+
+  def parse(json: String): KvCatalog = {
+    val root = mapper.readTree(json)
+    val tableNode = root.path("table")
+    val namespace = Option(tableNode.path("namespace").asText(null)).filter(_.nonEmpty)
+      .getOrElse("default")
+    val name = tableNode.path("name").asText()
+    require(name.nonEmpty, "catalog.table.name is required")
+    val rowkey = root.path("rowkey").asText()
+    require(rowkey.nonEmpty, "catalog.rowkey is required")
+
+    val colsNode = root.path("columns")
+    val columns: Seq[KvColumn] =
+      if (colsNode.isArray) {
+        // compact list form: "name type cf [qualifier]"
+        colsNode.elements().asScala.map { e =>
+          val parts = e.asText().trim.split("\\s+")
+          require(parts.length >= 3, s"bad compact column spec: '${e.asText()}'")
+          val qual = if (parts.length >= 4) parts(3) else parts(0)
+          KvColumn(parts(0), parts(2), qual, parseType(parts(1)))
+        }.toSeq
+      } else if (colsNode.isObject) {
+        colsNode.properties().asScala.map { entry =>
+          val n = entry.getKey
+          val v = entry.getValue
+          val cf = v.path("cf").asText()
+          val qual = Option(v.path("col").asText(null)).filter(_.nonEmpty).getOrElse(n)
+          KvColumn(n, cf, qual, parseType(v.path("type").asText()))
+        }.toSeq
+      } else throw new IllegalArgumentException("catalog.columns must be an object or array")
+
+    require(columns.exists(_.name == rowkey), s"rowkey '$rowkey' not among declared columns")
+    KvCatalog(namespace, name, rowkey, columns)
+  }
+}

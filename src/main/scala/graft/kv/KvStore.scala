@@ -1,0 +1,171 @@
+package graft.kv
+
+import java.io._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** HBase-shaped storage: a table = a directory of sorted shard files
+  * ("regions") + a JSON manifest with per-shard key ranges.
+  *
+  * Shard file layout (binary, little ceremony, streaming-friendly):
+  * {{{
+  *   magic "GKV1"
+  *   repeat:
+  *     int32 keyLen, key bytes            (rowkey, unsigned-lex sorted)
+  *     int32 nCells
+  *     repeat nCells: int16 cfLen, cf, int16 qualLen, qual, int32 valLen, val
+  * }}}
+  *
+  * The manifest mirrors what the reference derives live from the HBase
+  * Admin API — region (startKey, endKey) + locality host
+  * (`/root/reference/src/main/scala/com/dm/hbase/spark3/datasource/HbaseScan.scala:27-45`).
+  * Here shard min/max keys bound each file, which is what enables
+  * rowkey-range partition PRUNING at plan time (the reference's open
+  * TODO, `HbasePartitionReader.scala:147`).
+  *
+  * Local files here; at cluster scale the same layout sits on a shared
+  * filesystem (paths in the manifest are relative to the table dir).
+  */
+final case class KvRecord(key: Array[Byte], cells: Seq[KvCell])
+final case class KvCell(cf: String, qualifier: String, value: Array[Byte])
+
+final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKeyHex: String) {
+  def minKey: Array[Byte] = KvStore.fromHex(minKeyHex)
+  def maxKey: Array[Byte] = KvStore.fromHex(maxKeyHex)
+}
+final case class KvTableMeta(shards: Seq[KvShardMeta])
+
+object KvStore {
+  private val Magic = "GKV1".getBytes(StandardCharsets.US_ASCII)
+  private val mapper = new ObjectMapper()
+
+  def toHex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  def fromHex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  def metaPath(tableDir: String): String = s"$tableDir/_kvmeta.json"
+
+  def readMeta(tableDir: String): KvTableMeta = {
+    val root = mapper.readTree(new File(metaPath(tableDir)))
+    val shards = root.path("shards").elements().asScala.map { s =>
+      KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
+        s.path("minKeyHex").asText(), s.path("maxKeyHex").asText())
+    }.toSeq
+    KvTableMeta(shards)
+  }
+
+  /** Atomic manifest write (temp + move) — commit point of a batch write. */
+  def writeMeta(tableDir: String, meta: KvTableMeta): Unit = {
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("shards")
+    meta.shards.foreach { s =>
+      val o = arr.addObject()
+      o.put("file", s.file); o.put("rows", s.rows)
+      o.put("minKeyHex", s.minKeyHex); o.put("maxKeyHex", s.maxKeyHex)
+    }
+    val tmp = Paths.get(metaPath(tableDir) + ".tmp")
+    Files.createDirectories(Paths.get(tableDir))
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    Files.move(tmp, Paths.get(metaPath(tableDir)), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- shard writer ----
+
+  /** Streams records (must arrive sorted by key within the shard) to a
+    * shard file; tracks min/max/rows for the manifest entry. */
+  final class ShardWriter(tableDir: String, fileName: String) {
+    Files.createDirectories(Paths.get(tableDir))
+    private val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(s"$tableDir/$fileName"), 1 << 16))
+    out.write(Magic)
+    private var rows = 0L
+    private var minKey: Array[Byte] = _
+    private var maxKey: Array[Byte] = _
+    private var lastKey: Array[Byte] = _
+
+    def append(rec: KvRecord): Unit = {
+      if (lastKey != null)
+        require(BytesCodec.compareKeys(lastKey, rec.key) <= 0,
+          s"records out of order in shard $fileName")
+      lastKey = rec.key
+      if (minKey == null) minKey = rec.key
+      maxKey = rec.key
+      out.writeInt(rec.key.length); out.write(rec.key)
+      out.writeInt(rec.cells.length)
+      rec.cells.foreach { c =>
+        val cf = c.cf.getBytes(StandardCharsets.UTF_8)
+        val q = c.qualifier.getBytes(StandardCharsets.UTF_8)
+        out.writeShort(cf.length); out.write(cf)
+        out.writeShort(q.length); out.write(q)
+        out.writeInt(c.value.length); out.write(c.value)
+      }
+      rows += 1
+    }
+
+    /** → manifest entry (None if no rows were written; file removed). */
+    def close(): Option[KvShardMeta] = {
+      out.close()
+      if (rows == 0) { new File(s"$tableDir/$fileName").delete(); None }
+      else Some(KvShardMeta(fileName, rows, toHex(minKey), toHex(maxKey)))
+    }
+  }
+
+  // ---- shard reader ----
+
+  /** Streaming iterator over one shard, optionally clipped to an
+    * inclusive key range (start/end nullable). */
+  final class ShardReader(tableDir: String, shard: KvShardMeta,
+                          startKey: Array[Byte] = null,
+                          endKey: Array[Byte] = null)
+      extends Iterator[KvRecord] with Closeable {
+    private val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(s"$tableDir/${shard.file}"), 1 << 16))
+    locally {
+      val m = new Array[Byte](4)
+      in.readFully(m)
+      require(java.util.Arrays.equals(m, Magic), s"bad magic in ${shard.file}")
+    }
+    private var nextRec: KvRecord = _
+    private var done = false
+
+    private def readRecord(): KvRecord = {
+      val keyLen = try in.readInt() catch { case _: EOFException => return null }
+      val key = new Array[Byte](keyLen); in.readFully(key)
+      val n = in.readInt()
+      val cells = Vector.tabulate(n) { _ =>
+        val cfLen = in.readShort(); val cf = new Array[Byte](cfLen); in.readFully(cf)
+        val qLen = in.readShort(); val q = new Array[Byte](qLen); in.readFully(q)
+        val vLen = in.readInt(); val v = new Array[Byte](vLen); in.readFully(v)
+        KvCell(new String(cf, StandardCharsets.UTF_8), new String(q, StandardCharsets.UTF_8), v)
+      }
+      KvRecord(key, cells)
+    }
+
+    private def advance(): Unit = {
+      while (!done) {
+        val r = readRecord()
+        if (r == null) { done = true; nextRec = null; close() }
+        else if (startKey != null && BytesCodec.compareKeys(r.key, startKey) < 0) ()
+        else if (endKey != null && BytesCodec.compareKeys(r.key, endKey) > 0) {
+          // sorted file → nothing further can match
+          done = true; nextRec = null; close()
+        } else { nextRec = r; return }
+      }
+    }
+
+    advance()
+    override def hasNext: Boolean = nextRec != null
+    override def next(): KvRecord = {
+      val r = nextRec
+      if (done) nextRec = null else advance()
+      r
+    }
+    override def close(): Unit = in.close()
+  }
+}

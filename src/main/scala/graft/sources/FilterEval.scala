@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Evaluation of pushed v1 `sources.Filter`s against DECODED values.
+  *
+  * The reference translates pushed filters into HBase byte comparators
+  * (`BinaryComparator` on big-endian bytes,
+  * `/root/reference/src/main/scala/com/dm/hbase/spark3/datasource/HbasePartitionReader.scala:145-174`),
+  * which orders negative longs/doubles incorrectly (SURVEY.md §4b). This
+  * engine deliberately diverges: predicates run on decoded values with
+  * proper numeric/string ordering, so pushdown can never change results.
+  *
+  * Null semantics preserved from the reference: a missing cell IS null —
+  * `IsNull` matches missing cells (`setFilterIfMissing(false)`,
+  * `HbasePartitionReader.scala:156-160`); every other comparison on a
+  * missing cell is false.
+  */
+object FilterEval {
+
+  /** Which filters this source accepts — the reference's 12-class set
+    * (`HbaseScanBuilder.scala:34-45`) with RECURSIVE And/Or pushability
+    * (the reference pushes And/Or wholesale and can hit an executor
+    * MatchError on unsupported children; SURVEY.md §2.2 "bug to avoid").
+    * StringEndsWith / Not / EqualNullSafe stay residual for surface
+    * compatibility — Spark evaluates them above the scan. */
+  def pushable(f: Filter, fields: Set[String]): Boolean = f match {
+    case EqualTo(a, _)            => fields(a)
+    case LessThan(a, _)           => fields(a)
+    case LessThanOrEqual(a, _)    => fields(a)
+    case GreaterThan(a, _)        => fields(a)
+    case GreaterThanOrEqual(a, _) => fields(a)
+    case In(a, _)                 => fields(a)
+    case IsNull(a)                => fields(a)
+    case IsNotNull(a)             => fields(a)
+    case StringStartsWith(a, _)   => fields(a)
+    case StringContains(a, _)     => fields(a)
+    case And(l, r)                => pushable(l, fields) && pushable(r, fields)
+    case Or(l, r)                 => pushable(l, fields) && pushable(r, fields)
+    case _                        => false
+  }
+
+  /** Canonicalize an external literal to the internal-comparable domain
+    * of `dt` (micros for timestamps, days for dates, String for
+    * strings). */
+  def canon(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_, null) => null
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
+        (t.getNanos / 1000L) % 1000000L)
+    case (TimestampType, i: java.time.Instant) =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
+    case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
+    case (StringType, s: UTF8String) => s.toString
+    case (StringType, s: String) => s
+    case (_, other) => other
+  }
+
+  /** Internal value → comparable domain (strings to String, the rest are
+    * already primitives; timestamps/dates already micros/days). */
+  def internalComparable(dt: DataType, v: Any): Any = v match {
+    case null => null
+    case s: UTF8String => s.toString
+    case other => other
+  }
+
+  private def cmp(dt: DataType, a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Long, y: Number)   => Some(java.lang.Long.compare(x, y.longValue()))
+    case (x: Int, y: Number)    => Some(java.lang.Long.compare(x.toLong, y.longValue()))
+    case (x: Short, y: Number)  => Some(java.lang.Long.compare(x.toLong, y.longValue()))
+    case (x: Byte, y: Number)   => Some(java.lang.Long.compare(x.toLong, y.longValue()))
+    case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
+    case (x: Float, y: Number)  => Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  /** Evaluate a pushed filter; `get(name)` returns the decoded internal
+    * value (null ≡ missing cell), `dtOf(name)` its declared type. */
+  def eval(f: Filter, get: String => Any, dtOf: String => DataType): Boolean = f match {
+    case EqualTo(a, v) =>
+      val dt = dtOf(a)
+      cmp(dt, internalComparable(dt, get(a)), canon(dt, v)).contains(0)
+    case LessThan(a, v) =>
+      val dt = dtOf(a); cmp(dt, internalComparable(dt, get(a)), canon(dt, v)).exists(_ < 0)
+    case LessThanOrEqual(a, v) =>
+      val dt = dtOf(a); cmp(dt, internalComparable(dt, get(a)), canon(dt, v)).exists(_ <= 0)
+    case GreaterThan(a, v) =>
+      val dt = dtOf(a); cmp(dt, internalComparable(dt, get(a)), canon(dt, v)).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) =>
+      val dt = dtOf(a); cmp(dt, internalComparable(dt, get(a)), canon(dt, v)).exists(_ >= 0)
+    case In(a, vs) =>
+      val dt = dtOf(a); val x = internalComparable(dt, get(a))
+      x != null && vs.exists(v => cmp(dt, x, canon(dt, v)).contains(0))
+    case IsNull(a)    => get(a) == null
+    case IsNotNull(a) => get(a) != null
+    case StringStartsWith(a, p) =>
+      get(a) match { case s: UTF8String => s.toString.startsWith(p); case _ => false }
+    case StringContains(a, p) =>
+      get(a) match { case s: UTF8String => s.toString.contains(p); case _ => false }
+    case And(l, r) => eval(l, get, dtOf) && eval(r, get, dtOf)
+    case Or(l, r)  => eval(l, get, dtOf) || eval(r, get, dtOf)
+    case other => throw new IllegalStateException(s"unpushable filter reached reader: $other")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.io.File
+
+import graft.kv._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Batch write path — the capability the reference lacks entirely
+  * (read-only by design, `/root/reference/README.md:3`; its fixtures are
+  * loaded by a raw HBase client, `TestDataWriter.scala:47-68`). Closing
+  * that gap lets fixtures flow through Spark itself.
+  *
+  * Each task sorts its partition's rows by encoded rowkey and emits one
+  * shard ("region") file; commit messages carry the shard manifests and
+  * the driver writes the table manifest atomically. For co-located,
+  * pruning-friendly shards, callers `repartitionByRange(rowkey)` first —
+  * but overlapping shard ranges remain CORRECT (scan prunes by per-shard
+  * min/max and re-clips inside each shard).
+  *
+  * Scale note: the in-memory per-partition sort assumes the caller
+  * sized partitions sensibly (shards ≈ regions ≈ hundreds of MB); a
+  * production drop-in would swap the buffer for a spillable sorter
+  * without touching the commit protocol.
+  */
+class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "graft-kv supports only full-table overwrite")
+    truncateFirst = true; this
+  }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new KvBatchWrite(catalog, dir, info.schema(), truncateFirst)
+  }
+}
+
+case class KvCommit(shards: Seq[KvShardMeta]) extends WriterCommitMessage
+
+class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
+                   truncateFirst: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    KvDataWriterFactory(dir, schema.json, catalog.schema.json, catalog.rowkey)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
+    val old: Set[String] =
+      if (new File(KvStore.metaPath(dir)).exists())
+        KvStore.readMeta(dir).shards.map(_.file).toSet
+      else Set.empty
+    val keep = if (truncateFirst) newShards else {
+      // append semantics: retain previous shards
+      val prev = if (old.nonEmpty) KvStore.readMeta(dir).shards else Seq.empty
+      prev ++ newShards
+    }
+    KvStore.writeMeta(dir, KvTableMeta(keep))
+    if (truncateFirst)
+      old.diff(newShards.map(_.file).toSet)
+        .foreach(f => new File(s"$dir/$f").delete())
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case KvCommit(s) => s }
+      .flatten.foreach(s => new File(s"$dir/${s.file}").delete())
+}
+
+case class KvDataWriterFactory(dir: String, schemaJson: String,
+                               declaredJson: String, rowkey: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(dir,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkey,
+      partitionId, taskId)
+}
+
+/** `schema` = incoming row layout; `declared` = catalog schema carrying
+  * the (cf, qualifier) metadata. Columns are matched BY NAME so the
+  * stored cells always land under the catalog's declared cf:qualifier. */
+class KvDataWriter(dir: String, schema: StructType, declared: StructType,
+                   rowkey: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val rowkeyIdx = schema.fieldIndex(rowkey)
+  private val declaredByName = declared.fields.map(f => f.name -> f).toMap
+  private val buffer = new ArrayBuffer[KvRecord]()
+  private val fileName = f"shard-p$partitionId%05d-t$taskId.kv"
+
+  override def write(row: InternalRow): Unit = {
+    val keyField = schema.fields(rowkeyIdx)
+    require(!row.isNullAt(rowkeyIdx), s"null rowkey '${rowkey}' at write")
+    val key = BytesCodec.encodeKey(keyField.dataType, row.get(rowkeyIdx, keyField.dataType))
+    val cells = schema.fields.zipWithIndex.collect {
+      case (f, i) if i != rowkeyIdx && !row.isNullAt(i) =>
+        val decl = declaredByName.getOrElse(f.name, f)
+        val cf = if (decl.metadata.contains("columnFamily"))
+          decl.metadata.getString("columnFamily") else "columns"
+        val qual = if (decl.metadata.contains("column"))
+          decl.metadata.getString("column") else f.name
+        KvCell(cf, qual, BytesCodec.encode(f.dataType, row.get(i, f.dataType)))
+    }.toIndexedSeq
+    buffer += KvRecord(key, cells)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val sorted = buffer.sortWith((a, b) => BytesCodec.compareKeys(a.key, b.key) < 0)
+    val w = new KvStore.ShardWriter(dir, fileName)
+    sorted.foreach(w.append)
+    KvCommit(w.close().toSeq)
+  }
+
+  override def abort(): Unit = new File(s"$dir/$fileName").delete()
+  override def close(): Unit = ()
+}

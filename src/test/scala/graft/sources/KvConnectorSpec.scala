@@ -1,0 +1,249 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import graft.SparkSpec
+import graft.kv.KvCatalog
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+case class Person(id: Long, name: String, alive: Boolean, age: Int,
+                  birthDateStr: String, birthDateTime: Timestamp,
+                  birthDate: Date, height: Double, b: Byte, c: Option[String])
+
+/** End-to-end connector suite over the ported people fixture
+  * (FIXTURES.md §1; original generator
+  * `/root/reference/src/test/scala/TestDataWriter.scala:47-68`). */
+class KvConnectorSpec extends SparkSpec {
+
+  private lazy val dir = Files.createTempDirectory("graft-kv-people").toString
+
+  // catalog in MAP form (reference ScalaDatasourceTest.scala:10-69 shape)
+  private val catalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "people"},
+      |  "rowkey": "id",
+      |  "columns": {
+      |    "id": {"cf": "rowkey", "col": "id", "type": "long"},
+      |    "name": {"cf": "columns", "col": "name", "type": "string"},
+      |    "alive": {"cf": "columns", "col": "alive", "type": "boolean"},
+      |    "age": {"cf": "columns", "col": "age", "type": "int"},
+      |    "birthDateStr": {"cf": "columns", "col": "birthDateStr", "type": "string"},
+      |    "birthDateTime": {"cf": "columns", "col": "birthDateTime", "type": "timestamp"},
+      |    "birthDate": {"cf": "columns", "col": "birthDate", "type": "date"},
+      |    "height": {"cf": "columns", "col": "height", "type": "double"},
+      |    "b": {"cf": "columns", "col": "b", "type": "byte"},
+      |    "c": {"cf": "columns", "col": "c", "type": "string"}
+      |  }
+      |}""".stripMargin
+
+  private def peopleDf: DataFrame = {
+    import spark.implicits._
+    val base = java.time.ZonedDateTime.parse("1990-01-01T00:00:00Z")
+    (1 to 1000).map { i =>
+      val zdt = base.plusDays(i % 365).plusHours(i % 24)
+      Person(i.toLong, s"people$i", i % 2 == 0, i % 60,
+        zdt.toString, Timestamp.from(zdt.toInstant),
+        Date.valueOf(zdt.toLocalDate), (i % 100) / 10.0 + 1.0, 5.toByte, None)
+    }.toDF()
+  }
+
+  private lazy val written: Unit = {
+    peopleDf
+      .repartitionByRange(8, col("id"))
+      .write.format("graft-kv")
+      .option("catalog", catalogJson).option("path", dir)
+      .mode("overwrite").save()
+  }
+
+  private def kv: DataFrame = {
+    written
+    spark.read.format("graft-kv")
+      .option("catalog", catalogJson).option("path", dir).load()
+  }
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("write + full scan returns all rows with all columns") {
+    val rows = kv.collect()
+    assert(rows.length == 1000)
+    val r = kv.filter(col("id") === 7).collect().head
+    assert(r.getAs[String]("name") == "people7")
+    assert(r.getAs[Boolean]("alive") == false)
+    assert(r.getAs[Int]("age") == 7)
+    assert(r.getAs[Double]("height") == 1.7)
+    assert(r.getAs[Byte]("b") == 5.toByte)
+    assert(r.getAs[String]("c") == null)
+  }
+
+  test("reference canonical query: IN + OR (ScalaDatasourceTest.scala:88-91)") {
+    kv.createOrReplaceTempView("test")
+    val got = spark.sql(
+      """SELECT id, name, alive, age, birthDateStr, birthDateTime, birthDate,
+        |       height, b, c
+        |FROM test WHERE id IN (1,2,3,4,5) OR name = 'people1000'""".stripMargin)
+      .collect().map(_.getAs[Long]("id")).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 1000L))
+  }
+
+  test("rowkey range query (JavaDatasourceTest.java:40)") {
+    kv.createOrReplaceTempView("test")
+    val got = spark.sql("SELECT id, name FROM test WHERE id <= 10 ORDER BY id DESC")
+      .collect().map(_.getAs[Long]("id"))
+    assert(got.toSeq == (1L to 10L).reverse)
+  }
+
+  test("rowkey predicates prune shard partitions at plan time") {
+    val full = kv
+    val narrowed = kv.filter(col("id") <= 10)
+    assert(full.rdd.getNumPartitions == 8)
+    assert(narrowed.rdd.getNumPartitions == 1,
+      "id<=10 must hit only the first range shard")
+    val eq = kv.filter(col("id") === 500)
+    assert(eq.rdd.getNumPartitions == 1)
+  }
+
+  // ---- per-filter pushdown matrix (FIXTURES.md §3) ----
+  private def assertPushedAndCorrect(df: DataFrame, expectIds: Seq[Long],
+                                     mustContain: String): Unit = {
+    val plan = physicalPlan(df)
+    assert(plan.contains(mustContain), s"expected '$mustContain' in plan:\n$plan")
+    assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq == expectIds.sorted)
+  }
+
+  test("EqualTo pushdown") {
+    assertPushedAndCorrect(kv.filter(col("name") === "people10").select("id", "name"),
+      Seq(10L), "EqualTo(name,people10)")
+  }
+  test("comparison pushdown on int column") {
+    assertPushedAndCorrect(kv.filter(col("age") < 2 && col("id") <= 100).select("id"),
+      (1L to 100L).filter(i => i % 60 < 2), "LessThan(age,2)")
+  }
+  test("In pushdown") {
+    assertPushedAndCorrect(kv.filter(col("id").isin(3, 5, 900)).select("id"),
+      Seq(3L, 5L, 900L), "In(id")
+  }
+  test("IsNull matches missing cells (null ≡ absent)") {
+    assertPushedAndCorrect(kv.filter(col("c").isNull).select("id"),
+      (1L to 1000L), "IsNull(c)")
+  }
+  test("IsNotNull on missing cells matches nothing") {
+    assertPushedAndCorrect(kv.filter(col("c").isNotNull).select("id"),
+      Seq.empty, "IsNotNull(c)")
+  }
+  test("StringStartsWith pushdown") {
+    assertPushedAndCorrect(kv.filter(col("name").startsWith("people99")).select("id"),
+      Seq(99L) ++ (990L to 999L), "StringStartsWith(name,people99)")
+  }
+  test("StringContains pushdown") {
+    assertPushedAndCorrect(kv.filter(col("name").contains("le1000")).select("id"),
+      Seq(1000L), "StringContains(name,le1000)")
+  }
+  test("Or tree pushdown") {
+    assertPushedAndCorrect(
+      kv.filter(col("id") === 1 || col("name") === "people1000").select("id"),
+      Seq(1L, 1000L), "Or(EqualTo(id,1),EqualTo(name,people1000))")
+  }
+  test("And with unsupported child stays residual (reference bug regression)") {
+    // Spark splits top-level And before pushdown, so exercise a nested
+    // one: Or(And(EqualTo, EndsWith), EqualTo) — EndsWith is unsupported,
+    // so the whole Or must stay residual; reference would MatchError.
+    val df = kv.filter(
+      (col("id") === 10 && col("name").endsWith("0")) || col("id") === 20)
+      .select("id")
+    val plan = physicalPlan(df)
+    assert(!plan.contains("StringEndsWith") ||
+      plan.contains("Filter"), "unsupported child must not be claimed by scan")
+    assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(10L, 20L))
+  }
+  test("timestamp + date predicates decode correctly") {
+    val ts = Timestamp.from(java.time.Instant.parse("1990-06-01T00:00:00Z"))
+    val viaKv = kv.filter(col("birthDateTime") < ts).count()
+    val viaDf = peopleDf.filter(col("birthDateTime") < ts).count()
+    assert(viaKv == viaDf)
+    val d = Date.valueOf("1990-06-01")
+    assert(kv.filter(col("birthDate") === d).count() ==
+      peopleDf.filter(col("birthDate") === d).count())
+  }
+  test("pushdown-disabled equivalence on a mixed predicate") {
+    val pred = (col("age") >= 30 && col("height") < 5.0) || col("name") === "people77"
+    val viaKv = kv.filter(pred).collect().map(_.getAs[Long]("id")).sorted
+    val viaDf = peopleDf.filter(pred).collect().map(_.getAs[Long]("id")).sorted
+    assert(viaKv.toSeq == viaDf.toSeq)
+  }
+
+  test("column pruning reaches the scan") {
+    val df = kv.select("name")
+    val plan = physicalPlan(df)
+    assert(plan.contains("ReadSchema") || df.schema.fieldNames.sameElements(Array("name")))
+    assert(df.collect().length == 1000)
+  }
+
+  test("limit pushdown caps per-partition reads") {
+    val df = kv.limit(5)
+    assert(df.collect().length == 5)
+    assert(physicalPlan(kv.limit(5)).contains("Limit"))
+  }
+
+  test("compact list catalog form parses to the same schema") {
+    val compact =
+      """{
+        |  "table": {"name": "people"},
+        |  "rowkey": "id",
+        |  "columns": [
+        |    "id long rowkey",
+        |    "name string columns",
+        |    "age int columns age"
+        |  ]
+        |}""".stripMargin
+    val cat = KvCatalog.parse(compact)
+    assert(cat.namespace == "default")
+    assert(cat.qualifiedName == "default:people")
+    assert(cat.schema.fieldNames.toSeq == Seq("id", "name", "age"))
+    assert(cat.schema("id").nullable == false)
+    assert(cat.schema("name").metadata.getString("column") == "name")
+    // readable against the same data (subset of columns)
+    val df = spark.read.format("graft-kv")
+      .option("catalog", compact).option("path", dir).load()
+    assert(df.filter(col("id") === 5).collect().head.getAs[Int]("age") == 5)
+  }
+
+  test("negative rowkeys: predicates stay correct (no unsound byte-order pruning)") {
+    val negDir = Files.createTempDirectory("graft-kv-neg").toString
+    val negCat =
+      """{"table":{"name":"neg"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"int"}}}""".stripMargin
+    import spark.implicits._
+    (-50L to 50L).map(k => (k, k.toInt * 2)).toDF("k", "v")
+      .write.format("graft-kv").option("catalog", negCat).option("path", negDir)
+      .mode("overwrite").save()
+    val df = spark.read.format("graft-kv").option("catalog", negCat)
+      .option("path", negDir).load()
+    assert(df.filter(col("k") > -5).count() == 55) // -4..50
+    assert(df.filter(col("k") < 0).count() == 50)
+    assert(df.filter(col("k") === -50).collect().head.getAs[Int]("v") == -100)
+  }
+
+  test("append mode adds shards; overwrite truncates") {
+    val apDir = Files.createTempDirectory("graft-kv-append").toString
+    val cat =
+      """{"table":{"name":"ap"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"string"}}}""".stripMargin
+    import spark.implicits._
+    def w(range: Range, mode: String) =
+      range.map(k => (k.toLong, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", apDir)
+        .mode(mode).save()
+    w(1 to 10, "overwrite")
+    w(11 to 20, "append")
+    val df = spark.read.format("graft-kv").option("catalog", cat).option("path", apDir).load()
+    assert(df.count() == 20)
+    w(1 to 3, "overwrite")
+    assert(spark.read.format("graft-kv").option("catalog", cat)
+      .option("path", apDir).load().count() == 3)
+  }
+}
