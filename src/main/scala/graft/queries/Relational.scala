@@ -409,9 +409,35 @@ object Relational {
       ORDER BY c_custkey"""),
     doc = "CASE/COALESCE/NULLIF")
 
+  /** Typed Aggregator UDAF (graft.functions.WeightedAvg): quantity-
+    * weighted average price per returnflag, summed in exact integer
+    * cents so the oracle reproduces it bit-for-bit. */
+  val q26UdafWavg: Q = Q(
+    "q26_udaf_wavg",
+    (s, d) => {
+      val wavg = udaf(graft.functions.WeightedAvg)
+      li(s, d)
+        .withColumn("pc", round(col("l_extendedprice") * 100, 0).cast("long"))
+        .withColumn("qc", round(col("l_quantity") * 100, 0).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(wavg(col("pc"), col("qc")).as("wavg_price_per_qty"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) /
+             CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+               AS wavg_price_per_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    doc = "typed Aggregator UDAF (weighted average)")
+
   def defs: Seq[Q] = Seq(
     q1PricingSummary, q2ForecastRevenue, q3ShippingPriority, q4StarJoin,
     q5SemiJoin, q6AntiJoin, q7WindowTopN, q8RunningTotal, q9WindowAnalytics,
     q10TopK, q11SetOps, q12Rollup, q13Cube, q14DistinctAgg, q15ScalarFuncs,
-    q16CaseNull)
+    q16CaseNull, q26UdafWavg)
 }

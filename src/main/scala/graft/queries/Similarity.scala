@@ -21,7 +21,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** cosine(a, b) for two array<float> columns, accumulated in double. */
+  /** Composable (higher-order-function) cosine — kept as the reference
+    * implementation the codegen'd CosineSimilarity expression is tested
+    * against; both accumulate left-to-right in double. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -36,12 +38,13 @@ object Similarity {
   val q50CosineTopK: Q = Q(
     "q50_cosine_topk",
     (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-                cosine(col("q_emb"), col("embedding")).as("cos"))
+                expr("cosine_sim(q_emb, embedding)").as("cos"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -73,11 +76,12 @@ object Similarity {
   val q51CosineNearDup: Q = Q(
     "q51_cosine_near_dup",
     (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-                cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+                expr("cosine_sim(a.embedding, b.embedding)").as("cos"))
         .filter(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
         .orderBy(col("id_a"), col("id_b"))
@@ -95,34 +99,45 @@ object Similarity {
       ORDER BY id_a, id_b"""),
     doc = "embedding-cosine near-dup pairs")
 
-  /** LSH-bucketed approximate NN: 8 deterministic random hyperplanes
-    * (seeded hash-derived components) → 8-bit sign bucket; candidates
-    * share a bucket; exact rescoring within buckets. Approximate → no
-    * SQL oracle; ScalaTest measures recall vs q50 on the fixture. */
+  /** Multi-table LSH approximate NN: L=4 hash tables × k=4 deterministic
+    * random hyperplanes each → 4-bit sign bucket per table; candidates =
+    * union of same-bucket vectors across tables; exact cosine rescoring
+    * of candidates only. At 100 TB the per-table bucket join replaces
+    * the full cross product (corpus scanned once per table, shuffled on
+    * (table, bucket)). Approximate → no SQL oracle; ScalaTest measures
+    * recall vs brute-force q50 on the fixture. */
   val q52LshAnn: Q = Q(
     "q52_lsh_ann",
     (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
       val emb = Tables.embeddings(s, d)
       val dim = 64
-      val nPlanes = 8
+      val tables = 4
+      val planesPerTable = 4
       // plane p component j = deterministic pseudo-random in [-1,1):
       // ((xxhash64(p, j) mod 2^20) / 2^19) - 1
       def planeComp(p: Int, j: Int): Column =
         (pmod(xxhash64(lit(p), lit(j)), lit(1L << 20)).cast("double") / lit((1L << 19).toDouble)) - lit(1.0)
-      def bucketOf(v: Column): Column =
-        (0 until nPlanes).map { p =>
+      def bucketOf(v: Column, t: Int): Column =
+        (0 until planesPerTable).map { b =>
+          val p = t * planesPerTable + b
           val dot = (0 until dim).map(j => element_at(v, j + 1).cast("double") * planeComp(p, j))
             .reduce(_ + _)
-          when(dot >= 0, lit(1 << p)).otherwise(lit(0))
-        }.reduce((a, b) => a + b)
-      val bucketed = emb.select(col("vec_id"), col("embedding"),
-        bucketOf(col("embedding")).as("bucket"))
+          when(dot >= 0, lit(1 << b)).otherwise(lit(0))
+        }.reduce((a, c) => a + c)
+      val bucketed = (0 until tables).map { t =>
+        emb.select(col("vec_id"), col("embedding"), lit(t).as("tbl"),
+          bucketOf(col("embedding"), t).as("bucket"))
+      }.reduce(_ unionByName _)
       val queries = bucketed.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-      val scored = bucketed.join(broadcast(queries), Seq("bucket"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("tbl"), col("bucket"))
+      val cands = bucketed.join(broadcast(queries), Seq("tbl", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-                cosine(col("q_emb"), col("embedding")).as("cos"))
+        .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"), col("embedding"))
+        .dropDuplicates("q_id", "n_id") // union across tables
+      val scored = cands.select(col("q_id"), col("n_id"),
+        expr("cosine_sim(q_emb, embedding)").as("cos"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -130,7 +145,7 @@ object Similarity {
         .orderBy(col("q_id"), col("rk"))
     },
     None,
-    doc = "LSH (random hyperplane) bucketed ANN")
+    doc = "multi-table LSH (random hyperplane) ANN")
 
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn)
 }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §2.9 — entirely
+  * ABSENT in the reference; pure green-field Spark work).
+  *
+  * The batch twins live in graft.queries.EventsTime (q21–q23); these
+  * streaming versions add watermarks + incremental state. The file
+  * source scales: at 100 TB the same code points at an object-store
+  * prefix (or Kafka) and the state store shards by key across executors.
+  */
+object EventsStream {
+
+  /** events.parquet raw layout (ts kept as nanos long — parquet NANOS is
+    * unreadable as TimestampType; converted after read, identically to
+    * graft.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events from a directory of parquet files. */
+  def readStream(s: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts with a 10-minute watermark —
+    * append mode emits a window once the watermark passes its end. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("total_value"))
+
+  /** Session windows (30-minute gap) per user, streaming flavor of q23. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  case class UserEvent(event_id: Long, user_id: Long, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count/value, updated every micro-batch (SURVEY §2.9 "custom state"
+    * surface). */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("event_id"), col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class EventsStreamSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Split events into two parquet chunks so the file source produces
+    * two deterministic micro-batches. */
+  private lazy val chunkDir: String = {
+    val dir = Files.createTempDirectory("graft-events-stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts stays long ns
+    raw.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/c0")
+    raw.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/c1")
+    val flat = Files.createTempDirectory("graft-events-flat").toString
+    // file source wants one directory of files
+    import java.nio.file.{Path, Paths, StandardCopyOption}
+    def mv(sub: String, name: String): Unit = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, Paths.get(s"$flat/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    mv("c0", "part-0.parquet"); mv("c1", "part-1.parquet")
+    flat
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling windowed counts: every emitted window matches the batch result") {
+    val out = runToMemory(
+      EventsStream.tumblingCounts(EventsStream.readStream(spark, chunkDir)),
+      "tumbling_out", "append")
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    val emitted = out.select("window_start", "event_type", "n")
+    // append mode withholds windows still above watermark → subset match
+    assert(emitted.count() > 0, "watermark must have released some windows")
+    assert(emitted.except(batch).count() == 0,
+      "every emitted streaming window must equal its batch twin")
+  }
+
+  test("session windows: emitted sessions match batch session_window") {
+    val out = runToMemory(
+      EventsStream.sessionCounts(EventsStream.readStream(spark, chunkDir)),
+      "session_out", "append")
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+    assert(out.count() > 0)
+    assert(out.except(batch).count() == 0)
+  }
+
+  test("mapGroupsWithState accumulates per-user totals across micro-batches") {
+    val out = runToMemory(
+      EventsStream.runningUserTotals(EventsStream.readStream(spark, chunkDir)).toDF(),
+      "running_out", "update")
+    // final state per user (max n_events across updates) == batch count
+    val finalPerUser = out.groupBy("user_id").agg(max("n_events").as("n_events"))
+    val batch = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    assert(finalPerUser.except(batch).count() == 0)
+    assert(batch.except(finalPerUser).count() == 0)
+  }
+}
