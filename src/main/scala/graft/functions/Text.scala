@@ -18,16 +18,23 @@ object Text {
     when(length(trim(text)) === 0, array().cast("array<string>")).otherwise(t)
   }
 
-  /** Word n-gram shingles as space-joined strings; [] when there are
-    * fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token array
+    * column. Callers must project `tokens(text)` into its own column
+    * first: inlining the split() expression here would re-tokenize the
+    * document inside every element_at of the transform lambda — an
+    * O(tokens²) regex blowup that Catalyst's projection collapse rules
+    * avoid only when the array is a plain attribute reference. */
+  def shinglesOf(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - (n - 1), lit(0))
     // sequence(1, count) is empty-safe via the greatest() clamp
     when(count === 0, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), count),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
   }
+
+  /** Convenience one-shot form (fine for tests / tiny inputs; hot paths
+    * should materialize tokens and use shinglesOf). */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
   /** Order-sensitive 64-bit rolling fingerprint: chained
     * xxhash64(accumulator, token) fold over the token stream. The chain

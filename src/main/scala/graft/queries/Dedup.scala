@@ -58,22 +58,45 @@ object Dedup {
       ORDER BY doc_id"""),
     doc = "dedup survivor selection (window)")
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
-    * Jaccard >= 1/2 tested as `2*inter >= union` in integer arithmetic —
-    * no float boundary. Distinct shingles per doc, join on shingle,
-    * count shared, derive union from per-doc set sizes. */
+  /** Exact n-gram Jaccard near-dup pairs, computed with the AllPairs
+    * prefix-filtering algorithm instead of a naive full inverted-index
+    * self-join: with a global (rarity, shingle) token order and prefix
+    * length |x| − ceil(t·|x|) + 1, every pair with J ≥ t shares a token
+    * in BOTH prefixes (classic AllPairs completeness), so joining only
+    * prefixes — plus the |min| ≥ t·|max| size filter — generates a
+    * complete candidate set at a fraction of the join volume. Candidates
+    * are then verified with an exact intersection count; the Jaccard
+    * threshold J ≥ 1/2 is tested as `2·inter ≥ union` in integer
+    * arithmetic (no float boundary). Result set identical to the naive
+    * formulation — only the candidate generation is smarter. */
   val q42NgramJaccard: Q = Q(
     "q42_ngram_jaccard",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val sh = docs
-        .select(col("doc_id"), explode(array_distinct(Text.shingles(col("text"), 3))).as("sh"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(array_distinct(Text.shinglesOf(col("toks"), 3))).as("sh"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val ranked = sh.join(freq, "sh")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+        .join(sizes, "doc_id")
+      val prefix = ranked
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * 0.5) + 1)
+        .select(col("doc_id"), col("sh"), col("sz"))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val inter = cands
+        .join(sh.as("pa"), col("id_a") === col("pa.doc_id"))
+        .join(sh.as("pb"), col("id_b") === col("pb.doc_id") && col("pa.sh") === col("pb.sh"))
+        .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("inter"))
-      pairs
+      inter
         .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
         .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
         .select(col("id_a"), col("id_b"), col("inter"),
@@ -119,19 +142,24 @@ object Dedup {
     val k = 32
     val bands = 8
     val rows = k / bands
-    val sh = docs.select(col("doc_id"),
-      explode(array_distinct(Text.shingles(col("text"), 3))).as("sh"))
+    val sh = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(Text.shinglesOf(col("toks"), 3))).as("sh"))
     // k independent hashes via xxhash64(i, shingle) — the hash of the
     // band index chains into the shingle hash, giving k decorrelated
     // families from the one public builtin. One explode + one groupBy
     // (map-side combine) computes all k minima.
     val hashCols = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
-    // band key = hash of the band's row minima; bucket-join per band
-    val banded = (0 until bands).map { b =>
+    // band key = hash of the band's row minima; ONE posexplode instead of
+    // a bands-way union (which would recompute the signature aggregate
+    // once per band)
+    val bandKeys = array((0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
-      sigs.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
-    }.reduce(_ unionByName _)
+      xxhash64(cols: _*)
+    }: _*)
+    val banded = sigs.select(col("doc_id"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -162,10 +190,12 @@ object Dedup {
     "q44_simhash",
     (s, d) => {
       val sigs = simhashSignatures(Tables.documents(s, d))
-      val banded = (0 until 4).map { b =>
-        sigs.select(col("doc_id"), col("sig"), lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
-      }.reduce(_ unionByName _)
+      // one posexplode (not a 4-way union, which recomputes the 64-column
+      // signature aggregate per band)
+      val bandKeys = array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      val banded = sigs.select(col("doc_id"), col("sig"), posexplode(bandKeys))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
       banded.as("x")
         .join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -38,10 +38,8 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-            .cast("double").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6))
-            .cast("double").as("sum_charge"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount"), 2).as("avg_disc"),
@@ -52,8 +50,8 @@ object Relational {
       SELECT l_returnflag, l_linestatus,
         ${sqlDsum("l_quantity")} AS sum_qty,
         ${sqlDsum("l_extendedprice")} AS sum_base_price,
-        CAST(sum(${sqlDec("l_extendedprice * (1.0 - l_discount)", 4)}) AS DOUBLE) AS sum_disc_price,
-        CAST(sum(${sqlDec("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)}) AS DOUBLE) AS sum_charge,
+        ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+        ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
         ${sqlDavg("l_quantity")} AS avg_qty,
         ${sqlDavg("l_extendedprice")} AS avg_price,
         ${sqlDavg("l_discount", 2)} AS avg_disc,
@@ -75,11 +73,10 @@ object Relational {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
-        .agg(sum(dec(col("l_extendedprice") * col("l_discount"), 4))
-          .cast("double").as("revenue"),
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
           count(lit(1)).as("n_rows")),
     Some(s"""
-      SELECT CAST(sum(${sqlDec("l_extendedprice * l_discount", 4)}) AS DOUBLE) AS revenue,
+      SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue,
              count(*) AS n_rows
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -97,14 +94,13 @@ object Relational {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-          .cast("double").as("revenue"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     },
     Some(s"""
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-        CAST(sum(${sqlDec("l_extendedprice * (1.0 - l_discount)", 4)}) AS DOUBLE) AS revenue
+        ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -147,9 +143,12 @@ object Relational {
   val q5SemiJoin: Q = Q(
     "q5_semi_join",
     (s, d) => {
+      // project to the join key BEFORE broadcasting: the semi join only
+      // needs the key set, and the hint then ships ~1/10th the bytes
       val bigOrders = ord(s, d).filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey"))
       cust(s, d)
-        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(bigOrders), col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
              dsum(col("c_acctbal")).as("sum_acctbal"))
@@ -170,7 +169,8 @@ object Relational {
     "q6_anti_join",
     (s, d) =>
       cust(s, d)
-        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(ord(s, d).select(col("o_custkey"))),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_nationkey")),
@@ -213,17 +213,18 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       li(s, d)
         .filter(col("l_suppkey") <= 5)
-        .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("double"))
+        .withColumn("running_qty",
+          sum(fixedLong(col("l_quantity"))).over(w).cast("double") / 100.0)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
                 col("l_shipdate"), col("l_quantity"), col("running_qty"))
         .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     },
     Some(s"""
       SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
-        CAST(sum(${sqlDec("l_quantity")}) OVER (
+        CAST(sum(${sqlFixedLong("l_quantity")}) OVER (
           PARTITION BY l_suppkey
           ORDER BY l_shipdate, l_orderkey, l_linenumber
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_qty
       FROM lineitem
       WHERE l_suppkey <= 5
       ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""),

@@ -110,25 +110,14 @@ object Similarity {
     "q52_lsh_ann",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
+      graft.functions.LshBuckets.register(s)
       val emb = Tables.embeddings(s, d)
-      val dim = 64
-      val tables = 4
-      val planesPerTable = 4
-      // plane p component j = deterministic pseudo-random in [-1,1):
-      // ((xxhash64(p, j) mod 2^20) / 2^19) - 1
-      def planeComp(p: Int, j: Int): Column =
-        (pmod(xxhash64(lit(p), lit(j)), lit(1L << 20)).cast("double") / lit((1L << 19).toDouble)) - lit(1.0)
-      def bucketOf(v: Column, t: Int): Column =
-        (0 until planesPerTable).map { b =>
-          val p = t * planesPerTable + b
-          val dot = (0 until dim).map(j => element_at(v, j + 1).cast("double") * planeComp(p, j))
-            .reduce(_ + _)
-          when(dot >= 0, lit(1 << b)).otherwise(lit(0))
-        }.reduce((a, c) => a + c)
-      val bucketed = (0 until tables).map { t =>
-        emb.select(col("vec_id"), col("embedding"), lit(t).as("tbl"),
-          bucketOf(col("embedding"), t).as("bucket"))
-      }.reduce(_ unionByName _)
+      // lsh_buckets = native expression: plane matrix precomputed at plan
+      // time, fused loop (the composable 4×4×64-term projection overflows
+      // codegen and drops to interpretation)
+      val bucketed = emb
+        .select(col("vec_id"), col("embedding"), posexplode(expr("lsh_buckets(embedding)")))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
       val queries = bucketed.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
                 col("tbl"), col("bucket"))

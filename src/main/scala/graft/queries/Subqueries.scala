@@ -69,7 +69,7 @@ object Subqueries {
       Tables.registerAll(s, d)
       s.sql(s"""
         SELECT p_brand,
-               CAST(sum(${sqlDec("l_extendedprice")}) AS DOUBLE) / 7.0 AS avg_yearly,
+               ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
                count(*) AS n
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -83,7 +83,7 @@ object Subqueries {
     },
     Some(s"""
       SELECT p_brand,
-             CAST(sum(${sqlDec("l_extendedprice")}) AS DOUBLE) / 7.0 AS avg_yearly,
+             ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
              count(*) AS n
       FROM lineitem
       JOIN part ON p_partkey = l_partkey
