@@ -60,13 +60,41 @@ case class KvInputPartition(shard: KvShardMeta, startHex: Option[String],
 
 class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
              declared: StructType, filters: Array[Filter], limit: Int)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Runtime filters (e.g. DPP-style IN-sets from a join's build side)
+    * arrive after planning starts; they tighten both shard pruning and
+    * per-row evaluation. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+  private def allFilters: Array[Filter] = filters ++ runtimeFilters
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(rowkeyName))
+
+  override def filter(newFilters: Array[Filter]): Unit = {
+    val names = declared.fieldNames.toSet
+    runtimeFilters = newFilters.filter(FilterEval.pushable(_, names))
+  }
+
+  /** Manifest-derived stats → AQE/CBO sizing (rows; bytes estimated from
+    * schema width). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val rows: Long =
+      try KvStore.readMeta(dir).shards.map(_.rows).sum catch { case _: Exception => -1L }
+    private lazy val rowWidth: Long = declared.fields.map(_.dataType.defaultSize.toLong).sum + 16L
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (rows < 0) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(rows * rowWidth)
+    override def numRows(): java.util.OptionalLong =
+      if (rows < 0) java.util.OptionalLong.empty() else java.util.OptionalLong.of(rows)
+  }
 
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
 
   override def description(): String = {
-    val f = filters.mkString(", ")
+    val f = allFilters.mkString(", ")
     s"graft-kv $dir PushedFilters: [$f], Limit: ${if (limit >= 0) limit else "none"}"
   }
 
@@ -96,7 +124,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
       if (lo.isEmpty || BytesCodec.compareKeys(b, lo.get) > 0) lo = Some(b)
     def tightenHi(b: Array[Byte]): Unit =
       if (hi.isEmpty || BytesCodec.compareKeys(b, hi.get) < 0) hi = Some(b)
-    filters.foreach {
+    allFilters.foreach {
       case EqualTo(a, v) if a == rowkeyName =>
         enc(v).foreach { b => tightenLo(b); tightenHi(b) }
       case GreaterThan(a, v) if a == rowkeyName => enc(v).foreach(tightenLo)
@@ -130,7 +158,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvPartitionReaderFactory(dir, prunedSchema.json, declared.json,
-      rowkeyName, filters, limit)
+      rowkeyName, allFilters, limit)
 }
 
 /** Serializable factory (the driver→executor boundary; schemas travel as

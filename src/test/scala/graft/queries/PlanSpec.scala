@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions: the optimizations the engine claims
+  * (pushdown, pruning, broadcast, partial aggregation, top-k) must be
+  * visible in `explain`, not just hoped for. These are the properties
+  * that decide whether a plan survives a 100 TB scale-up. */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q2: filters reach the parquet scan as PushedFilters") {
+    val p = plan(Relational.q2ForecastRevenue.fn(spark, d))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      s"shipdate band must be pushed:\n$p")
+  }
+
+  test("q2: column pruning — scan reads only referenced columns") {
+    val p = plan(Relational.q2ForecastRevenue.fn(spark, d))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"scan must not read unreferenced columns: $readSchema")
+  }
+
+  test("q3/q4: dimension joins broadcast; fact-fact join shuffles") {
+    val p3 = plan(Relational.q3ShippingPriority.fn(spark, d))
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    val p4 = plan(Relational.q4StarJoin.fn(spark, d))
+    assert(p4.contains("BroadcastHashJoin"))
+    assert(!p4.contains("SortMergeJoin"), "star join must not shuffle dims")
+  }
+
+  test("q1: aggregation is partial/final (map-side combine)") {
+    val p = plan(Relational.q1PricingSummary.fn(spark, d))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"expect partial aggregation before the shuffle:\n$p")
+  }
+
+  test("q10: global top-k plans as TakeOrderedAndProject, not full sort") {
+    val p = plan(Relational.q10TopK.fn(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q5/q6: semi and anti joins broadcast the key side") {
+    assert(plan(Relational.q5SemiJoin.fn(spark, d)).contains("BroadcastHashJoin LeftSemi"))
+    assert(plan(Relational.q6AntiJoin.fn(spark, d)).contains("BroadcastHashJoin LeftAnti"))
+  }
+
+  test("q50: whole-stage codegen covers the cosine scoring") {
+    val df = Similarity.q50CosineTopK.fn(spark, d)
+    val cg = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"), cg.take(2000))
+    val p = plan(df)
+    assert(p.contains("cosine_sim") || p.toLowerCase.contains("cosinesimilarity"),
+      s"fused expression must appear in plan:\n$p")
+  }
+
+  test("q24: as-of join is one shuffle (window), no nested-loop explosion") {
+    val p = plan(EventsTime.q24AsofJoin.fn(spark, d))
+    assert(p.contains("Window"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not explode:\n$p")
+  }
+}

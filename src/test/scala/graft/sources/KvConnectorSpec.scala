@@ -227,6 +227,32 @@ class KvConnectorSpec extends SparkSpec {
     assert(df.filter(col("k") === -50).collect().head.getAs[Int]("v") == -100)
   }
 
+  test("scan reports manifest statistics (rows + size) for AQE/CBO") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = kv.filter(col("id") > 0)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.orElse(df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case b: BatchScanExec => b.scan
+    })
+    val stats = scan.get.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 1000L)
+    assert(stats.sizeInBytes().getAsLong > 0L)
+  }
+
+  test("runtime rowkey filters re-prune partitions (SupportsRuntimeFiltering)") {
+    import org.apache.spark.sql.sources.{EqualTo => SEqualTo}
+    val df = kv
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get.asInstanceOf[KvScan]
+    assert(scan.planInputPartitions().length == 8)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](SEqualTo("id", 500L)))
+    assert(scan.planInputPartitions().length == 1,
+      "runtime EqualTo on the rowkey must prune to one shard")
+  }
+
   test("append mode adds shards; overwrite truncates") {
     val apDir = Files.createTempDirectory("graft-kv-append").toString
     val cat =
