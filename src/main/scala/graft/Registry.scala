@@ -17,6 +17,7 @@ object Registry {
   /** All query modules, merged. Order is stable for bench output. */
   def all: Seq[Q] =
     queries.Relational.defs ++
+      queries.Extras.defs ++
       queries.Subqueries.defs ++
       queries.EventsTime.defs ++
       queries.TextOps.defs ++

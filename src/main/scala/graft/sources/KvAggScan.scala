@@ -1,0 +1,179 @@
+package graft.sources
+
+import graft.kv._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+
+/** Aggregate pushdown (SURVEY.md §2.4 stretch — `SupportsPushDownAggregates`,
+  * absent in the reference): global COUNT(*) / COUNT(col) / MIN / MAX
+  * run inside the scan. Each partition emits ONE partial row; Spark's
+  * final aggregate merges them. COUNT(*) with no residual predicates is
+  * answered from the shard manifest without opening a single shard file.
+  */
+sealed trait KvAggSpec extends Serializable
+case object KvCountStar extends KvAggSpec
+final case class KvCountCol(name: String) extends KvAggSpec
+final case class KvMinCol(name: String) extends KvAggSpec
+final case class KvMaxCol(name: String) extends KvAggSpec
+
+object KvAggSpec {
+  private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case f: NamedReference if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Translate a connector Aggregation (global, no group-by) into specs;
+    * None → not pushable. */
+  def translate(agg: Aggregation, declared: StructType): Option[Seq[KvAggSpec]] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val names = declared.fieldNames.toSet
+    val specs = agg.aggregateExpressions().map {
+      case _: CountStar => KvCountStar
+      case c: Count if !c.isDistinct =>
+        fieldName(c.column()).filter(names).map(KvCountCol.apply).getOrElse(return None)
+      case m: Min =>
+        fieldName(m.column()).filter(names).map(KvMinCol.apply).getOrElse(return None)
+      case m: Max =>
+        fieldName(m.column()).filter(names).map(KvMaxCol.apply).getOrElse(return None)
+      case _ => return None
+    }
+    Some(specs.toIndexedSeq)
+  }
+
+  def outputSchema(specs: Seq[KvAggSpec], declared: StructType): StructType = {
+    val byName = declared.fields.map(f => f.name -> f).toMap
+    StructType(specs.zipWithIndex.map {
+      case (KvCountStar, i)    => StructField(s"count_star_$i", LongType, nullable = false)
+      case (KvCountCol(n), i)  => StructField(s"count_${n}_$i", LongType, nullable = false)
+      case (KvMinCol(n), i)    => StructField(s"min_${n}_$i", byName(n).dataType)
+      case (KvMaxCol(n), i)    => StructField(s"max_${n}_$i", byName(n).dataType)
+    })
+  }
+}
+
+class KvAggScan(dir: String, rowkeyName: String, declared: StructType,
+                filters: Array[Filter], specs: Seq[KvAggSpec])
+    extends Scan with Batch {
+
+  private val base = new KvScan(dir, rowkeyName, declared, declared, filters, -1)
+
+  override def readSchema(): StructType = KvAggSpec.outputSchema(specs, declared)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-kv-agg $dir PushedAggregates: [${specs.mkString(", ")}], " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = base.planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KvAggReaderFactory(dir, declared.json, rowkeyName, filters, specs)
+}
+
+case class KvAggReaderFactory(dir: String, declaredJson: String, rowkeyName: String,
+                              filters: Array[Filter], specs: Seq[KvAggSpec])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[KvInputPartition]
+    new KvAggPartitionReader(dir, part,
+      DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkeyName, filters, specs)
+  }
+}
+
+/** One partial-aggregate row per shard. */
+class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: StructType,
+                           rowkeyName: String, filters: Array[Filter], specs: Seq[KvAggSpec])
+    extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+  private val dtByName = declared.fields.map(f => f.name -> f.dataType).toMap
+
+  private def ordering(dt: DataType): Ordering[Any] = dt match {
+    case StringType => Ordering.by((v: Any) => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      .asInstanceOf[Ordering[Any]]
+    case _: NumericType | DateType | TimestampType =>
+      new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = (a, b) match {
+          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+          case (x: Int, y: Int) => Integer.compare(x, y)
+          case (x: Short, y: Short) => java.lang.Short.compare(x, y)
+          case (x: Byte, y: Byte) => java.lang.Byte.compare(x, y)
+          case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+          case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+          case _ => throw new IllegalStateException(s"unorderable $a/$b")
+        }
+      }
+    case BooleanType => Ordering.by((v: Any) => v.asInstanceOf[Boolean]).asInstanceOf[Ordering[Any]]
+    case other => throw new IllegalStateException(s"min/max unsupported for $other")
+  }
+
+  private def compute(): InternalRow = {
+    // fast path: pure COUNT(*) over the whole shard → manifest only
+    val countStarOnly = specs.forall(_ == KvCountStar)
+    if (countStarOnly && filters.isEmpty && part.startHex.isEmpty && part.endHex.isEmpty)
+      return InternalRow.fromSeq(specs.map(_ => part.shard.rows))
+
+    val neededCols: Set[String] = specs.collect {
+      case KvCountCol(n) => n
+      case KvMinCol(n)   => n
+      case KvMaxCol(n)   => n
+    }.toSet ++ filters.flatMap(_.references)
+    val neededFields = declared.fields.filter(f => neededCols(f.name))
+
+    var countStar = 0L
+    val countCol = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val minV = scala.collection.mutable.Map.empty[String, Any]
+    val maxV = scala.collection.mutable.Map.empty[String, Any]
+    val minNames = specs.collect { case KvMinCol(n) => n }.distinct
+    val maxNames = specs.collect { case KvMaxCol(n) => n }.distinct
+    val countNames = specs.collect { case KvCountCol(n) => n }.distinct
+
+    val reader = new KvStore.ShardReader(dir, part.shard,
+      part.startHex.map(KvStore.fromHex).orNull,
+      part.endHex.map(KvStore.fromHex).orNull)
+    try {
+      while (reader.hasNext) {
+        val rec = reader.next()
+        val decoded = new java.util.HashMap[String, Any](neededFields.length * 2)
+        neededFields.foreach { f =>
+          val cf = f.metadata.getString("columnFamily")
+          val qual = f.metadata.getString("column")
+          val v =
+            if (cf == KvCatalog.RowkeyCf) BytesCodec.decodeKey(f.dataType, rec.key)
+            else rec.cells.find(c => c.cf == cf && c.qualifier == qual)
+              .map(c => BytesCodec.decode(f.dataType, c.value)).orNull
+          decoded.put(f.name, v)
+        }
+        if (filters.forall(FilterEval.eval(_, decoded.get, dtByName))) {
+          countStar += 1
+          countNames.foreach(n => if (decoded.get(n) != null) countCol(n) += 1)
+          (minNames ++ maxNames).distinct.foreach { n =>
+            val v = decoded.get(n)
+            if (v != null) {
+              val ord = ordering(dtByName(n))
+              if (!minV.contains(n) || ord.lt(v, minV(n))) minV(n) = v
+              if (!maxV.contains(n) || ord.gt(v, maxV(n))) maxV(n) = v
+            }
+          }
+        }
+      }
+    } finally reader.close()
+
+    InternalRow.fromSeq(specs.map {
+      case KvCountStar   => countStar
+      case KvCountCol(n) => countCol(n)
+      case KvMinCol(n)   => minV.getOrElse(n, null)
+      case KvMaxCol(n)   => maxV.getOrElse(n, null)
+    })
+  }
+
+  override def next(): Boolean =
+    if (emitted) false else { emitted = true; current = compute(); true }
+  private var current: InternalRow = _
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

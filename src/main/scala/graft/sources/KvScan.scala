@@ -25,12 +25,25 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private val declared = catalog.schema
   private var prunedSchema: StructType = declared
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggSpecs: Option[Seq[KvAggSpec]] = None
+
+  /** Partial pushdown: each shard returns one partial row; Spark merges. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    KvAggSpec.translate(agg, declared) match {
+      case Some(s) => aggSpecs = Some(s); true
+      case None    => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val names = declared.fieldNames.toSet
@@ -50,8 +63,10 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
 
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
-  override def build(): Scan =
-    new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit)
+  override def build(): Scan = aggSpecs match {
+    case Some(specs) => new KvAggScan(dir, catalog.rowkey, declared, pushed, specs)
+    case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit)
+  }
 }
 
 /** Serializable partition: one shard + the clipped key range. */

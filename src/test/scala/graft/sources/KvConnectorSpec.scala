@@ -253,6 +253,37 @@ class KvConnectorSpec extends SparkSpec {
       "runtime EqualTo on the rowkey must prune to one shard")
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX computed in the scan") {
+    val df = kv.agg(
+      count(lit(1)).as("n"),
+      count(col("c")).as("n_c"),
+      min(col("age")).as("min_age"),
+      max(col("height")).as("max_h"),
+      max(col("name")).as("max_name"))
+    val plan = df.queryExecution.executedPlan.toString()
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") == 1000L)
+    assert(r.getAs[Long]("n_c") == 0L) // c is always the missing cell
+    assert(r.getAs[Int]("min_age") == 0)
+    assert(r.getAs[Double]("max_h") == 10.9)
+    assert(r.getAs[String]("max_name") == "people999") // lexicographic
+    assert(plan.contains("PushedAggregates"), s"aggregates must be pushed:\n$plan")
+  }
+
+  test("aggregate pushdown respects residual-free pushed filters") {
+    val df = kv.filter(col("age") < 10).agg(count(lit(1)).as("n"), max(col("age")).as("m"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") == peopleDf.filter(col("age") < 10).count())
+    assert(r.getAs[Int]("m") == 9)
+  }
+
+  test("group-by aggregates do NOT push (stay in Spark) and stay correct") {
+    val df = kv.groupBy(col("alive")).agg(count(lit(1)).as("n"))
+    assert(!df.queryExecution.executedPlan.toString().contains("PushedAggregates"))
+    val m = df.collect().map(r => r.getAs[Boolean]("alive") -> r.getAs[Long]("n")).toMap
+    assert(m(true) == 500L && m(false) == 500L)
+  }
+
   test("append mode adds shards; overwrite truncates") {
     val apDir = Files.createTempDirectory("graft-kv-append").toString
     val cat =
