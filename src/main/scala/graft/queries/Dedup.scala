@@ -66,29 +66,36 @@ object Dedup {
     * prefixes — plus the |min| ≥ t·|max| size filter — generates a
     * complete candidate set at a fraction of the join volume. Candidates
     * are then verified with an exact intersection count; the Jaccard
-    * threshold J ≥ 1/2 is tested as `2·inter ≥ union` in integer
-    * arithmetic (no float boundary). Result set identical to the naive
+    * threshold J ≥ 4/5 (the usual near-dup bar in training-data
+    * pipelines) is tested as `5·inter ≥ 4·union` in integer arithmetic
+    * (no float boundary). Result set identical to the naive
     * formulation — only the candidate generation is smarter. */
   val q42NgramJaccard: Q = Q(
     "q42_ngram_jaccard",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // the shingle relation feeds 4 branches of this DAG (freq, ranked,
+      // and both verification sides) — persist it instead of re-running
+      // scan+explode per branch, exactly as one would cache a reused CTE
+      // on a cluster
       val sh = docs
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(array_distinct(Text.shinglesOf(col("toks"), 3))).as("sh"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docW = Window.partitionBy(col("doc_id"))
       val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      // rn and sz from ONE window pass over the same partition spec
       val ranked = sh.join(freq, "sh")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-        .join(sizes, "doc_id")
+        .withColumn("rn", row_number().over(docW.orderBy(col("df"), col("sh"))))
+        .withColumn("sz", count(lit(1)).over(docW))
+      val sizes = ranked.filter(col("rn") === 1).select(col("doc_id"), col("sz"))
       val prefix = ranked
-        .filter(col("rn") <= col("sz") - ceil(col("sz") * 0.5) + 1)
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * 0.8) + 1)
         .select(col("doc_id"), col("sh"), col("sz"))
       val cands = prefix.as("a")
         .join(prefix.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
+            col("a.sz") * 5 >= col("b.sz") * 4 && col("b.sz") * 5 >= col("a.sz") * 4)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       val inter = cands
@@ -101,7 +108,7 @@ object Dedup {
         .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
         .select(col("id_a"), col("id_b"), col("inter"),
                 (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
-        .filter(col("inter") * 2 >= col("un"))
+        .filter(col("inter") * 5 >= col("un") * 4)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""
@@ -123,12 +130,13 @@ object Dedup {
       FROM pairs
       JOIN sizes sa ON id_a = sa.doc_id
       JOIN sizes sb ON id_b = sb.doc_id
-      WHERE inter * 2 >= sa.sz + sb.sz - inter
+      WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
       ORDER BY id_a, id_b"""),
     doc = "exact n-gram Jaccard via inverted-index join")
 
   /** MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates, verified
-    * with exact Jaccard (>= 1/2, integer test). Hash family:
+    * with exact Jaccard (>= 4/5, integer test; P[candidate | J=0.8] ≈
+    * 0.985 with this banding). Hash family:
     * h_i(x) = xxhash64(shingle, seed=i) (Spark's seeded xxhash64), min per
     * doc. Not ANSI-expressible (seeded xxhash64) → rows-only; ScalaTest
     * asserts candidate-set ⊇ all true pairs found by q42 on the fixture. */
@@ -178,7 +186,7 @@ object Dedup {
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"), col("inter"),
               (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
-      .filter(col("inter") * 2 >= col("un"))
+      .filter(col("inter") * 5 >= col("un") * 4)
       .orderBy(col("id_a"), col("id_b"))
   }
 
