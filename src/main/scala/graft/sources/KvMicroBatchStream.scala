@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.kv.KvStore
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** Micro-batch streaming over a KV table (SURVEY.md §7 stretch — the
+  * reference declares spark-streaming as a dependency but never uses it,
+  * `HbaseTable.scala:21` excludes streaming capabilities).
+  *
+  * The shard manifest is APPEND-ONLY under `mode("append")` writes, so
+  * the stream offset is simply the number of manifest entries consumed;
+  * each micro-batch reads the shard files that appeared since the last
+  * offset — the same contract as Spark's file source, minus the
+  * directory listing (the manifest is the listing). Overwrite/truncate
+  * resets the manifest and is NOT a valid source for a running stream.
+  *
+  * Pushed filters and column pruning apply per micro-batch exactly as
+  * in batch scans (same reader factory).
+  */
+case class KvOffset(shardCount: Int) extends Offset {
+  override def json(): String = s"""{"shardCount":$shardCount}"""
+}
+
+class KvMicroBatchStream(dir: String, rowkeyName: String,
+                         prunedSchema: StructType, declared: StructType,
+                         filters: Array[Filter])
+    extends MicroBatchStream {
+
+  override def latestOffset(): Offset =
+    KvOffset(KvStore.readMeta(dir).shards.length)
+
+  override def initialOffset(): Offset = KvOffset(0)
+
+  override def deserializeOffset(json: String): Offset =
+    KvOffset("\"shardCount\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"bad KvOffset json: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KvOffset].shardCount
+    val e = end.asInstanceOf[KvOffset].shardCount
+    KvStore.readMeta(dir).shards.slice(s, e)
+      .map(sh => KvInputPartition(sh, None, None): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KvPartitionReaderFactory(dir, prunedSchema.json, declared.json,
+      rowkeyName, filters, -1)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -108,6 +108,10 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KvMicroBatchStream(dir, rowkeyName, prunedSchema, declared, filters)
+
   override def description(): String = {
     val f = allFilters.mkString(", ")
     s"graft-kv $dir PushedFilters: [$f], Limit: ${if (limit >= 0) limit else "none"}"

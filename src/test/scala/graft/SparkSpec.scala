@@ -16,6 +16,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // let bucket tests prove co-location
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -1,0 +1,43 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Micro-batch streaming over the KV source: each append-mode write adds
+  * manifest entries; the stream tails the manifest. */
+class KvStreamSpec extends SparkSpec {
+
+  private val cat =
+    """{"table":{"name":"stream"},"rowkey":"k",
+      | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+      |            "v":{"cf":"f","col":"v","type":"string"}}}""".stripMargin
+
+  test("stream tails appended shards across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-stream").toString
+    def write(range: Range, mode: String): Unit =
+      range.map(k => (k.toLong, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+
+    write(1 to 10, "overwrite")
+    val stream = spark.readStream.format("graft-kv")
+      .option("catalog", cat).option("path", dir).load()
+      .filter(col("k") > 2) // pushdown applies per micro-batch
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("kv_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kv_stream_out").count() == 8) // 3..10
+
+      write(11 to 15, "append")
+      q.processAllAvailable()
+      assert(spark.table("kv_stream_out").count() == 13) // + 11..15
+      val keys = spark.table("kv_stream_out").select("k")
+        .collect().map(_.getLong(0)).sorted
+      assert(keys.toSeq == ((3L to 15L)))
+    } finally q.stop()
+  }
+}
