@@ -109,5 +109,64 @@ object Extras {
       ORDER BY n_nationkey"""),
     doc = "csv + json source round-trip")
 
-  def defs: Seq[Q] = Seq(q27RangeJoin, q28GroupingSets, q29ArrayFuncs, q73FileFormats)
+  /** Map function family: JSON props parsed into map<string,int>,
+    * keys/values/lookup. */
+  val q74MapFuncs: Q = Q(
+    "q74_map_funcs",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+        .select(
+          col("event_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          element_at(col("m"), "k").as("k_val"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             len(json_keys(props)) AS n_keys,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      FROM events
+      ORDER BY event_id"""),
+    doc = "map functions over parsed JSON")
+
+  /** Pivot (orders status × priority), null cells coalesced to 0 so the
+    * oracle's FILTER-aggregation form matches exactly. */
+  val q75Pivot: Q = Q(
+    "q75_pivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    doc = "pivot ≡ conditional aggregation")
+
+  /** Approximate distinct (HyperLogLog++) — sketch-based, so no exact
+    * oracle; ScalaTest bounds the relative error vs the exact count. */
+  val q76ApproxDistinct: Q = Q(
+    "q76_approx_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag")),
+    None,
+    doc = "HLL++ approximate distinct")
+
+  def defs: Seq[Q] = Seq(q27RangeJoin, q28GroupingSets, q29ArrayFuncs,
+    q73FileFormats, q74MapFuncs, q75Pivot, q76ApproxDistinct)
 }

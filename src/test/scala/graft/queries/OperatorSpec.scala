@@ -93,6 +93,18 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Double]]("features").length == 8)
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    val approx = Extras.q76ApproxDistinct.fn(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, d).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.05, s"$k: approx=$ap exact=$ex")
+    }
+  }
+
   test("shingles produce n-2 word 3-grams and [] for short docs") {
     import spark.implicits._
     val df = Seq("a b c d e", "a b", "").toDF("text")
