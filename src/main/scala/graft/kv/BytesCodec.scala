@@ -46,6 +46,27 @@ object BytesCodec {
       encodeLong(v.asInstanceOf[Int].toLong * 86400000L)
     case TimestampType => // internal: micros → millis (reference precision)
       encodeLong(Math.floorDiv(v.asInstanceOf[Long], 1000L))
+    // extensions beyond the reference (SURVEY.md §1.4):
+    case dt: DecimalType if dt.precision <= 18 => // unscaled long, scale from catalog
+      encodeLong(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong)
+    case ArrayType(FloatType, _) =>
+      val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val buf = ByteBuffer.allocate(4 + 4 * a.numElements())
+      buf.putInt(a.numElements())
+      (0 until a.numElements()).foreach(i => buf.putFloat(a.getFloat(i)))
+      buf.array()
+    case MapType(StringType, StringType, _) =>
+      val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val ks = m.keyArray(); val vs = m.valueArray()
+      val kb = (0 until m.numElements()).map(i => ks.getUTF8String(i).getBytes)
+      val vb = (0 until m.numElements()).map(i => vs.getUTF8String(i).getBytes)
+      val total = 4 + kb.zip(vb).map { case (k2, v2) => 8 + k2.length + v2.length }.sum
+      val buf = ByteBuffer.allocate(total)
+      buf.putInt(m.numElements())
+      kb.zip(vb).foreach { case (k2, v2) =>
+        buf.putInt(k2.length); buf.put(k2); buf.putInt(v2.length); buf.put(v2)
+      }
+      buf.array()
     case other => throw new IllegalArgumentException(s"Unsupported KV type: $other")
   }
 
@@ -74,6 +95,25 @@ object BytesCodec {
     case BinaryType    => b
     case DateType      => (decodeLong(b) / 86400000L).toInt
     case TimestampType => Math.multiplyExact(decodeLong(b), 1000L)
+    case dt: DecimalType if dt.precision <= 18 =>
+      org.apache.spark.sql.types.Decimal(decodeLong(b), dt.precision, dt.scale)
+    case ArrayType(FloatType, _) =>
+      val buf = ByteBuffer.wrap(b)
+      val n = buf.getInt
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill(n)(buf.getFloat))
+    case MapType(StringType, StringType, _) =>
+      val buf = ByteBuffer.wrap(b)
+      val n = buf.getInt
+      val keys = new Array[Any](n); val vals = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val kl = buf.getInt; val kb = new Array[Byte](kl); buf.get(kb)
+        val vl = buf.getInt; val vb = new Array[Byte](vl); buf.get(vb)
+        keys(i) = UTF8String.fromBytes(kb); vals(i) = UTF8String.fromBytes(vb)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
     case other => throw new IllegalArgumentException(s"Unsupported KV type: $other")
   }
 

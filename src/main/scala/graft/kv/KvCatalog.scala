@@ -50,8 +50,12 @@ object KvCatalog {
 
   private val mapper = new ObjectMapper()
 
+  private val DecimalRe = """decimal\((\d+),\s*(\d+)\)""".r
+
   /** Reference type-string table (`DefaultSource.scala:45-64`) plus the
-    * extensions the reference stubs out. */
+    * extensions the reference stubs out (SURVEY.md §1.4: decimal —
+    * commented out at `DefaultSource.scala:56` — plus array<float> for
+    * embeddings and map<string,string> for event props). */
   def parseType(s: String): DataType = s.toLowerCase match {
     case "boolean"                    => BooleanType
     case "char" | "varchar" | "string" => StringType
@@ -64,6 +68,9 @@ object KvCatalog {
     case "long" | "bigint"            => LongType
     case "short"                      => ShortType
     case "timestamp"                  => TimestampType
+    case DecimalRe(p, sc)             => DecimalType(p.toInt, sc.toInt)
+    case "array<float>"               => ArrayType(FloatType, containsNull = false)
+    case "map<string,string>"         => MapType(StringType, StringType, valueContainsNull = false)
     case other => throw new IllegalArgumentException(s"Unsupported type $other")
   }
 

@@ -134,6 +134,17 @@ object KvStore {
     private var nextRec: KvRecord = _
     private var done = false
 
+    // cf/qualifier names repeat on every record — intern them so the hot
+    // loop reuses one String per distinct name instead of allocating two
+    // fresh Strings per cell
+    private val internCache = new java.util.HashMap[java.nio.ByteBuffer, String]()
+    private def intern(b: Array[Byte]): String = {
+      val key = java.nio.ByteBuffer.wrap(b)
+      val hit = internCache.get(key)
+      if (hit != null) hit
+      else { val s = new String(b, StandardCharsets.UTF_8); internCache.put(key, s); s }
+    }
+
     private def readRecord(): KvRecord = {
       val keyLen = try in.readInt() catch { case _: EOFException => return null }
       val key = new Array[Byte](keyLen); in.readFully(key)
@@ -142,7 +153,7 @@ object KvStore {
         val cfLen = in.readShort(); val cf = new Array[Byte](cfLen); in.readFully(cf)
         val qLen = in.readShort(); val q = new Array[Byte](qLen); in.readFully(q)
         val vLen = in.readInt(); val v = new Array[Byte](vLen); in.readFully(v)
-        KvCell(new String(cf, StandardCharsets.UTF_8), new String(q, StandardCharsets.UTF_8), v)
+        KvCell(intern(cf), intern(q), v)
       }
       KvRecord(key, cells)
     }

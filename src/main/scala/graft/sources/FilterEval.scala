@@ -20,26 +20,38 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FilterEval {
 
+  /** Types whose decoded values this evaluator can order/compare.
+    * Binary/array/map columns stay residual (Spark evaluates above the
+    * scan) — claiming them and silently failing the comparison would be
+    * a correctness bug, not a missing optimization. */
+  def comparable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType | TimestampType => true
+    case _ => false
+  }
+
   /** Which filters this source accepts — the reference's 12-class set
     * (`HbaseScanBuilder.scala:34-45`) with RECURSIVE And/Or pushability
     * (the reference pushes And/Or wholesale and can hit an executor
     * MatchError on unsupported children; SURVEY.md §2.2 "bug to avoid").
     * StringEndsWith / Not / EqualNullSafe stay residual for surface
     * compatibility — Spark evaluates them above the scan. */
-  def pushable(f: Filter, fields: Set[String]): Boolean = f match {
-    case EqualTo(a, _)            => fields(a)
-    case LessThan(a, _)           => fields(a)
-    case LessThanOrEqual(a, _)    => fields(a)
-    case GreaterThan(a, _)        => fields(a)
-    case GreaterThanOrEqual(a, _) => fields(a)
-    case In(a, _)                 => fields(a)
-    case IsNull(a)                => fields(a)
-    case IsNotNull(a)             => fields(a)
-    case StringStartsWith(a, _)   => fields(a)
-    case StringContains(a, _)     => fields(a)
-    case And(l, r)                => pushable(l, fields) && pushable(r, fields)
-    case Or(l, r)                 => pushable(l, fields) && pushable(r, fields)
-    case _                        => false
+  def pushable(f: Filter, dts: Map[String, DataType]): Boolean = {
+    def ok(a: String): Boolean = dts.get(a).exists(comparable)
+    f match {
+      case EqualTo(a, _)            => ok(a)
+      case LessThan(a, _)           => ok(a)
+      case LessThanOrEqual(a, _)    => ok(a)
+      case GreaterThan(a, _)        => ok(a)
+      case GreaterThanOrEqual(a, _) => ok(a)
+      case In(a, _)                 => ok(a)
+      case IsNull(a)                => dts.contains(a) // null-ness needs no ordering
+      case IsNotNull(a)             => dts.contains(a)
+      case StringStartsWith(a, _)   => dts.get(a).contains(StringType)
+      case StringContains(a, _)     => dts.get(a).contains(StringType)
+      case And(l, r)                => pushable(l, dts) && pushable(r, dts)
+      case Or(l, r)                 => pushable(l, dts) && pushable(r, dts)
+      case _                        => false
+    }
   }
 
   /** Canonicalize an external literal to the internal-comparable domain
@@ -56,6 +68,8 @@ object FilterEval {
     case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
     case (StringType, s: UTF8String) => s.toString
     case (StringType, s: String) => s
+    case (_: DecimalType, d: java.math.BigDecimal) => d
+    case (_: DecimalType, d: scala.math.BigDecimal) => d.bigDecimal
     case (_, other) => other
   }
 
@@ -77,6 +91,8 @@ object FilterEval {
     case (x: Float, y: Number)  => Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case (x: org.apache.spark.sql.types.Decimal, y: java.math.BigDecimal) =>
+      Some(x.toJavaBigDecimal.compareTo(y))
     case _ => None
   }
 

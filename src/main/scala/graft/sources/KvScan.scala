@@ -46,9 +46,9 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
     }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val names = declared.fieldNames.toSet
+    val dts = declared.fields.map(f => f.name -> f.dataType).toMap
     // full reassignment each call → idempotent under repeated negotiation
-    val (ok, residual) = filters.partition(FilterEval.pushable(_, names))
+    val (ok, residual) = filters.partition(FilterEval.pushable(_, dts))
     pushed = ok
     residual
   }
@@ -88,8 +88,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     Array(org.apache.spark.sql.connector.expressions.Expressions.column(rowkeyName))
 
   override def filter(newFilters: Array[Filter]): Unit = {
-    val names = declared.fieldNames.toSet
-    runtimeFilters = newFilters.filter(FilterEval.pushable(_, names))
+    val dts = declared.fields.map(f => f.name -> f.dataType).toMap
+    runtimeFilters = newFilters.filter(FilterEval.pushable(_, dts))
   }
 
   /** Manifest-derived stats → AQE/CBO sizing (rows; bytes estimated from
@@ -208,16 +208,24 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
     part.startHex.map(KvStore.fromHex).orNull,
     part.endHex.map(KvStore.fromHex).orNull)
 
-  // columns needed = pruned ∪ filter references (decode once per row)
+  // columns needed = pruned ∪ filter references; all lookup structures
+  // precomputed so the per-row loop allocates only the output array
+  // (no per-row hash maps — this is the scan's innermost loop)
   private val filterRefs: Set[String] = filters.flatMap(_.references).toSet
   private val needed: Array[StructField] = {
     val prunedNames = pruned.fieldNames.toSet
     declared.fields.filter(f => prunedNames(f.name) || filterRefs(f.name))
   }
+  private val neededCf: Array[String] = needed.map(_.metadata.getString("columnFamily"))
+  private val neededQual: Array[String] = needed.map(_.metadata.getString("column"))
+  private val neededIsRowkey: Array[Boolean] = neededCf.map(_ == KvCatalog.RowkeyCf)
+  private val neededIdxByName: Map[String, Int] = needed.map(_.name).zipWithIndex.toMap
   private val dtByName: Map[String, DataType] =
     declared.fields.map(f => f.name -> f.dataType).toMap
-  private val prunedIndex: Map[String, Int] =
-    pruned.fieldNames.zipWithIndex.toMap
+  // pruned position k ← needed position prunedFromNeeded(k)
+  private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map(neededIdxByName)
+  private val rowScratch = new Array[Any](needed.length)
+  private val getByName: String => Any = name => rowScratch(neededIdxByName(name))
 
   private var current: InternalRow = _
   private var served = 0L
@@ -226,21 +234,29 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
     if (limit >= 0 && served >= limit) return false
     while (reader.hasNext) {
       val rec = reader.next()
-      val decoded = new java.util.HashMap[String, Any](needed.length * 2)
-      needed.foreach { f =>
-        val cf = f.metadata.getString("columnFamily")
-        val qual = f.metadata.getString("column")
-        val v =
-          if (cf == KvCatalog.RowkeyCf) BytesCodec.decodeKey(f.dataType, rec.key)
-          else rec.cells.find(c => c.cf == cf && c.qualifier == qual)
-            .map(c => BytesCodec.decode(f.dataType, c.value)).orNull
-        decoded.put(f.name, v)
+      var i = 0
+      while (i < needed.length) {
+        rowScratch(i) =
+          if (neededIsRowkey(i)) BytesCodec.decodeKey(needed(i).dataType, rec.key)
+          else {
+            val cells = rec.cells
+            var j = 0
+            var v: Any = null
+            while (j < cells.length && v == null) {
+              val c = cells(j)
+              if (c.cf == neededCf(i) && c.qualifier == neededQual(i))
+                v = BytesCodec.decode(needed(i).dataType, c.value)
+              j += 1
+            }
+            v
+          }
+        i += 1
       }
-      val passes = filters.forall(FilterEval.eval(_, decoded.get, dtByName))
-      if (passes) {
+      if (filters.forall(FilterEval.eval(_, getByName, dtByName))) {
         val values = new Array[Any](pruned.length)
-        pruned.fields.foreach(f => values(prunedIndex(f.name)) = decoded.get(f.name))
-        current = InternalRow.fromSeq(values.toIndexedSeq)
+        var k = 0
+        while (k < values.length) { values(k) = rowScratch(prunedFromNeeded(k)); k += 1 }
+        current = InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
         served += 1
         return true
       }

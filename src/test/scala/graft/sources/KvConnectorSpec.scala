@@ -284,6 +284,37 @@ class KvConnectorSpec extends SparkSpec {
     assert(m(true) == 500L && m(false) == 500L)
   }
 
+  test("extended types round-trip: decimal, array<float>, map<string,string>") {
+    val extDir = Files.createTempDirectory("graft-kv-ext").toString
+    val extCat =
+      """{"table":{"name":"ext"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "price":{"cf":"f","col":"p","type":"decimal(18,2)"},
+        |            "emb":{"cf":"f","col":"e","type":"array<float>"},
+        |            "props":{"cf":"f","col":"m","type":"map<string,string>"}}}""".stripMargin
+    import spark.implicits._
+    val df = (1L to 50L).map { k =>
+      (k, BigDecimal(k * 100 + 0.25).setScale(2),
+        Array(k.toFloat, -k.toFloat, 0.5f),
+        Map("id" -> k.toString, "tag" -> s"t$k"))
+    }.toDF("k", "price", "emb", "props")
+      .select(col("k"), col("price").cast("decimal(18,2)").as("price"),
+        col("emb"), col("props"))
+    df.write.format("graft-kv").option("catalog", extCat).option("path", extDir)
+      .mode("overwrite").save()
+    val back = spark.read.format("graft-kv")
+      .option("catalog", extCat).option("path", extDir).load()
+    val r = back.filter(col("k") === 7L).collect().head
+    assert(r.getAs[java.math.BigDecimal]("price").toString == "700.25")
+    assert(r.getAs[scala.collection.Seq[Float]]("emb").toSeq == Seq(7f, -7f, 0.5f))
+    assert(r.getAs[Map[String, String]]("props") == Map("id" -> "7", "tag" -> "t7"))
+    // decimal comparisons are pushable and correct
+    assert(back.filter(col("price") > BigDecimal(2500)).count() ==
+      (1L to 50L).count(k => k * 100 + 0.25 > 2500))
+    // filters on array/map columns stay residual but still evaluate
+    assert(back.filter(size(col("emb")) === 3).count() == 50)
+  }
+
   test("append mode adds shards; overwrite truncates") {
     val apDir = Files.createTempDirectory("graft-kv-append").toString
     val cat =
