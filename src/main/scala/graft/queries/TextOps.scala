@@ -112,5 +112,28 @@ object TextOps {
     None,
     doc = "n-gram/stopword language-ID heuristic")
 
-  def defs: Seq[Q] = Seq(q30TokenStats, q31QualityScore, q32TokenFreq, q33Fingerprint, q34LangId)
+  /** BPE-ish regex tokenization (GPT-2-style pre-tokenizer pattern:
+    * contractions, letter runs, digit runs, punctuation runs, each with
+    * optional leading space). Same RE2/Java-compatible pattern on both
+    * engines — no lookahead. */
+  val q35BpeTokens: Q = Q(
+    "q35_bpe_tokens",
+    (s, d) => {
+      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+               AS n_bpe_tokens
+      FROM documents
+      ORDER BY doc_id"""),
+    doc = "BPE-style regex pre-tokenization count")
+
+  def defs: Seq[Q] = Seq(q30TokenStats, q31QualityScore, q32TokenFreq,
+    q33Fingerprint, q34LangId, q35BpeTokens)
 }
