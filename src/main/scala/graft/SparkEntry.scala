@@ -10,18 +10,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Shape mirrors the reference's canonical test query
-    * (`/root/reference/src/test/scala/ScalaDatasourceTest.scala:88-91`):
-    * IN + OR predicate over a keyed table, here joined one hop out. */
+  /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's canonical end-to-end path, run through OUR stack:
+    * customer rows flow through the graft-kv write path into a sorted
+    * KV table, and the reference's canonical IN + OR query shape
+    * (`/root/reference/src/test/scala/ScalaDatasourceTest.scala:88-91`)
+    * is answered by the connector's pushdown scan via spark.sql. */
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.001"
-    val c = Tables.customer(spark, d)
-    val o = Tables.orders(spark, d)
-    c.filter(col("c_custkey").isin(1, 2, 3, 4, 5) || col("c_name") === "Customer#000000010")
-      .join(o, col("c_custkey") === col("o_custkey"), "left")
-      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+    val catalogJson =
+      """{"table":{"namespace":"default","name":"customer_kv"},"rowkey":"c_custkey",
+        | "columns":{
+        |  "c_custkey":{"cf":"rowkey","col":"c_custkey","type":"long"},
+        |  "c_name":{"cf":"f","col":"name","type":"string"},
+        |  "c_nationkey":{"cf":"f","col":"nk","type":"int"},
+        |  "c_acctbal":{"cf":"f","col":"bal","type":"double"},
+        |  "c_mktsegment":{"cf":"f","col":"seg","type":"string"}}}""".stripMargin
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-kv-cache/customer-entry"
+    if (!new java.io.File(s"$dir/_kvmeta.json").exists()) {
+      Tables.customer(spark, d)
+        .repartitionByRange(4, col("c_custkey"))
+        .write.format("graft-kv")
+        .option("catalog", catalogJson).option("path", dir)
+        .mode("overwrite").save()
+    }
+    spark.read.format("graft-kv")
+      .option("catalog", catalogJson).option("path", dir).load()
+      .createOrReplaceTempView("customer_kv")
+    spark.sql("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer_kv
+      WHERE c_custkey IN (1, 2, 3, 4, 5) OR c_name = 'Customer#000000010'
+      ORDER BY c_custkey""")
   }
 
   /** Output normalization: Spark writes TimestampType as UTC-adjusted

@@ -50,6 +50,30 @@ object MediaDecode {
     (width, height, frames, feats)
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Frame sampling over "video" payloads: every k-th frame of the
+    * stub-decoded stream, one output row per sampled frame. The frame
+    * hash chains the payload fingerprint with the frame index —
+    * deterministic, so the plumbing (explode shape, partitioning,
+    * per-partition kernel reuse) is testable without codecs. */
+  def sampleFrames(df: DataFrame, everyK: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(everyK >= 1, "everyK must be >= 1")
+    val out = df.select("doc_id", "payload").flatMap { r =>
+      val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+      val (_, _, frames, _) = decodeStub(payload)
+      var h = -3750763034362895579L
+      var i = 0
+      while (i < payload.length) { h = (h ^ (payload(i) & 0xffL)) * 1099511628211L; i += 1 }
+      (0 until frames by everyK).map { idx =>
+        Frame(r.getAs[Long]("doc_id"), idx, h ^ (idx.toLong * 0x9e3779b97f4a7c15L))
+      }
+    }
+    out.toDF()
+  }
+
   /** (doc_id, payload binary, mime) → decoded metadata + features. */
   def extractFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

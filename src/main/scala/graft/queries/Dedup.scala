@@ -231,5 +231,53 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("sig"))
   }
 
-  def defs: Seq[Q] = Seq(q40DedupExact, q41DedupSurvivors, q42NgramJaccard, q43MinhashLsh, q44Simhash)
+  /** End-to-end training-data pipeline: exact-dedup survivors → quality
+    * gate (token count + stopword ratio) → per-language token budget.
+    * The composite a 100 TB curation job actually runs — each stage is
+    * one of the operators above, chained; fully oracle-checked. */
+  val q80TrainingPipeline: Q = Q(
+    "q80_training_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+      val survivors = docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val toks = Text.tokens(col("text"))
+      val stopHits = size(filter(toks,
+        t => t.isin("the", "a", "an", "of", "to", "and", "in", "is")))
+      val scored = survivors.select(
+        col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        stopHits.as("n_stop"))
+      scored
+        .filter(col("n_tokens") >= 5 && col("n_tokens") <= 1000 &&
+                col("n_stop") * 2 <= col("n_tokens")) // stop ratio <= 1/2, integer test
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH survivors AS (
+        SELECT doc_id, lang, text FROM (
+          SELECT doc_id, lang, text,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) t
+        WHERE rn = 1),
+      scored AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   x -> x IN ('the','a','an','of','to','and','in','is'))) AS n_stop
+        FROM survivors)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM scored
+      WHERE n_tokens >= 5 AND n_tokens <= 1000 AND n_stop * 2 <= n_tokens
+      GROUP BY lang
+      ORDER BY lang"""),
+    doc = "dedup → quality gate → language token budget (composite)")
+
+  def defs: Seq[Q] = Seq(q40DedupExact, q41DedupSurvivors, q42NgramJaccard,
+    q43MinhashLsh, q44Simhash, q80TrainingPipeline)
 }

@@ -54,5 +54,18 @@ object Multimodal {
     None,
     doc = "stub decode → width/height/frames + feature vector")
 
-  def defs: Seq[Q] = Seq(q60BinaryMeta, q61MediaFeatures)
+  /** Frame sampling (every 2nd frame of the stub-decoded stream) —
+    * the explode-shaped multimodal stage a video pipeline runs before
+    * per-frame featurization. Rows-only; determinism in ScalaTest. */
+  val q62FrameSample: Q = Q(
+    "q62_frame_sample",
+    (s, d) => graft.operators.MediaDecode.sampleFrames(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      everyK = 2)
+      .orderBy(col("doc_id"), col("frame_idx")),
+    None,
+    doc = "every-k-th frame sampling over stub-decoded video")
+
+  def defs: Seq[Q] = Seq(q60BinaryMeta, q61MediaFeatures, q62FrameSample)
 }

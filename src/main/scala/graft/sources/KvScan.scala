@@ -26,6 +26,7 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private val declared = catalog.schema
@@ -33,6 +34,27 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggSpecs: Option[Seq[KvAggSpec]] = None
+
+  /** Top-N pushdown (SURVEY.md §2.6 rebuild item): shards are SORTED by
+    * rowkey, so ORDER BY rowkey ASC LIMIT n needs only the first n
+    * matching records of each surviving shard. Partial pushdown — Spark
+    * still merges+sorts the per-partition prefixes. Descending order
+    * would require a tail scan; left unpushed. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        n: Int): Boolean = {
+    val pushableTopN = orders.length == 1 && {
+      val o = orders(0)
+      o.expression() match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
+          ref.fieldNames().length == 1 &&
+            ref.fieldNames()(0) == catalog.rowkey &&
+            o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+        case _ => false
+      }
+    }
+    if (pushableTopN) { limit = n; true } else false
+  }
+  override def isPartiallyPushed: Boolean = true
 
   /** Partial pushdown: each shard returns one partial row; Spark merges. */
   override def supportCompletePushDown(

@@ -105,6 +105,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling is deterministic and honors the stride") {
+    val a = Multimodal.q62FrameSample.fn(spark, d).collect()
+    val b = Multimodal.q62FrameSample.fn(spark, d).collect()
+    assert(a.toSeq == b.toSeq, "frame sampling must be deterministic")
+    // stride 2 → only even frame indices
+    assert(a.forall(_.getAs[Int]("frame_idx") % 2 == 0))
+    // frame count per doc == ceil(n_frames / 2) of the decode stub
+    val frames = Multimodal.q61MediaFeatures.fn(spark, d)
+      .select("doc_id", "n_frames").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val perDoc = a.groupBy(_.getAs[Long]("doc_id")).map { case (k, v) => k -> v.length }
+    perDoc.foreach { case (id, n) => assert(n == (frames(id) + 1) / 2, s"doc $id") }
+  }
+
   test("shingles produce n-2 word 3-grams and [] for short docs") {
     import spark.implicits._
     val df = Seq("a b c d e", "a b", "").toDF("text")

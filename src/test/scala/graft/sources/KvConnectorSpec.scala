@@ -187,6 +187,19 @@ class KvConnectorSpec extends SparkSpec {
     assert(physicalPlan(kv.limit(5)).contains("Limit"))
   }
 
+  test("top-N by rowkey ASC pushes into the sorted scan") {
+    val df = kv.orderBy(col("id")).limit(7).select("id")
+    assert(df.collect().map(_.getLong(0)).toSeq == (1L to 7L))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    assert(scan.description().contains("Limit: 7"),
+      s"top-N must reach the scan as a limit: ${scan.description()}")
+    // descending stays unpushed but correct
+    val desc = kv.orderBy(col("id").desc).limit(3).select("id")
+    assert(desc.collect().map(_.getLong(0)).toSeq == Seq(1000L, 999L, 998L))
+  }
+
   test("compact list catalog form parses to the same schema") {
     val compact =
       """{
