@@ -41,6 +41,9 @@ final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKey
 final case class KvTableMeta(shards: Seq[KvShardMeta])
 
 object KvStore {
+  /** Bump when the shard-file or manifest layout changes — cache dirs
+    * embed it so stale cross-round caches are never misread. */
+  val FormatVersion = 1
   private val Magic = "GKV1".getBytes(StandardCharsets.US_ASCII)
   private val mapper = new ObjectMapper()
 

@@ -136,5 +136,61 @@ object Similarity {
     None,
     doc = "multi-table LSH (random hyperplane) ANN")
 
-  def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn)
+  /** IVF (inverted-file) ANN: the corpus is partitioned into k-means
+    * cells (MLlib KMeans, fixed seed); each query probes its nProbe
+    * nearest cells and rescores only those candidates with exact cosine.
+    * The other standard scale path next to LSH (q52): at 100 TB the
+    * cell assignment is a one-off batch job and each query touches only
+    * ~nProbe/k of the corpus. The bounded query set (20 vectors) is
+    * collected to the driver to compute probe cells — the corpus never
+    * is. Approximate → rows-only; recall vs brute force in ScalaTest. */
+  val q53IvfAnn: Q = Q(
+    "q53_ivf_ann",
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      graft.functions.CosineSimilarity.register(s)
+      val emb = Tables.embeddings(s, d)
+        .withColumn("fv", array_to_vector(col("embedding")))
+      val k = 16
+      val nProbe = 4
+      val model = new KMeans().setK(k).setSeed(42)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(emb)
+      val assigned = model.transform(emb)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val centers = model.clusterCenters
+      // bounded query set → driver-side probe-cell computation
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).collect()
+      val probeRows = queries.flatMap { r =>
+        val qid = r.getLong(0)
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val byDist = centers.zipWithIndex.map { case (c, ci) =>
+          val arr = c.toArray
+          var dd = 0.0
+          var i = 0
+          while (i < arr.length) { val t = arr(i) - v(i); dd += t * t; i += 1 }
+          (dd, ci)
+        }.sortBy(x => (x._1, x._2)).take(nProbe)
+        byDist.map { case (_, ci) => (qid, ci) }
+      }.toIndexedSeq
+      import s.implicits._
+      val probes = probeRows.toDF("q_id", "cell")
+      val qEmb = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cands = assigned.join(broadcast(probes), Seq("cell"))
+        .join(broadcast(qEmb), Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+      val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
+        expr("cosine_sim(q_emb, embedding)").as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    None,
+    doc = "IVF ANN (k-means cells + nProbe rescoring)")
+
+  def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn)
 }

@@ -61,6 +61,15 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall@5 $recall suspiciously low")
   }
 
+  test("IVF ANN recall@5 is reasonable vs brute force") {
+    val brute = Similarity.q50CosineTopK.fn(spark, d)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.q53IvfAnn.fn(spark, d)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (brute.isEmpty) 1.0 else ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall@5 $recall suspiciously low")
+  }
+
   test("language ID predicts a declared language and is deterministic") {
     val out = TextOps.q34LangId.fn(spark, d).collect()
     assert(out.length == Tables.documents(spark, d).count())
