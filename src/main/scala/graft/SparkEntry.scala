@@ -27,7 +27,7 @@ object SparkEntry {
         |  "c_nationkey":{"cf":"f","col":"nk","type":"int"},
         |  "c_acctbal":{"cf":"f","col":"bal","type":"double"},
         |  "c_mktsegment":{"cf":"f","col":"seg","type":"string"}}}""".stripMargin
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-kv-cache/v${graft.kv.KvStore.FormatVersion}-customer-entry"
+    val dir = graft.kv.KvStore.cacheDir("customer-entry")
     if (!new java.io.File(s"$dir/_kvmeta.json").exists()) {
       Tables.customer(spark, d)
         .repartitionByRange(4, col("c_custkey"))

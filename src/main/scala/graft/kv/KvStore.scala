@@ -44,6 +44,10 @@ object KvStore {
   /** Bump when the shard-file or manifest layout changes — cache dirs
     * embed it so stale cross-round caches are never misread. */
   val FormatVersion = 1
+
+  /** Canonical location for format-versioned derived KV tables. */
+  def cacheDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-kv-cache/v$FormatVersion-$name"
   private val Magic = "GKV1".getBytes(StandardCharsets.US_ASCII)
   private val mapper = new ObjectMapper()
 

@@ -39,7 +39,7 @@ object KvQueries {
     * partitioned on the synthetic rowkey for non-overlapping shards. */
   private def kvDir(s: SparkSession, sfDir: String): String = {
     val name = new File(sfDir).getName
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-kv-cache/v${graft.kv.KvStore.FormatVersion}-lineitem-$name"
+    val dir = graft.kv.KvStore.cacheDir(s"lineitem-$name")
     if (!new File(s"$dir/_kvmeta.json").exists()) {
       Tables.lineitem(s, sfDir)
         .withColumn("lk", col("l_orderkey") * 100 + col("l_linenumber"))

@@ -136,48 +136,64 @@ object Similarity {
     None,
     doc = "multi-table LSH (random hyperplane) ANN")
 
-  /** IVF (inverted-file) ANN: the corpus is partitioned into k-means
-    * cells (MLlib KMeans, fixed seed); each query probes its nProbe
-    * nearest cells and rescores only those candidates with exact cosine.
-    * The other standard scale path next to LSH (q52): at 100 TB the
-    * cell assignment is a one-off batch job and each query touches only
-    * ~nProbe/k of the corpus. The bounded query set (20 vectors) is
-    * collected to the driver to compute probe cells — the corpus never
-    * is. Approximate → rows-only; recall vs brute force in ScalaTest. */
+  /** IVF (inverted-file) ANN: the corpus is partitioned into cells
+    * around a coarse quantizer; each query probes its nProbe best cells
+    * and rescores only those candidates with exact cosine — the other
+    * standard scale path next to LSH (q52): each query touches only
+    * ~nProbe/k of the corpus.
+    *
+    * The quantizer here is a DETERMINISTIC sample (the k corpus vectors
+    * with the smallest xxhash64(vec_id) — pseudo-random spread,
+    * independent of partitioning/parallelism, so the rows-only check is
+    * stable across runs and configs; an iterative k-means fit would make
+    * cell boundaries depend on cluster layout). Assignment uses max
+    * COSINE to the centroid — same metric as rescoring, so no hidden
+    * norm assumptions — through the codegen'd cosine_sim against
+    * constant-folded centroid literals (one corpus scan total). Only the
+    * k=16 centroids and the 20 bounded query vectors are collected.
+    * Approximate → rows-only; recall vs brute force in ScalaTest. */
   val q53IvfAnn: Q = Q(
     "q53_ivf_ann",
     (s, d) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       graft.functions.CosineSimilarity.register(s)
       val emb = Tables.embeddings(s, d)
-        .withColumn("fv", array_to_vector(col("embedding")))
       val k = 16
       val nProbe = 4
-      val model = new KMeans().setK(k).setSeed(42)
-        .setFeaturesCol("fv").setPredictionCol("cell").fit(emb)
-      val assigned = model.transform(emb)
+      def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < math.min(a.length, b.length)) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // deterministic coarse quantizer: k vectors by hash order of vec_id
+      val centroids: Array[Array[Float]] = emb
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(k).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val centroidLits = centroids.map(c => array(c.map(lit).toIndexedSeq: _*))
+      val cosArr = array(centroidLits.map(cl =>
+        call_function("cosine_sim", col("embedding"), cl)).toIndexedSeq: _*)
+      // cell = 1-based index of the max-cosine centroid (first on ties)
+      val assigned = emb
+        .withColumn("cell", array_position(cosArr, array_max(cosArr)).cast("int"))
         .select(col("vec_id"), col("embedding"), col("cell"))
-      val centers = model.clusterCenters
       // bounded query set → driver-side probe-cell computation
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id"), col("embedding")).collect()
-      val probeRows = queries.flatMap { r =>
-        val qid = r.getLong(0)
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        val byDist = centers.zipWithIndex.map { case (c, ci) =>
-          val arr = c.toArray
-          var dd = 0.0
-          var i = 0
-          while (i < arr.length) { val t = arr(i) - v(i); dd += t * t; i += 1 }
-          (dd, ci)
-        }.sortBy(x => (x._1, x._2)).take(nProbe)
-        byDist.map { case (_, ci) => (qid, ci) }
-      }.toIndexedSeq
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val probeRows = queries.toIndexedSeq.flatMap { case (qid, v) =>
+        centroids.zipWithIndex
+          .map { case (c, ci) => (-cosLocal(v, c), ci + 1) } // 1-based cells
+          .sorted.take(nProbe)
+          .map { case (_, cell) => (qid, cell) }
+      }
+      val qEmbRows = queries.toIndexedSeq.map { case (qid, v) => (qid, v.toSeq) }
       import s.implicits._
       val probes = probeRows.toDF("q_id", "cell")
-      val qEmb = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val qEmb = qEmbRows.toDF("q_id", "q_emb")
+        .withColumn("q_emb", col("q_emb").cast("array<float>"))
       val cands = assigned.join(broadcast(probes), Seq("cell"))
         .join(broadcast(qEmb), Seq("q_id"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -190,7 +206,7 @@ object Similarity {
         .orderBy(col("q_id"), col("rk"))
     },
     None,
-    doc = "IVF ANN (k-means cells + nProbe rescoring)")
+    doc = "IVF ANN (deterministic coarse quantizer + nProbe cosine rescoring)")
 
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn)
 }
