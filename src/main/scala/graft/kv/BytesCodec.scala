@@ -117,15 +117,6 @@ object BytesCodec {
     case other => throw new IllegalArgumentException(s"Unsupported KV type: $other")
   }
 
-  /** Decode to an external JVM value (for predicate evaluation against
-    * v1 `sources.Filter` literals, which are external values). */
-  def decodeExternal(dt: DataType, b: Array[Byte]): Any = dt match {
-    case StringType    => new String(b, StandardCharsets.UTF_8)
-    case DateType      => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(decodeLong(b) / 86400000L))
-    case TimestampType => new java.sql.Timestamp(decodeLong(b))
-    case _             => decode(dt, b)
-  }
-
   // ---- order-preserving ROWKEY encoding ----
   // The reference stores raw big-endian keys, where unsigned byte order
   // diverges from value order for negative numerics (SURVEY.md §4b) —
@@ -140,10 +131,13 @@ object BytesCodec {
     case ShortType     => encodeShort((v.asInstanceOf[Short] ^ Short.MinValue).toShort)
     case ByteType      => Array(((v.asInstanceOf[Byte] ^ 0x80) & 0xff).toByte)
     case DoubleType    =>
-      val bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      // normalize -0.0 → 0.0 so SQL-equal values share one key encoding
+      val d = v.asInstanceOf[Double]
+      val bits = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
       encodeLong(if (bits >= 0) bits ^ Long.MinValue else ~bits)
     case FloatType     =>
-      val bits = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+      val f = v.asInstanceOf[Float]
+      val bits = java.lang.Float.floatToIntBits(if (f == 0.0f) 0.0f else f)
       encodeInt(if (bits >= 0) bits ^ Int.MinValue else ~bits)
     case DateType      => encodeLong(v.asInstanceOf[Int].toLong * 86400000L ^ Long.MinValue)
     case TimestampType => encodeLong(Math.floorDiv(v.asInstanceOf[Long], 1000L) ^ Long.MinValue)

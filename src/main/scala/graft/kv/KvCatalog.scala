@@ -105,6 +105,10 @@ object KvCatalog {
       } else throw new IllegalArgumentException("catalog.columns must be an object or array")
 
     require(columns.exists(_.name == rowkey), s"rowkey '$rowkey' not among declared columns")
+    val rk = columns.find(_.name == rowkey).get
+    require(rk.cf == RowkeyCf,
+      s"rowkey column '$rowkey' must use the '$RowkeyCf' pseudo column family " +
+        s"(got '${rk.cf}') — a cell-cf rowkey would silently read as NULL")
     KvCatalog(namespace, name, rowkey, columns)
   }
 }

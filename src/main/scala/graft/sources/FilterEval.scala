@@ -60,8 +60,10 @@ object FilterEval {
   def canon(dt: DataType, v: Any): Any = (dt, v) match {
     case (_, null) => null
     case (TimestampType, t: java.sql.Timestamp) =>
-      Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
-        (t.getNanos / 1000L) % 1000000L)
+      // getTime already includes the millis of the fractional second;
+      // add only the sub-milli micros (floor-safe for pre-epoch values)
+      Math.addExact(Math.multiplyExact(t.getTime, 1000L),
+        (t.getNanos / 1000L) % 1000L)
     case (TimestampType, i: java.time.Instant) =>
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
     case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
@@ -81,14 +83,22 @@ object FilterEval {
     case other => other
   }
 
+  /** Spark SQL double semantics: -0.0 = 0.0 (Double.compare would order
+    * them) while NaN = NaN and NaN > everything (which Double.compare
+    * already provides). */
+  private def sqlDoubleCompare(x: Double, y: Double): Int = {
+    val c = java.lang.Double.compare(x, y)
+    if (c != 0 && x == y) 0 else c
+  }
+
   private def cmp(dt: DataType, a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
     case (x: Long, y: Number)   => Some(java.lang.Long.compare(x, y.longValue()))
     case (x: Int, y: Number)    => Some(java.lang.Long.compare(x.toLong, y.longValue()))
     case (x: Short, y: Number)  => Some(java.lang.Long.compare(x.toLong, y.longValue()))
     case (x: Byte, y: Number)   => Some(java.lang.Long.compare(x.toLong, y.longValue()))
-    case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
-    case (x: Float, y: Number)  => Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
+    case (x: Double, y: Number) => Some(sqlDoubleCompare(x, y.doubleValue()))
+    case (x: Float, y: Number)  => Some(sqlDoubleCompare(x.toDouble, y.doubleValue()))
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case (x: org.apache.spark.sql.types.Decimal, y: java.math.BigDecimal) =>

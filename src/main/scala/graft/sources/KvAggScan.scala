@@ -28,18 +28,22 @@ object KvAggSpec {
     }
 
   /** Translate a connector Aggregation (global, no group-by) into specs;
-    * None → not pushable. */
+    * None → not pushable. MIN/MAX additionally require an orderable
+    * declared type — claiming a decimal/binary/array column and then
+    * failing executor-side would break a query Spark could run itself. */
   def translate(agg: Aggregation, declared: StructType): Option[Seq[KvAggSpec]] = {
     if (agg.groupByExpressions().nonEmpty) return None
     val names = declared.fieldNames.toSet
+    val orderable: Set[String] = declared.fields
+      .filter(f => FilterEval.comparable(f.dataType)).map(_.name).toSet
     val specs = agg.aggregateExpressions().map {
       case _: CountStar => KvCountStar
       case c: Count if !c.isDistinct =>
         fieldName(c.column()).filter(names).map(KvCountCol.apply).getOrElse(return None)
       case m: Min =>
-        fieldName(m.column()).filter(names).map(KvMinCol.apply).getOrElse(return None)
+        fieldName(m.column()).filter(orderable).map(KvMinCol.apply).getOrElse(return None)
       case m: Max =>
-        fieldName(m.column()).filter(names).map(KvMaxCol.apply).getOrElse(return None)
+        fieldName(m.column()).filter(orderable).map(KvMaxCol.apply).getOrElse(return None)
       case _ => return None
     }
     Some(specs.toIndexedSeq)
@@ -104,6 +108,8 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
           case (x: Byte, y: Byte) => java.lang.Byte.compare(x, y)
           case (x: Double, y: Double) => java.lang.Double.compare(x, y)
           case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+          case (x: org.apache.spark.sql.types.Decimal,
+                y: org.apache.spark.sql.types.Decimal) => x.compare(y)
           case _ => throw new IllegalStateException(s"unorderable $a/$b")
         }
       }
@@ -131,6 +137,9 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     val minNames = specs.collect { case KvMinCol(n) => n }.distinct
     val maxNames = specs.collect { case KvMaxCol(n) => n }.distinct
     val countNames = specs.collect { case KvCountCol(n) => n }.distinct
+    val minMaxNames = (minNames ++ maxNames).distinct
+    val orderings: Map[String, Ordering[Any]] =
+      minMaxNames.map(n => n -> ordering(dtByName(n))).toMap
 
     val reader = new KvStore.ShardReader(dir, part.shard,
       part.startHex.map(KvStore.fromHex).orNull,
@@ -151,10 +160,10 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
         if (filters.forall(FilterEval.eval(_, decoded.get, dtByName))) {
           countStar += 1
           countNames.foreach(n => if (decoded.get(n) != null) countCol(n) += 1)
-          (minNames ++ maxNames).distinct.foreach { n =>
+          minMaxNames.foreach { n =>
             val v = decoded.get(n)
             if (v != null) {
-              val ord = ordering(dtByName(n))
+              val ord = orderings(n)
               if (!minV.contains(n) || ord.lt(v, minV(n))) minV(n) = v
               if (!maxV.contains(n) || ord.gt(v, maxV(n))) maxV(n) = v
             }

@@ -43,8 +43,12 @@ class KvDataSource extends TableProvider with DataSourceRegister {
     catalogOf(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new KvTable(catalogOf(properties), pathOf(properties))
+                        properties: util.Map[String, String]): Table = {
+    // inferSchema sees a CaseInsensitiveStringMap; normalize here too so
+    // option("Catalog", …) doesn't pass inference then fail table creation
+    val opts = new CaseInsensitiveStringMap(properties)
+    new KvTable(catalogOf(opts), pathOf(opts))
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }

@@ -29,8 +29,14 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
                          filters: Array[Filter])
     extends MicroBatchStream {
 
-  override def latestOffset(): Offset =
-    KvOffset(KvStore.readMeta(dir).shards.length)
+  /** Missing manifest = table not yet written → empty offset (the file
+    * source tolerates an initially empty directory the same way). */
+  private def shardCount(): Int =
+    if (new java.io.File(KvStore.metaPath(dir)).exists())
+      KvStore.readMeta(dir).shards.length
+    else 0
+
+  override def latestOffset(): Offset = KvOffset(shardCount())
 
   override def initialOffset(): Offset = KvOffset(0)
 
@@ -42,7 +48,8 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KvOffset].shardCount
     val e = end.asInstanceOf[KvOffset].shardCount
-    KvStore.readMeta(dir).shards.slice(s, e)
+    if (e == 0) Array.empty
+    else KvStore.readMeta(dir).shards.slice(s, e)
       .map(sh => KvInputPartition(sh, None, None): InputPartition).toArray
   }
 

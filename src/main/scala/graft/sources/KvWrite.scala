@@ -55,18 +55,13 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
-    val old: Set[String] =
-      if (new File(KvStore.metaPath(dir)).exists())
-        KvStore.readMeta(dir).shards.map(_.file).toSet
-      else Set.empty
-    val keep = if (truncateFirst) newShards else {
-      // append semantics: retain previous shards
-      val prev = if (old.nonEmpty) KvStore.readMeta(dir).shards else Seq.empty
-      prev ++ newShards
-    }
+    val prev: Seq[KvShardMeta] =
+      if (new File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir).shards
+      else Seq.empty
+    val keep = if (truncateFirst) newShards else prev ++ newShards
     KvStore.writeMeta(dir, KvTableMeta(keep))
     if (truncateFirst)
-      old.diff(newShards.map(_.file).toSet)
+      prev.map(_.file).toSet.diff(newShards.map(_.file).toSet)
         .foreach(f => new File(s"$dir/$f").delete())
   }
 
@@ -93,22 +88,30 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
     extends DataWriter[InternalRow] {
 
   private val rowkeyIdx = schema.fieldIndex(rowkey)
-  private val declaredByName = declared.fields.map(f => f.name -> f).toMap
-  private val buffer = new ArrayBuffer[KvRecord]()
-  private val fileName = f"shard-p$partitionId%05d-t$taskId.kv"
-
-  override def write(row: InternalRow): Unit = {
-    val keyField = schema.fields(rowkeyIdx)
-    require(!row.isNullAt(rowkeyIdx), s"null rowkey '${rowkey}' at write")
-    val key = BytesCodec.encodeKey(keyField.dataType, row.get(rowkeyIdx, keyField.dataType))
-    val cells = schema.fields.zipWithIndex.collect {
-      case (f, i) if i != rowkeyIdx && !row.isNullAt(i) =>
+  private val keyType = schema.fields(rowkeyIdx).dataType
+  // per-column layout resolved ONCE (this is the innermost write loop):
+  // (incoming index, cf, qualifier, dataType) for every non-rowkey field
+  private val cellCols: Array[(Int, String, String, org.apache.spark.sql.types.DataType)] = {
+    val declaredByName = declared.fields.map(f => f.name -> f).toMap
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if i != rowkeyIdx =>
         val decl = declaredByName.getOrElse(f.name, f)
         val cf = if (decl.metadata.contains("columnFamily"))
           decl.metadata.getString("columnFamily") else "columns"
         val qual = if (decl.metadata.contains("column"))
           decl.metadata.getString("column") else f.name
-        KvCell(cf, qual, BytesCodec.encode(f.dataType, row.get(i, f.dataType)))
+        (i, cf, qual, f.dataType)
+    }
+  }
+  private val buffer = new ArrayBuffer[KvRecord]()
+  private val fileName = f"shard-p$partitionId%05d-t$taskId.kv"
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(rowkeyIdx), s"null rowkey '${rowkey}' at write")
+    val key = BytesCodec.encodeKey(keyType, row.get(rowkeyIdx, keyType))
+    val cells = cellCols.collect {
+      case (i, cf, qual, dt) if !row.isNullAt(i) =>
+        KvCell(cf, qual, BytesCodec.encode(dt, row.get(i, dt)))
     }.toIndexedSeq
     buffer += KvRecord(key, cells)
   }

@@ -328,6 +328,58 @@ class KvConnectorSpec extends SparkSpec {
     assert(back.filter(size(col("emb")) === 3).count() == 50)
   }
 
+  test("review regressions: -0.0 equality, pre-epoch ts filter, case-insensitive options") {
+    import spark.implicits._
+    val zDir = Files.createTempDirectory("graft-kv-zero").toString
+    val zCat =
+      """{"table":{"name":"z"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"double"},
+        |            "ts":{"cf":"f","col":"ts","type":"timestamp"}}}""".stripMargin
+    val preEpoch = Timestamp.from(java.time.Instant.parse("1969-12-31T23:59:59.500Z"))
+    Seq((-0.0, preEpoch), (1.5, Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z"))))
+      .toDF("k", "ts")
+      .write.format("graft-kv").option("catalog", zCat).option("path", zDir)
+      .mode("overwrite").save()
+    // Case-insensitive option keys must work end to end
+    val df = spark.read.format("graft-kv")
+      .option("Catalog", zCat).option("Path", zDir).load()
+    // SQL semantics: -0.0 = 0.0 — pushed EqualTo must keep the row
+    assert(df.filter(col("k") === 0.0).count() == 1)
+    // pre-epoch fractional-second timestamp literal compares correctly
+    assert(df.filter(col("ts") === preEpoch).count() == 1)
+    assert(df.filter(col("ts") < Timestamp.from(java.time.Instant.EPOCH)).count() == 1)
+  }
+
+  test("catalog with non-rowkey-cf rowkey is rejected at parse time") {
+    val bad =
+      """{"table":{"name":"bad"},"rowkey":"id",
+        | "columns":{"id":{"cf":"columns","col":"id","type":"long"}}}""".stripMargin
+    val e = intercept[IllegalArgumentException](KvCatalog.parse(bad))
+    assert(e.getMessage.contains("pseudo column family"))
+  }
+
+  test("min/max pushdown on decimal works; on array it stays in Spark") {
+    val extDir = Files.createTempDirectory("graft-kv-aggext").toString
+    val extCat =
+      """{"table":{"name":"aggext"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "price":{"cf":"f","col":"p","type":"decimal(18,2)"},
+        |            "emb":{"cf":"f","col":"e","type":"array<float>"}}}""".stripMargin
+    import spark.implicits._
+    (1L to 20L).map(k => (k, BigDecimal(k).setScale(2), Array(k.toFloat)))
+      .toDF("k", "price", "emb")
+      .select(col("k"), col("price").cast("decimal(18,2)").as("price"), col("emb"))
+      .write.format("graft-kv").option("catalog", extCat).option("path", extDir)
+      .mode("overwrite").save()
+    val back = spark.read.format("graft-kv").option("catalog", extCat)
+      .option("path", extDir).load()
+    val r = back.agg(max(col("price")).as("mx"), count(lit(1)).as("n")).collect().head
+    assert(r.getAs[java.math.BigDecimal]("mx").toString == "20.00")
+    assert(r.getAs[Long]("n") == 20L)
+    // array min/max is not claimable by the scan; Spark evaluates size-based agg fine
+    assert(back.agg(max(size(col("emb")))).collect().head.getInt(0) == 1)
+  }
+
   test("append mode adds shards; overwrite truncates") {
     val apDir = Files.createTempDirectory("graft-kv-append").toString
     val cat =
