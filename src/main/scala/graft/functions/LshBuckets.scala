@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   * builds a ~1000-node expression tree that overflows whole-stage
   * codegen's method budget and falls back to interpretation; here the
   * plane matrix is precomputed once at plan time (deterministic: each
-  * component derives from xxhash64(plane, dim), mapped into [-1, 1)) and
-  * the generated code is a tight dims×planes loop over the vector.
+  * component derives from xxhash64(plane, dim), mapped into [-1, 1))
+  * and evaluation is one compiled JVM method with a tight dims×planes
+  * loop (doGenCode emits a call into that method via a reference
+  * object — the win is the precomputed matrix and single dispatch, not
+  * inline source generation).
   */
 case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int)
     extends UnaryExpression {
@@ -23,8 +26,16 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_buckets requires array<float>, got ${other.simpleString}")
+    }
+
   /** plane p (global index), component j — same for eval and codegen. */
-  @transient private lazy val maxDim = 4096
   @transient private lazy val planeCount = tables * planesPerTable
 
   private def planeComp(p: Int, j: Int): Double = {

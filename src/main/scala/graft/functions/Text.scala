@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Shared English stopword probe set (quality scoring + pipeline). */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+
   /** Whitespace tokens of trimmed text ([] for blank input). */
   def tokens(text: Column): Column = {
     val t = split(trim(text), "\\s+")

@@ -71,8 +71,8 @@ object Extras {
         .select(
           col("vec_id"),
           size(col("embedding")).as("dim"),
-          round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
-          round(element_at(col("embedding"), -1).cast("double"), 6).as("e_last"),
+          round(try_element_at(col("embedding"), lit(1)).cast("double"), 6).as("e1"),
+          round(try_element_at(col("embedding"), lit(-1)).cast("double"), 6).as("e_last"),
           round(array_max(col("embedding")).cast("double"), 6).as("e_max"),
           round(array_min(col("embedding")).cast("double"), 6).as("e_min"),
           size(filter(col("embedding"), x => x > 0f)).as("n_pos"))
@@ -94,10 +94,15 @@ object Extras {
   val q73FileFormats: Q = Q(
     "q73_file_formats",
     (s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-fmt-${new java.io.File(d).getName}"
+      val abs = new java.io.File(d).getAbsolutePath
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-fmt-" +
+        s"${new java.io.File(d).getName}-${Integer.toHexString(abs.hashCode)}"
       val n = Tables.nation(s, d)
       n.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
-      s.read.option("header", "true").option("inferSchema", "true").csv(s"$tmp/csv")
+      // explicit schema: one pass over the csv (inferSchema would scan twice)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(s"$tmp/csv")
         .coalesce(1).write.mode("overwrite").json(s"$tmp/json")
       s.read.json(s"$tmp/json")
         .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
@@ -120,7 +125,7 @@ object Extras {
         .select(
           col("event_id"),
           size(map_keys(col("m"))).as("n_keys"),
-          element_at(col("m"), "k").as("k_val"))
+          try_element_at(col("m"), lit("k")).as("k_val"))
         .orderBy(col("event_id")),
     Some("""
       SELECT event_id,

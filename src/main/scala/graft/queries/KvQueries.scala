@@ -38,7 +38,10 @@ object KvQueries {
   /** Build (once per sfDir per JVM/host) the KV copy of lineitem, range-
     * partitioned on the synthetic rowkey for non-overlapping shards. */
   private def kvDir(s: SparkSession, sfDir: String): String = {
-    val name = new File(sfDir).getName
+    // key on basename AND a full-path hash so same-named corpora in
+    // different locations never share a cache entry
+    val abs = new File(sfDir).getAbsolutePath
+    val name = s"${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}"
     val dir = graft.kv.KvStore.cacheDir(s"lineitem-$name")
     if (!new File(s"$dir/_kvmeta.json").exists()) {
       Tables.lineitem(s, sfDir)

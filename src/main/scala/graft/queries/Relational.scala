@@ -418,8 +418,8 @@ object Relational {
     (s, d) => {
       val wavg = udaf(graft.functions.WeightedAvg)
       li(s, d)
-        .withColumn("pc", round(col("l_extendedprice") * 100, 0).cast("long"))
-        .withColumn("qc", round(col("l_quantity") * 100, 0).cast("long"))
+        .withColumn("pc", fixedLong(col("l_extendedprice")))
+        .withColumn("qc", fixedLong(col("l_quantity")))
         .groupBy(col("l_returnflag"))
         .agg(wavg(col("pc"), col("qc")).as("wavg_price_per_qty"),
              count(lit(1)).as("n"))

@@ -69,16 +69,16 @@ object Similarity {
       ORDER BY q_id, rk"""),
     doc = "brute-force cosine top-k (broadcast queries)")
 
-  /** Near-duplicate vector pairs: cosine >= 0.99 over the label-0 slice,
-    * inverted through a self-join. Oracle mirrors with a cross join —
-    * exact because both engines accumulate the same doubles in the same
-    * order. */
+  /** Near-duplicate vector pairs: cosine >= 0.9 over the full corpus
+    * via a self-join (the exact baseline; q52/q53 are the sub-quadratic
+    * paths). Oracle mirrors the same join — exact because both engines
+    * accumulate the same doubles in the same order. */
   val q51CosineNearDup: Q = Q(
     "q51_cosine_near_dup",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), col("label"))
+        .select(col("vec_id"), col("embedding"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
                 expr("cosine_sim(a.embedding, b.embedding)").as("cos"))

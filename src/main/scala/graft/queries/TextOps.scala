@@ -19,8 +19,7 @@ object TextOps {
         .select(
           col("doc_id"),
           length(col("text")).as("text_len"),
-          when(length(trim(col("text"))) === 0, 0)
-            .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
+          size(graft.functions.Text.tokens(col("text"))).as("n_tokens"))
         .orderBy(col("doc_id")),
     Some("""
       SELECT doc_id, length(text) AS text_len,
@@ -36,11 +35,10 @@ object TextOps {
     "q31_quality_score",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = when(length(trim(col("text"))) === 0, 0)
-        .otherwise(size(split(trim(col("text")), "\\s+")))
-      val stopHits = size(filter(
-        split(trim(col("text")), "\\s+"),
-        t => t.isin("the", "a", "an", "of", "to", "and", "in", "is")))
+      val tokArr = graft.functions.Text.tokens(col("text"))
+      val toks = size(tokArr)
+      val stopHits = size(filter(tokArr,
+        t => t.isin(graft.functions.Text.stopwordsEn.map(lit): _*)))
       docs.select(
           col("doc_id"),
           toks.as("n_tokens"),
@@ -87,10 +85,11 @@ object TextOps {
       LIMIT 50"""),
     doc = "explode/unnest generator + frequency top-k")
 
-  /** Deterministic 64-bit rolling-hash document fingerprint (FNV-1a over
-    * the token stream). Same arithmetic is expressible in DuckDB via a
-    * bigint fold, but int128/overflow semantics differ — kept rows-only;
-    * correctness is asserted in ScalaTest against a reimplementation. */
+  /** Deterministic 64-bit rolling fingerprint: a chained xxhash64 fold
+    * over the token stream (order-sensitive; the FNV offset basis seeds
+    * the chain — see Text.fingerprint64). Not ANSI-expressible (seeded
+    * xxhash64) → rows-only; determinism and order-sensitivity are
+    * asserted in ScalaTest. */
   val q33Fingerprint: Q = Q(
     "q33_fingerprint",
     (s, d) =>
@@ -98,7 +97,7 @@ object TextOps {
         .select(col("doc_id"), graft.functions.Text.fingerprint64(col("text")).as("fp64"))
         .orderBy(col("doc_id")),
     None,
-    doc = "rolling-hash fingerprint (FNV-1a over tokens)")
+    doc = "rolling fingerprint (chained xxhash64 over tokens)")
 
   /** Language identification: stopword-profile heuristic scored per
     * language, argmax with deterministic tie-break. Rows-only (the
