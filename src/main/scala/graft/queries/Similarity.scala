@@ -8,11 +8,10 @@ import org.apache.spark.sql.expressions.Window
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   *  - Brute-force cosine top-k: the exactness baseline. The query set is
-  *    broadcast; the corpus scan streams once; per-row dot products stay
-  *    in codegen'd higher-order functions (zip_with + aggregate).
-  *  - LSH-bucketed ANN: random-hyperplane signs (deterministic seeded
-  *    planes) bucket the corpus; only same-bucket candidates are scored.
-  *    At 100 TB the bucket join replaces the full cross product.
+  *    broadcast; the corpus streams once through the codegen'd
+  *    cosine_sim expression (fused dot+norms loop).
+  *  - LSH-bucketed ANN (q52) and IVF ANN (q53): the two standard
+  *    sub-quadratic scale paths; only bucket/cell candidates rescored.
   *  - Near-dup pairs by cosine threshold: self-join, oracle-checked.
   *
   * Dot products are computed in DOUBLE with identical left-to-right
