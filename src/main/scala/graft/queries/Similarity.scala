@@ -207,5 +207,41 @@ object Similarity {
     None,
     doc = "IVF ANN (deterministic coarse quantizer + nProbe cosine rescoring)")
 
-  def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn)
+  /** Int8-quantized top-k: per-vector max-abs scaling to int8 (4× less
+    * storage/bandwidth than float32 — at 100 TB the quantized corpus is
+    * what streams through the scorer), integer dot products accumulated
+    * exactly in LONG, cosine approximated from quantized norms. Lossy →
+    * rows-only; recall vs exact q50 asserted in ScalaTest. */
+  val q54QuantizedTopK: Q = Q(
+    "q54_quantized_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // per-vector scale + int8 codes (ints in [-127, 127])
+      val scale = aggregate(col("embedding"), lit(0.0f),
+        (a, x) => greatest(a, abs(x))).cast("double") / 127.0
+      val quantized = emb
+        .withColumn("s", scale)
+        .withColumn("q", transform(col("embedding"),
+          x => round(x.cast("double") / col("s"), 0).cast("int")))
+        .select(col("vec_id"), col("s"), col("q"))
+      def idot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+      val withNorm = quantized.withColumn("nq", idot(col("q"), col("q")))
+      val queries = withNorm.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nq").as("q_nq"))
+      val scored = withNorm.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (idot(col("qq"), col("q")).cast("double") /
+            sqrt(col("q_nq").cast("double") * col("nq").cast("double"))).as("qcos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("qcos"), 6).as("qcos_r"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    None,
+    doc = "int8-quantized cosine top-k (4x storage reduction)")
+
+  def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
+    q54QuantizedTopK)
 }

@@ -133,6 +133,32 @@ object TextOps {
       ORDER BY doc_id"""),
     doc = "BPE-style regex pre-tokenization count")
 
+  /** Text normalization + character-class quality ratios: NFC
+    * normalization, lowercasing, punctuation stripping, and
+    * punct/digit/upper counts — per-row, fully oracle-checked. */
+  val q36TextNormalize: Q = Q(
+    "q36_text_normalize",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          lower(col("text")).as("lowered"),
+          regexp_replace(col("text"), "[^\\p{L}\\p{N}\\s]", "").as("depunct"),
+          length(regexp_replace(col("text"), "[^\\p{P}]", "")).as("n_punct"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit"),
+          length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             lower(text) AS lowered,
+             regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g') AS depunct,
+             length(regexp_replace(text, '[^\p{P}]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+      FROM documents
+      ORDER BY doc_id"""),
+    doc = "normalization + char-class quality counts")
+
   def defs: Seq[Q] = Seq(q30TokenStats, q31QualityScore, q32TokenFreq,
-    q33Fingerprint, q34LangId, q35BpeTokens)
+    q33Fingerprint, q34LangId, q35BpeTokens, q36TextNormalize)
 }

@@ -70,6 +70,15 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@5 $recall suspiciously low")
   }
 
+  test("int8-quantized top-k keeps high recall vs exact float cosine") {
+    val brute = Similarity.q50CosineTopK.fn(spark, d)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.q54QuantizedTopK.fn(spark, d)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (brute.isEmpty) 1.0 else quant.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"int8 quantization recall@5 $recall too low")
+  }
+
   test("language ID predicts a declared language and is deterministic") {
     val out = TextOps.q34LangId.fn(spark, d).collect()
     assert(out.length == Tables.documents(spark, d).count())
