@@ -172,6 +172,81 @@ object Extras {
     None,
     doc = "HLL++ approximate distinct")
 
+  /** Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL keep
+    * duplicate multiplicities, unlike q11's distinct forms). */
+  val q77BagSetOps: Q = Q(
+    "q77_bag_set_ops",
+    (s, d) => {
+      val a = Tables.lineitem(s, d).filter(col("l_quantity") <= 25)
+        .select(col("l_suppkey").as("k"))
+      val b = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_suppkey").as("k"))
+      a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_except"))
+        .join(
+          a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_intersect")),
+          Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity <= 25),
+      b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+      ex AS (SELECT k, count(*) AS n_except FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k),
+      ix AS (SELECT k, count(*) AS n_intersect FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k)
+      SELECT coalesce(ex.k, ix.k) AS k,
+             coalesce(n_except, 0) AS n_except,
+             coalesce(n_intersect, 0) AS n_intersect
+      FROM ex FULL OUTER JOIN ix ON ex.k = ix.k
+      ORDER BY k"""),
+    doc = "EXCEPT ALL / INTERSECT ALL (bag semantics)")
+
+  /** Ordered string aggregation (deterministic: elements sorted before
+    * concatenation in both engines). */
+  val q78StringAgg: Q = Q(
+    "q78_string_agg",
+    (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+             count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey")),
+    Some("""
+      SELECT n_regionkey,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             count(*) AS n
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey"""),
+    doc = "ordered string aggregation (collect_list/string_agg)")
+
+  /** FILTER-clause conditional aggregation — identical ANSI text runs on
+    * both engines (spark.sql path). */
+  val q79FilteredAgg: Q = Q(
+    "q79_filtered_agg",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(s"""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_quantity > 40) AS n_big,
+               count(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+               ${sqlDsum("l_extendedprice")} AS total
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    },
+    Some(s"""
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_quantity > 40) AS n_big,
+             count(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+             ${sqlDsum("l_extendedprice")} AS total
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    doc = "FILTER-clause conditional aggregation")
+
   def defs: Seq[Q] = Seq(q27RangeJoin, q28GroupingSets, q29ArrayFuncs,
-    q73FileFormats, q74MapFuncs, q75Pivot, q76ApproxDistinct)
+    q73FileFormats, q74MapFuncs, q75Pivot, q76ApproxDistinct,
+    q77BagSetOps, q78StringAgg, q79FilteredAgg)
 }
