@@ -50,4 +50,17 @@ object Text {
       lit(-3750763034362895579L),
       (acc, t) => xxhash64(acc, t))
 
+  /** Order-sensitive rolling fingerprint in oracle-expressible form: a
+    * chained md5(acc ++ token) fold over the token stream. Same chain
+    * shape as [[fingerprint64]] (a swap changes the value) but built on
+    * md5, which any ANSI-ish engine can replay —
+    * `list_reduce(list_prepend(seed, tokens), (acc,t) -> md5(acc||t))`
+    * in DuckDB. Use fingerprint64 when raw speed matters and no
+    * external verification is needed. */
+  def fingerprintMd5(text: Column, seed: String = "graft"): Column =
+    aggregate(
+      tokens(text),
+      lit(seed),
+      (acc, t) => md5(concat(acc, t)))
+
 }

@@ -1,20 +1,28 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
 /** Multimodal decode / feature-extraction plumbing.
   *
   * The decode kernel itself is a STUB — this container has no image/
-  * audio/video codecs — but it is a *deterministic* stub (features are
-  * derived from the payload bytes), so the surrounding Spark machinery is
-  * fully testable: schema contracts, per-partition kernel reuse, batch
-  * shape, null/short-payload handling. A real decoder (JNI/FFI to a codec
-  * lib) replaces ONLY `decodeStub`.
+  * audio/video codecs — but it is a *deterministic* stub (every "decoded"
+  * property is derived from the MD5 digest of the payload bytes), so the
+  * surrounding Spark machinery is fully testable: schema contracts,
+  * per-partition kernel reuse, batch shape, null/short-payload handling.
+  * Deriving from MD5 (rather than a private hash) also makes the stub
+  * reproducible by an external SQL engine, so the feature queries are
+  * oracle-checkable end to end. A real decoder (JNI/FFI to a codec lib)
+  * replaces ONLY `decodeWith`.
   *
-  * Scale: runs as mapPartitions — one kernel init per partition (this is
-  * where a real codec would amortize model/library load), streaming rows,
-  * no collect. Output schema is fixed-width → columnar-friendly.
+  * Scale: both operators run as `mapPartitions` — the kernel (here the
+  * MessageDigest instance, standing in for a codec context / model
+  * handle) is created ONCE per partition and reused across its rows,
+  * which is where a real codec amortizes library/model load. Rows
+  * stream through; no collect. Output schema is fixed-width →
+  * columnar-friendly.
   */
 object MediaDecode {
 
@@ -33,56 +41,85 @@ object MediaDecode {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false))))
 
-  /** STUB decode kernel: deterministic pseudo-decode of a payload.
-    * ??? ← replace with a real codec binding; signature stays. */
-  private[graft] def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Double]) = {
-    // FNV-1a over the payload drives all "decoded" properties, so the
-    // stub is reproducible across partitions/executors/runs.
-    var h = -3750763034362895579L
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private[graft] def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
     var i = 0
-    while (i < payload.length) { h = (h ^ (payload(i) & 0xffL)) * 1099511628211L; i += 1 }
-    val width = 16 + (Math.floorMod(h, 240L)).toInt
-    val height = 16 + (Math.floorMod(h >>> 8, 240L)).toInt
-    val frames = 1 + (Math.floorMod(h >>> 16, 8L)).toInt
-    val feats = Array.tabulate(8) { j =>
-      Math.floorMod(h >>> (j * 7), 1000L).toDouble / 1000.0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) >>> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
     }
+    new String(out)
+  }
+
+  /** STUB decode kernel: deterministic pseudo-decode of a payload,
+    * driven by the payload's MD5 digest bytes. Replace with a real
+    * codec binding; the signature (kernel handle in, payload in,
+    * metadata + features out) stays.
+    *
+    * Digest byte map: b0..b1 → width, b2..b3 → height, b4 → frame
+    * count, b8..b15 → the 8 feature components (each b/255.0). */
+  private[graft] def decodeWith(md: MessageDigest, payload: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    md.reset()
+    val d = md.digest(payload)
+    def b(i: Int): Int = d(i) & 0xff
+    val width = 16 + ((b(0) * 256 + b(1)) % 240)
+    val height = 16 + ((b(2) * 256 + b(3)) % 240)
+    val frames = 1 + (b(4) % 8)
+    val feats = Array.tabulate(8)(j => b(8 + j).toDouble / 255.0)
     (width, height, frames, feats)
   }
 
-  case class Frame(doc_id: Long, frame_idx: Int, frame_hash: Long)
+  /** One-shot convenience form (tests); hot paths go through the
+    * per-partition kernel in extractFeatures/sampleFrames. */
+  private[graft] def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Double]) =
+    decodeWith(MessageDigest.getInstance("MD5"), payload)
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_hash: String)
 
   /** Frame sampling over "video" payloads: every k-th frame of the
     * stub-decoded stream, one output row per sampled frame. The frame
-    * hash chains the payload fingerprint with the frame index —
-    * deterministic, so the plumbing (explode shape, partitioning,
-    * per-partition kernel reuse) is testable without codecs. */
+    * hash is md5(payloadDigestHex ++ ":" ++ frameIdx) — deterministic
+    * AND SQL-reproducible, so the explode-shaped plumbing is
+    * oracle-checked without codecs. */
   def sampleFrames(df: DataFrame, everyK: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(everyK >= 1, "everyK must be >= 1")
-    val out = df.select("doc_id", "payload").flatMap { r =>
-      val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
-      val (_, _, frames, _) = decodeStub(payload)
-      var h = -3750763034362895579L
-      var i = 0
-      while (i < payload.length) { h = (h ^ (payload(i) & 0xffL)) * 1099511628211L; i += 1 }
-      (0 until frames by everyK).map { idx =>
-        Frame(r.getAs[Long]("doc_id"), idx, h ^ (idx.toLong * 0x9e3779b97f4a7c15L))
+    val out = df.select("doc_id", "payload").mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5") // kernel: one per partition
+      rows.flatMap { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        md.reset()
+        val digest = md.digest(payload)
+        val frames = 1 + ((digest(4) & 0xff) % 8)
+        val h = hex(digest)
+        val docId = r.getAs[Long]("doc_id")
+        (0 until frames by everyK).iterator.map { idx =>
+          md.reset()
+          Frame(docId, idx, hex(md.digest((h + ":" + idx).getBytes("UTF-8"))))
+        }
       }
     }
     out.toDF()
   }
 
-  /** (doc_id, payload binary, mime) → decoded metadata + features. */
+  /** (doc_id, payload binary, mime) → decoded metadata + features.
+    * mapPartitions: kernel instantiated once per partition, rows
+    * streamed through it. */
   def extractFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val out = df.select("doc_id", "payload", "mime").map { r =>
-      val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
-      val (w, h, f, feats) = decodeStub(payload)
-      MediaFeatures(r.getAs[Long]("doc_id"), r.getAs[String]("mime"),
-        payload.length, w, h, f, feats)
+    val out = df.select("doc_id", "payload", "mime").mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5") // kernel: one per partition
+      rows.map { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        val (w, h, f, feats) = decodeWith(md, payload)
+        MediaFeatures(r.getAs[Long]("doc_id"), r.getAs[String]("mime"),
+          payload.length, w, h, f, feats)
+      }
     }
     out.toDF()
   }

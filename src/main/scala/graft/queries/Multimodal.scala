@@ -39,24 +39,54 @@ object Multimodal {
       ORDER BY doc_id"""),
     doc = "binary payload + typed metadata columns")
 
+  /** DuckDB reconstruction of the stub kernel's digest bytes: byte i of
+    * md5(text) as an integer, parsed from the hex string one nibble at a
+    * time (`strpos` over the hex alphabet — no hex→int builtin needed). */
+  private def sqlDigestByte(i: Int): String = {
+    def nib(k: Int) = s"(strpos('0123456789abcdef', substring(h, $k, 1)) - 1)"
+    s"${nib(2 * i + 1)} * 16 + ${nib(2 * i + 2)}"
+  }
+
   /** Partition-batched decode + feature extraction over binary payloads
     * through the stubbed kernel: schema and batching are the real
     * 100 TB-shaped plumbing (mapPartitions, one kernel instance per
-    * partition, columnar-width feature output). Rows-only check; the
-    * kernel's determinism is asserted in ScalaTest. */
+    * partition, columnar-width feature output). The kernel derives
+    * everything from md5(payload), so the whole query — including the 8
+    * feature components, emitted as scalar f0..f7 columns — is
+    * reproduced by the DuckDB oracle. */
   val q61MediaFeatures: Q = Q(
     "q61_media_features",
     (s, d) => graft.operators.MediaDecode.extractFeatures(
       Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"),
                 lit("image/fake").as("mime")))
+      .select(
+        Seq(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
+            col("height"), col("n_frames")) ++
+          (0 until 8).map(j => col("features")(j).as(s"f$j")): _*)
       .orderBy(col("doc_id")),
-    None,
-    doc = "stub decode → width/height/frames + feature vector")
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, md5(text) AS h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_bytes,
+               ${(Seq(0, 1, 2, 3, 4) ++ (8 to 15)).map(i => s"${sqlDigestByte(i)} AS b$i").mkString(",\n               ")}
+        FROM d)
+      SELECT doc_id, 'image/fake' AS mime, n_bytes,
+             16 + ((b0 * 256 + b1) % 240) AS width,
+             16 + ((b2 * 256 + b3) % 240) AS height,
+             1 + (b4 % 8) AS n_frames,
+             ${(0 until 8).map(j => s"CAST(b${8 + j} AS DOUBLE) / 255.0 AS f$j").mkString(",\n             ")}
+      FROM b
+      ORDER BY doc_id"""),
+    doc = "stub decode → width/height/frames + scalar feature columns")
 
   /** Frame sampling (every 2nd frame of the stub-decoded stream) —
     * the explode-shaped multimodal stage a video pipeline runs before
-    * per-frame featurization. Rows-only; determinism in ScalaTest. */
+    * per-frame featurization. Frame hash = md5(digestHex:idx), so the
+    * DuckDB oracle replays the whole explode. */
   val q62FrameSample: Q = Q(
     "q62_frame_sample",
     (s, d) => graft.operators.MediaDecode.sampleFrames(
@@ -64,7 +94,19 @@ object Multimodal {
         .select(col("doc_id"), col("text").cast("binary").as("payload")),
       everyK = 2)
       .orderBy(col("doc_id"), col("frame_idx")),
-    None,
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, md5(text) AS h FROM documents),
+      m AS (
+        SELECT doc_id, h, 1 + ((${sqlDigestByte(4)}) % 8) AS n_frames
+        FROM d),
+      f AS (
+        SELECT doc_id, h, unnest(range(0, n_frames, 2)) AS frame_idx
+        FROM m)
+      SELECT doc_id, frame_idx,
+             md5(h || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+      FROM f
+      ORDER BY doc_id, frame_idx"""),
     doc = "every-k-th frame sampling over stub-decoded video")
 
   def defs: Seq[Q] = Seq(q60BinaryMeta, q61MediaFeatures, q62FrameSample)

@@ -85,19 +85,26 @@ object TextOps {
       LIMIT 50"""),
     doc = "explode/unnest generator + frequency top-k")
 
-  /** Deterministic 64-bit rolling fingerprint: a chained xxhash64 fold
-    * over the token stream (order-sensitive; the FNV offset basis seeds
-    * the chain — see Text.fingerprint64). Not ANSI-expressible (seeded
-    * xxhash64) → rows-only; determinism and order-sensitivity are
-    * asserted in ScalaTest. */
+  /** Deterministic rolling fingerprint: a chained md5(acc ++ token)
+    * fold over the token stream (order-sensitive — a token swap changes
+    * the value). The md5 chain is replayed verbatim by the DuckDB
+    * oracle via list_reduce, so this is fully hash-checked; the faster
+    * xxhash64 variant (Text.fingerprint64) keeps its own ScalaTest. */
   val q33Fingerprint: Q = Q(
     "q33_fingerprint",
     (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), graft.functions.Text.fingerprint64(col("text")).as("fp64"))
+        .select(col("doc_id"), graft.functions.Text.fingerprintMd5(col("text")).as("fp"))
         .orderBy(col("doc_id")),
-    None,
-    doc = "rolling fingerprint (chained xxhash64 over tokens)")
+    Some("""
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 'graft'
+                  ELSE list_reduce(
+                         list_prepend('graft', regexp_split_to_array(trim(text), '\s+')),
+                         (acc, t) -> md5(acc || t)) END AS fp
+      FROM documents
+      ORDER BY doc_id"""),
+    doc = "rolling fingerprint (chained md5 over tokens)")
 
   /** Language identification: stopword-profile heuristic scored per
     * language, argmax with deterministic tie-break. Rows-only (the

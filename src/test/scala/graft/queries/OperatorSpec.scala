@@ -104,11 +104,15 @@ class OperatorSpec extends SparkSpec {
     val a = Multimodal.q61MediaFeatures.fn(spark, d)
     val b = Multimodal.q61MediaFeatures.fn(spark, d)
     assert(a.schema.fieldNames.toSeq ==
-      Seq("doc_id", "mime", "n_bytes", "width", "height", "n_frames", "features"))
+      Seq("doc_id", "mime", "n_bytes", "width", "height", "n_frames") ++
+        (0 until 8).map(j => s"f$j"))
     assert(a.exceptAll(b).count() == 0)
     val r = a.filter(col("doc_id") === 0).collect().head
     assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 256)
-    assert(r.getAs[scala.collection.Seq[Double]]("features").length == 8)
+    (0 until 8).foreach { j =>
+      val f = r.getAs[Double](s"f$j")
+      assert(f >= 0.0 && f <= 1.0, s"f$j out of range: $f")
+    }
   }
 
   test("approx_count_distinct within 5% of exact") {

@@ -41,7 +41,7 @@ def run_verify():
 
 
 def normalize(df):
-    import pandas as pd
+    import pandas as pd, numpy as np
     df = df[sorted(df.columns)]
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
@@ -50,8 +50,12 @@ def normalize(df):
             except TypeError:
                 df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
         elif df[c].dtype == object:
-            # decimals → float-safe string; bytes → hex
-            df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
+            # decimals → float-safe string; bytes → hex; arrays/lists →
+            # tuples (hashable, so sort_values/factorize don't choke)
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray))
+                else tuple(v.tolist()) if isinstance(v, np.ndarray)
+                else tuple(v) if isinstance(v, list) else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
