@@ -34,7 +34,11 @@ import scala.jdk.CollectionConverters._
 final case class KvRecord(key: Array[Byte], cells: Seq[KvCell])
 final case class KvCell(cf: String, qualifier: String, value: Array[Byte])
 
-final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKeyHex: String) {
+/** `hosts` = optional locality hints (nodes holding this shard's bytes,
+  * ≙ the reference's per-region preferred host) surfaced to Spark via
+  * `InputPartition.preferredLocations`; empty on a shared filesystem. */
+final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKeyHex: String,
+                             hosts: Seq[String] = Nil) {
   def minKey: Array[Byte] = KvStore.fromHex(minKeyHex)
   def maxKey: Array[Byte] = KvStore.fromHex(maxKeyHex)
 }
@@ -60,8 +64,9 @@ object KvStore {
   def readMeta(tableDir: String): KvTableMeta = {
     val root = mapper.readTree(new File(metaPath(tableDir)))
     val shards = root.path("shards").elements().asScala.map { s =>
+      val hosts = s.path("hosts").elements().asScala.map(_.asText()).toSeq
       KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
-        s.path("minKeyHex").asText(), s.path("maxKeyHex").asText())
+        s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts)
     }.toSeq
     KvTableMeta(shards)
   }
@@ -74,6 +79,10 @@ object KvStore {
       val o = arr.addObject()
       o.put("file", s.file); o.put("rows", s.rows)
       o.put("minKeyHex", s.minKeyHex); o.put("maxKeyHex", s.maxKeyHex)
+      if (s.hosts.nonEmpty) {
+        val h = o.putArray("hosts")
+        s.hosts.foreach(h.add)
+      }
     }
     val tmp = Paths.get(metaPath(tableDir) + ".tmp")
     Files.createDirectories(Paths.get(tableDir))

@@ -18,10 +18,22 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `big` (skewed) with `small`, salted `nSalts`
-    * ways. Result equals `big.join(small, keys, "inner")`. */
+    * ways. Result equals `big.join(small, keys, "inner")`.
+    *
+    * The salt hashes `spark_partition_id()` TOGETHER with the row
+    * contents: a hot key's rows are often full duplicates (the classic
+    * null-ish default-id case), and a content-only hash would land every
+    * duplicate in one bucket — exactly the skew salting exists to break.
+    * Partition id spreads duplicates by their physical placement while
+    * staying deterministic under task retries (a retried task re-reads
+    * the same partition id and contents). */
+  /** The salt assignment for `df`'s rows (exposed for testability). */
+  def saltExpr(df: DataFrame, nSalts: Int): Column =
+    pmod(xxhash64(spark_partition_id() +: df.columns.map(col).toIndexedSeq: _*),
+      lit(nSalts)).cast("int")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, nSalts: Int): DataFrame = {
-    val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(nSalts)).cast("int"))
+    val saltedBig = big.withColumn("_salt", saltExpr(big, nSalts))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     saltedBig.join(replicatedSmall,

@@ -55,8 +55,11 @@ object FilterEval {
   }
 
   /** Canonicalize an external literal to the internal-comparable domain
-    * of `dt` (micros for timestamps, days for dates, String for
-    * strings). */
+    * of `dt` (micros for timestamps, days for dates, UTF8String for
+    * strings — Spark orders strings by UTF-8 BINARY bytes, and UTF-16
+    * `String.compareTo` disagrees for supplementary-plane vs
+    * U+E000..U+FFFF characters; pushed filters are reported handled, so
+    * any divergence here would silently change results). */
   def canon(dt: DataType, v: Any): Any = (dt, v) match {
     case (_, null) => null
     case (TimestampType, t: java.sql.Timestamp) =>
@@ -68,20 +71,17 @@ object FilterEval {
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
     case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
     case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
-    case (StringType, s: UTF8String) => s.toString
-    case (StringType, s: String) => s
+    case (StringType, s: UTF8String) => s
+    case (StringType, s: String) => UTF8String.fromString(s)
     case (_: DecimalType, d: java.math.BigDecimal) => d
     case (_: DecimalType, d: scala.math.BigDecimal) => d.bigDecimal
     case (_, other) => other
   }
 
-  /** Internal value → comparable domain (strings to String, the rest are
-    * already primitives; timestamps/dates already micros/days). */
-  def internalComparable(dt: DataType, v: Any): Any = v match {
-    case null => null
-    case s: UTF8String => s.toString
-    case other => other
-  }
+  /** Internal value → comparable domain (identity: UTF8String stays
+    * UTF8String for binary-order comparison; timestamps/dates are
+    * already micros/days). */
+  def internalComparable(dt: DataType, v: Any): Any = v
 
   /** Spark SQL double semantics: -0.0 = 0.0 (Double.compare would order
     * them) while NaN = NaN and NaN > everything (which Double.compare
@@ -99,7 +99,9 @@ object FilterEval {
     case (x: Byte, y: Number)   => Some(java.lang.Long.compare(x.toLong, y.longValue()))
     case (x: Double, y: Number) => Some(sqlDoubleCompare(x, y.doubleValue()))
     case (x: Float, y: Number)  => Some(sqlDoubleCompare(x.toDouble, y.doubleValue()))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    // UTF-8 byte order == code-point order; matches Spark's UTF8String
+    // ordering for the full Unicode range (String.compareTo would not)
+    case (x: UTF8String, y: UTF8String) => Some(x.binaryCompare(y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case (x: org.apache.spark.sql.types.Decimal, y: java.math.BigDecimal) =>
       Some(x.toJavaBigDecimal.compareTo(y))

@@ -123,23 +123,34 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     if (countStarOnly && filters.isEmpty && part.startHex.isEmpty && part.endHex.isEmpty)
       return InternalRow.fromSeq(specs.map(_ => part.shard.rows))
 
+    // per-column layout resolved ONCE, mirroring KvPartitionReader: the
+    // per-record loop below fills a reused scratch array — no per-record
+    // hash maps or closures in this hot path
     val neededCols: Set[String] = specs.collect {
       case KvCountCol(n) => n
       case KvMinCol(n)   => n
       case KvMaxCol(n)   => n
     }.toSet ++ filters.flatMap(_.references)
-    val neededFields = declared.fields.filter(f => neededCols(f.name))
+    val needed: Array[StructField] = declared.fields.filter(f => neededCols(f.name))
+    val neededCf: Array[String] = needed.map(_.metadata.getString("columnFamily"))
+    val neededQual: Array[String] = needed.map(_.metadata.getString("column"))
+    val neededIsRowkey: Array[Boolean] = neededCf.map(_ == KvCatalog.RowkeyCf)
+    val idxByName: Map[String, Int] = needed.map(_.name).zipWithIndex.toMap
+    val scratch = new Array[Any](needed.length)
+    val getByName: String => Any = name => scratch(idxByName(name))
 
     var countStar = 0L
-    val countCol = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    val minV = scala.collection.mutable.Map.empty[String, Any]
-    val maxV = scala.collection.mutable.Map.empty[String, Any]
-    val minNames = specs.collect { case KvMinCol(n) => n }.distinct
-    val maxNames = specs.collect { case KvMaxCol(n) => n }.distinct
-    val countNames = specs.collect { case KvCountCol(n) => n }.distinct
-    val minMaxNames = (minNames ++ maxNames).distinct
-    val orderings: Map[String, Ordering[Any]] =
-      minMaxNames.map(n => n -> ordering(dtByName(n))).toMap
+    val countIdx: Array[Int] =
+      specs.collect { case KvCountCol(n) => n }.distinct.map(idxByName).toArray
+    val countVals = new Array[Long](countIdx.length)
+    val minMaxNames: Array[String] = specs.collect {
+      case KvMinCol(n) => n
+      case KvMaxCol(n) => n
+    }.distinct.toArray
+    val mmIdx: Array[Int] = minMaxNames.map(idxByName)
+    val mmOrd: Array[Ordering[Any]] = minMaxNames.map(n => ordering(dtByName(n)))
+    val mmMin = new Array[Any](minMaxNames.length)
+    val mmMax = new Array[Any](minMaxNames.length)
 
     val reader = new KvStore.ShardReader(dir, part.shard,
       part.startHex.map(KvStore.fromHex).orNull,
@@ -147,36 +158,53 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     try {
       while (reader.hasNext) {
         val rec = reader.next()
-        val decoded = new java.util.HashMap[String, Any](neededFields.length * 2)
-        neededFields.foreach { f =>
-          val cf = f.metadata.getString("columnFamily")
-          val qual = f.metadata.getString("column")
-          val v =
-            if (cf == KvCatalog.RowkeyCf) BytesCodec.decodeKey(f.dataType, rec.key)
-            else rec.cells.find(c => c.cf == cf && c.qualifier == qual)
-              .map(c => BytesCodec.decode(f.dataType, c.value)).orNull
-          decoded.put(f.name, v)
-        }
-        if (filters.forall(FilterEval.eval(_, decoded.get, dtByName))) {
-          countStar += 1
-          countNames.foreach(n => if (decoded.get(n) != null) countCol(n) += 1)
-          minMaxNames.foreach { n =>
-            val v = decoded.get(n)
-            if (v != null) {
-              val ord = orderings(n)
-              if (!minV.contains(n) || ord.lt(v, minV(n))) minV(n) = v
-              if (!maxV.contains(n) || ord.gt(v, maxV(n))) maxV(n) = v
+        var i = 0
+        while (i < needed.length) {
+          scratch(i) =
+            if (neededIsRowkey(i)) BytesCodec.decodeKey(needed(i).dataType, rec.key)
+            else {
+              val cells = rec.cells
+              var j = 0
+              var v: Any = null
+              while (j < cells.length && v == null) {
+                val c = cells(j)
+                if (c.cf == neededCf(i) && c.qualifier == neededQual(i))
+                  v = BytesCodec.decode(needed(i).dataType, c.value)
+                j += 1
+              }
+              v
             }
+          i += 1
+        }
+        if (filters.forall(FilterEval.eval(_, getByName, dtByName))) {
+          countStar += 1
+          i = 0
+          while (i < countIdx.length) {
+            if (scratch(countIdx(i)) != null) countVals(i) += 1
+            i += 1
+          }
+          i = 0
+          while (i < mmIdx.length) {
+            val v = scratch(mmIdx(i))
+            if (v != null) {
+              if (mmMin(i) == null || mmOrd(i).lt(v, mmMin(i))) mmMin(i) = v
+              if (mmMax(i) == null || mmOrd(i).gt(v, mmMax(i))) mmMax(i) = v
+            }
+            i += 1
           }
         }
       }
     } finally reader.close()
 
+    val countByName: Map[String, Long] =
+      specs.collect { case KvCountCol(n) => n }.distinct
+        .zipWithIndex.map { case (n, i) => n -> countVals(i) }.toMap
+    val mmPos: Map[String, Int] = minMaxNames.zipWithIndex.toMap
     InternalRow.fromSeq(specs.map {
       case KvCountStar   => countStar
-      case KvCountCol(n) => countCol(n)
-      case KvMinCol(n)   => minV.getOrElse(n, null)
-      case KvMaxCol(n)   => maxV.getOrElse(n, null)
+      case KvCountCol(n) => countByName(n)
+      case KvMinCol(n)   => mmMin(mmPos(n))
+      case KvMaxCol(n)   => mmMax(mmPos(n))
     })
   }
 

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   */
 class KvScanBuilder(catalog: KvCatalog, dir: String)
     extends ScanBuilder
-    with SupportsPushDownFilters
+    with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -32,6 +32,8 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
   private val declared = catalog.schema
   private var prunedSchema: StructType = declared
   private var pushed: Array[Filter] = Array.empty
+  private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
   private var limit: Int = -1
   private var aggSpecs: Option[Seq[KvAggSpec]] = None
 
@@ -67,14 +69,25 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
       case None    => false
     }
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+  /** V2 predicate negotiation (the v1 `SupportsPushDownFilters` path is
+    * consulted first by Spark when both exist, so the builder implements
+    * ONLY v2 — see [[V2Filters]]). Predicates translate to v1 `Filter`s
+    * for [[FilterEval]]; anything untranslatable or unpushable stays
+    * residual. */
+  override def pushPredicates(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
     val dts = declared.fields.map(f => f.name -> f.dataType).toMap
     // full reassignment each call → idempotent under repeated negotiation
-    val (ok, residual) = filters.partition(FilterEval.pushable(_, dts))
-    pushed = ok
-    residual
+    val translated = predicates.map(p => p -> V2Filters.toV1(p))
+    val (ok, residual) = translated.partition {
+      case (_, v1) => v1.exists(FilterEval.pushable(_, dts))
+    }
+    pushed = ok.flatMap(_._2)
+    pushedV2 = ok.map(_._1)
+    residual.map(_._1)
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    pushedV2
 
   override def pruneColumns(required: StructType): Unit = {
     // keep the DECLARED field (with cf/qual metadata) per required name,
@@ -91,9 +104,16 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
   }
 }
 
-/** Serializable partition: one shard + the clipped key range. */
+/** Serializable partition: one shard + the clipped key range. Locality
+  * hints flow from the shard manifest's optional `hosts` list — the
+  * rebuild of the reference's per-region preferred host
+  * (`/root/reference/src/main/scala/com/dm/hbase/spark3/datasource/HbaseInputPartition.scala:5-7`,
+  * captured from the region locator at `HbaseScan.scala:34`); on a
+  * shared filesystem the list is empty and Spark schedules freely. */
 case class KvInputPartition(shard: KvShardMeta, startHex: Option[String],
-                            endHex: Option[String]) extends InputPartition
+                            endHex: Option[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = shard.hosts.toArray
+}
 
 class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
              declared: StructType, filters: Array[Filter], limit: Int)

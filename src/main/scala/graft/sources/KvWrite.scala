@@ -15,17 +15,29 @@ import scala.collection.mutable.ArrayBuffer
   * loaded by a raw HBase client, `TestDataWriter.scala:47-68`). Closing
   * that gap lets fixtures flow through Spark itself.
   *
-  * Each task sorts its partition's rows by encoded rowkey and emits one
-  * shard ("region") file; commit messages carry the shard manifests and
-  * the driver writes the table manifest atomically. For co-located,
-  * pruning-friendly shards, callers `repartitionByRange(rowkey)` first —
-  * but overlapping shard ranges remain CORRECT (scan prunes by per-shard
-  * min/max and re-clips inside each shard).
+  * Each task sorts its partition's rows by encoded rowkey and emits
+  * sorted shard ("region") files; commit messages carry the shard
+  * manifests and the driver writes the table manifest atomically. For
+  * co-located, pruning-friendly shards, callers
+  * `repartitionByRange(rowkey)` first — but overlapping shard ranges
+  * remain CORRECT (scan prunes by per-shard min/max and re-clips inside
+  * each shard).
   *
-  * Scale note: the in-memory per-partition sort assumes the caller
-  * sized partitions sensibly (shards ≈ regions ≈ hundreds of MB); a
-  * production drop-in would swap the buffer for a spillable sorter
-  * without touching the commit protocol.
+  * Scale properties:
+  *  - Bounded memory: rows are buffered only up to `chunkBytes`
+  *    (option `chunkBytes`, default 256 MiB of encoded cell data); each
+  *    full chunk is sorted and streamed out as its own shard file
+  *    ("sorted-run emission"), so an arbitrarily large input partition
+  *    never holds more than one chunk in memory. The manifest has always
+  *    supported many shards per task, so the commit protocol is
+  *    untouched; chunk shards of one task may overlap in key range,
+  *    which the scan already handles.
+  *  - Concurrent-writer safe: shard file names embed a per-writer random
+  *    token, so two applications appending to the same table directory
+  *    (e.g. the documented batch-writer + streaming-reader split) can
+  *    never regenerate each other's names and truncate a committed
+  *    shard. Creation additionally refuses to overwrite an existing
+  *    file — collisions fail loudly instead of losing data.
   */
 class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
@@ -40,18 +52,21 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
   }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new KvBatchWrite(catalog, dir, info.schema(), truncateFirst)
+    override def toBatch: BatchWrite = {
+      val chunkBytes = info.options().getLong("chunkBytes", KvDataWriter.DefaultChunkBytes)
+      require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
+      new KvBatchWrite(catalog, dir, info.schema(), truncateFirst, chunkBytes)
+    }
   }
 }
 
 case class KvCommit(shards: Seq[KvShardMeta]) extends WriterCommitMessage
 
 class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
-                   truncateFirst: Boolean) extends BatchWrite {
+                   truncateFirst: Boolean, chunkBytes: Long) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvDataWriterFactory(dir, schema.json, catalog.schema.json, catalog.rowkey)
+    KvDataWriterFactory(dir, schema.json, catalog.schema.json, catalog.rowkey, chunkBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
@@ -71,20 +86,28 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
 }
 
 case class KvDataWriterFactory(dir: String, schemaJson: String,
-                               declaredJson: String, rowkey: String)
+                               declaredJson: String, rowkey: String,
+                               chunkBytes: Long)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(dir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkey,
-      partitionId, taskId)
+      partitionId, taskId, chunkBytes)
+}
+
+object KvDataWriter {
+  /** Default sorted-run size: region-scale shards without holding more
+    * than one run of encoded cells per task in memory. */
+  val DefaultChunkBytes: Long = 256L << 20
 }
 
 /** `schema` = incoming row layout; `declared` = catalog schema carrying
   * the (cf, qualifier) metadata. Columns are matched BY NAME so the
   * stored cells always land under the catalog's declared cf:qualifier. */
 class KvDataWriter(dir: String, schema: StructType, declared: StructType,
-                   rowkey: String, partitionId: Int, taskId: Long)
+                   rowkey: String, partitionId: Int, taskId: Long,
+                   chunkBytes: Long = KvDataWriter.DefaultChunkBytes)
     extends DataWriter[InternalRow] {
 
   private val rowkeyIdx = schema.fieldIndex(rowkey)
@@ -103,26 +126,58 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
         (i, cf, qual, f.dataType)
     }
   }
+
+  // Names are unique ACROSS JVMs: (partitionId, taskId) repeat when a
+  // second application writes to the same dir, so a random per-writer
+  // token is load-bearing, not cosmetic.
+  private val writerToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+  private def chunkFileName(seq: Int): String =
+    f"shard-p$partitionId%05d-t$taskId-$writerToken-c$seq.kv"
+
   private val buffer = new ArrayBuffer[KvRecord]()
-  private val fileName = f"shard-p$partitionId%05d-t$taskId.kv"
+  private var bufferedBytes = 0L
+  private var chunkSeq = 0
+  private val emittedFiles = new ArrayBuffer[String]()
+  private val emittedShards = new ArrayBuffer[KvShardMeta]()
 
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(rowkeyIdx), s"null rowkey '${rowkey}' at write")
     val key = BytesCodec.encodeKey(keyType, row.get(rowkeyIdx, keyType))
+    var recBytes = key.length.toLong + 8
     val cells = cellCols.collect {
       case (i, cf, qual, dt) if !row.isNullAt(i) =>
-        KvCell(cf, qual, BytesCodec.encode(dt, row.get(i, dt)))
+        val v = BytesCodec.encode(dt, row.get(i, dt))
+        recBytes += cf.length + qual.length + v.length + 8
+        KvCell(cf, qual, v)
     }.toIndexedSeq
     buffer += KvRecord(key, cells)
+    bufferedBytes += recBytes
+    if (bufferedBytes >= chunkBytes) flushChunk()
+  }
+
+  /** Sort the buffered run and stream it out as one shard file. */
+  private def flushChunk(): Unit = {
+    if (buffer.nonEmpty) {
+      val name = chunkFileName(chunkSeq)
+      chunkSeq += 1
+      require(!new File(s"$dir/$name").exists(),
+        s"shard file $name already exists — refusing to truncate a committed shard")
+      emittedFiles += name
+      val sorted = buffer.sortWith((a, b) => BytesCodec.compareKeys(a.key, b.key) < 0)
+      val w = new KvStore.ShardWriter(dir, name)
+      sorted.foreach(w.append)
+      w.close().foreach(emittedShards += _)
+      buffer.clear()
+      bufferedBytes = 0L
+    }
   }
 
   override def commit(): WriterCommitMessage = {
-    val sorted = buffer.sortWith((a, b) => BytesCodec.compareKeys(a.key, b.key) < 0)
-    val w = new KvStore.ShardWriter(dir, fileName)
-    sorted.foreach(w.append)
-    KvCommit(w.close().toSeq)
+    flushChunk()
+    KvCommit(emittedShards.toSeq)
   }
 
-  override def abort(): Unit = new File(s"$dir/$fileName").delete()
+  override def abort(): Unit =
+    emittedFiles.foreach(f => new File(s"$dir/$f").delete())
   override def close(): Unit = ()
 }

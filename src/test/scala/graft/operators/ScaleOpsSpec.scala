@@ -25,6 +25,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.except(salted).count() == 0)
   }
 
+  test("fully duplicate rows of a hot key occupy more than one salt bucket") {
+    import spark.implicits._
+    // every row is IDENTICAL — a content-only salt hash would put all of
+    // them in a single bucket, recreating the skew the salt should break
+    val dup = (1 to 10000).map(_ => (1L, "dup")).toDF("k", "payload")
+      .repartition(8)
+    val buckets = dup.withColumn("_salt", SkewJoin.saltExpr(dup, 8))
+      .select("_salt").distinct().count()
+    assert(buckets > 1, s"identical hot-key rows collapsed into $buckets salt bucket(s)")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     import spark.implicits._
     val db = "graft_bucket_test"

@@ -380,6 +380,141 @@ class KvConnectorSpec extends SparkSpec {
     assert(back.agg(max(size(col("emb")))).collect().head.getInt(0) == 1)
   }
 
+  test("two writers with identical (partitionId, taskId) never collide — cross-JVM append safety") {
+    // Simulates the documented writer/reader split: a second application
+    // appending to the same table dir re-issues the same partition/task
+    // ids, which before the per-writer token truncated committed shards.
+    import graft.kv.{KvStore, KvTableMeta}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dwDir = Files.createTempDirectory("graft-kv-dualwriter").toString
+    val catJson =
+      """{"table":{"name":"dw"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"string"}}}""".stripMargin
+    val schema = KvCatalog.parse(catJson).schema
+    def writeWith(offset: Long): KvCommit = {
+      val w = new KvDataWriter(dwDir, schema, schema, "k", 0, 0L)
+      (0L until 10L).foreach { i =>
+        w.write(InternalRow(offset + i, UTF8String.fromString(s"v${offset + i}")))
+      }
+      w.commit().asInstanceOf[KvCommit]
+    }
+    val c1 = writeWith(0L)
+    val c2 = writeWith(100L) // same partitionId=0, taskId=0 — "second JVM"
+    assert(c1.shards.map(_.file).toSet.intersect(c2.shards.map(_.file).toSet).isEmpty,
+      "shard names from distinct writers must never collide")
+    KvStore.writeMeta(dwDir, KvTableMeta(c1.shards ++ c2.shards))
+    val back = spark.read.format("graft-kv")
+      .option("catalog", catJson).option("path", dwDir).load()
+    assert(back.count() == 20L, "no shard may be truncated by the other writer")
+    assert(back.collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      ((0L until 10L) ++ (100L until 110L)).sorted)
+  }
+
+  test("partition larger than chunkBytes spills to multiple sorted shard runs") {
+    val spDir = Files.createTempDirectory("graft-kv-spill").toString
+    val catJson =
+      """{"table":{"name":"sp"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"string"}}}""".stripMargin
+    import spark.implicits._
+    // one task, reverse-sorted input → per-chunk sort must kick in
+    (1 to 1000).reverse.map(k => (k.toLong, s"value-$k")).toDF("k", "v")
+      .coalesce(1)
+      .write.format("graft-kv")
+      .option("catalog", catJson).option("path", spDir)
+      .option("chunkBytes", "4096") // tiny run size forces roll-over
+      .mode("overwrite").save()
+    val shards = graft.kv.KvStore.readMeta(spDir).shards
+    assert(shards.length > 1, s"expected multiple sorted runs, got ${shards.length}")
+    assert(shards.map(_.rows).sum == 1000L)
+    val back = spark.read.format("graft-kv")
+      .option("catalog", catJson).option("path", spDir).load()
+    assert(back.count() == 1000L)
+    // chunk runs overlap in key range; range predicates must still be exact
+    assert(back.filter(col("k") <= 10).collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      (1L to 10L))
+    assert(back.filter(col("k") === 500).collect().head.getAs[String]("v") == "value-500")
+  }
+
+  test("pushed string comparisons follow UTF8 binary order (supplementary plane)") {
+    // U+10000 is ONE code point above the BMP: UTF-16 compareTo orders it
+    // BELOW U+E000 (surrogate 0xD800 < 0xE000) while Spark's UTF8String
+    // binary order puts it ABOVE (0xF0 > 0xEE). Pushed filters are
+    // reported handled, so the scan must match Spark, not java.lang.String.
+    val uDir = Files.createTempDirectory("graft-kv-utf8").toString
+    val catJson =
+      """{"table":{"name":"u"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"string"}}}""".stripMargin
+    import spark.implicits._
+    val supp = new String(Character.toChars(0x10000)) // F0 90 80 80 in UTF-8
+    val pua = "\uE000"                                // EE 80 80 in UTF-8
+    val src = Seq((1L, pua), (2L, supp), (3L, "plain")).toDF("k", "v")
+    src.write.format("graft-kv").option("catalog", catJson).option("path", uDir)
+      .mode("overwrite").save()
+    val back = spark.read.format("graft-kv")
+      .option("catalog", catJson).option("path", uDir).load()
+    for (mk <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        _ > pua, _ >= pua, _ < pua, _ <= pua,
+        _ > supp, _ < supp)) {
+      val viaKv = back.filter(mk(col("v"))).collect().map(_.getAs[Long]("k")).sorted.toSeq
+      val viaDf = src.filter(mk(col("v"))).collect().map(_.getAs[Long]("k")).sorted.toSeq
+      assert(viaKv == viaDf, s"pushdown row set diverged from Spark semantics: $viaKv vs $viaDf")
+    }
+    // the case UTF-16 compareTo gets wrong: supp must sort ABOVE pua
+    // ("plain" starts at 0x70 and stays below in both orders)
+    assert(back.filter(col("v") > pua).collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      Seq(2L))
+    // and the predicate really is pushed, not residual
+    assert(physicalPlan(back.filter(col("v") > pua)).contains("GreaterThan(v,"))
+  }
+
+  test("shard manifest hosts surface as partition preferredLocations") {
+    import graft.kv.{KvStore, KvTableMeta}
+    val plDir = Files.createTempDirectory("graft-kv-hosts").toString
+    val catJson =
+      """{"table":{"name":"pl"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"string"}}}""".stripMargin
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1)
+      .write.format("graft-kv").option("catalog", catJson).option("path", plDir)
+      .mode("overwrite").save()
+    // annotate the shard with locality hints (what a region server / block
+    // placement report would provide) and round-trip through the manifest
+    val meta = KvStore.readMeta(plDir)
+    KvStore.writeMeta(plDir,
+      KvTableMeta(meta.shards.map(_.copy(hosts = Seq("host-a", "host-b")))))
+    assert(KvStore.readMeta(plDir).shards.head.hosts == Seq("host-a", "host-b"))
+    val cat = KvCatalog.parse(catJson)
+    val scan = new KvScanBuilder(cat, plDir).build()
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.nonEmpty)
+    assert(parts.head.preferredLocations().toSeq == Seq("host-a", "host-b"),
+      "manifest hosts must reach Spark's locality-aware scheduling")
+  }
+
+  test("filter negotiation runs through the v2 Predicate API") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val b = new KvScanBuilder(KvCatalog.parse(catalogJson), dir)
+    // the v1 interface must be ABSENT: Spark consults it first, which
+    // would make the v2 path dead code
+    assert(b.isInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownV2Filters])
+    assert(!b.isInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters])
+    // flipped operand order (lit < col) must translate with the
+    // comparison direction swapped
+    val flipped = new Predicate("<",
+      Array(Expressions.literal(5), Expressions.column("age")))
+    assert(V2Filters.toV1(flipped).contains(
+      org.apache.spark.sql.sources.GreaterThan("age", 5)))
+    val residual = b.pushPredicates(Array(flipped))
+    assert(residual.isEmpty && b.pushedPredicates().length == 1)
+  }
+
   test("append mode adds shards; overwrite truncates") {
     val apDir = Files.createTempDirectory("graft-kv-append").toString
     val cat =
