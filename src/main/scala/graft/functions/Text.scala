@@ -15,9 +15,16 @@ object Text {
   /** Shared English stopword probe set (quality scoring + pipeline). */
   val stopwordsEn: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
 
+  /** The tokenizer's whitespace class, spelled explicitly: Java regex
+    * `\s` includes vertical tab (\x0B) while RE2-family engines (the
+    * oracle) exclude it, so `\s+` would tokenize a \x0B-bearing document
+    * differently across engines. The explicit class is identical in
+    * both. Oracle SQL spells the identical class in its regex literals. */
+  val WhitespaceClass: String = "[ \\t\\n\\r\\f]+"
+
   /** Whitespace tokens of trimmed text ([] for blank input). */
   def tokens(text: Column): Column = {
-    val t = split(trim(text), "\\s+")
+    val t = split(trim(text), WhitespaceClass)
     when(length(trim(text)) === 0, array().cast("array<string>")).otherwise(t)
   }
 

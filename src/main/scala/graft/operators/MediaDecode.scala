@@ -92,10 +92,11 @@ object MediaDecode {
       val md = MessageDigest.getInstance("MD5") // kernel: one per partition
       rows.flatMap { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        // frame count comes from the SAME kernel as extractFeatures, so a
+        // real codec swapped into decodeWith keeps both operators in sync
+        val (_, _, frames, _) = decodeWith(md, payload)
         md.reset()
-        val digest = md.digest(payload)
-        val frames = 1 + ((digest(4) & 0xff) % 8)
-        val h = hex(digest)
+        val h = hex(md.digest(payload)) // stub frame-hash seed (oracle contract)
         val docId = r.getAs[Long]("doc_id")
         (0 until frames by everyK).iterator.map { idx =>
           md.reset()

@@ -124,10 +124,10 @@ object Dedup {
         SELECT doc_id, unnest(list_distinct(sh3)) AS sh FROM (
           SELECT doc_id,
                  list_transform(
-                   range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
-                   i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-                        regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
-                        regexp_split_to_array(trim(text), '\s+')[i+2]) AS sh3
+                   range(1, greatest(len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) - 1, 1)),
+                   i -> regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[i] || ' ' ||
+                        regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[i+1] || ' ' ||
+                        regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[i+2]) AS sh3
           FROM documents WHERE length(trim(text)) > 0) t),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       pairs AS (
@@ -275,8 +275,8 @@ object Dedup {
       scored AS (
         SELECT doc_id, lang,
                CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) END AS n_tokens,
+               len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\r\f]+'),
                    x -> x IN ('the','a','an','of','to','and','in','is'))) AS n_stop
         FROM survivors)
       SELECT lang, count(*) AS n_docs,

@@ -67,8 +67,10 @@ object Multimodal {
       .orderBy(col("doc_id")),
     Some(s"""
       WITH d AS (
-        SELECT doc_id, md5(text) AS h,
-               octet_length(encode(text)) AS n_bytes
+        -- coalesce mirrors the Spark side, which maps a NULL payload to
+        -- an empty byte array and still emits real md5-derived columns
+        SELECT doc_id, md5(coalesce(text, '')) AS h,
+               octet_length(encode(coalesce(text, ''))) AS n_bytes
         FROM documents),
       b AS (
         SELECT doc_id, n_bytes,
@@ -96,7 +98,8 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx")),
     Some(s"""
       WITH d AS (
-        SELECT doc_id, md5(text) AS h FROM documents),
+        -- coalesce mirrors Spark's null-payload → empty-bytes path
+        SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
       m AS (
         SELECT doc_id, h, 1 + ((${sqlDigestByte(4)}) % 8) AS n_frames
         FROM d),

@@ -105,33 +105,40 @@ object Similarity {
     * the full cross product (corpus scanned once per table, shuffled on
     * (table, bucket)). Approximate → no SQL oracle; ScalaTest measures
     * recall vs brute-force q50 on the fixture. */
+  /** Parameterized LSH ANN (`nTables` of the 4 hash tables emitted by
+    * `lsh_buckets`): candidate sets are NESTED in nTables (each table
+    * adds a union term), so recall@5 vs brute force is provably
+    * non-decreasing — OperatorSpec sweeps 1/2/4 and asserts it. */
+  def lshAnn(s: SparkSession, d: String, nTables: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    graft.functions.LshBuckets.register(s)
+    val emb = Tables.embeddings(s, d)
+    // lsh_buckets = native expression: plane matrix precomputed at plan
+    // time, fused loop (the composable 4×4×64-term projection overflows
+    // codegen and drops to interpretation)
+    val bucketed = emb
+      .select(col("vec_id"), col("embedding"), posexplode(expr("lsh_buckets(embedding)")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .filter(col("tbl") < nTables)
+    val queries = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("tbl"), col("bucket"))
+    val cands = bucketed.join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"), col("embedding"))
+      .dropDuplicates("q_id", "n_id") // union across tables
+    val scored = cands.select(col("q_id"), col("n_id"),
+      expr("cosine_sim(q_emb, embedding)").as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val q52LshAnn: Q = Q(
     "q52_lsh_ann",
-    (s, d) => {
-      graft.functions.CosineSimilarity.register(s)
-      graft.functions.LshBuckets.register(s)
-      val emb = Tables.embeddings(s, d)
-      // lsh_buckets = native expression: plane matrix precomputed at plan
-      // time, fused loop (the composable 4×4×64-term projection overflows
-      // codegen and drops to interpretation)
-      val bucketed = emb
-        .select(col("vec_id"), col("embedding"), posexplode(expr("lsh_buckets(embedding)")))
-        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-      val queries = bucketed.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-                col("tbl"), col("bucket"))
-      val cands = bucketed.join(broadcast(queries), Seq("tbl", "bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"), col("embedding"))
-        .dropDuplicates("q_id", "n_id") // union across tables
-      val scored = cands.select(col("q_id"), col("n_id"),
-        expr("cosine_sim(q_emb, embedding)").as("cos"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
-        .orderBy(col("q_id"), col("rk"))
-    },
+    (s, d) => lshAnn(s, d, nTables = 4),
     None,
     doc = "multi-table LSH (random hyperplane) ANN")
 
@@ -150,14 +157,17 @@ object Similarity {
     * norm assumptions — through the codegen'd cosine_sim against
     * constant-folded centroid literals (one corpus scan total). Only the
     * k=16 centroids and the 20 bounded query vectors are collected.
-    * Approximate → rows-only; recall vs brute force in ScalaTest. */
-  val q53IvfAnn: Q = Q(
-    "q53_ivf_ann",
-    (s, d) => {
+    * Approximate → rows-only; recall vs brute force in ScalaTest.
+    *
+    * Probe sets are NESTED in `nProbe` (the nProbe best cells by
+    * centroid cosine), so candidate sets grow monotonically and
+    * recall@5 vs brute force is non-decreasing — OperatorSpec sweeps
+    * 1/4/16 and asserts it. */
+  def ivfAnn(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+    {
       graft.functions.CosineSimilarity.register(s)
       val emb = Tables.embeddings(s, d)
       val k = 16
-      val nProbe = 4
       def cosLocal(a: Array[Float], b: Array[Float]): Double = {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < math.min(a.length, b.length)) {
@@ -203,18 +213,27 @@ object Similarity {
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
         .orderBy(col("q_id"), col("rk"))
-    },
+    }
+  }
+
+  val q53IvfAnn: Q = Q(
+    "q53_ivf_ann",
+    (s, d) => ivfAnn(s, d, nProbe = 4),
     None,
     doc = "IVF ANN (deterministic coarse quantizer + nProbe cosine rescoring)")
 
   /** Int8-quantized top-k: per-vector max-abs scaling to int8 (4× less
     * storage/bandwidth than float32 — at 100 TB the quantized corpus is
     * what streams through the scorer), integer dot products accumulated
-    * exactly in LONG, cosine approximated from quantized norms. Lossy →
-    * rows-only; recall vs exact q50 asserted in ScalaTest. */
+    * exactly in LONG via the fused codegen'd [[graft.functions.Int8Dot]]
+    * expression (the `zip_with`+`aggregate` HOF form allocates an
+    * intermediate array per row and runs interpreted), cosine
+    * approximated from quantized norms. Lossy → rows-only; recall vs
+    * exact q50 asserted in ScalaTest. */
   val q54QuantizedTopK: Q = Q(
     "q54_quantized_topk",
     (s, d) => {
+      graft.functions.Int8Dot.register(s)
       val emb = Tables.embeddings(s, d)
       // per-vector scale + int8 codes (ints in [-127, 127])
       val scale = aggregate(col("embedding"), lit(0.0f),
@@ -224,8 +243,7 @@ object Similarity {
         .withColumn("q", transform(col("embedding"),
           x => round(x.cast("double") / col("s"), 0).cast("int")))
         .select(col("vec_id"), col("s"), col("q"))
-      def idot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+      def idot(a: Column, b: Column): Column = call_function("int8_dot", a, b)
       val withNorm = quantized.withColumn("nq", idot(col("q"), col("q")))
       val queries = withNorm.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nq").as("q_nq"))

@@ -62,7 +62,14 @@ object Subqueries {
     * to the exactly-equivalent integer-side form
     * `5 * l_quantity * cnt < sum_qty` in exact DECIMAL arithmetic, so both
     * engines evaluate the same order-independent predicate (a raw double
-    * avg would be reduction-order-dependent at the boundary). */
+    * avg would be reduction-order-dependent at the boundary).
+    *
+    * The per-part aggregate is a WINDOW over l_partkey rather than a
+    * self-join against `GROUP BY l_partkey`: at 100 TB that halves the
+    * fact-table I/O (lineitem is scanned ONCE; the window's single
+    * hash-partition shuffle on l_partkey replaces the aggregate's
+    * shuffle + the join back). DECIMAL window sums stay exact and
+    * order-independent, so the predicate is unchanged. */
   val q19AvgQtyRevenue: Q = Q(
     "q19_avg_qty_revenue",
     (s, d) => {
@@ -71,12 +78,11 @@ object Subqueries {
         SELECT p_brand,
                ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
                count(*) AS n
-        FROM lineitem
+        FROM (SELECT l_partkey, l_extendedprice, l_quantity,
+                     count(*) OVER (PARTITION BY l_partkey) AS cnt,
+                     sum(${sqlDec("l_quantity")}) OVER (PARTITION BY l_partkey) AS sumq
+              FROM lineitem) l
         JOIN part ON p_partkey = l_partkey
-        JOIN (SELECT l_partkey AS pk, count(*) AS cnt,
-                     sum(${sqlDec("l_quantity")}) AS sumq
-              FROM lineitem GROUP BY l_partkey) s
-          ON pk = l_partkey
         WHERE ${sqlDec("l_quantity")} * 5 * cnt < sumq
         GROUP BY p_brand
         ORDER BY p_brand""")
@@ -85,16 +91,15 @@ object Subqueries {
       SELECT p_brand,
              ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
              count(*) AS n
-      FROM lineitem
+      FROM (SELECT l_partkey, l_extendedprice, l_quantity,
+                   count(*) OVER (PARTITION BY l_partkey) AS cnt,
+                   sum(${sqlDec("l_quantity")}) OVER (PARTITION BY l_partkey) AS sumq
+            FROM lineitem) l
       JOIN part ON p_partkey = l_partkey
-      JOIN (SELECT l_partkey AS pk, count(*) AS cnt,
-                   sum(${sqlDec("l_quantity")}) AS sumq
-            FROM lineitem GROUP BY l_partkey) s
-        ON pk = l_partkey
       WHERE ${sqlDec("l_quantity")} * 5 * cnt < sumq
       GROUP BY p_brand
       ORDER BY p_brand"""),
-    doc = "correlated-avg predicate in exact arithmetic")
+    doc = "correlated-avg predicate in exact arithmetic, single fact scan")
 
   /** The reference's one UDF, `from_iso_string`
     * (`/root/reference/src/test/scala/ScalaDatasourceTest.scala:72`):

@@ -24,7 +24,7 @@ object TextOps {
     Some("""
       SELECT doc_id, length(text) AS text_len,
              CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) END AS n_tokens
       FROM documents
       ORDER BY doc_id"""),
     doc = "whitespace tokenization stats")
@@ -53,8 +53,8 @@ object TextOps {
       WITH t AS (
         SELECT doc_id, text,
                CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) END AS n_tokens,
+               len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\r\f]+'),
                    x -> x IN ('the','a','an','of','to','and','in','is'))) AS n_stop
         FROM documents)
       SELECT doc_id, n_tokens, n_stop,
@@ -69,7 +69,7 @@ object TextOps {
     "q32_token_freq",
     (s, d) =>
       Tables.documents(s, d)
-        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .select(explode(split(trim(col("text")), graft.functions.Text.WhitespaceClass)).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
@@ -77,7 +77,7 @@ object TextOps {
         .limit(50),
     Some("""
       SELECT token, count(*) AS n
-      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) AS token
             FROM documents) t
       WHERE length(token) > 0
       GROUP BY token
@@ -100,7 +100,7 @@ object TextOps {
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 'graft'
                   ELSE list_reduce(
-                         list_prepend('graft', regexp_split_to_array(trim(text), '\s+')),
+                         list_prepend('graft', regexp_split_to_array(trim(text), '[ \t\n\r\f]+')),
                          (acc, t) -> md5(acc || t)) END AS fp
       FROM documents
       ORDER BY doc_id"""),
@@ -125,7 +125,8 @@ object TextOps {
   val q35BpeTokens: Q = Q(
     "q35_bpe_tokens",
     (s, d) => {
-      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+      // whitespace spelled explicitly: Java \s includes \x0B, RE2's does not
+      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+"
       Tables.documents(s, d)
         .select(col("doc_id"),
           size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe_tokens"))
@@ -134,7 +135,7 @@ object TextOps {
     Some("""
       SELECT doc_id,
              len(regexp_extract_all(text,
-               '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\r\f\p{L}\p{N}]+'))
                AS n_bpe_tokens
       FROM documents
       ORDER BY doc_id"""),

@@ -50,33 +50,68 @@ class OperatorSpec extends SparkSpec {
     dup.foreach(r => assert(s1(r.getLong(0)) == s1(r.getLong(1))))
   }
 
-  test("LSH ANN rescoring returns a subset of brute-force candidates with decent recall@5") {
-    val brute = Similarity.q50CosineTopK.fn(spark, d)
+  private def bruteTop5: Set[(Long, Long)] =
+    Similarity.q50CosineTopK.fn(spark, d)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recallAt5(df: org.apache.spark.sql.DataFrame, brute: Set[(Long, Long)]): Double = {
+    val got = df.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (brute.isEmpty) 1.0 else got.intersect(brute).size.toDouble / brute.size
+  }
+
+  test("LSH ANN recall@5: subset of brute force, printed, monotone in table count") {
+    val brute = bruteTop5
     val ann = Similarity.q52LshAnn.fn(spark, d)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = if (brute.isEmpty) 1.0 else ann.intersect(brute).size.toDouble / brute.size
     // approximate by construction; just require it to be meaningfully
     // better than random (500 vectors, 5 of ~62 same-bucket candidates)
+    val recall = if (brute.isEmpty) 1.0 else ann.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.2, s"ANN recall@5 $recall suspiciously low")
+    // candidate sets are nested in nTables → recall must not decrease
+    val sweep = Seq(1, 2, 4).map(t => t -> recallAt5(Similarity.lshAnn(spark, d, t), brute))
+    info(sweep.map { case (t, r) => f"recall@5[tables=$t]=$r%.3f" }.mkString("LSH ", ", ", ""))
+    sweep.sliding(2).foreach { case Seq((t1, r1), (t2, r2)) =>
+      assert(r1 <= r2 + 1e-9, s"recall fell from $r1 (tables=$t1) to $r2 (tables=$t2)")
+    }
   }
 
-  test("IVF ANN recall@5 is reasonable vs brute force") {
-    val brute = Similarity.q50CosineTopK.fn(spark, d)
-      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.q53IvfAnn.fn(spark, d)
-      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = if (brute.isEmpty) 1.0 else ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.2, s"IVF recall@5 $recall suspiciously low")
+  test("IVF ANN recall@5: printed, monotone in nProbe") {
+    val brute = bruteTop5
+    val sweep = Seq(1, 4, 16).map(p => p -> recallAt5(Similarity.ivfAnn(spark, d, p), brute))
+    info(sweep.map { case (p, r) => f"recall@5[nProbe=$p]=$r%.3f" }.mkString("IVF ", ", ", ""))
+    assert(sweep.find(_._1 == 4).get._2 >= 0.2, "IVF recall@5 at nProbe=4 suspiciously low")
+    // probing all 16 of 16 cells = exhaustive search → recall 1.0 exactly
+    assert(sweep.last._2 == 1.0, "nProbe=k must equal brute force")
+    sweep.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r1 <= r2 + 1e-9, s"recall fell from $r1 (nProbe=$p1) to $r2 (nProbe=$p2)")
+    }
   }
 
-  test("int8-quantized top-k keeps high recall vs exact float cosine") {
-    val brute = Similarity.q50CosineTopK.fn(spark, d)
-      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val quant = Similarity.q54QuantizedTopK.fn(spark, d)
-      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = if (brute.isEmpty) 1.0 else quant.intersect(brute).size.toDouble / brute.size
+  test("int8-quantized top-k keeps high recall vs exact float cosine (printed)") {
+    val brute = bruteTop5
+    val recall = recallAt5(Similarity.q54QuantizedTopK.fn(spark, d), brute)
+    info(f"int8 recall@5=$recall%.3f")
     assert(recall >= 0.6, s"int8 quantization recall@5 $recall too low")
+  }
+
+  test("fused int8_dot ≡ HOF integer dot, and q54's plan uses the fused expression") {
+    graft.functions.Int8Dot.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1, -2, 3, 127), Array(4, 5, -6, 127)),
+      (Array(0, 0, 0, 0), Array(1, 2, 3, 4)),
+      (Array(-127, -127), Array(-127, -127))).toDF("a", "b")
+    val both = df.select(
+      expr("int8_dot(a, b)").as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, v) => acc + v).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0,
+      "fused and HOF integer dot products must agree exactly")
+    val plan = Similarity.q54QuantizedTopK.fn(spark, d)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(plan.contains("int8dot"), s"q54 must score through the fused expression:\n$plan")
+    assert(!plan.contains("zip_with"), "no interpreted HOF dot in the q54 hot path")
   }
 
   test("language ID predicts a declared language and is deterministic") {

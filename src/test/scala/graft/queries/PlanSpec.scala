@@ -63,6 +63,21 @@ class PlanSpec extends SparkSpec {
       s"fused expression must appear in plan:\n$p")
   }
 
+  test("q19: single lineitem scan (window replaces the self-join aggregate)") {
+    val p = plan(Subqueries.q19AvgQtyRevenue.fn(spark, d))
+    // formatted mode: each scan's file path appears on its Location line
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"lineitem must be scanned once, saw $lineitemScans:\n$p")
+    assert(p.contains("Window"), "per-part aggregate must run as a window")
+  }
+
+  test("q54: int8 scoring stays inside whole-stage codegen") {
+    val df = Similarity.q54QuantizedTopK.fn(spark, d)
+    val cg = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"), cg.take(2000))
+  }
+
   test("q24: as-of join is one shuffle (window), no nested-loop explosion") {
     val p = plan(EventsTime.q24AsofJoin.fn(spark, d))
     assert(p.contains("Window"))
