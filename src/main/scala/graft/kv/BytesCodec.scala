@@ -46,6 +46,12 @@ object BytesCodec {
       encodeLong(v.asInstanceOf[Int].toLong * 86400000L)
     case TimestampType => // internal: micros → millis (reference precision)
       encodeLong(Math.floorDiv(v.asInstanceOf[Long], 1000L))
+    case CalendarIntervalType => // (months, days, micros) — the decode the
+      // reference left as a TODO crash (`HbasePartitionReader.scala:67`)
+      val ci = v.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+      val buf = ByteBuffer.allocate(16)
+      buf.putInt(ci.months); buf.putInt(ci.days); buf.putLong(ci.microseconds)
+      buf.array()
     // extensions beyond the reference (SURVEY.md §1.4):
     case dt: DecimalType if dt.precision <= 18 => // unscaled long, scale from catalog
       encodeLong(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong)
@@ -95,6 +101,9 @@ object BytesCodec {
     case BinaryType    => b
     case DateType      => (decodeLong(b) / 86400000L).toInt
     case TimestampType => Math.multiplyExact(decodeLong(b), 1000L)
+    case CalendarIntervalType =>
+      val buf = ByteBuffer.wrap(b)
+      new org.apache.spark.unsafe.types.CalendarInterval(buf.getInt, buf.getInt, buf.getLong)
     case dt: DecimalType if dt.precision <= 18 =>
       org.apache.spark.sql.types.Decimal(decodeLong(b), dt.precision, dt.scale)
     case ArrayType(FloatType, _) =>

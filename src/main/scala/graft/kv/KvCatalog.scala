@@ -68,6 +68,10 @@ object KvCatalog {
     case "long" | "bigint"            => LongType
     case "short"                      => ShortType
     case "timestamp"                  => TimestampType
+    // the reference DECLARES calendar (`DefaultSource.scala:54`) but its
+    // reader decode is a commented-out TODO (`HbasePartitionReader.scala:67`)
+    // — reading a declared calendar column would crash; here it round-trips
+    case "calendar"                   => CalendarIntervalType
     case DecimalRe(p, sc)             => DecimalType(p.toInt, sc.toInt)
     case "array<float>"               => ArrayType(FloatType, containsNull = false)
     case "map<string,string>"         => MapType(StringType, StringType, valueContainsNull = false)

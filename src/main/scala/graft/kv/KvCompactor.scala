@@ -1,0 +1,113 @@
+package graft.kv
+
+import java.io.File
+import java.util.UUID
+
+import scala.collection.mutable
+
+/** Shard compaction — the LSM-style maintenance step that keeps the
+  * table healthy under the chunked write path: many small sorted runs
+  * (bounded-memory writers roll a shard per chunk; streaming appends add
+  * one per micro-batch) merge into region-sized shards, restoring
+  * plan-time pruning selectivity (fewer, tighter key ranges) and large
+  * sequential reads.
+  *
+  * The reference has no write path at all, so no compaction either; this
+  * mirrors what its backing store's region server does internally
+  * (minor compaction of HFiles) re-expressed over the shard manifest.
+  *
+  * Correctness contract: the record MULTISET is preserved exactly — a
+  * k-way streaming merge by key keeps global sort order within each
+  * output shard, and records with EQUAL keys keep their manifest order
+  * (stable tie-break by input shard index), so scans read the same rows
+  * before and after. Memory is O(k) current records, never a full shard.
+  *
+  * Concurrency: new shards appended by a concurrent writer between read
+  * and swap survive — the final manifest is (current − inputs) +
+  * outputs, re-read at swap time. Two concurrent COMPACTIONS of the
+  * same table are not supported (single-maintainer assumption, as in
+  * the reference's store).
+  */
+object KvCompactor {
+
+  /** Compact `tableDir`, merging adjacent small shards into outputs of
+    * roughly `targetBytes` of file data each. Returns the number of
+    * output shards written (0 = nothing worth compacting). */
+  def compact(tableDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val before = KvStore.readMeta(tableDir).shards
+    if (before.length <= 1) return 0
+
+    // order shards by key range so merged outputs stay range-tight
+    val ordered = before.sortWith((a, b) => {
+      val c = BytesCodec.compareKeys(a.minKey, b.minKey)
+      if (c != 0) c < 0 else BytesCodec.compareKeys(a.maxKey, b.maxKey) < 0
+    })
+    val sizeOf: KvShardMeta => Long = s => new File(s"$tableDir/${s.file}").length()
+
+    // greedy size-bounded grouping of ADJACENT (key-ordered) shards
+    val groups = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[KvShardMeta])
+    var acc = 0L
+    ordered.foreach { s =>
+      val sz = sizeOf(s)
+      if (groups.last.nonEmpty && acc + sz > targetBytes) {
+        groups += mutable.ArrayBuffer.empty[KvShardMeta]
+        acc = 0L
+      }
+      groups.last += s
+      acc += sz
+    }
+    val toMerge = groups.filter(_.length > 1).map(_.toSeq).toSeq
+    if (toMerge.isEmpty) return 0
+
+    val token = UUID.randomUUID().toString.substring(0, 8)
+    var seq = 0
+    val outputs = mutable.ArrayBuffer.empty[KvShardMeta]
+    val inputs = mutable.ArrayBuffer.empty[KvShardMeta]
+    toMerge.foreach { group =>
+      val name = f"shard-compact-$token-c$seq.kv"
+      seq += 1
+      outputs ++= mergeGroup(tableDir, group, name)
+      inputs ++= group
+    }
+
+    // swap: manifest re-read at the last moment so concurrently appended
+    // shards are preserved; outputs replace exactly the merged inputs
+    val inputFiles = inputs.map(_.file).toSet
+    val current = KvStore.readMeta(tableDir).shards
+    KvStore.writeMeta(tableDir,
+      KvTableMeta(current.filterNot(s => inputFiles(s.file)) ++ outputs))
+    inputs.foreach(s => new File(s"$tableDir/${s.file}").delete())
+    outputs.length
+  }
+
+  /** K-way streaming merge of one group into one shard file. */
+  private def mergeGroup(tableDir: String, group: Seq[KvShardMeta],
+                         fileName: String): Option[KvShardMeta] = {
+    require(!new File(s"$tableDir/$fileName").exists(),
+      s"compaction output $fileName already exists")
+    // heap of (current record, shard index, reader); shard index keeps
+    // equal-key records in their pre-compaction manifest order
+    final case class Head(rec: KvRecord, idx: Int, it: KvStore.ShardReader)
+    implicit val ord: Ordering[Head] = new Ordering[Head] {
+      def compare(a: Head, b: Head): Int = {
+        val c = BytesCodec.compareKeys(a.rec.key, b.rec.key)
+        if (c != 0) -c else -(a.idx - b.idx) // PriorityQueue is a MAX-heap
+      }
+    }
+    val readers = group.zipWithIndex.map { case (s, i) =>
+      (new KvStore.ShardReader(tableDir, s), i)
+    }
+    val heap = mutable.PriorityQueue.empty[Head]
+    readers.foreach { case (r, i) => if (r.hasNext) heap.enqueue(Head(r.next(), i, r)) }
+    val w = new KvStore.ShardWriter(tableDir, fileName)
+    try {
+      while (heap.nonEmpty) {
+        val h = heap.dequeue()
+        w.append(h.rec)
+        if (h.it.hasNext) heap.enqueue(Head(h.it.next(), h.idx, h.it))
+      }
+    } finally readers.foreach(_._1.close())
+    w.close()
+  }
+}

@@ -61,7 +61,8 @@ class KvTable(val catalog: KvCatalog, val dir: String)
   override def schema(): StructType = catalog.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+        TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+        TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(catalog, dir)

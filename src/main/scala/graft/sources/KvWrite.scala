@@ -52,10 +52,17 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
   }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      val chunkBytes = info.options().getLong("chunkBytes", KvDataWriter.DefaultChunkBytes)
-      require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
+    private def chunkBytes: Long = {
+      val cb = info.options().getLong("chunkBytes", KvDataWriter.DefaultChunkBytes)
+      require(cb > 0, s"chunkBytes must be positive, got $cb")
+      cb
+    }
+    override def toBatch: BatchWrite =
       new KvBatchWrite(catalog, dir, info.schema(), truncateFirst, chunkBytes)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!truncateFirst,
+        "graft-kv streaming sink supports append output mode only")
+      new KvStreamingWrite(catalog, dir, info.schema(), chunkBytes)
     }
   }
 }
@@ -83,6 +90,57 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KvCommit(s) => s }
       .flatten.foreach(s => new File(s"$dir/${s.file}").delete())
+}
+
+/** Streaming sink (append mode): each epoch's tasks write shards exactly
+  * like batch tasks (same chunked writer, same collision-proof names);
+  * the epoch commit appends them to the manifest, which is precisely
+  * what [[KvMicroBatchStream]] tails on the read side — a table can be
+  * the sink of one query and the source of another.
+  *
+  * Epoch commits are IDEMPOTENT: a `_epoch-<id>` marker records a
+  * committed epoch, and a retried commit for the same epoch deletes its
+  * duplicate shard files instead of double-appending them. */
+class KvStreamingWrite(catalog: KvCatalog, dir: String, schema: StructType,
+                       chunkBytes: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    KvStreamingDataWriterFactory(dir, schema.json, catalog.schema.json,
+      catalog.rowkey, chunkBytes)
+
+  private def epochMarker(epochId: Long) = new File(s"$dir/_epoch-$epochId")
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
+    if (epochMarker(epochId).exists()) {
+      // epoch already committed (driver retry): drop the duplicates
+      newShards.foreach(s => new File(s"$dir/${s.file}").delete())
+      return
+    }
+    val prev: Seq[KvShardMeta] =
+      if (new File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir).shards
+      else Seq.empty
+    KvStore.writeMeta(dir, KvTableMeta(prev ++ newShards))
+    epochMarker(epochId).createNewFile()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case KvCommit(s) => s }
+      .flatten.foreach(s => new File(s"$dir/${s.file}").delete())
+}
+
+case class KvStreamingDataWriterFactory(dir: String, schemaJson: String,
+                                        declaredJson: String, rowkey: String,
+                                        chunkBytes: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(dir,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkey,
+      partitionId, taskId, chunkBytes)
 }
 
 case class KvDataWriterFactory(dir: String, schemaJson: String,

@@ -1,0 +1,77 @@
+package graft.kv
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Compaction preserves the record multiset while shrinking the shard
+  * count — the maintenance loop for chunked / streaming-appended
+  * tables. */
+class KvCompactorSpec extends SparkSpec {
+
+  private val cat =
+    """{"table":{"name":"cp"},"rowkey":"k",
+      | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+      |            "v":{"cf":"f","col":"v","type":"string"}}}""".stripMargin
+
+  private def readBack(dir: String) =
+    spark.read.format("graft-kv").option("catalog", cat).option("path", dir).load()
+
+  test("compaction merges small sorted runs and preserves every record") {
+    val dir = Files.createTempDirectory("graft-kv-compact").toString
+    import spark.implicits._
+    // two interleaved appends with tiny chunks → many overlapping runs
+    def w(ks: Seq[Long], mode: String) =
+      ks.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .option("chunkBytes", "2048").mode(mode).save()
+    w(1L to 500L by 2L, "overwrite")   // odd keys
+    w(2L to 500L by 2L, "append")      // even keys, ranges interleave
+    val before = KvStore.readMeta(dir).shards
+    assert(before.length > 4, s"fixture should start fragmented, got ${before.length}")
+    val expected = readBack(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sortBy(_._1).toSeq
+
+    val written = KvCompactor.compact(dir, targetBytes = 64L << 20)
+    assert(written >= 1)
+    val after = KvStore.readMeta(dir).shards
+    assert(after.length < before.length,
+      s"compaction must shrink the shard count (${before.length} -> ${after.length})")
+    val got = readBack(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sortBy(_._1).toSeq
+    assert(got == expected, "record multiset must survive compaction")
+    // pruning still works on the merged manifest
+    assert(readBack(dir).filter(col("k") <= 10).count() == 10)
+    // old shard files are gone
+    val live = after.map(_.file).toSet
+    before.filterNot(s => live(s.file)).foreach { s =>
+      assert(!new java.io.File(s"$dir/${s.file}").exists(), s"stale ${s.file}")
+    }
+  }
+
+  test("duplicate rowkeys across runs survive compaction as distinct records") {
+    val dir = Files.createTempDirectory("graft-kv-compact-dup").toString
+    import spark.implicits._
+    def w(mode: String) =
+      Seq((7L, "first"), (8L, "x")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+    w("overwrite"); w("append")
+    assert(readBack(dir).filter(col("k") === 7L).count() == 2)
+    KvCompactor.compact(dir, targetBytes = 64L << 20)
+    assert(KvStore.readMeta(dir).shards.length == 1)
+    assert(readBack(dir).filter(col("k") === 7L).count() == 2,
+      "equal-key records are distinct rows and must not be merged away")
+  }
+
+  test("single-shard and empty groupings are a no-op") {
+    val dir = Files.createTempDirectory("graft-kv-compact-noop").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("catalog", cat).option("path", dir)
+      .mode("overwrite").save()
+    assert(KvCompactor.compact(dir, 64L << 20) == 0)
+    assert(readBack(dir).count() == 1)
+  }
+}

@@ -328,6 +328,42 @@ class KvConnectorSpec extends SparkSpec {
     assert(back.filter(size(col("emb")) === 3).count() == 50)
   }
 
+  test("calendar (interval) columns read correctly — the reference's TODO-crash type") {
+    // Spark's analyzer forbids INTERVAL in a WRITE schema, and the
+    // reference is read-only anyway — so cells are loaded through the
+    // low-level writer and read through the Spark scan, exactly the
+    // surface the reference declares (`DefaultSource.scala:54`) but
+    // crashes on (`HbasePartitionReader.scala:67` TODO).
+    import graft.kv.{KvStore, KvTableMeta}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.CalendarInterval
+    val civDir = Files.createTempDirectory("graft-kv-cal").toString
+    val civCat =
+      """{"table":{"name":"cal"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "iv":{"cf":"f","col":"iv","type":"calendar"}}}""".stripMargin
+    val schema = KvCatalog.parse(civCat).schema
+    val w = new KvDataWriter(civDir, schema, schema, "k", 0, 0L)
+    (1 to 20).foreach { k =>
+      w.write(InternalRow(k.toLong, new CalendarInterval(k % 3, k, k * 1000L + 500L)))
+    }
+    KvStore.writeMeta(civDir, KvTableMeta(w.commit().asInstanceOf[KvCommit].shards))
+    val back = spark.read.format("graft-kv")
+      .option("catalog", civCat).option("path", civDir).load()
+    assert(back.schema("iv").dataType ==
+      org.apache.spark.sql.types.CalendarIntervalType)
+    val got = back.collect().map(r =>
+      r.getAs[Long]("k") -> r.getAs[CalendarInterval]("iv")).toMap
+    assert(got.size == 20)
+    (1 to 20).foreach { k =>
+      assert(got(k.toLong) == new CalendarInterval(k % 3, k, k * 1000L + 500L),
+        s"interval cell for k=$k must round-trip exactly")
+    }
+    // interval columns coexist with pushable rowkey predicates
+    val one = back.filter(col("k") === 7L).collect().head
+    assert(one.getAs[CalendarInterval]("iv") == new CalendarInterval(1, 7, 7500L))
+  }
+
   test("review regressions: -0.0 equality, pre-epoch ts filter, case-insensitive options") {
     import spark.implicits._
     val zDir = Files.createTempDirectory("graft-kv-zero").toString

@@ -14,6 +14,32 @@ class KvStreamSpec extends SparkSpec {
       | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
       |            "v":{"cf":"f","col":"v","type":"string"}}}""".stripMargin
 
+  test("streaming sink appends epochs to the manifest; batch reads see them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-kv-sink").toString
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "v")
+      .writeStream.format("graft-kv")
+      .option("catalog", cat).option("path", dir)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-kv-sink-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      val read1 = spark.read.format("graft-kv")
+        .option("catalog", cat).option("path", dir).load()
+      assert(read1.count() == 2)
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      val read2 = spark.read.format("graft-kv")
+        .option("catalog", cat).option("path", dir).load()
+      assert(read2.collect().map(_.getAs[Long]("k")).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stream tails appended shards across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-kv-stream").toString
