@@ -38,6 +38,30 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Shared oracle CTE chain: shingles → sizes → intersection counts →
+    * Jaccard-filtered pairs (J ≥ 4/5 in integer arithmetic). Reused by
+    * q42 (pair listing) and q45 (connected-components clustering). */
+  private val nearDupCtes: String = """sh AS (
+        SELECT doc_id, unnest(list_distinct(sh3)) AS sh FROM (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) - 1, 1)),
+                   i -> regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[i] || ' ' ||
+                        regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[i+1] || ' ' ||
+                        regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[i+2]) AS sh3
+          FROM documents WHERE length(trim(text)) > 0) t),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      ipairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jpairs AS (
+        SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS un
+        FROM ipairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4)"""
+
   /** Exact duplicate groups: digest → group size + surviving doc_id. */
   val q40DedupExact: Q = Q(
     "q40_dedup_exact",
@@ -119,28 +143,42 @@ object Dedup {
         .filter(col("inter") * 5 >= col("un") * 4)
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some("""
-      WITH sh AS (
-        SELECT doc_id, unnest(list_distinct(sh3)) AS sh FROM (
-          SELECT doc_id,
-                 list_transform(
-                   range(1, greatest(len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) - 1, 1)),
-                   i -> regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[i] || ' ' ||
-                        regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[i+1] || ' ' ||
-                        regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[i+2]) AS sh3
-          FROM documents WHERE length(trim(text)) > 0) t),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS un
-      FROM pairs
-      JOIN sizes sa ON id_a = sa.doc_id
-      JOIN sizes sb ON id_b = sb.doc_id
-      WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
+    Some(s"""
+      WITH $nearDupCtes
+      SELECT id_a, id_b, inter, un FROM jpairs
       ORDER BY id_a, id_b"""),
     doc = "exact n-gram Jaccard via inverted-index join")
+
+  /** Near-dup CLUSTERING: connected components over the q42 pair
+    * relation — pairs alone can't drive retention (keeping one survivor
+    * per duplicate GROUP needs the transitive closure: a~b, b~c ⇒
+    * {a,b,c} are one cluster). Spark side is min-label propagation to
+    * fixpoint ([[graft.operators.ConnectedComponents]]); the oracle
+    * replays the same semantics as a recursive transitive-closure CTE,
+    * so cluster labels are hash-checked end to end. Singletons label
+    * themselves. */
+  val q45DedupClusters: Q = Q(
+    "q45_dedup_clusters",
+    (s, d) => {
+      val pairs = q42NgramJaccard.fn(s, d).select(col("id_a"), col("id_b"))
+      graft.operators.ConnectedComponents
+        .label(Tables.documents(s, d).select(col("doc_id")), pairs)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $nearDupCtes,
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM jpairs
+        UNION
+        SELECT id_b, id_a FROM jpairs),
+      reach(u, v) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      SELECT u AS doc_id, min(v) AS cluster_id
+      FROM reach GROUP BY u
+      ORDER BY doc_id"""),
+    doc = "near-dup clustering: connected components over Jaccard pairs")
 
   /** MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates, verified
     * with exact Jaccard (>= 4/5, integer test; P[candidate | J=0.8] ≈
@@ -288,5 +326,5 @@ object Dedup {
     doc = "dedup → quality gate → language token budget (composite)")
 
   def defs: Seq[Q] = Seq(q40DedupExact, q41DedupSurvivors, q42NgramJaccard,
-    q43MinhashLsh, q44Simhash, q80TrainingPipeline)
+    q43MinhashLsh, q44Simhash, q45DedupClusters, q80TrainingPipeline)
 }

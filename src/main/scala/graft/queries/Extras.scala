@@ -246,7 +246,45 @@ object Extras {
       ORDER BY l_returnflag"""),
     doc = "FILTER-clause conditional aggregation")
 
-  def defs: Seq[Q] = Seq(q27RangeJoin, q28GroupingSets, q29ArrayFuncs,
+  /** Exact per-group quantiles (median + p90) via the sort-based window
+    * formulation — the pattern that stays EXACT at scale: one shuffle on
+    * the group key, per-group sort, rank arithmetic. (Engine-native
+    * percentile functions interpolate with engine-specific formulas and
+    * approx sketches aren't hash-comparable; the discrete rank
+    * `ceil(p·n)` is identical everywhere. Ties need no tie-break: every
+    * row at a rank carries the same value.) */
+  val q37ExactQuantiles: Q = Q(
+    "q37_exact_quantiles",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        WITH r AS (
+          SELECT l_returnflag, l_quantity,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem)
+        SELECT l_returnflag,
+               max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS median_qty,
+               max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_quantity END) AS p90_qty,
+               max(n) AS n
+        FROM r GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag, l_quantity,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT l_returnflag,
+             max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS median_qty,
+             max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_quantity END) AS p90_qty,
+             CAST(max(n) AS BIGINT) AS n
+      FROM r GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    doc = "exact per-group quantiles via sort-based rank selection")
+
+  def defs: Seq[Q] = Seq(q27RangeJoin, q28GroupingSets, q29ArrayFuncs, q37ExactQuantiles,
     q73FileFormats, q74MapFuncs, q75Pivot, q76ApproxDistinct,
     q77BagSetOps, q78StringAgg, q79FilteredAgg)
 }

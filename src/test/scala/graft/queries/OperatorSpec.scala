@@ -114,6 +114,27 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("zip_with"), "no interpreted HOF dot in the q54 hot path")
   }
 
+  test("connected-components clustering equals driver-side union-find") {
+    val pairs = Dedup.q42NgramJaccard.fn(spark, d)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, d).select("doc_id")
+      .collect().map(_.getLong(0))
+    // independent oracle: classic union-find over the same pairs
+    val parent = scala.collection.mutable.Map(docs.map(x => x -> x): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.map(x => x -> find(x)).toMap
+    val got = Dedup.q45DedupClusters.fn(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got.size == docs.length)
+    // union-find roots are component-minimal here because unions always
+    // keep the smaller root, matching min-label semantics
+    assert(got == expected, "label propagation must agree with union-find")
+  }
+
   test("language ID predicts a declared language and is deterministic") {
     val out = TextOps.q34LangId.fn(spark, d).collect()
     assert(out.length == Tables.documents(spark, d).count())
