@@ -141,6 +141,47 @@ object TextOps {
       ORDER BY doc_id"""),
     doc = "BPE-style regex pre-tokenization count")
 
+  /** Deterministic stratified sampling — the language-rebalancing step
+    * of a training-data pipeline (downsample the dominant language,
+    * keep the tail). Selection is a pure function of doc_id (byte 0 of
+    * md5(doc_id) under a per-language threshold), so the sample is
+    * reproducible across runs, partitionings, and ENGINES: DuckDB
+    * replays the identical selector, making even this "random" sample
+    * hash-checkable. `rand()`-based sampling can't be verified and
+    * resamples differently per run; hash-gating is how production
+    * pipelines make sampling auditable. */
+  val q38StratifiedSample: Q = Q(
+    "q38_stratified_sample",
+    (s, d) => {
+      // b0 = first byte of md5(doc_id) ∈ [0, 256)
+      val b0 = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      Tables.documents(s, d)
+        .withColumn("b0", b0)
+        .filter(
+          (col("lang") === "en" && col("b0") < 128) ||   // en: keep 1/2
+          (col("lang") === "de" && col("b0") < 64) ||    // de: keep 1/4
+          (col("lang") =!= "en" && col("lang") =!= "de")) // tail: keep all
+        .select(col("doc_id"), col("lang"), col("b0"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents),
+      b AS (
+        SELECT doc_id, lang,
+               (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS b0
+        FROM h)
+      SELECT doc_id, lang, b0
+      FROM b
+      WHERE (lang = 'en' AND b0 < 128)
+         OR (lang = 'de' AND b0 < 64)
+         OR (lang <> 'en' AND lang <> 'de')
+      ORDER BY doc_id"""),
+    doc = "deterministic per-language stratified sample (md5-gated)")
+
   /** Text normalization + character-class quality ratios: NFC
     * normalization, lowercasing, punctuation stripping, and
     * punct/digit/upper counts — per-row, fully oracle-checked. */
@@ -168,5 +209,6 @@ object TextOps {
     doc = "normalization + char-class quality counts")
 
   def defs: Seq[Q] = Seq(q30TokenStats, q31QualityScore, q32TokenFreq,
-    q33Fingerprint, q34LangId, q35BpeTokens, q36TextNormalize)
+    q33Fingerprint, q34LangId, q35BpeTokens, q36TextNormalize,
+    q38StratifiedSample)
 }

@@ -54,6 +54,17 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Streaming exact dedup by event id — the ingestion-time guard of a
+    * training-data pipeline (at-least-once upstreams redeliver).
+    * `dropDuplicatesWithinWatermark` keeps dedup state only until the
+    * watermark passes an event's timestamp, so state is bounded by the
+    * lateness budget instead of growing with the stream — the property
+    * that makes exact streaming dedup viable at 100 TB/day. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UserEvent(event_id: Long, user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

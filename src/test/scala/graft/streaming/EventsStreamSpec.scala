@@ -65,6 +65,28 @@ class EventsStreamSpec extends SparkSpec {
     assert(out.except(batch).count() == 0)
   }
 
+  test("streaming dedup: redelivered events collapse to one row each") {
+    // duplicate BOTH chunks into a fresh dir → every event arrives twice
+    // (one trigger: duplicates must land within the watermark delay for
+    // dropDuplicatesWithinWatermark's bounded-state guarantee to apply;
+    // redelivery later than the lateness budget is by-contract dropped)
+    val dupDir = Files.createTempDirectory("graft-events-dup").toString
+    new java.io.File(chunkDir).listFiles().zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$dupDir/a$i.parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$dupDir/b$i.parquet"))
+    }
+    val out = runToMemory(
+      EventsStream.dedupEvents(
+        EventsStream.readStream(spark, dupDir, maxFilesPerTrigger = 4)),
+      "dedup_out", "append")
+    val expected = Tables.events(spark, sfDir).count()
+    assert(out.count() == expected,
+      s"each redelivered event must survive exactly once (${out.count()} vs $expected)")
+    assert(out.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     val out = runToMemory(
       EventsStream.runningUserTotals(EventsStream.readStream(spark, chunkDir)).toDF(),
