@@ -33,11 +33,17 @@ object ConnectedComponents {
     * projection. */
   def label(vertices: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
             maxRounds: Int = 50): DataFrame = {
+    // localCheckpoint (not persist): TRUNCATES lineage, so each round's
+    // plan is a constant-size tree over materialized blocks instead of
+    // nesting the pair-generation DAG once per round — without it the
+    // logical plan (and Catalyst analysis time) grows exponentially
+    // with round count. Reliable-checkpoint is the drop-in for
+    // executor-loss tolerance on a real cluster.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as(idCol)).distinct()
-      .withColumn("cluster_id", col(idCol)).persist()
+      .withColumn("cluster_id", col(idCol)).localCheckpoint()
     // labels only ever DECREASE (min-propagation), so the label sum is a
     // strictly decreasing convergence witness: one agg action per round
     // materializes the new labeling AND detects the fixpoint — no
@@ -53,15 +59,13 @@ object ConnectedComponents {
         .select(edges("src").as(idCol), col("cluster_id"))
       val next = labels.select(col(idCol), col("cluster_id")).union(neighborLabels)
         .groupBy(col(idCol)).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
+        .localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
-      labels.unpersist()
       labels = next
       round += 1
     }
-    edges.unpersist()
     require(converged, s"connected components did not converge in $maxRounds rounds")
     // singletons (never in a pair) label themselves
     vertices.select(col(idCol))
