@@ -180,6 +180,88 @@ object Dedup {
       ORDER BY doc_id"""),
     doc = "near-dup clustering: connected components over Jaccard pairs")
 
+  /** MinHash+LSH with an ORACLE-REPLAYABLE hash family: h_i(x) = the
+    * first 15 hex digits of md5("i:" ++ shingle) as a 60-bit integer
+    * (`conv(...,16,10)` in Spark ≡ `CAST('0x'||... AS BIGINT)` in
+    * DuckDB). Same banded pipeline as q43 — 32 minima, 8 bands × 4
+    * rows, candidates only from shared band keys, exact-Jaccard
+    * verification — but every stage is deterministic SQL both engines
+    * can compute, so the WHOLE sub-quadratic sketch pipeline is
+    * hash-checked, not just spot-tested. q43 keeps the faster seeded
+    * xxhash64 family for production use (same trade as
+    * fingerprint64 vs fingerprintMd5). */
+  val q46MinhashMd5: Q = {
+    val k = 32
+    val bands = 8
+    val rowsPerBand = k / bands
+    val hashLines = (0 until k).map(i =>
+      s"min(CAST('0x' || substring(md5('$i:' || sh), 1, 15) AS BIGINT)) AS h$i")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('|', $cols) AS bkey FROM sig"
+    }
+    Q(
+      "q46_minhash_md5",
+      (s, d) => {
+        val sh = shinglesOf(s, d)
+        def h(i: Int) =
+          conv(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 15), 16, 10).cast("long")
+        val hashCols = (0 until k).map(i => min(h(i)).as(s"h$i"))
+        val sigs = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+        val bandKeys = array((0 until bands).map { b =>
+          concat_ws("|",
+            (b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(i => col(s"h$i").cast("string")): _*)
+        }: _*)
+        val banded = sigs.select(col("doc_id"), posexplode(bandKeys))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+        val cands = banded.as("x")
+          .join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = cands
+          .join(sh.as("pa"), col("id_a") === col("pa.doc_id"))
+          .join(sh.as("pb"), col("id_b") === col("pb.doc_id") && col("pa.sh") === col("pb.sh"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+          .select(col("id_a"), col("id_b"), col("inter"),
+                  (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
+          .filter(col("inter") * 5 >= col("un") * 4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+      WITH $nearDupCtes,
+      sig AS (
+        SELECT doc_id,
+               ${hashLines.mkString(",\n               ")}
+        FROM sh GROUP BY doc_id),
+      banded AS (
+        ${bandSelects.mkString("\n        UNION ALL\n        ")}),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      cinter AS (
+        SELECT id_a, id_b, count(*) AS inter
+        FROM cands
+        JOIN sh pa ON id_a = pa.doc_id
+        JOIN sh pb ON id_b = pb.doc_id AND pa.sh = pb.sh
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS un
+      FROM cinter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
+      ORDER BY id_a, id_b"""),
+      doc = "MinHash+LSH with md5 hash family — full sketch pipeline oracle-checked")
+  }
+
   /** MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates, verified
     * with exact Jaccard (>= 4/5, integer test; P[candidate | J=0.8] ≈
     * 0.985 with this banding). Hash family:
@@ -326,5 +408,6 @@ object Dedup {
     doc = "dedup → quality gate → language token budget (composite)")
 
   def defs: Seq[Q] = Seq(q40DedupExact, q41DedupSurvivors, q42NgramJaccard,
-    q43MinhashLsh, q44Simhash, q45DedupClusters, q80TrainingPipeline)
+    q43MinhashLsh, q44Simhash, q45DedupClusters, q46MinhashMd5,
+    q80TrainingPipeline)
 }

@@ -107,16 +107,47 @@ object TextOps {
     doc = "rolling fingerprint (chained md5 over tokens)")
 
   /** Language identification: stopword-profile heuristic scored per
-    * language, argmax with deterministic tie-break. Rows-only (the
-    * scoring tables live in Scala); accuracy asserted in ScalaTest. */
+    * language, argmax with deterministic tie-break (score desc, then
+    * language code asc, 'und' when nothing scores). The scoring is pure
+    * expression arithmetic, so the DuckDB oracle replays it exactly:
+    * per-language token-hit counts, the CJK detector, and the argmax
+    * via lexicographic struct sort over (-score, lang). Accuracy is
+    * additionally asserted in ScalaTest. */
   val q34LangId: Q = Q(
     "q34_lang_id",
     (s, d) =>
       graft.functions.LangId.predict(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("pred_lang"))
         .orderBy(col("doc_id")),
-    None,
-    doc = "n-gram/stopword language-ID heuristic")
+    Some {
+      def hits(lang: String): String = {
+        val words = graft.functions.LangId.profiles(lang)
+          .map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, x -> x IN ($words))) AS BIGINT) AS s_$lang"
+      }
+      s"""
+      WITH t AS (
+        SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, lang,
+               ${Seq("de", "en", "es", "fr", "pt").map(hits).mkString(",\n               ")},
+               CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')
+                    THEN CAST(1000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s_zh
+        FROM t),
+      b AS (
+        SELECT doc_id, lang,
+               list_sort([{'s': -s_de, 'l': 'de'}, {'s': -s_en, 'l': 'en'},
+                          {'s': -s_es, 'l': 'es'}, {'s': -s_fr, 'l': 'fr'},
+                          {'s': -s_pt, 'l': 'pt'}, {'s': -s_zh, 'l': 'zh'}])[1] AS best
+        FROM s)
+      SELECT doc_id, lang,
+             CASE WHEN best.s = 0 THEN 'und' ELSE best.l END AS pred_lang
+      FROM b
+      ORDER BY doc_id"""
+    },
+    doc = "n-gram/stopword language-ID heuristic (oracle-replayed scoring)")
 
   /** BPE-ish regex tokenization (GPT-2-style pre-tokenizer pattern:
     * contractions, letter runs, digit runs, punctuation runs, each with
