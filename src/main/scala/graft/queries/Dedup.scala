@@ -361,6 +361,77 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("sig"))
   }
 
+  /** SimHash with an ORACLE-REPLAYABLE hash family (md5 twin of q44,
+    * same trade as q46 vs q43): 60-bit token hashes (15 md5 hex digits),
+    * per-bit majority vote, 4 × 15-bit band join, hamming ≤ 3 popcount
+    * verification. Every stage — including the 60 vote aggregates and
+    * the bit-reassembled signature — is deterministic SQL both engines
+    * compute identically, so the full SimHash pipeline is hash-checked.
+    * q44 keeps the faster 64-bit xxhash64 family for production. */
+  val q47SimhashMd5: Q = {
+    val bits = 60
+    val bands = 4
+    val bandBits = bits / bands
+    val voteLines = (0 until bits).map(b =>
+      s"sum(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+    val sigTerms = (0 until bits).map(b =>
+      s"CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+    Q(
+      "q47_simhash_md5",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+          .withColumn("hv", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+        val votes = (0 until bits).map(b =>
+          sum(when(col("hv").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"v$b"))
+        val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        val sig = (0 until bits)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, c) => a.bitwiseOR(c))
+        val sigs = agg.select(col("doc_id"), sig.as("sig"))
+        val bandKeys = array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)
+        val banded = sigs.select(col("doc_id"), col("sig"), posexplode(bandKeys))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+        banded.as("x")
+          .join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+                  bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      hvals AS (
+        SELECT doc_id, CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS hv
+        FROM tok),
+      votes AS (
+        SELECT doc_id,
+               ${voteLines.mkString(",\n               ")}
+        FROM hvals GROUP BY doc_id),
+      sigs AS (
+        SELECT doc_id,
+               ${sigTerms.mkString(" +\n               ")} AS sig
+        FROM votes),
+      banded AS (
+        SELECT doc_id, sig, b.band, (sig >> ($bandBits * b.band)) & ${(1L << bandBits) - 1} AS bkey
+        FROM sigs, (SELECT unnest(range($bands)) AS band) b)
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.sig, y.sig)) <= 3
+      ORDER BY id_a, id_b"""),
+      doc = "SimHash with md5 hash family — full pipeline oracle-checked")
+  }
+
   /** End-to-end training-data pipeline: exact-dedup survivors → quality
     * gate (token count + stopword ratio) → per-language token budget.
     * The composite a 100 TB curation job actually runs — each stage is
@@ -409,5 +480,5 @@ object Dedup {
 
   def defs: Seq[Q] = Seq(q40DedupExact, q41DedupSurvivors, q42NgramJaccard,
     q43MinhashLsh, q44Simhash, q45DedupClusters, q46MinhashMd5,
-    q80TrainingPipeline)
+    q47SimhashMd5, q80TrainingPipeline)
 }
