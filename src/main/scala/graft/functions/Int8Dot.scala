@@ -25,6 +25,9 @@ case class Int8Dot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // a null ELEMENT yields a null result (matching zip_with+aggregate),
+  // so the expression is nullable even over non-null array columns
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -44,6 +47,7 @@ case class Int8Dot(left: Expression, right: Expression)
     var sum = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       sum += a.getInt(i).toLong * b.getInt(i)
       i += 1
     }
@@ -55,12 +59,16 @@ case class Int8Dot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val bad = ctx.freshName("anyNull")
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         long $sum = 0L;
-        for (int $i = 0; $i < $n; $i++) {
-          $sum += (long) $a.getInt($i) * (long) $b.getInt($i);
+        boolean $bad = false;
+        for (int $i = 0; $i < $n && !$bad; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+          else { $sum += (long) $a.getInt($i) * (long) $b.getInt($i); }
         }
+        ${ev.isNull} = $bad;
         ${ev.value} = $sum;
       """
     })

@@ -21,9 +21,12 @@ object LangId {
     "pt" -> Seq("o", "a", "os", "as", "de", "que", "e", "em", "um", "uma", "é", "para", "com"))
 
   /** Adds `pred_lang` (and per-language `score_xx` columns) to a frame
-    * with a `text` column. */
+    * with a `text` column. NULL text scores like the empty string →
+    * 'und' (null token arrays would otherwise null every score and make
+    * the argmax comparator order-dependent). */
   def predict(df: DataFrame): DataFrame = {
-    val toks = Text.tokens(lower(col("text")))
+    val txt = coalesce(col("text"), lit(""))
+    val toks = Text.tokens(lower(txt))
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
         size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long").as("s"),
@@ -31,7 +34,7 @@ object LangId {
     }
     // zh: any CJK codepoint wins outright (weight 1000)
     val zh = struct(
-      when(col("text").rlike("[\\u4e00-\\u9fff]"), lit(1000L)).otherwise(lit(0L)).as("s"),
+      when(txt.rlike("[\\u4e00-\\u9fff]"), lit(1000L)).otherwise(lit(0L)).as("s"),
       lit("zh").as("l"))
     val all = array((scored :+ zh): _*)
     val best = element_at(

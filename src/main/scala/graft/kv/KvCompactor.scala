@@ -22,11 +22,18 @@ import scala.collection.mutable
   * (stable tie-break by input shard index), so scans read the same rows
   * before and after. Memory is O(k) current records, never a full shard.
   *
-  * Concurrency: new shards appended by a concurrent writer between read
-  * and swap survive — the final manifest is (current − inputs) +
-  * outputs, re-read at swap time. Two concurrent COMPACTIONS of the
-  * same table are not supported (single-maintainer assumption, as in
-  * the reference's store).
+  * Concurrency: the swap (re-read manifest − inputs + outputs, delete
+  * input files) runs under [[KvStore.withTableLock]], the same lock
+  * batch commits and streaming epoch commits take — so a writer commit
+  * can neither lose its shards to the swap nor resurrect compacted
+  * inputs. Concurrent SCANS that planned against the pre-compaction
+  * manifest may still hit deleted input files (POSIX keeps open fds
+  * readable; a plan-then-open race does not) — run compaction in a
+  * maintenance window or behind an archive-and-vacuum indirection, the
+  * same constraint the reference's store solves with its HFile archive.
+  * Do not compact a table serving as a LIVE micro-batch streaming
+  * source: the stream's offset is a manifest position, which the swap
+  * rewrites.
   */
 object KvCompactor {
 
@@ -71,13 +78,17 @@ object KvCompactor {
       inputs ++= group
     }
 
-    // swap: manifest re-read at the last moment so concurrently appended
-    // shards are preserved; outputs replace exactly the merged inputs
+    // swap under the table lock: the manifest is re-read so shards a
+    // concurrent writer committed meanwhile are preserved, and no writer
+    // can interleave its own read-modify-write with ours
     val inputFiles = inputs.map(_.file).toSet
-    val current = KvStore.readMeta(tableDir).shards
-    KvStore.writeMeta(tableDir,
-      KvTableMeta(current.filterNot(s => inputFiles(s.file)) ++ outputs))
-    inputs.foreach(s => new File(s"$tableDir/${s.file}").delete())
+    KvStore.withTableLock(tableDir) {
+      val current = KvStore.readMeta(tableDir)
+      KvStore.writeMeta(tableDir,
+        KvTableMeta(current.shards.filterNot(s => inputFiles(s.file)) ++ outputs,
+          current.committedEpochs))
+      inputs.foreach(s => new File(s"$tableDir/${s.file}").delete())
+    }
     outputs.length
   }
 
@@ -101,13 +112,22 @@ object KvCompactor {
     val heap = mutable.PriorityQueue.empty[Head]
     readers.foreach { case (r, i) => if (r.hasNext) heap.enqueue(Head(r.next(), i, r)) }
     val w = new KvStore.ShardWriter(tableDir, fileName)
+    var done = false
     try {
       while (heap.nonEmpty) {
         val h = heap.dequeue()
         w.append(h.rec)
         if (h.it.hasNext) heap.enqueue(Head(h.it.next(), h.idx, h.it))
       }
-    } finally readers.foreach(_._1.close())
-    w.close()
+      done = true
+      w.close()
+    } finally {
+      readers.foreach(_._1.close())
+      if (!done) {
+        // failure mid-merge: close the stream and remove the partial file
+        try w.close() catch { case _: Exception => () }
+        new File(s"$tableDir/$fileName").delete()
+      }
+    }
   }
 }

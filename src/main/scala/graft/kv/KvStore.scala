@@ -42,7 +42,11 @@ final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKey
   def minKey: Array[Byte] = KvStore.fromHex(minKeyHex)
   def maxKey: Array[Byte] = KvStore.fromHex(maxKeyHex)
 }
-final case class KvTableMeta(shards: Seq[KvShardMeta])
+/** `committedEpochs` records streaming epoch commits ("queryId-epochId")
+  * INSIDE the atomic manifest write, so epoch idempotence cannot be
+  * split from the shard append by a crash between two files. */
+final case class KvTableMeta(shards: Seq[KvShardMeta],
+                             committedEpochs: Seq[String] = Nil)
 
 object KvStore {
   /** Bump when the shard-file or manifest layout changes — cache dirs
@@ -61,6 +65,36 @@ object KvStore {
 
   def metaPath(tableDir: String): String = s"$tableDir/_kvmeta.json"
 
+  // ---- cross-process manifest mutation lock ----
+
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serializes manifest READ-MODIFY-WRITE sections (batch commit,
+    * streaming epoch commit, compaction swap) across writers: an OS file
+    * lock on `_kvlock` handles other JVMs, an interned per-path monitor
+    * handles threads of THIS JVM (FileLock throws on same-JVM overlap
+    * rather than blocking). On filesystems without lock support (object
+    * stores) this degrades to the JVM-local monitor — there a single
+    * maintainer per table is the deployment contract, as in the
+    * reference's store. */
+  def withTableLock[T](tableDir: String)(f: => T): T = {
+    Files.createDirectories(Paths.get(tableDir))
+    val canon = new File(tableDir).getCanonicalPath
+    val monitor = jvmLocks.computeIfAbsent(canon, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(s"$tableDir/_kvlock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = try ch.lock() catch { case _: java.io.IOException => null }
+        try f
+        finally if (lock != null) lock.release()
+      } finally ch.close()
+    }
+  }
+
   def readMeta(tableDir: String): KvTableMeta = {
     val root = mapper.readTree(new File(metaPath(tableDir)))
     val shards = root.path("shards").elements().asScala.map { s =>
@@ -68,7 +102,8 @@ object KvStore {
       KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
         s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts)
     }.toSeq
-    KvTableMeta(shards)
+    val epochs = root.path("committedEpochs").elements().asScala.map(_.asText()).toSeq
+    KvTableMeta(shards, epochs)
   }
 
   /** Atomic manifest write (temp + move) — commit point of a batch write. */
@@ -83,6 +118,10 @@ object KvStore {
         val h = o.putArray("hosts")
         s.hosts.foreach(h.add)
       }
+    }
+    if (meta.committedEpochs.nonEmpty) {
+      val e = node.putArray("committedEpochs")
+      meta.committedEpochs.foreach(e.add)
     }
     val tmp = Paths.get(metaPath(tableDir) + ".tmp")
     Files.createDirectories(Paths.get(tableDir))

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** The materialized RDD behind a localCheckpoint'd frame, for freeing
+    * its blocks once the next round supersedes it (Dataset.unpersist
+    * only reaches cacheManager entries, not checkpoint storage). */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Label every vertex of `vertices` (column `idCol`) with the minimum
     * vertex id reachable through `pairs` (columns `id_a`, `id_b`).
     * Output: (idCol, cluster_id), one row per vertex; singletons label
@@ -60,12 +69,14 @@ object ConnectedComponents {
       val next = labels.select(col(idCol), col("cluster_id")).union(neighborLabels)
         .groupBy(col(idCol)).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
+      val nextSum = labelSum(next) // action: materializes next's checkpoint
       converged = nextSum == prevSum
       prevSum = nextSum
+      checkpointRdd(labels).foreach(_.unpersist(false)) // free superseded round
       labels = next
       round += 1
     }
+    checkpointRdd(edges).foreach(_.unpersist(false))
     require(converged, s"connected components did not converge in $maxRounds rounds")
     // singletons (never in a pair) label themselves
     vertices.select(col(idCol))

@@ -112,7 +112,18 @@ object Dedup {
     * formulation — only the candidate generation is smarter. */
   val q42NgramJaccard: Q = Q(
     "q42_ngram_jaccard",
-    (s, d) => {
+    (s, d) => jaccardPairs(s, d).orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH $nearDupCtes
+      SELECT id_a, id_b, inter, un FROM jpairs
+      ORDER BY id_a, id_b"""),
+    doc = "exact n-gram Jaccard via inverted-index join")
+
+  /** UNORDERED Jaccard pair relation (id_a, id_b, inter, un) — q42 adds
+    * the presentation ORDER BY; q45's clustering consumes this directly
+    * so it never pays a global sort that the first shuffle would
+    * destroy anyway. */
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
       val sh = shinglesOf(s, d)
       val docW = Window.partitionBy(col("doc_id"))
       val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -141,13 +152,7 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("inter"),
                 (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
         .filter(col("inter") * 5 >= col("un") * 4)
-        .orderBy(col("id_a"), col("id_b"))
-    },
-    Some(s"""
-      WITH $nearDupCtes
-      SELECT id_a, id_b, inter, un FROM jpairs
-      ORDER BY id_a, id_b"""),
-    doc = "exact n-gram Jaccard via inverted-index join")
+  }
 
   /** Near-dup CLUSTERING: connected components over the q42 pair
     * relation — pairs alone can't drive retention (keeping one survivor
@@ -160,7 +165,7 @@ object Dedup {
   val q45DedupClusters: Q = Q(
     "q45_dedup_clusters",
     (s, d) => {
-      val pairs = q42NgramJaccard.fn(s, d).select(col("id_a"), col("id_b"))
+      val pairs = jaccardPairs(s, d).select(col("id_a"), col("id_b"))
       graft.operators.ConnectedComponents
         .label(Tables.documents(s, d).select(col("doc_id")), pairs)
         .orderBy(col("doc_id"))

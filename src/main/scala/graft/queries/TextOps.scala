@@ -127,8 +127,9 @@ object TextOps {
       }
       s"""
       WITH t AS (
-        SELECT doc_id, lang, text,
-               regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+') AS toks
+        -- coalesce mirrors Spark's NULL-text → empty-string scoring path
+        SELECT doc_id, lang, coalesce(text, '') AS text,
+               regexp_split_to_array(trim(lower(coalesce(text, ''))), '[ \\t\\n\\r\\f]+') AS toks
         FROM documents),
       s AS (
         SELECT doc_id, lang,
@@ -223,7 +224,8 @@ object TextOps {
         .select(
           col("doc_id"),
           lower(col("text")).as("lowered"),
-          regexp_replace(col("text"), "[^\\p{L}\\p{N}\\s]", "").as("depunct"),
+          // whitespace spelled explicitly: Java \s includes \x0B, RE2's does not
+          regexp_replace(col("text"), "[^\\p{L}\\p{N} \\t\\n\\r\\f]", "").as("depunct"),
           length(regexp_replace(col("text"), "[^\\p{P}]", "")).as("n_punct"),
           length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit"),
           length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"))
@@ -231,7 +233,7 @@ object TextOps {
     Some("""
       SELECT doc_id,
              lower(text) AS lowered,
-             regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g') AS depunct,
+             regexp_replace(text, '[^\p{L}\p{N} \t\n\r\f]', '', 'g') AS depunct,
              length(regexp_replace(text, '[^\p{P}]', '', 'g')) AS n_punct,
              length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
              length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper

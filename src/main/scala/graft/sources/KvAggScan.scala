@@ -123,31 +123,25 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     if (countStarOnly && filters.isEmpty && part.startHex.isEmpty && part.endHex.isEmpty)
       return InternalRow.fromSeq(specs.map(_ => part.shard.rows))
 
-    // per-column layout resolved ONCE, mirroring KvPartitionReader: the
-    // per-record loop below fills a reused scratch array — no per-record
-    // hash maps or closures in this hot path
+    // shared per-column layout ([[KvRecordDecoder]], same hot loop as
+    // KvPartitionReader): resolved ONCE; the per-record loop fills a
+    // reused scratch array — no per-record hash maps or closures
     val neededCols: Set[String] = specs.collect {
       case KvCountCol(n) => n
       case KvMinCol(n)   => n
       case KvMaxCol(n)   => n
     }.toSet ++ filters.flatMap(_.references)
-    val needed: Array[StructField] = declared.fields.filter(f => neededCols(f.name))
-    val neededCf: Array[String] = needed.map(_.metadata.getString("columnFamily"))
-    val neededQual: Array[String] = needed.map(_.metadata.getString("column"))
-    val neededIsRowkey: Array[Boolean] = neededCf.map(_ == KvCatalog.RowkeyCf)
-    val idxByName: Map[String, Int] = needed.map(_.name).zipWithIndex.toMap
-    val scratch = new Array[Any](needed.length)
-    val getByName: String => Any = name => scratch(idxByName(name))
+    val decoder = new KvRecordDecoder(declared, neededCols)
 
     var countStar = 0L
     val countIdx: Array[Int] =
-      specs.collect { case KvCountCol(n) => n }.distinct.map(idxByName).toArray
+      specs.collect { case KvCountCol(n) => n }.distinct.map(decoder.idxByName).toArray
     val countVals = new Array[Long](countIdx.length)
     val minMaxNames: Array[String] = specs.collect {
       case KvMinCol(n) => n
       case KvMaxCol(n) => n
     }.distinct.toArray
-    val mmIdx: Array[Int] = minMaxNames.map(idxByName)
+    val mmIdx: Array[Int] = minMaxNames.map(decoder.idxByName)
     val mmOrd: Array[Ordering[Any]] = minMaxNames.map(n => ordering(dtByName(n)))
     val mmMin = new Array[Any](minMaxNames.length)
     val mmMax = new Array[Any](minMaxNames.length)
@@ -157,35 +151,17 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
       part.endHex.map(KvStore.fromHex).orNull)
     try {
       while (reader.hasNext) {
-        val rec = reader.next()
-        var i = 0
-        while (i < needed.length) {
-          scratch(i) =
-            if (neededIsRowkey(i)) BytesCodec.decodeKey(needed(i).dataType, rec.key)
-            else {
-              val cells = rec.cells
-              var j = 0
-              var v: Any = null
-              while (j < cells.length && v == null) {
-                val c = cells(j)
-                if (c.cf == neededCf(i) && c.qualifier == neededQual(i))
-                  v = BytesCodec.decode(needed(i).dataType, c.value)
-                j += 1
-              }
-              v
-            }
-          i += 1
-        }
-        if (filters.forall(FilterEval.eval(_, getByName, dtByName))) {
+        decoder.decodeInto(reader.next())
+        if (filters.forall(FilterEval.eval(_, decoder.getByName, decoder.dtByName))) {
           countStar += 1
-          i = 0
+          var i = 0
           while (i < countIdx.length) {
-            if (scratch(countIdx(i)) != null) countVals(i) += 1
+            if (decoder.scratch(countIdx(i)) != null) countVals(i) += 1
             i += 1
           }
           i = 0
           while (i < mmIdx.length) {
-            val v = scratch(mmIdx(i))
+            val v = decoder.scratch(mmIdx(i))
             if (v != null) {
               if (mmMin(i) == null || mmOrd(i).lt(v, mmMin(i))) mmMin(i) = v
               if (mmMax(i) == null || mmOrd(i).gt(v, mmMax(i))) mmMax(i) = v

@@ -238,6 +238,44 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
   }
 }
 
+/** Precomputed record→scratch-array resolver shared by the row and
+  * aggregate partition readers — the scan's innermost loop. All lookup
+  * structures are resolved ONCE at construction; `decodeInto` fills a
+  * reused scratch slot per needed field with no per-record allocation
+  * (a null slot ≡ missing cell ≡ SQL NULL). */
+final class KvRecordDecoder(declared: StructType, neededNames: Set[String]) {
+  val needed: Array[StructField] = declared.fields.filter(f => neededNames(f.name))
+  private val neededCf: Array[String] = needed.map(_.metadata.getString("columnFamily"))
+  private val neededQual: Array[String] = needed.map(_.metadata.getString("column"))
+  private val neededIsRowkey: Array[Boolean] = neededCf.map(_ == KvCatalog.RowkeyCf)
+  val idxByName: Map[String, Int] = needed.map(_.name).zipWithIndex.toMap
+  val dtByName: Map[String, DataType] =
+    declared.fields.map(f => f.name -> f.dataType).toMap
+  val scratch = new Array[Any](needed.length)
+  val getByName: String => Any = name => scratch(idxByName(name))
+
+  def decodeInto(rec: KvRecord): Unit = {
+    var i = 0
+    while (i < needed.length) {
+      scratch(i) =
+        if (neededIsRowkey(i)) BytesCodec.decodeKey(needed(i).dataType, rec.key)
+        else {
+          val cells = rec.cells
+          var j = 0
+          var v: Any = null
+          while (j < cells.length && v == null) {
+            val c = cells(j)
+            if (c.cf == neededCf(i) && c.qualifier == neededQual(i))
+              v = BytesCodec.decode(needed(i).dataType, c.value)
+            j += 1
+          }
+          v
+        }
+      i += 1
+    }
+  }
+}
+
 /** Per-partition reader: streams one shard, decodes only required +
   * filter-referenced columns, evaluates pushed predicates on decoded
   * values, honors the pushed limit. */
@@ -250,24 +288,11 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
     part.startHex.map(KvStore.fromHex).orNull,
     part.endHex.map(KvStore.fromHex).orNull)
 
-  // columns needed = pruned ∪ filter references; all lookup structures
-  // precomputed so the per-row loop allocates only the output array
-  // (no per-row hash maps — this is the scan's innermost loop)
-  private val filterRefs: Set[String] = filters.flatMap(_.references).toSet
-  private val needed: Array[StructField] = {
-    val prunedNames = pruned.fieldNames.toSet
-    declared.fields.filter(f => prunedNames(f.name) || filterRefs(f.name))
-  }
-  private val neededCf: Array[String] = needed.map(_.metadata.getString("columnFamily"))
-  private val neededQual: Array[String] = needed.map(_.metadata.getString("column"))
-  private val neededIsRowkey: Array[Boolean] = neededCf.map(_ == KvCatalog.RowkeyCf)
-  private val neededIdxByName: Map[String, Int] = needed.map(_.name).zipWithIndex.toMap
-  private val dtByName: Map[String, DataType] =
-    declared.fields.map(f => f.name -> f.dataType).toMap
+  // columns needed = pruned ∪ filter references
+  private val decoder = new KvRecordDecoder(declared,
+    pruned.fieldNames.toSet ++ filters.flatMap(_.references))
   // pruned position k ← needed position prunedFromNeeded(k)
-  private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map(neededIdxByName)
-  private val rowScratch = new Array[Any](needed.length)
-  private val getByName: String => Any = name => rowScratch(neededIdxByName(name))
+  private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map(decoder.idxByName)
 
   private var current: InternalRow = _
   private var served = 0L
@@ -275,29 +300,11 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
   override def next(): Boolean = {
     if (limit >= 0 && served >= limit) return false
     while (reader.hasNext) {
-      val rec = reader.next()
-      var i = 0
-      while (i < needed.length) {
-        rowScratch(i) =
-          if (neededIsRowkey(i)) BytesCodec.decodeKey(needed(i).dataType, rec.key)
-          else {
-            val cells = rec.cells
-            var j = 0
-            var v: Any = null
-            while (j < cells.length && v == null) {
-              val c = cells(j)
-              if (c.cf == neededCf(i) && c.qualifier == neededQual(i))
-                v = BytesCodec.decode(needed(i).dataType, c.value)
-              j += 1
-            }
-            v
-          }
-        i += 1
-      }
-      if (filters.forall(FilterEval.eval(_, getByName, dtByName))) {
+      decoder.decodeInto(reader.next())
+      if (filters.forall(FilterEval.eval(_, decoder.getByName, decoder.dtByName))) {
         val values = new Array[Any](pruned.length)
         var k = 0
-        while (k < values.length) { values(k) = rowScratch(prunedFromNeeded(k)); k += 1 }
+        while (k < values.length) { values(k) = decoder.scratch(prunedFromNeeded(k)); k += 1 }
         current = InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
         served += 1
         return true

@@ -62,7 +62,7 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!truncateFirst,
         "graft-kv streaming sink supports append output mode only")
-      new KvStreamingWrite(catalog, dir, info.schema(), chunkBytes)
+      new KvStreamingWrite(catalog, dir, info.schema(), chunkBytes, info.queryId())
     }
   }
 }
@@ -75,17 +75,21 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     KvDataWriterFactory(dir, schema.json, catalog.schema.json, catalog.rowkey, chunkBytes)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
-    val prev: Seq[KvShardMeta] =
-      if (new File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir).shards
-      else Seq.empty
-    val keep = if (truncateFirst) newShards else prev ++ newShards
-    KvStore.writeMeta(dir, KvTableMeta(keep))
-    if (truncateFirst)
-      prev.map(_.file).toSet.diff(newShards.map(_.file).toSet)
-        .foreach(f => new File(s"$dir/$f").delete())
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    // lock: the read-modify-write must not interleave with a concurrent
+    // epoch commit or compaction swap on the same table dir
+    KvStore.withTableLock(dir) {
+      val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
+      val prev: KvTableMeta =
+        if (new File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir)
+        else KvTableMeta(Nil)
+      val keep = if (truncateFirst) newShards else prev.shards ++ newShards
+      val epochs = if (truncateFirst) Nil else prev.committedEpochs
+      KvStore.writeMeta(dir, KvTableMeta(keep, epochs))
+      if (truncateFirst)
+        prev.shards.map(_.file).toSet.diff(newShards.map(_.file).toSet)
+          .foreach(f => new File(s"$dir/$f").delete())
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KvCommit(s) => s }
@@ -98,11 +102,16 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
   * what [[KvMicroBatchStream]] tails on the read side — a table can be
   * the sink of one query and the source of another.
   *
-  * Epoch commits are IDEMPOTENT: a `_epoch-<id>` marker records a
-  * committed epoch, and a retried commit for the same epoch deletes its
-  * duplicate shard files instead of double-appending them. */
+  * Epoch commits are IDEMPOTENT and ATOMIC: the committed-epoch record
+  * ("queryId-epochId" — scoped by query so two streams into one table
+  * can never mistake each other's epoch 0) travels INSIDE the same
+  * atomic manifest write as the shard append, so no crash point can
+  * separate "shards appended" from "epoch recorded". A retried commit
+  * for an already-recorded epoch deletes its duplicate shard files
+  * instead of double-appending. The whole read-modify-write runs under
+  * the table lock. */
 class KvStreamingWrite(catalog: KvCatalog, dir: String, schema: StructType,
-                       chunkBytes: Long)
+                       chunkBytes: Long, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -110,21 +119,21 @@ class KvStreamingWrite(catalog: KvCatalog, dir: String, schema: StructType,
     KvStreamingDataWriterFactory(dir, schema.json, catalog.schema.json,
       catalog.rowkey, chunkBytes)
 
-  private def epochMarker(epochId: Long) = new File(s"$dir/_epoch-$epochId")
-
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
-    if (epochMarker(epochId).exists()) {
-      // epoch already committed (driver retry): drop the duplicates
-      newShards.foreach(s => new File(s"$dir/${s.file}").delete())
-      return
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    KvStore.withTableLock(dir) {
+      val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
+      val epochKey = s"$queryId-$epochId"
+      val prev: KvTableMeta =
+        if (new File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir)
+        else KvTableMeta(Nil)
+      if (prev.committedEpochs.contains(epochKey)) {
+        // epoch already committed (driver retry): drop the duplicates
+        newShards.foreach(s => new File(s"$dir/${s.file}").delete())
+      } else {
+        KvStore.writeMeta(dir, KvTableMeta(prev.shards ++ newShards,
+          prev.committedEpochs :+ epochKey))
+      }
     }
-    val prev: Seq[KvShardMeta] =
-      if (new File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir).shards
-      else Seq.empty
-    KvStore.writeMeta(dir, KvTableMeta(prev ++ newShards))
-    epochMarker(epochId).createNewFile()
-  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KvCommit(s) => s }

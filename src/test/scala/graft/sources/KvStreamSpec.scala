@@ -40,6 +40,32 @@ class KvStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("epoch idempotence is scoped per query: two streams share one table") {
+    import graft.kv.{KvCatalog, KvStore}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = Files.createTempDirectory("graft-kv-two-queries").toString
+    val schema = KvCatalog.parse(cat).schema
+    def commitEpoch(queryId: String, epochId: Long, offset: Long): Unit = {
+      val w = new KvDataWriter(dir, schema, schema, "k", 0, 0L)
+      (0L until 5L).foreach(i =>
+        w.write(InternalRow(offset + i, UTF8String.fromString(s"v${offset + i}"))))
+      val msg = w.commit()
+      new KvStreamingWrite(KvCatalog.parse(cat), dir, schema, 256L << 20, queryId)
+        .commit(epochId, Array(msg))
+    }
+    commitEpoch("queryA", 0L, 0L)
+    commitEpoch("queryB", 0L, 100L) // same epoch id, DIFFERENT query
+    commitEpoch("queryA", 0L, 200L) // retry of queryA epoch 0 → dropped
+    val back = spark.read.format("graft-kv")
+      .option("catalog", cat).option("path", dir).load()
+    assert(back.collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      ((0L until 5L) ++ (100L until 105L)).sorted,
+      "distinct queries' epoch 0 must both land; a query's retry must not")
+    assert(KvStore.readMeta(dir).committedEpochs.toSet ==
+      Set("queryA-0", "queryB-0"))
+  }
+
   test("stream tails appended shards across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-kv-stream").toString
