@@ -185,10 +185,12 @@ object Dedup {
       ORDER BY doc_id"""),
     doc = "near-dup clustering: connected components over Jaccard pairs")
 
-  /** MinHash+LSH with an ORACLE-REPLAYABLE hash family: h_i(x) = the
-    * first 15 hex digits of md5("i:" ++ shingle) as a 60-bit integer
-    * (`conv(...,16,10)` in Spark ≡ `CAST('0x'||... AS BIGINT)` in
-    * DuckDB). Same banded pipeline as q43 — 32 minima, 8 bands × 4
+  /** MinHash+LSH with an ORACLE-REPLAYABLE hash family: hashes 2i and
+    * 2i+1 are 15-hex-digit slices of md5("i:" ++ shingle) as 60-bit
+    * integers (`conv(...,16,10)` in Spark ≡ `CAST('0x'||... AS BIGINT)`
+    * in DuckDB; one digest feeds two hashes, halving md5 calls, and
+    * codegen subexpression elimination shares each digest across its
+    * two minima). Same banded pipeline as q43 — 32 minima, 8 bands × 4
     * rows, candidates only from shared band keys, exact-Jaccard
     * verification — but every stage is deterministic SQL both engines
     * can compute, so the WHOLE sub-quadratic sketch pipeline is
@@ -199,8 +201,13 @@ object Dedup {
     val k = 32
     val bands = 8
     val rowsPerBand = k / bands
-    val hashLines = (0 until k).map(i =>
-      s"min(CAST('0x' || substring(md5('$i:' || sh), 1, 15) AS BIGINT)) AS h$i")
+    // one digest yields TWO independent 60-bit hashes (nibbles 1-15 and
+    // 16-30), halving the md5 calls — the dominant cost of this family
+    def mdSlice(i: Int): (Int, Int) = (i / 2, 1 + 15 * (i % 2))
+    val hashLines = (0 until k).map { i =>
+      val (j, off) = mdSlice(i)
+      s"min(CAST('0x' || substring(md5('$j:' || sh), $off, 15) AS BIGINT)) AS h$i"
+    }
     val bandSelects = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('|', $cols) AS bkey FROM sig"
@@ -209,8 +216,10 @@ object Dedup {
       "q46_minhash_md5",
       (s, d) => {
         val sh = shinglesOf(s, d)
-        def h(i: Int) =
-          conv(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 15), 16, 10).cast("long")
+        def h(i: Int) = {
+          val (j, off) = mdSlice(i)
+          conv(substring(md5(concat(lit(s"$j:"), col("sh"))), off, 15), 16, 10).cast("long")
+        }
         val hashCols = (0 until k).map(i => min(h(i)).as(s"h$i"))
         val sigs = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
         val bandKeys = array((0 until bands).map { b =>
