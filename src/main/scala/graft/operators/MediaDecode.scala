@@ -107,6 +107,38 @@ object MediaDecode {
     out.toDF()
   }
 
+  case class Thumb(doc_id: Long, width: Int, height: Int,
+                   thumb_w: Int, thumb_h: Int, thumb_hash: String)
+
+  /** Resize stage: aspect-preserving thumbnail dimensions inside a
+    * `box`×`box` bound plus a deterministic thumbnail content hash —
+    * the stub twin of an image-resize kernel (a real one replaces the
+    * hash with resampled pixels; the mapPartitions shape, integer
+    * box math, and output schema stay). Dimension math is
+    * `floor(box·dim/maxdim)` in doubles — per-row IEEE arithmetic, so
+    * an external SQL engine reproduces it bit-for-bit. */
+  def thumbnail(df: DataFrame, box: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(box >= 1, "box must be >= 1")
+    val out = df.select("doc_id", "payload").mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5") // kernel: one per partition
+      rows.map { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        val (w, h, _, _) = decodeWith(md, payload)
+        md.reset()
+        val hx = hex(md.digest(payload))
+        val maxDim = math.max(w, h)
+        val tw = math.floor(box.toDouble * w / maxDim).toInt
+        val th = math.floor(box.toDouble * h / maxDim).toInt
+        md.reset()
+        Thumb(r.getAs[Long]("doc_id"), w, h, tw, th,
+          hex(md.digest((hx + ":" + tw + "x" + th).getBytes("UTF-8"))))
+      }
+    }
+    out.toDF()
+  }
+
   /** (doc_id, payload binary, mime) → decoded metadata + features.
     * mapPartitions: kernel instantiated once per partition, rows
     * streamed through it. */

@@ -252,7 +252,10 @@ object Extras {
     * percentile functions interpolate with engine-specific formulas and
     * approx sketches aren't hash-comparable; the discrete rank
     * `ceil(p·n)` is identical everywhere. Ties need no tie-break: every
-    * row at a rank carries the same value.) */
+    * row at a rank carries the same value.) The group count uses the
+    * SAME (partition, order) spec with an unbounded frame so both
+    * window functions evaluate in ONE Window operator over one sort —
+    * a partition-only count would plan a second Window pass. */
   val q37ExactQuantiles: Q = Q(
     "q37_exact_quantiles",
     (s, d) => {
@@ -261,7 +264,8 @@ object Extras {
         WITH r AS (
           SELECT l_returnflag, l_quantity,
                  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
-                 count(*) OVER (PARTITION BY l_returnflag) AS n
+                 count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n
           FROM lineitem)
         SELECT l_returnflag,
                max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS median_qty,
@@ -274,7 +278,8 @@ object Extras {
       WITH r AS (
         SELECT l_returnflag, l_quantity,
                row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
-               count(*) OVER (PARTITION BY l_returnflag) AS n
+               count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n
         FROM lineitem)
       SELECT l_returnflag,
              max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS median_qty,

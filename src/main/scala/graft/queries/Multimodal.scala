@@ -112,5 +112,41 @@ object Multimodal {
       ORDER BY doc_id, frame_idx"""),
     doc = "every-k-th frame sampling over stub-decoded video")
 
-  def defs: Seq[Q] = Seq(q60BinaryMeta, q61MediaFeatures, q62FrameSample)
+  /** Resize/thumbnail stage (every media pipeline's third step after
+    * decode and sampling): aspect-preserving 64-box dimensions + a
+    * deterministic thumb hash, all derived from the stub kernel's
+    * digest, so DuckDB replays the whole stage including the
+    * floor(box·dim/maxdim) IEEE dimension math. */
+  val q63Thumbnail: Q = Q(
+    "q63_thumbnail",
+    (s, d) => graft.operators.MediaDecode.thumbnail(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      box = 64)
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+      b AS (
+        SELECT doc_id, h,
+               ${Seq(0, 1, 2, 3).map(i => s"${sqlDigestByte(i)} AS b$i").mkString(",\n               ")}
+        FROM d),
+      m AS (
+        SELECT doc_id, h,
+               16 + ((b0 * 256 + b1) % 240) AS width,
+               16 + ((b2 * 256 + b3) % 240) AS height
+        FROM b),
+      t AS (
+        SELECT doc_id, h, width, height,
+               CAST(floor(64.0 * width / greatest(width, height)) AS INT) AS thumb_w,
+               CAST(floor(64.0 * height / greatest(width, height)) AS INT) AS thumb_h
+        FROM m)
+      SELECT doc_id, width, height, thumb_w, thumb_h,
+             md5(h || ':' || CAST(thumb_w AS VARCHAR) || 'x' ||
+                 CAST(thumb_h AS VARCHAR)) AS thumb_hash
+      FROM t
+      ORDER BY doc_id"""),
+    doc = "aspect-preserving thumbnail stage over the stub decode kernel")
+
+  def defs: Seq[Q] = Seq(q60BinaryMeta, q61MediaFeatures, q62FrameSample, q63Thumbnail)
 }

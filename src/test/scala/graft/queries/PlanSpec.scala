@@ -72,6 +72,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "per-part aggregate must run as a window")
   }
 
+  test("q37: both window functions share one Window operator (one sort pass)") {
+    val p = plan(Extras.q37ExactQuantiles.fn(spark, d))
+    val windows = p.linesIterator.count(l => l.trim.matches("""\(\d+\) Window"""))
+    assert(windows == 1, s"rank and count must share one Window pass, saw $windows:\n$p")
+  }
+
   test("q54: int8 scoring stays inside whole-stage codegen") {
     val df = Similarity.q54QuantizedTopK.fn(spark, d)
     val cg = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
