@@ -38,11 +38,7 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int)
   /** plane p (global index), component j — same for eval and codegen. */
   @transient private lazy val planeCount = tables * planesPerTable
 
-  private def planeComp(p: Int, j: Int): Double = {
-    val h = XXH64.hashLong(j.toLong, p.toLong) // seed = plane index
-    val m = ((h % (1L << 20)) + (1L << 20)) % (1L << 20)
-    m.toDouble / (1L << 19).toDouble - 1.0
-  }
+  private def planeComp(p: Int, j: Int): Double = LshBuckets.planeComponent(p, j)
 
   /** Dense [planeCount][dim-on-demand] matrix is too big to bake fully;
     * planes are materialized up to the first seen dimensionality. */
@@ -89,6 +85,18 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int)
 }
 
 object LshBuckets {
+  /** Hyperplane component (plane p, dimension j): xxhash64-derived,
+    * mapped into [-1, 1). Every value is a dyadic rational (m/2^19 − 1
+    * with m < 2^20), so its decimal expansion is FINITE and an external
+    * SQL engine given the printed literal reconstructs the identical
+    * double — which is what lets the q52 oracle replay the whole LSH
+    * pipeline with the planes baked in as literals. */
+  def planeComponent(p: Int, j: Int): Double = {
+    val h = XXH64.hashLong(j.toLong, p.toLong) // seed = plane index
+    val m = ((h % (1L << 20)) + (1L << 20)) % (1L << 20)
+    m.toDouble / (1L << 19).toDouble - 1.0
+  }
+
   /** Register `lsh_buckets(vec)` (4 tables × 4 planes). */
   def register(s: SparkSession, tables: Int = 4, planesPerTable: Int = 4): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -136,11 +136,56 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  val q52LshAnn: Q = Q(
-    "q52_lsh_ann",
-    (s, d) => lshAnn(s, d, nTables = 4),
-    None,
-    doc = "multi-table LSH (random hyperplane) ANN")
+  /** q52's oracle bakes the hyperplane matrix into the SQL as exact
+    * decimal literals (every component is a dyadic rational — see
+    * [[graft.functions.LshBuckets.planeComponent]]), replays the sign
+    * buckets per table, the bucket join, and the exact cosine
+    * rescoring. Even the "random"-hyperplane index is hash-checked. */
+  val q52LshAnn: Q = {
+    val tables = 4
+    val planes = 4
+    val dim = 64
+    def planeLit(t: Int, b: Int): String =
+      (0 until dim).map { j =>
+        val v = graft.functions.LshBuckets.planeComponent(t * planes + b, j)
+        new java.math.BigDecimal(v).toPlainString
+      }.mkString("[", ", ", "]")
+    def bucketExpr(t: Int): String =
+      (0 until planes).map(b =>
+        s"(CASE WHEN list_dot_product(emb, ${planeLit(t, b)}) >= 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString("\n               + ")
+    val bandSelects = (0 until tables).map(t =>
+      s"SELECT vec_id, emb, $t AS tbl,\n               ${bucketExpr(t)} AS bucket FROM dbl")
+    Q(
+      "q52_lsh_ann",
+      (s, d) => lshAnn(s, d, nTables = 4),
+      Some(s"""
+      WITH dbl AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      bucketed AS (
+        ${bandSelects.mkString("\n        UNION ALL\n        ")}),
+      cands AS (
+        SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS n_id
+        FROM bucketed q JOIN bucketed x
+          ON q.tbl = x.tbl AND q.bucket = x.bucket
+        WHERE q.vec_id < 20 AND x.vec_id <> q.vec_id),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               list_dot_product(qe.emb, ne.emb) /
+               (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                sqrt(list_dot_product(ne.emb, ne.emb))) AS cos
+        FROM cands c
+        JOIN dbl qe ON qe.vec_id = c.q_id
+        JOIN dbl ne ON ne.vec_id = c.n_id),
+      ranked AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM scored)
+      SELECT q_id, rk, n_id, round(cos, 6) AS cos_r
+      FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk"""),
+      doc = "multi-table LSH (random hyperplane) ANN")
+  }
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into cells
     * around a coarse quantizer; each query probes its nProbe best cells
@@ -176,9 +221,11 @@ object Similarity {
         }
         dot / (math.sqrt(na) * math.sqrt(nb))
       }
-      // deterministic coarse quantizer: k vectors by hash order of vec_id
+      // deterministic coarse quantizer: k vectors by md5 order of vec_id
+      // (md5, not xxhash64, so an external SQL engine can reproduce the
+      // centroid sample and with it the whole IVF pipeline)
       val centroids: Array[Array[Float]] = emb
-        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(k).select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray)
       val centroidLits = centroids.map(c => array(c.map(lit).toIndexedSeq: _*))
@@ -216,10 +263,58 @@ object Similarity {
     }
   }
 
+  /** q53's oracle replays the ENTIRE IVF pipeline in SQL: the
+    * md5-ordered centroid sample, max-cosine cell assignment (first
+    * centroid on exact-double ties, ≡ Spark's array_position-of-max),
+    * per-query top-nProbe probe cells, and exact cosine rescoring —
+    * every cosine is the same left-to-right double fold on both
+    * engines, so even this "approximate" index is hash-checked. */
   val q53IvfAnn: Q = Q(
     "q53_ivf_ann",
     (s, d) => ivfAnn(s, d, nProbe = 4),
-    None,
+    Some("""
+      WITH dbl AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cent AS (
+        SELECT vec_id AS cvid, emb AS cemb,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
+        FROM dbl
+        QUALIFY cid <= 16),
+      asgn AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.emb, c.cemb) /
+                 (sqrt(list_dot_product(e.emb, e.emb)) *
+                  sqrt(list_dot_product(c.cemb, c.cemb))) DESC, c.cid) AS r
+        FROM dbl e CROSS JOIN cent c),
+      cells AS (SELECT vec_id, cid AS cell FROM asgn WHERE r = 1),
+      probes AS (
+        SELECT q.vec_id AS q_id, c.cid AS cell
+        FROM dbl q CROSS JOIN cent c
+        WHERE q.vec_id < 20
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          list_dot_product(q.emb, c.cemb) /
+          (sqrt(list_dot_product(q.emb, q.emb)) *
+           sqrt(list_dot_product(c.cemb, c.cemb))) DESC, c.cid) <= 4),
+      cands AS (
+        SELECT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cells a ON a.cell = p.cell
+        WHERE a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               list_dot_product(qe.emb, ne.emb) /
+               (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                sqrt(list_dot_product(ne.emb, ne.emb))) AS cos
+        FROM cands c
+        JOIN dbl qe ON qe.vec_id = c.q_id
+        JOIN dbl ne ON ne.vec_id = c.n_id),
+      ranked AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM scored)
+      SELECT q_id, rk, n_id, round(cos, 6) AS cos_r
+      FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk"""),
     doc = "IVF ANN (deterministic coarse quantizer + nProbe cosine rescoring)")
 
   /** Int8-quantized top-k: per-vector max-abs scaling to int8 (4× less
@@ -228,8 +323,12 @@ object Similarity {
     * exactly in LONG via the fused codegen'd [[graft.functions.Int8Dot]]
     * expression (the `zip_with`+`aggregate` HOF form allocates an
     * intermediate array per row and runs interpreted), cosine
-    * approximated from quantized norms. Lossy → rows-only; recall vs
-    * exact q50 asserted in ScalaTest. */
+    * approximated from quantized norms. Lossy vs float cosine (recall
+    * vs exact q50 asserted in ScalaTest) but fully DETERMINISTIC —
+    * max-abs is an exact order-independent reduction and every other
+    * step is per-row double/integer arithmetic — so unlike the seeded
+    * sketches, the oracle replays the whole quantization: codes, exact
+    * LONG dots, and the rank order, hash-checked end to end. */
   val q54QuantizedTopK: Q = Q(
     "q54_quantized_topk",
     (s, d) => {
@@ -257,7 +356,35 @@ object Similarity {
         .select(col("q_id"), col("rk"), col("n_id"), round(col("qcos"), 6).as("qcos_r"))
         .orderBy(col("q_id"), col("rk"))
     },
-    None,
+    Some("""
+      WITH sc AS (
+        SELECT vec_id,
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS s
+        FROM embeddings),
+      codes AS (
+        SELECT e.vec_id,
+               list_transform(e.embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) / sc.s) AS INT)) AS qv
+        FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id),
+      norms AS (
+        SELECT vec_id, qv,
+               CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> CAST(qv[i] AS BIGINT) * qv[i])) AS BIGINT) AS nq
+        FROM codes),
+      scored AS (
+        SELECT qs.vec_id AS q_id, cs.vec_id AS n_id,
+               CAST(CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
+                      i -> CAST(qs.qv[i] AS BIGINT) * cs.qv[i])) AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(qs.nq AS DOUBLE) * CAST(cs.nq AS DOUBLE)) AS qcos
+        FROM norms qs JOIN norms cs
+          ON qs.vec_id < 20 AND cs.vec_id <> qs.vec_id),
+      ranked AS (
+        SELECT q_id, n_id, qcos,
+               row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rk
+        FROM scored)
+      SELECT q_id, rk, n_id, round(qcos, 6) AS qcos_r
+      FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk"""),
     doc = "int8-quantized cosine top-k (4x storage reduction)")
 
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
