@@ -43,10 +43,10 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int)
   /** Dense [planeCount][dim-on-demand] matrix is too big to bake fully;
     * planes are materialized up to the first seen dimensionality. */
   @transient private lazy val planesFlat: Array[Double] = {
-    val dim = 64 // fixture dimensionality; larger vectors extend hash-on-demand in eval
+    val dim = LshBuckets.BakedDim
     Array.tabulate(planeCount * dim)(i => planeComp(i / dim, i % dim))
   }
-  private lazy val bakedDim = 64
+  private lazy val bakedDim = LshBuckets.BakedDim
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -85,6 +85,13 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int)
 }
 
 object LshBuckets {
+  /** Fixture dimensionality the plane matrix is pre-baked for; larger
+    * vectors extend hash-on-demand in eval. The q52 oracle bakes plane
+    * literals for exactly this many dimensions — both must come from
+    * this ONE constant or they silently diverge on re-dimensioned
+    * corpora. */
+  val BakedDim = 64
+
   /** Hyperplane component (plane p, dimension j): xxhash64-derived,
     * mapped into [-1, 1). Every value is a dyadic rational (m/2^19 − 1
     * with m < 2^20), so its decimal expansion is FINITE and an external

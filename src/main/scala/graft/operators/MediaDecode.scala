@@ -54,27 +54,38 @@ object MediaDecode {
     new String(out)
   }
 
+  /** Everything the stub kernel decodes from one payload, including
+    * `contentId` — the content fingerprint (here the md5 digest hex)
+    * that downstream stages (frame hashing, thumbnail hashing) key on.
+    * A real codec returns its own dimensions/frames/features and any
+    * stable content hash; each payload is digested exactly ONCE. */
+  private[graft] case class Decoded(width: Int, height: Int, frames: Int,
+                                    features: Array[Double], contentId: String)
+
   /** STUB decode kernel: deterministic pseudo-decode of a payload,
     * driven by the payload's MD5 digest bytes. Replace with a real
     * codec binding; the signature (kernel handle in, payload in,
-    * metadata + features out) stays.
+    * [[Decoded]] out) stays, and every downstream operator
+    * (extractFeatures / sampleFrames / thumbnail) consumes ONLY this
+    * function, so a codec swap can never desync them.
     *
     * Digest byte map: b0..b1 → width, b2..b3 → height, b4 → frame
     * count, b8..b15 → the 8 feature components (each b/255.0). */
-  private[graft] def decodeWith(md: MessageDigest, payload: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+  private[graft] def decodeWith(md: MessageDigest, payload: Array[Byte]): Decoded = {
     md.reset()
     val d = md.digest(payload)
     def b(i: Int): Int = d(i) & 0xff
-    val width = 16 + ((b(0) * 256 + b(1)) % 240)
-    val height = 16 + ((b(2) * 256 + b(3)) % 240)
-    val frames = 1 + (b(4) % 8)
-    val feats = Array.tabulate(8)(j => b(8 + j).toDouble / 255.0)
-    (width, height, frames, feats)
+    Decoded(
+      width = 16 + ((b(0) * 256 + b(1)) % 240),
+      height = 16 + ((b(2) * 256 + b(3)) % 240),
+      frames = 1 + (b(4) % 8),
+      features = Array.tabulate(8)(j => b(8 + j).toDouble / 255.0),
+      contentId = hex(d))
   }
 
   /** One-shot convenience form (tests); hot paths go through the
     * per-partition kernel in extractFeatures/sampleFrames. */
-  private[graft] def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Double]) =
+  private[graft] def decodeStub(payload: Array[Byte]): Decoded =
     decodeWith(MessageDigest.getInstance("MD5"), payload)
 
   case class Frame(doc_id: Long, frame_idx: Int, frame_hash: String)
@@ -92,15 +103,14 @@ object MediaDecode {
       val md = MessageDigest.getInstance("MD5") // kernel: one per partition
       rows.flatMap { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
-        // frame count comes from the SAME kernel as extractFeatures, so a
-        // real codec swapped into decodeWith keeps both operators in sync
-        val (_, _, frames, _) = decodeWith(md, payload)
-        md.reset()
-        val h = hex(md.digest(payload)) // stub frame-hash seed (oracle contract)
+        // frame count AND content id come from the one kernel call — a
+        // real codec swapped into decodeWith keeps all operators in sync
+        val dec = decodeWith(md, payload)
         val docId = r.getAs[Long]("doc_id")
-        (0 until frames by everyK).iterator.map { idx =>
+        (0 until dec.frames by everyK).iterator.map { idx =>
           md.reset()
-          Frame(docId, idx, hex(md.digest((h + ":" + idx).getBytes("UTF-8"))))
+          Frame(docId, idx,
+            hex(md.digest((dec.contentId + ":" + idx).getBytes("UTF-8"))))
         }
       }
     }
@@ -125,15 +135,13 @@ object MediaDecode {
       val md = MessageDigest.getInstance("MD5") // kernel: one per partition
       rows.map { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
-        val (w, h, _, _) = decodeWith(md, payload)
+        val dec = decodeWith(md, payload) // one digest per row
+        val maxDim = math.max(dec.width, dec.height)
+        val tw = math.floor(box.toDouble * dec.width / maxDim).toInt
+        val th = math.floor(box.toDouble * dec.height / maxDim).toInt
         md.reset()
-        val hx = hex(md.digest(payload))
-        val maxDim = math.max(w, h)
-        val tw = math.floor(box.toDouble * w / maxDim).toInt
-        val th = math.floor(box.toDouble * h / maxDim).toInt
-        md.reset()
-        Thumb(r.getAs[Long]("doc_id"), w, h, tw, th,
-          hex(md.digest((hx + ":" + tw + "x" + th).getBytes("UTF-8"))))
+        Thumb(r.getAs[Long]("doc_id"), dec.width, dec.height, tw, th,
+          hex(md.digest((dec.contentId + ":" + tw + "x" + th).getBytes("UTF-8"))))
       }
     }
     out.toDF()
@@ -149,9 +157,9 @@ object MediaDecode {
       val md = MessageDigest.getInstance("MD5") // kernel: one per partition
       rows.map { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
-        val (w, h, f, feats) = decodeWith(md, payload)
+        val dec = decodeWith(md, payload)
         MediaFeatures(r.getAs[Long]("doc_id"), r.getAs[String]("mime"),
-          payload.length, w, h, f, feats)
+          payload.length, dec.width, dec.height, dec.frames, dec.features)
       }
     }
     out.toDF()

@@ -47,6 +47,14 @@ object Multimodal {
     s"${nib(2 * i + 1)} * 16 + ${nib(2 * i + 2)}"
   }
 
+  /** The stub kernel's digest-byte → dimensions contract
+    * (`MediaDecode.decodeWith`: b0..b1 → width, b2..b3 → height) as ONE
+    * SQL fragment shared by every oracle that replays it (q61, q63) —
+    * a kernel byte-map change cannot update one and miss the other. */
+  private val sqlDims: String =
+    """16 + ((b0 * 256 + b1) % 240) AS width,
+             16 + ((b2 * 256 + b3) % 240) AS height"""
+
   /** Partition-batched decode + feature extraction over binary payloads
     * through the stubbed kernel: schema and batching are the real
     * 100 TB-shaped plumbing (mapPartitions, one kernel instance per
@@ -77,8 +85,7 @@ object Multimodal {
                ${(Seq(0, 1, 2, 3, 4) ++ (8 to 15)).map(i => s"${sqlDigestByte(i)} AS b$i").mkString(",\n               ")}
         FROM d)
       SELECT doc_id, 'image/fake' AS mime, n_bytes,
-             16 + ((b0 * 256 + b1) % 240) AS width,
-             16 + ((b2 * 256 + b3) % 240) AS height,
+             $sqlDims,
              1 + (b4 % 8) AS n_frames,
              ${(0 until 8).map(j => s"CAST(b${8 + j} AS DOUBLE) / 255.0 AS f$j").mkString(",\n             ")}
       FROM b
@@ -133,8 +140,7 @@ object Multimodal {
         FROM d),
       m AS (
         SELECT doc_id, h,
-               16 + ((b0 * 256 + b1) % 240) AS width,
-               16 + ((b2 * 256 + b3) % 240) AS height
+               $sqlDims
         FROM b),
       t AS (
         SELECT doc_id, h, width, height,

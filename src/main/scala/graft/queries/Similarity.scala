@@ -103,8 +103,9 @@ object Similarity {
     * union of same-bucket vectors across tables; exact cosine rescoring
     * of candidates only. At 100 TB the per-table bucket join replaces
     * the full cross product (corpus scanned once per table, shuffled on
-    * (table, bucket)). Approximate → no SQL oracle; ScalaTest measures
-    * recall vs brute-force q50 on the fixture. */
+    * (table, bucket)). Approximate vs brute force (ScalaTest measures
+    * recall) yet fully DETERMINISTIC — q52's oracle bakes the plane
+    * matrix into SQL and hash-checks the whole pipeline. */
   /** Parameterized LSH ANN (`nTables` of the 4 hash tables emitted by
     * `lsh_buckets`): candidate sets are NESTED in nTables (each table
     * adds a union term), so recall@5 vs brute force is provably
@@ -144,7 +145,7 @@ object Similarity {
   val q52LshAnn: Q = {
     val tables = 4
     val planes = 4
-    val dim = 64
+    val dim = graft.functions.LshBuckets.BakedDim // one constant, both engines
     def planeLit(t: Int, b: Int): String =
       (0 until dim).map { j =>
         val v = graft.functions.LshBuckets.planeComponent(t * planes + b, j)
@@ -194,15 +195,16 @@ object Similarity {
     * ~nProbe/k of the corpus.
     *
     * The quantizer here is a DETERMINISTIC sample (the k corpus vectors
-    * with the smallest xxhash64(vec_id) — pseudo-random spread,
-    * independent of partitioning/parallelism, so the rows-only check is
-    * stable across runs and configs; an iterative k-means fit would make
-    * cell boundaries depend on cluster layout). Assignment uses max
-    * COSINE to the centroid — same metric as rescoring, so no hidden
-    * norm assumptions — through the codegen'd cosine_sim against
-    * constant-folded centroid literals (one corpus scan total). Only the
-    * k=16 centroids and the 20 bounded query vectors are collected.
-    * Approximate → rows-only; recall vs brute force in ScalaTest.
+    * smallest by md5(vec_id) hex order — pseudo-random spread,
+    * independent of partitioning/parallelism, and replayable by an
+    * external SQL engine, which is what makes q53's full-pipeline
+    * oracle possible; an iterative k-means fit would make cell
+    * boundaries depend on cluster layout). Assignment uses max COSINE
+    * to the centroid — same metric as rescoring, so no hidden norm
+    * assumptions — through the codegen'd cosine_sim against
+    * constant-folded centroid literals (one corpus scan total). Only
+    * the k=16 centroids and the 20 bounded query vectors are
+    * collected. Recall vs brute force asserted in ScalaTest.
     *
     * Probe sets are NESTED in `nProbe` (the nProbe best cells by
     * centroid cosine), so candidate sets grow monotonically and
@@ -339,6 +341,10 @@ object Similarity {
         (a, x) => greatest(a, abs(x))).cast("double") / 127.0
       val quantized = emb
         .withColumn("s", scale)
+        // an all-zero vector has no quantization (s = 0) and no defined
+        // cosine; excluded on BOTH engines rather than diverging on
+        // division-by-zero semantics
+        .filter(col("s") =!= 0.0)
         .withColumn("q", transform(col("embedding"),
           x => round(x.cast("double") / col("s"), 0).cast("int")))
         .select(col("vec_id"), col("s"), col("q"))
@@ -362,10 +368,12 @@ object Similarity {
                CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS s
         FROM embeddings),
       codes AS (
+        -- s = 0 (all-zero vector) is excluded on both engines
         SELECT e.vec_id,
                list_transform(e.embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) / sc.s) AS INT)) AS qv
-        FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id),
+        FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id
+        WHERE sc.s <> 0),
       norms AS (
         SELECT vec_id, qv,
                CAST(list_sum(list_transform(range(1, len(qv) + 1),
