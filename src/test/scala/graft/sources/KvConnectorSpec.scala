@@ -551,6 +551,38 @@ class KvConnectorSpec extends SparkSpec {
     assert(residual.isEmpty && b.pushedPredicates().length == 1)
   }
 
+  test("parallel appends serialize on the table lock and lose nothing") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val parDir = Files.createTempDirectory("graft-kv-parallel").toString
+    val catJson =
+      """{"table":{"name":"par"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"string"}}}""".stripMargin
+    import spark.implicits._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 4 concurrent append commits race on the manifest read-modify-write;
+      // without the table lock an interleaving drops a writer's shards
+      val futures = (0 until 4).map { w =>
+        Future {
+          (0 until 250).map(i => (w * 1000L + i, s"w$w-$i")).toDF("k", "v")
+            .coalesce(1)
+            .write.format("graft-kv")
+            .option("catalog", catJson).option("path", parDir)
+            .mode("append").save()
+        }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+    } finally pool.shutdown()
+    val back = spark.read.format("graft-kv")
+      .option("catalog", catJson).option("path", parDir).load()
+    assert(back.count() == 1000L, "every concurrent append must survive")
+    assert(graft.kv.KvStore.readMeta(parDir).shards.length == 4)
+  }
+
   test("append mode adds shards; overwrite truncates") {
     val apDir = Files.createTempDirectory("graft-kv-append").toString
     val cat =
