@@ -22,25 +22,28 @@ import scala.collection.mutable
   * (stable tie-break by input shard index), so scans read the same rows
   * before and after. Memory is O(k) current records, never a full shard.
   *
-  * Concurrency: the swap (re-read manifest − inputs + outputs, delete
-  * input files) runs under [[KvStore.withTableLock]], the same lock
-  * batch commits and streaming epoch commits take — so a writer commit
-  * can neither lose its shards to the swap nor resurrect compacted
-  * inputs. Concurrent SCANS that planned against the pre-compaction
-  * manifest may still hit deleted input files (POSIX keeps open fds
-  * readable; a plan-then-open race does not) — run compaction in a
-  * maintenance window or behind an archive-and-vacuum indirection, the
-  * same constraint the reference's store solves with its HFile archive.
-  * Do not compact a table serving as a LIVE micro-batch streaming
-  * source: the stream's offset is a manifest position, which the swap
-  * rewrites.
+  * Concurrency: the swap (re-read manifest − inputs + outputs) runs
+  * under [[KvStore.withTableLock]], the same lock batch commits and
+  * streaming epoch commits take — so a writer commit can neither lose
+  * its shards to the swap nor resurrect compacted inputs. With
+  * `retainInputs = true` (the concurrent-scan-safe mode, ≙ the
+  * reference store's HFile archive), input files STAY on disk after
+  * leaving the manifest, so scans that planned against the
+  * pre-compaction manifest still open them; [[vacuum]] deletes
+  * unreferenced shard files once they are older than a grace period
+  * covering the longest-running scan. `retainInputs = false` deletes
+  * inputs immediately — for maintenance windows with no concurrent
+  * scans. Do not compact a table serving as a LIVE micro-batch
+  * streaming source: the stream's offset is a manifest position, which
+  * the swap rewrites.
   */
 object KvCompactor {
 
   /** Compact `tableDir`, merging adjacent small shards into outputs of
     * roughly `targetBytes` of file data each. Returns the number of
     * output shards written (0 = nothing worth compacting). */
-  def compact(tableDir: String, targetBytes: Long): Int = {
+  def compact(tableDir: String, targetBytes: Long,
+              retainInputs: Boolean = false): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val before = KvStore.readMeta(tableDir).shards
     if (before.length <= 1) return 0
@@ -87,9 +90,27 @@ object KvCompactor {
       KvStore.writeMeta(tableDir,
         KvTableMeta(current.shards.filterNot(s => inputFiles(s.file)) ++ outputs,
           current.committedEpochs))
-      inputs.foreach(s => new File(s"$tableDir/${s.file}").delete())
+      if (!retainInputs)
+        inputs.foreach(s => new File(s"$tableDir/${s.file}").delete())
     }
     outputs.length
+  }
+
+  /** Delete shard files no longer referenced by the manifest whose
+    * last modification is older than `graceMs` — the cleanup half of
+    * retain-mode compaction. The grace period must exceed the longest
+    * concurrent scan (a scan opens files it planned from a manifest at
+    * most one scan-lifetime ago). Returns the number of files removed. */
+  def vacuum(tableDir: String, graceMs: Long): Int = {
+    KvStore.withTableLock(tableDir) {
+      val live = KvStore.readMeta(tableDir).shards.map(_.file).toSet
+      val cutoff = System.currentTimeMillis() - graceMs
+      val stale = Option(new File(tableDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".kv") && !live(f.getName) &&
+          f.lastModified() < cutoff)
+      stale.foreach(_.delete())
+      stale.length
+    }
   }
 
   /** K-way streaming merge of one group into one shard file. */

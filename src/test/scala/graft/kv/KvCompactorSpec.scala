@@ -65,6 +65,27 @@ class KvCompactorSpec extends SparkSpec {
       "equal-key records are distinct rows and must not be merged away")
   }
 
+  test("retain-mode compaction keeps inputs for in-flight scans; vacuum reclaims them") {
+    val dir = Files.createTempDirectory("graft-kv-compact-retain").toString
+    import spark.implicits._
+    def w(ks: Seq[Long], mode: String) =
+      ks.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+    w(1L to 50L, "overwrite"); w(51L to 100L, "append")
+    val before = KvStore.readMeta(dir).shards.map(_.file)
+    assert(KvCompactor.compact(dir, 64L << 20, retainInputs = true) == 1)
+    // inputs left the manifest but stayed on disk (scan-race safety)
+    before.foreach(f => assert(new java.io.File(s"$dir/$f").exists(), s"$f must be retained"))
+    assert(readBack(dir).count() == 100L)
+    // inside the grace period nothing is reclaimed
+    assert(KvCompactor.vacuum(dir, graceMs = 60000L) == 0)
+    // after the grace period only unreferenced files go; live shards stay
+    assert(KvCompactor.vacuum(dir, graceMs = 0L) == before.length)
+    before.foreach(f => assert(!new java.io.File(s"$dir/$f").exists()))
+    assert(readBack(dir).count() == 100L, "live shards must survive vacuum")
+  }
+
   test("single-shard and empty groupings are a no-op") {
     val dir = Files.createTempDirectory("graft-kv-compact-noop").toString
     import spark.implicits._
