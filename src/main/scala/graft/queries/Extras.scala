@@ -105,6 +105,8 @@ object Extras {
         .csv(s"$tmp/csv")
         .coalesce(1).write.mode("overwrite").json(s"$tmp/json")
       s.read.json(s"$tmp/json")
+        .coalesce(1).write.mode("overwrite").orc(s"$tmp/orc")
+      s.read.orc(s"$tmp/orc")
         .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
         .orderBy(col("n_nationkey"))
     },
@@ -112,7 +114,7 @@ object Extras {
       SELECT n_nationkey, n_name, n_regionkey
       FROM nation
       ORDER BY n_nationkey"""),
-    doc = "csv + json source round-trip")
+    doc = "csv + json + orc source round-trip chain")
 
   /** Map function family: JSON props parsed into map<string,int>,
     * keys/values/lookup. */

@@ -551,6 +551,27 @@ class KvConnectorSpec extends SparkSpec {
     assert(residual.isEmpty && b.pushedPredicates().length == 1)
   }
 
+  test("SQL DDL surface: CREATE TABLE USING graft-kv, INSERT INTO, SELECT") {
+    val ddlDir = Files.createTempDirectory("graft-kv-ddl").toString
+    val catJson =
+      """{"table":{"name":"ddl"},"rowkey":"k","columns":{""" +
+        """"k":{"cf":"rowkey","col":"k","type":"long"},""" +
+        """"v":{"cf":"f","col":"v","type":"string"}}}"""
+    spark.sql("DROP TABLE IF EXISTS graft_ddl")
+    spark.sql(s"""
+      CREATE TABLE graft_ddl USING `graft-kv`
+      OPTIONS (catalog '$catJson', path '$ddlDir')""")
+    try {
+      spark.sql(
+        "INSERT INTO graft_ddl VALUES (CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), 'b')")
+      spark.sql("INSERT INTO graft_ddl VALUES (CAST(3 AS BIGINT), 'c')")
+      val got = spark.sql("SELECT k, v FROM graft_ddl WHERE k >= 2 ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((2L, "b"), (3L, "c")))
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ddl").collect().head.getLong(0) == 3L)
+    } finally spark.sql("DROP TABLE graft_ddl")
+  }
+
   test("parallel appends serialize on the table lock and lose nothing") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
