@@ -36,7 +36,11 @@ class KvDataSource extends TableProvider with DataSourceRegister {
   private def pathOf(options: util.Map[String, String]): String = {
     val p = options.get("path")
     require(p != null, "option 'path' (table directory) is required")
-    p
+    // the session catalog rewrites the path option to a file: URI when
+    // the table is created via SQL DDL; resolve it back to a local path
+    // (a raw "file:/x" string would otherwise be treated as a RELATIVE
+    // directory literally named "file:" under the working directory)
+    if (p.startsWith("file:")) java.net.URI.create(p).getPath else p
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

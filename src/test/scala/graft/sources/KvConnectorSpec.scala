@@ -569,6 +569,12 @@ class KvConnectorSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1)))
       assert(got.toSeq == Seq((2L, "b"), (3L, "c")))
       assert(spark.sql("SELECT count(*) AS n FROM graft_ddl").collect().head.getLong(0) == 3L)
+      // the catalog rewrites `path` to a file: URI — the data must land
+      // in the REAL directory, not a literal "file:..." dir under cwd
+      assert(new java.io.File(s"$ddlDir/_kvmeta.json").exists(),
+        "DDL writes must resolve the catalog's file: URI to the real path")
+      assert(!new java.io.File("file:").exists(),
+        "no literal 'file:' directory may appear under the working directory")
     } finally spark.sql("DROP TABLE graft_ddl")
   }
 
