@@ -130,14 +130,24 @@ class KvStreamingWrite(catalog: KvCatalog, dir: String, schema: StructType,
         // epoch already committed (driver retry): drop the duplicates
         newShards.foreach(s => new File(s"$dir/${s.file}").delete())
       } else {
-        KvStore.writeMeta(dir, KvTableMeta(prev.shards ++ newShards,
-          prev.committedEpochs :+ epochKey))
+        // keep a bounded tail of epoch records: a restart can only
+        // re-attempt epochs at/after its checkpointed offset, which by
+        // then is never hundreds of commits behind — while an unbounded
+        // list would grow the manifest forever on a long-lived stream
+        val epochs = (prev.committedEpochs :+ epochKey)
+          .takeRight(KvStreamingWrite.MaxEpochRecords)
+        KvStore.writeMeta(dir, KvTableMeta(prev.shards ++ newShards, epochs))
       }
     }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KvCommit(s) => s }
       .flatten.foreach(s => new File(s"$dir/${s.file}").delete())
+}
+
+object KvStreamingWrite {
+  /** Bounded epoch-record tail (FIFO across all writing queries). */
+  val MaxEpochRecords = 256
 }
 
 case class KvStreamingDataWriterFactory(dir: String, schemaJson: String,

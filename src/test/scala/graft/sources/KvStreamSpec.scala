@@ -64,6 +64,16 @@ class KvStreamSpec extends SparkSpec {
       "distinct queries' epoch 0 must both land; a query's retry must not")
     assert(KvStore.readMeta(dir).committedEpochs.toSet ==
       Set("queryA-0", "queryB-0"))
+    // the epoch-record tail is bounded: old records age out FIFO while
+    // recent epochs keep their retry protection
+    val sw = new KvStreamingWrite(KvCatalog.parse(cat), dir, schema, 256L << 20, "longrun")
+    (1L to KvStreamingWrite.MaxEpochRecords + 10L).foreach { e =>
+      sw.commit(e, Array.empty)
+    }
+    val epochs = KvStore.readMeta(dir).committedEpochs
+    assert(epochs.length == KvStreamingWrite.MaxEpochRecords)
+    assert(epochs.last == s"longrun-${KvStreamingWrite.MaxEpochRecords + 10}")
+    assert(!epochs.contains("queryA-0"), "oldest records age out")
   }
 
   test("stream tails appended shards across micro-batches") {
