@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // many codegen-heavy queries in one JVM fill the default 240m code
+  // cache; JIT flushing then inflates late-run timings (round-3 finding)
+  "-XX:ReservedCodeCacheSize=512m",
 )
