@@ -122,6 +122,7 @@ object Bench {
       // -1.0 = sentinel: a crashing query must never look like a fast one
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    queries.Dedup.releaseShingles() // free the dedup pass's persisted blocks
     spark.stop()
     (results, failed.toSeq)
   }

@@ -38,6 +38,18 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Release every persisted shingle relation. The cache exists so one
+    * Verify/Bench pass reuses the relation across the q42/q43/q45
+    * branches instead of re-persisting per call — but a session-lifetime
+    * MEMORY_AND_DISK pin is the wrong default at 100 TB, where the
+    * shingle relation exceeds cluster memory. Drivers call this once
+    * their dedup pass is done (Verify/Bench do); the next query simply
+    * re-persists. Blocking so callers can assert the blocks are gone. */
+  def releaseShingles(): Unit =
+    shingleCache.keys.toSeq.foreach { k =>
+      shingleCache.remove(k).foreach(_.unpersist(blocking = true))
+    }
+
   /** Shared oracle CTE chain: shingles → sizes → intersection counts →
     * Jaccard-filtered pairs (J ≥ 4/5 in integer arithmetic). Reused by
     * q42 (pair listing) and q45 (connected-components clustering). */

@@ -208,4 +208,66 @@ class OperatorSpec extends SparkSpec {
     assert(got(1) == Seq.empty)
     assert(got(2) == Seq.empty)
   }
+
+  test("sampleFrames frame count comes from the decode kernel (codec-swap safe)") {
+    import graft.operators.MediaDecode
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // stride 1 → one output row per decoded frame
+    val sampled = MediaDecode.sampleFrames(docs, everyK = 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs.collect().map { r =>
+      val p = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+      r.getLong(0) -> MediaDecode.decodeStub(p).frames.toLong
+    }.toMap
+    assert(sampled == expected,
+      "stride-1 sampleFrames count must equal decodeWith's frame count for every doc")
+  }
+
+  test("tokenizer whitespace class matches RE2: \\x0B joins, \\f splits") {
+    import spark.implicits._
+    // Java regex \s includes \x0B; RE2 (the oracle's engine) does not.
+    // The explicit [ \t\n\r\f]+ class must behave identically on both:
+    // \x0B is token-internal, \f is a separator.
+    val df = Seq("a\u000Bb c", "x\fy", "p  q").toDF("text")
+    val toks = df.select(Text.tokens(col("text")).as("t")).collect()
+      .map(_.getAs[scala.collection.Seq[String]]("t").toSeq)
+    assert(toks(0) == Seq("a\u000Bb", "c"), "\\x0B must not split a token")
+    assert(toks(1) == Seq("x", "y"), "\\f must split")
+    assert(toks(2) == Seq("p", "q"), "runs of spaces collapse")
+  }
+
+  test("decode operators map a NULL payload to the empty payload (oracle coalesce contract)") {
+    import graft.operators.MediaDecode
+    import spark.implicits._
+    // the q61/q62/q63 oracles spell md5(coalesce(text,'')) — the Spark
+    // side must therefore decode NULL exactly like the empty payload
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    def keyed(out: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      out.collect().map(r => r.getAs[Long]("doc_id") -> cols.map(r.getAs[Any])).toMap
+    val feats = keyed(MediaDecode.extractFeatures(df.withColumn("mime", lit("image/fake"))),
+      Seq("n_bytes", "width", "height", "n_frames"))
+    assert(feats(1L) == feats(2L), "extractFeatures(NULL) must equal extractFeatures('')")
+    val thumbs = keyed(MediaDecode.thumbnail(df, box = 64),
+      Seq("thumb_w", "thumb_h", "thumb_hash"))
+    assert(thumbs(1L) == thumbs(2L), "thumbnail(NULL) must equal thumbnail('')")
+    val frames = MediaDecode.sampleFrames(df, everyK = 1).collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.map(_.getAs[String]("frame_hash")).toSeq).toMap
+    assert(frames(1L) == frames(2L), "sampleFrames(NULL) must equal sampleFrames('')")
+  }
+
+  test("releaseShingles frees the persisted shingle blocks") {
+    Dedup.releaseShingles() // reset whatever earlier tests cached
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.q42NgramJaccard.fn(spark, d).queryExecution.toRdd.count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "the dedup pass should persist the shingle relation")
+    Dedup.releaseShingles()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.intersect(after).isEmpty, "released shingle blocks must be gone")
+    // and the next dedup query transparently re-persists + still works
+    assert(Dedup.q42NgramJaccard.fn(spark, d).count() >= 0)
+  }
 }
