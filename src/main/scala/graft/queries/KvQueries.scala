@@ -124,5 +124,87 @@ object KvQueries {
       ORDER BY lk"""),
     doc = "reference canonical IN+OR over temp view")
 
-  def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical)
+  private val ordersCatalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "orders_kv"},
+      |  "rowkey": "o_orderkey",
+      |  "columns": {
+      |    "o_orderkey": {"cf": "rowkey", "col": "o_orderkey", "type": "long"},
+      |    "o_custkey": {"cf": "m", "col": "ck", "type": "long"},
+      |    "o_orderstatus": {"cf": "m", "col": "st", "type": "string"},
+      |    "o_totalprice": {"cf": "m", "col": "tp", "type": "double"},
+      |    "o_orderpriority": {"cf": "m", "col": "pr", "type": "string"}
+      |  }
+      |}""".stripMargin
+
+  /** Build (once per sfDir) a KV `orders` table the way a long-lived
+    * ingest leaves one: 8 interleaved append batches with a small chunk
+    * size, so the manifest accumulates MANY small sorted runs whose key
+    * ranges all overlap (each batch carries keys ≡ i mod 8 across the
+    * whole key space — shard pruning can skip nothing). Then run the
+    * LSM-style maintenance the engine ships for exactly this state:
+    * compact (retaining inputs, the concurrent-scan-safe mode) +
+    * vacuum, and fail loudly if either half didn't actually shrink the
+    * table. Queries read the post-maintenance manifest. */
+  private def compactedOrdersDir(s: SparkSession, sfDir: String): String = {
+    val abs = new File(sfDir).getAbsolutePath
+    val name = s"${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}"
+    val dir = graft.kv.KvStore.cacheDir(s"orders-compacted-$name")
+    val done = new File(s"$dir/_compact_done")
+    if (!done.exists()) {
+      // a marker-less dir is a partial build — start clean
+      Option(new File(dir).listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      val orders = Tables.orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority")
+      (0 until 8).foreach { i =>
+        orders.filter(pmod(col("o_orderkey"), lit(8)) === i)
+          .write.format("graft-kv")
+          .option("catalog", ordersCatalogJson).option("path", dir)
+          .option("chunkBytes", (256L << 10).toString) // force many small runs
+          .mode("append").save()
+      }
+      val before = graft.kv.KvStore.readMeta(dir).shards.length
+      graft.kv.KvCompactor.compact(dir, targetBytes = 64L << 20, retainInputs = true)
+      graft.kv.KvCompactor.vacuum(dir, graceMs = 0L)
+      val after = graft.kv.KvStore.readMeta(dir)
+      require(after.shards.length < before,
+        s"compaction did not shrink the manifest ($before -> ${after.shards.length})")
+      val onDisk = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".kv"))
+      require(onDisk == after.shards.length,
+        s"vacuum left $onDisk shard files for ${after.shards.length} manifest entries")
+      done.createNewFile()
+    }
+    dir
+  }
+
+  /** Append-heavy ingest → compact → vacuum → pushdown scan: the full
+    * storage-maintenance loop, hash-checked against the original
+    * parquet. The rowkey range + cell filter both push into the scan,
+    * now over range-tight compacted shards. */
+  val q81KvCompacted: Q = Q(
+    "q81_kv_compacted",
+    (s, d) =>
+      s.read.format("graft-kv")
+        .option("catalog", ordersCatalogJson)
+        .option("path", compactedOrdersDir(s, d)).load()
+        .filter(col("o_orderkey") < 100000L && col("o_orderstatus") === "O")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("o_totalprice")).as("sum_price"),
+             max(col("o_custkey")).as("max_cust"))
+        .orderBy(col("o_orderpriority")),
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n,
+             ${sqlDsum("o_totalprice")} AS sum_price,
+             max(o_custkey) AS max_cust
+      FROM orders
+      WHERE o_orderkey < 100000 AND o_orderstatus = 'O'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    doc = "append ingest -> compact -> vacuum -> pushdown scan round-trip")
+
+  def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
+    q81KvCompacted)
 }

@@ -95,4 +95,22 @@ class KvCompactorSpec extends SparkSpec {
     assert(KvCompactor.compact(dir, 64L << 20) == 0)
     assert(readBack(dir).count() == 1)
   }
+
+  test("end-to-end: append ingest -> compact -> vacuum scans identically to the source parquet") {
+    val d = "/root/testdata/sf0.001"
+    // q81 builds the appended+compacted+vacuumed table on first touch
+    // (its builder REQUIRES the manifest to shrink and vacuum to clean)
+    val viaKv = graft.queries.KvQueries.q81KvCompacted.fn(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaParquet = graft.Tables.orders(spark, d)
+      .filter(col("o_orderkey") < 100000L && col("o_orderstatus") === "O")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           graft.util.Exact.dsum(col("o_totalprice")).as("sum_price"),
+           max(col("o_custkey")).as("max_cust"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaKv == viaParquet,
+      "post-maintenance KV scan must agree with the original parquet")
+  }
 }
