@@ -1,0 +1,117 @@
+package graft
+
+import java.io.File
+import java.lang.management.ManagementFactory
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off 10× scale probe (the "sf1" datapoint in ARCHITECTURE.md).
+  *
+  * The driver ships corpora up to sf0.1 only, so this main synthesizes a
+  * 10× replica of sf0.1 under /tmp and re-runs the heaviest green
+  * pipelines against it, printing per-query wall times + peak heap. The
+  * replica is built to keep workload SHAPE honest, not just volume:
+  *
+  *  - documents: 10 salted copies. Every 5th token is replaced with a
+  *    copy-specific token, so within-copy near-dup structure is
+  *    preserved exactly while cross-copy Jaccard lands ≈ 0.66 — under
+  *    the 0.8 threshold. Pair/cluster counts therefore scale ~linearly
+  *    (10×), the way a real corpus grows; verbatim copies would instead
+  *    make every doc a 10-way duplicate and blow pairs up
+  *    quadratically.
+  *  - embeddings: 10 copies with the first component nudged by a
+  *    copy-specific epsilon (distinct vectors, same geometry).
+  *  - lineitem/orders: 10 copies with key offsets (disjoint key ranges).
+  *
+  * Usage: runMain graft.Stress [copies] — writes /tmp/graft-sf1, runs
+  * each probe query twice (first = includes any one-time KV ingest /
+  * compaction; min = steady state), prints one JSON line.
+  */
+object Stress {
+
+  private val probes = Seq(
+    "q42_ngram_jaccard", "q45_dedup_clusters", // sub-quadratic dedup + CC
+    "q52_lsh_ann", "q53_ivf_ann",              // banded / inverted-file ANN
+    "q80_training_pipeline",                   // chained dedup→quality→budget
+    "q70_kv_scan_filter", "q71_kv_rowkey_range", // KV pushdown scans
+    "q72_kv_canonical", "q81_kv_compacted")      // + maintenance loop
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "/tmp/graft-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new File(s"$out/_done").exists()) {
+      System.err.println(s"[stress] generating ${copies}x replica of $base -> $out")
+      generate(spark, base, out, copies)
+    }
+
+    val results = probes.map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, out).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once() // includes one-time KV ingest / compact / persist
+      val steady = math.min(once(), once())
+      System.err.println(f"[stress] $name first=$first%.1fs steady=$steady%.1fs")
+      name -> (first, steady)
+    }
+    queries.Dedup.releaseShingles()
+
+    val peakHeapMb = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1 << 20)
+    val qs = results.map { case (k, (fst, std)) =>
+      f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,"peak_heap_mb":$peakHeapMb}""")
+    spark.stop()
+  }
+
+  private def generate(spark: SparkSession, base: String, out: String,
+                       copies: Int): Unit = {
+    new File(out).mkdirs()
+    def replicate(table: String)(tweak: (DataFrame, Int) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      val all = (0 until copies).map(i => tweak(src, i)).reduce(_.union(_))
+      all.repartition(32).write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    replicate("documents") { (df, i) =>
+      // materialize the token array FIRST (split inside the transform
+      // lambda would re-tokenize per element — O(tokens²))
+      df.withColumn("toks", split(trim(col("text")), graft.functions.Text.WhitespaceClass))
+        .withColumn("text",
+          when(length(trim(col("text"))) === 0, col("text")).otherwise(
+            concat_ws(" ", transform(col("toks"),
+              (t, ix) => when(ix % 5 === 4, concat(t, lit(s"_c$i"))).otherwise(t)))))
+        .drop("toks")
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("n_chars", length(col("text")))
+    }
+    replicate("embeddings") { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        .withColumn("embedding", transform(col("embedding"),
+          (x, ix) => when(ix === 0, x + lit(i * 0.001f)).otherwise(x)))
+    }
+    replicate("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    }
+    replicate("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+    }
+    new File(s"$out/_done").createNewFile()
+  }
+}

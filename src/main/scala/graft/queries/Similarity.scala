@@ -137,12 +137,13 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  /** q52's oracle bakes the hyperplane matrix into the SQL as exact
-    * decimal literals (every component is a dyadic rational — see
-    * [[graft.functions.LshBuckets.planeComponent]]), replays the sign
-    * buckets per table, the bucket join, and the exact cosine
-    * rescoring. Even the "random"-hyperplane index is hash-checked. */
-  val q52LshAnn: Q = {
+  /** The oracle-side replay of `lsh_buckets`: the hyperplane matrix
+    * baked into SQL as exact decimal literals (every component is a
+    * dyadic rational — see [[graft.functions.LshBuckets.planeComponent]])
+    * and one UNION ALL branch per hash table computing the 4-bit sign
+    * bucket. Shared by q52 (ANN) and q55 (near-dup pairs) so the two
+    * oracles can never drift from each other or from the expression. */
+  private val lshBandSelects: Seq[String] = {
     val tables = 4
     val planes = 4
     val dim = graft.functions.LshBuckets.BakedDim // one constant, both engines
@@ -155,8 +156,16 @@ object Similarity {
       (0 until planes).map(b =>
         s"(CASE WHEN list_dot_product(emb, ${planeLit(t, b)}) >= 0 THEN ${1 << b} ELSE 0 END)")
         .mkString("\n               + ")
-    val bandSelects = (0 until tables).map(t =>
+    (0 until tables).map(t =>
       s"SELECT vec_id, emb, $t AS tbl,\n               ${bucketExpr(t)} AS bucket FROM dbl")
+  }
+
+  /** q52's oracle bakes the hyperplane matrix into the SQL (see
+    * [[lshBandSelects]]), replays the sign buckets per table, the
+    * bucket join, and the exact cosine rescoring. Even the
+    * "random"-hyperplane index is hash-checked. */
+  val q52LshAnn: Q = {
+    val bandSelects = lshBandSelects
     Q(
       "q52_lsh_ann",
       (s, d) => lshAnn(s, d, nTables = 4),
@@ -395,6 +404,69 @@ object Similarity {
       ORDER BY q_id, rk"""),
     doc = "int8-quantized cosine top-k (4x storage reduction)")
 
+  /** Sub-quadratic embedding-cosine near-dup PAIRS — the scale path for
+    * q51's output shape (q52/q53/q54 answer top-k ANN, not pair
+    * enumeration). Same multi-table hyperplane buckets as q52: candidate
+    * pairs only where both vectors share a (table, bucket), deduped
+    * across tables on the narrow id pair BEFORE re-joining embeddings
+    * (the wide arrays never ride through the dedup shuffle), then exact
+    * cosine verification at ≥ 0.9 — so every emitted pair is exact;
+    * bucketing costs only recall (candidates ⊆ all pairs, asserted vs
+    * q51 in ScalaTest). At 100 TB the (tbl, bucket) shuffle replaces
+    * q51's O(n²) cross join; plane count (bucket width) scales with
+    * log n to keep buckets bounded. Deterministic planes → the oracle
+    * replays the entire pipeline, hash-checked. */
+  /** The q55 pipeline over any (vec_id, embedding) relation — also
+    * exercised by ScalaTest on a synthetic corpus WITH true near-dups
+    * (the driver corpus is near-orthogonal, max pairwise cosine ≈ 0.6,
+    * so its q55 result is legitimately empty). */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.CosineSimilarity.register(s)
+    graft.functions.LshBuckets.register(s)
+    val bucketed = emb
+      .select(col("vec_id"), posexplode(expr("lsh_buckets(embedding)")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val cands = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b") // union across tables, ids only
+    cands
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+              expr("cosine_sim(emb_a, emb_b)").as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q55LshNearDup: Q = Q(
+    "q55_lsh_near_dup",
+    (s, d) => lshNearDupPairs(Tables.embeddings(s, d), threshold = 0.9),
+    Some(s"""
+      WITH dbl AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      bucketed AS (
+        ${lshBandSelects.mkString("\n        UNION ALL\n        ")}),
+      cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bucketed a JOIN bucketed b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT c.id_a, c.id_b,
+               list_dot_product(ea.emb, eb.emb) /
+               (sqrt(list_dot_product(ea.emb, ea.emb)) *
+                sqrt(list_dot_product(eb.emb, eb.emb))) AS cos
+        FROM cands c
+        JOIN dbl ea ON ea.vec_id = c.id_a
+        JOIN dbl eb ON eb.vec_id = c.id_b)
+      SELECT id_a, id_b, round(cos, 6) AS cos_r
+      FROM scored WHERE cos >= 0.9
+      ORDER BY id_a, id_b"""),
+    doc = "LSH-bucketed cosine near-dup pairs (sub-quadratic twin of q51)")
+
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
-    q54QuantizedTopK)
+    q54QuantizedTopK, q55LshNearDup)
 }

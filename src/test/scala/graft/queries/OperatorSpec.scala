@@ -258,6 +258,56 @@ class OperatorSpec extends SparkSpec {
     assert(frames(1L) == frames(2L), "sampleFrames(NULL) must equal sampleFrames('')")
   }
 
+  test("LSH near-dup pairs are a subset of the exact O(n²) join, scores identical") {
+    val exact = Similarity.q51CosineNearDup.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.q55LshNearDup.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact verification → no false positives, and the verified score is
+    // the same double the exact join computes
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos), s"pair $pair not in exact join or score differs")
+    }
+    if (exact.isEmpty) info("driver corpus has no cosine>=0.9 pairs; see synthetic test below")
+  }
+
+  test("LSH near-dup pairs on a synthetic corpus with true near-dups: recall printed") {
+    import spark.implicits._
+    // the driver corpus is near-orthogonal (max pairwise cos ≈ 0.6), so
+    // build a corpus where ground truth exists: 40 gaussian vectors + 15
+    // perturbed copies at cos ≈ 0.99
+    val rnd = new scala.util.Random(42)
+    val dim = graft.functions.LshBuckets.BakedDim
+    val base = (0 until 40).map(i =>
+      i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val dups = (0 until 15).map { i =>
+      val (id, v) = base(i)
+      (100L + id) -> v.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+    }
+    val all = base ++ dups
+    val df = all.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def cosL(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      (i, u) <- all; (j, w) <- all if i < j && cosL(u, w) >= 0.9
+    } yield (i, j)).toSet
+    assert(truth.size >= 15, s"fixture must contain its ${dups.size} planted pairs, got ${truth.size}")
+    val got = Similarity.lshNearDupPairs(df, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "exact verification must kill every false positive")
+    val recall = got.size.toDouble / truth.size
+    info(f"synthetic LSH near-dup recall=$recall%.3f (${got.size}/${truth.size})")
+    // 4 tables × 4 planes at cos ≥ 0.9 → expected recall ≈ 0.95
+    assert(recall >= 0.8, s"near-dup recall $recall too low")
+  }
+
   test("releaseShingles frees the persisted shingle blocks") {
     Dedup.releaseShingles() // reset whatever earlier tests cached
     val before = spark.sparkContext.getPersistentRDDs.keySet
