@@ -179,6 +179,74 @@ object KvQueries {
     dir
   }
 
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Build (once per sfDir) a KV `orders` table through the STREAMING
+    * sink: the source parquet is split into 8 files and streamed with
+    * `Trigger.AvailableNow` + `maxFilesPerTrigger=1`, so the table is
+    * assembled by ≥ 8 separate epoch commits — the idempotent, atomic
+    * manifest appends a long-lived ingest stream performs. The builder
+    * fails loudly unless multiple epochs actually committed. */
+  private def streamedOrdersDir(s: SparkSession, sfDir: String): String = {
+    val abs = new File(sfDir).getAbsolutePath
+    val name = s"${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}"
+    val dir = graft.kv.KvStore.cacheDir(s"orders-streamed-$name")
+    val done = new File(s"$dir/_stream_done")
+    if (!done.exists()) {
+      deleteRecursively(new File(dir))
+      deleteRecursively(new File(s"$dir-ckpt"))
+      deleteRecursively(new File(s"$dir-src"))
+      val src = Tables.orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority")
+      src.repartition(8).write.parquet(s"$dir-src")
+      val q = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+        .parquet(s"$dir-src")
+        .writeStream.format("graft-kv")
+        .option("catalog", ordersCatalogJson).option("path", dir)
+        .option("checkpointLocation", s"$dir-ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val meta = graft.kv.KvStore.readMeta(dir)
+      require(meta.committedEpochs.length >= 2,
+        s"expected multiple streaming epochs, got ${meta.committedEpochs.length}")
+      done.createNewFile()
+    }
+    dir
+  }
+
+  /** Structured-Streaming ingest → batch pushdown scan: the epoch-
+    * committed table must be indistinguishable from a batch-written
+    * one, hash-checked against the original parquet. */
+  val q82KvStreamed: Q = Q(
+    "q82_kv_streamed",
+    (s, d) =>
+      s.read.format("graft-kv")
+        .option("catalog", ordersCatalogJson)
+        .option("path", streamedOrdersDir(s, d)).load()
+        .filter(col("o_custkey") % 10 === 3)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("o_totalprice")).as("sum_price"),
+             min(col("o_orderkey")).as("min_ok"))
+        .orderBy(col("o_orderstatus")),
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n,
+             ${sqlDsum("o_totalprice")} AS sum_price,
+             min(o_orderkey) AS min_ok
+      FROM orders
+      WHERE o_custkey % 10 = 3
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+    doc = "multi-epoch streaming-sink ingest -> batch pushdown scan round-trip")
+
   /** Append-heavy ingest → compact → vacuum → pushdown scan: the full
     * storage-maintenance loop, hash-checked against the original
     * parquet. The rowkey range + cell filter both push into the scan,
@@ -206,5 +274,5 @@ object KvQueries {
     doc = "append ingest -> compact -> vacuum -> pushdown scan round-trip")
 
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
-    q81KvCompacted)
+    q81KvCompacted, q82KvStreamed)
 }
