@@ -37,7 +37,8 @@ object Stress {
     "q52_lsh_ann", "q53_ivf_ann",              // banded / inverted-file ANN
     "q80_training_pipeline",                   // chained dedup→quality→budget
     "q70_kv_scan_filter", "q71_kv_rowkey_range", // KV pushdown scans
-    "q72_kv_canonical", "q81_kv_compacted")      // + maintenance loop
+    "q72_kv_canonical", "q81_kv_compacted",      // + maintenance loop
+    "q82_kv_streamed")                           // + multi-epoch streaming ingest
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
