@@ -47,20 +47,23 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(oracleOnly)
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "16").toInt.max(1)
     val batches = names.grouped(batchSize).toSeq
-    val merged =
-      try {
-        val perBatch = batches.zipWithIndex.map { case (batch, i) =>
-          System.err.println(s"[bench] batch ${i + 1}/${batches.length}: ${batch.head}..${batch.last}")
-          runChild(batch)
-        }
-        Some(perBatch.flatMap(_._1) -> perBatch.flatMap(_._2))
-      } catch {
+    // a failed child falls back PER BATCH (bias confined to that batch)
+    // and the output says so — timings from a fallback batch carry the
+    // single-JVM caveat and must not silently pass for fresh-JVM numbers
+    val fallbackBatches = scala.collection.mutable.ListBuffer[String]()
+    val perBatch = batches.zipWithIndex.map { case (batch, i) =>
+      System.err.println(s"[bench] batch ${i + 1}/${batches.length}: ${batch.head}..${batch.last}")
+      try runChild(batch)
+      catch {
         case e: Exception =>
-          System.err.println(s"[bench] child fork failed (${e.getMessage}); single-JVM fallback")
-          None
+          System.err.println(s"[bench] child failed (${e.getMessage}); in-process fallback for this batch")
+          fallbackBatches ++= batch
+          runQueries(batch)
       }
-    val (results, failed) = merged.getOrElse(runQueries(names))
-    println(resultJson(results, failed, skipped = oracleOnly.toSeq.sorted))
+    }
+    val (results, failed) = (perBatch.flatMap(_._1), perBatch.flatMap(_._2))
+    println(resultJson(results, failed, skipped = oracleOnly.toSeq.sorted,
+      fallback = fallbackBatches.toSeq))
   }
 
   /** Fork one fresh JVM for `batch`, parse its JSON line. */
@@ -100,11 +103,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JVM/codegen + the one-time KV table ingest stay untimed
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      SparkEntry.queries("q70_kv_scan_filter")(spark, sfDir).queryExecution.toRdd.count()
-    } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
+    // warmup: JVM/codegen + every one-time KV table build stays untimed —
+    // q70 ingests the lineitem table; q81/q82 (when in this batch) build
+    // their appended+compacted / streamed orders tables on first touch
+    val builders = Seq("q70_kv_scan_filter") ++
+      names.filter(Set("q81_kv_compacted", "q82_kv_streamed"))
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
+    builders.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $n: ${e.getMessage}") }
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -128,12 +137,11 @@ object Bench {
   }
 
   private def resultJson(results: Seq[(String, Double)], failed: Seq[String],
-                         skipped: Seq[String]): String = {
+                         skipped: Seq[String], fallback: Seq[String] = Nil): String = {
     val qs = results.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":$failedJson,"skipped_oracle_twins":$skippedJson}"""
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":${arr(failed)},"skipped_oracle_twins":${arr(skipped)},"single_jvm_fallback":${arr(fallback)}}"""
   }
 }

@@ -3,8 +3,6 @@ package graft
 import java.io.File
 import java.lang.management.ManagementFactory
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,7 +41,10 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "/tmp/graft-sf1")
+    // the copies count is part of the replica path: a rerun with a
+    // different scale can never silently reuse the old replica, and the
+    // KV table caches (keyed by corpus path) roll over with it
+    val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", s"/tmp/graft-stress-x$copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,23 +59,32 @@ object Stress {
       generate(spark, base, out, copies)
     }
 
+    // sampled max of actual heap occupancy (per-pool peak SUMS overstate:
+    // eden and old-gen peak at different times, so their sum can exceed
+    // any heap state that ever existed)
+    var peakHeapMb = 0L
+    def sampleHeap(): Unit = {
+      val used = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1 << 20)
+      if (used > peakHeapMb) peakHeapMb = used
+    }
     val results = probes.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, out).queryExecution.toRdd.count()
+        sampleHeap()
         (System.nanoTime() - t0) / 1e9
       }
       val first = once() // includes one-time KV ingest / compact / persist
       val steady = math.min(once(), once())
       System.err.println(f"[stress] $name first=$first%.1fs steady=$steady%.1fs")
+      // the shingle relation serves only the dedup probes — release it
+      // before the ANN/KV probes so their timings and the heap metric
+      // don't carry dedup cache pressure
+      if (name == "q45_dedup_clusters") queries.Dedup.releaseShingles()
       name -> (first, steady)
     }
     queries.Dedup.releaseShingles()
-
-    val peakHeapMb = ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-      .map(_.getPeakUsage.getUsed).sum / (1 << 20)
     val qs = results.map { case (k, (fst, std)) =>
       f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
     }.mkString("{", ",", "}")

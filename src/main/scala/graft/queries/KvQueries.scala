@@ -35,14 +35,18 @@ object KvQueries {
       |  }
       |}""".stripMargin
 
+  /** Cache key for a corpus dir: basename AND a full-path hash, so
+    * same-named corpora in different locations never share an entry.
+    * Single definition — every KV table builder keys through it. */
+  private def cacheKey(sfDir: String): String = {
+    val abs = new File(sfDir).getAbsolutePath
+    s"${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}"
+  }
+
   /** Build (once per sfDir per JVM/host) the KV copy of lineitem, range-
     * partitioned on the synthetic rowkey for non-overlapping shards. */
   private def kvDir(s: SparkSession, sfDir: String): String = {
-    // key on basename AND a full-path hash so same-named corpora in
-    // different locations never share a cache entry
-    val abs = new File(sfDir).getAbsolutePath
-    val name = s"${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}"
-    val dir = graft.kv.KvStore.cacheDir(s"lineitem-$name")
+    val dir = graft.kv.KvStore.cacheDir(s"lineitem-${cacheKey(sfDir)}")
     if (!new File(s"$dir/_kvmeta.json").exists()) {
       Tables.lineitem(s, sfDir)
         .withColumn("lk", col("l_orderkey") * 100 + col("l_linenumber"))
@@ -147,9 +151,7 @@ object KvQueries {
     * vacuum, and fail loudly if either half didn't actually shrink the
     * table. Queries read the post-maintenance manifest. */
   private def compactedOrdersDir(s: SparkSession, sfDir: String): String = {
-    val abs = new File(sfDir).getAbsolutePath
-    val name = s"${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}"
-    val dir = graft.kv.KvStore.cacheDir(s"orders-compacted-$name")
+    val dir = graft.kv.KvStore.cacheDir(s"orders-compacted-${cacheKey(sfDir)}")
     val done = new File(s"$dir/_compact_done")
     if (!done.exists()) {
       // a marker-less dir is a partial build — start clean
@@ -191,9 +193,7 @@ object KvQueries {
     * manifest appends a long-lived ingest stream performs. The builder
     * fails loudly unless multiple epochs actually committed. */
   private def streamedOrdersDir(s: SparkSession, sfDir: String): String = {
-    val abs = new File(sfDir).getAbsolutePath
-    val name = s"${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}"
-    val dir = graft.kv.KvStore.cacheDir(s"orders-streamed-$name")
+    val dir = graft.kv.KvStore.cacheDir(s"orders-streamed-${cacheKey(sfDir)}")
     val done = new File(s"$dir/_stream_done")
     if (!done.exists()) {
       deleteRecursively(new File(dir))
@@ -218,6 +218,10 @@ object KvQueries {
       require(meta.committedEpochs.length >= 2,
         s"expected multiple streaming epochs, got ${meta.committedEpochs.length}")
       done.createNewFile()
+      // build-only artifacts (source parquet copy + stream checkpoint)
+      // are dead once the marker exists — don't leave them on disk
+      deleteRecursively(new File(s"$dir-ckpt"))
+      deleteRecursively(new File(s"$dir-src"))
     }
     dir
   }
