@@ -85,10 +85,32 @@ object Stress {
       name -> (first, steady)
     }
     queries.Dedup.releaseShingles()
+
+    // near-dup PAIR enumeration at scale (q55's documented scale knob):
+    // bucket width grows with the corpus — 4 planes at 1×, 8 at 10× —
+    // keeping per-bucket candidate lists bounded. The 10× replica has
+    // real ground truth: every base vector has 10 epsilon-perturbed
+    // cross-copy twins → base_n · C(copies, 2) true pairs.
+    val planes = if (copies >= 8) 8 else 4
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    def pairsOnce(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val df = queries.Similarity.lshNearDupPairs(emb, threshold = 0.9,
+        tables = 4, planesPerTable = planes)
+      val n = df.count()
+      sampleHeap()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (pFirst, nPairs) = pairsOnce()
+    val (pSteady, _) = pairsOnce()
+    System.err.println(f"[stress] near_dup_pairs planes=$planes first=$pFirst%.1fs steady=$pSteady%.1fs pairs=$nPairs")
+
     val qs = results.map { case (k, (fst, std)) =>
       f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,"peak_heap_mb":$peakHeapMb}""")
+    val pairsJson =
+      f""""near_dup_pairs":{"planes":$planes,"first_sec":$pFirst%.2f,"steady_sec":$pSteady%.2f,"pairs":$nPairs}"""
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,$pairsJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

@@ -420,10 +420,15 @@ object Similarity {
     * exercised by ScalaTest on a synthetic corpus WITH true near-dups
     * (the driver corpus is near-orthogonal, max pairwise cosine ≈ 0.6,
     * so its q55 result is legitimately empty). */
-  def lshNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def lshNearDupPairs(emb: DataFrame, threshold: Double,
+                      tables: Int = 4, planesPerTable: Int = 4): DataFrame = {
     val s = emb.sparkSession
     graft.functions.CosineSimilarity.register(s)
-    graft.functions.LshBuckets.register(s)
+    // bucket width is the scale knob: more planes → narrower buckets →
+    // fewer candidates per bucket; scale planesPerTable ~ log n. The
+    // oracle-checked q55 uses the 4×4 default (matching the baked SQL);
+    // wider registrations are measured by graft.Stress.
+    graft.functions.LshBuckets.register(s, tables, planesPerTable)
     val bucketed = emb
       .select(col("vec_id"), posexplode(expr("lsh_buckets(embedding)")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
