@@ -11,20 +11,27 @@ import org.apache.spark.sql.functions._
 object Extras {
 
   /** Range (interval) join: events ⋈ orders where the event falls within
-    * 30 days after the order date, same user/customer. Equi key (user)
-    * keeps it a hash join with a residual range predicate — the shape
-    * that survives scale (pure interval joins need bucketing by time). */
+    * 30 days after the (epoch-aligned) order date, same user/customer.
+    * Equi key (user) keeps it a hash join with a residual range
+    * predicate — the shape that survives scale (pure interval joins need
+    * bucketing by time).
+    *
+    * The two synthetic corpora live in disjoint eras (orders 1995-2001,
+    * events Jan 2024), so the order timestamps are shifted by a fixed
+    * +26 years on BOTH engines to overlap the events window — without the
+    * shift the join is empty and the oracle row proves nothing. */
   val q27RangeJoin: Q = Q(
     "q27_range_join",
     (s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("ts"))
       val od = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderdate") + expr("INTERVAL 26 YEARS")).as("o_shifted"))
       ev.join(od,
           col("user_id") === col("o_custkey") &&
-          col("ts") >= col("o_orderdate") &&
-          col("ts") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          col("ts") >= col("o_shifted") &&
+          col("ts") < col("o_shifted") + expr("INTERVAL 30 DAYS"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"), countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("user_id"))
@@ -32,8 +39,10 @@ object Extras {
     Some("""
       SELECT user_id, count(*) AS n_pairs, count(DISTINCT o_orderkey) AS n_orders
       FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
-      JOIN orders ON user_id = o_custkey
-        AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 30 DAY
+      JOIN (SELECT o_orderkey, o_custkey,
+                   o_orderdate + INTERVAL 26 YEAR AS o_shifted FROM orders) o
+        ON user_id = o_custkey
+        AND ts >= o_shifted AND ts < o_shifted + INTERVAL 30 DAY
       GROUP BY user_id
       ORDER BY user_id"""),
     doc = "equi+range (interval) join")

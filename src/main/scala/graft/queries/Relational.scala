@@ -164,12 +164,18 @@ object Relational {
       ORDER BY c_mktsegment"""),
     doc = "left_semi join (EXISTS)")
 
-  /** Left-anti join = NOT EXISTS. */
+  /** Left-anti join = NOT EXISTS. The build side is restricted to
+    * high-value orders (> 450k, ~ the 90th percentile) so that a
+    * substantial subset of customers genuinely lacks a qualifying order —
+    * an unrestricted build side matches every customer in this corpus and
+    * the anti join would pass its oracle vacuously with 0 rows. */
   val q6AntiJoin: Q = Q(
     "q6_anti_join",
     (s, d) =>
       cust(s, d)
-        .join(broadcast(ord(s, d).select(col("o_custkey"))),
+        .join(broadcast(ord(s, d)
+            .filter(col("o_totalprice") > 450000.0)
+            .select(col("o_custkey"))),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"))
@@ -177,7 +183,8 @@ object Relational {
     Some("""
       SELECT c_nationkey, count(*) AS n_customers
       FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
       GROUP BY c_nationkey
       ORDER BY c_nationkey"""),
     doc = "left_anti join (NOT EXISTS)")
