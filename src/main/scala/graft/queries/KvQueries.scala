@@ -128,6 +128,27 @@ object KvQueries {
       ORDER BY lk"""),
     doc = "reference canonical IN+OR over temp view")
 
+  /** The reference's Java demo shape — `key <= K ORDER BY key DESC LIMIT n`
+    * (`/root/reference/src/test/java/JavaDatasourceTest.java:40`) plus a
+    * cell filter: shard pruning from the rowkey bound, then a pushed
+    * DESC tail scan returning ≤ n rows per surviving shard (the ring-
+    * buffer reader — no full-shard materialization). */
+  val q83KvTopnDesc: Q = Q(
+    "q83_kv_topn_desc",
+    (s, d) =>
+      kv(s, d)
+        .filter(col("lk") <= 500000L && col("l_returnflag") === "A")
+        .select(col("lk"), col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("lk").desc)
+        .limit(40),
+    Some("""
+      SELECT l_orderkey * 100 + l_linenumber AS lk, l_orderkey, l_quantity, l_returnflag
+      FROM lineitem
+      WHERE l_orderkey * 100 + l_linenumber <= 500000 AND l_returnflag = 'A'
+      ORDER BY lk DESC
+      LIMIT 40"""),
+    doc = "reference Java-demo shape: rowkey bound + DESC top-N tail scan")
+
   private val ordersCatalogJson =
     """{
       |  "table": {"namespace": "default", "name": "orders_kv"},
@@ -278,5 +299,5 @@ object KvQueries {
     doc = "append ingest -> compact -> vacuum -> pushdown scan round-trip")
 
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
-    q81KvCompacted, q82KvStreamed)
+    q81KvCompacted, q82KvStreamed, q83KvTopnDesc)
 }

@@ -35,26 +35,34 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
   private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
   private var limit: Int = -1
+  private var reverse: Boolean = false
   private var aggSpecs: Option[Seq[KvAggSpec]] = None
 
   /** Top-N pushdown (SURVEY.md §2.6 rebuild item): shards are SORTED by
     * rowkey, so ORDER BY rowkey ASC LIMIT n needs only the first n
-    * matching records of each surviving shard. Partial pushdown — Spark
-    * still merges+sorts the per-partition prefixes. Descending order
-    * would require a tail scan; left unpushed. */
+    * matching records of each surviving shard, and ORDER BY rowkey DESC
+    * LIMIT n needs only the LAST n (the reference's own Java demo shape,
+    * `JavaDatasourceTest.java:40`). Partial pushdown — Spark still
+    * merges+sorts the per-partition prefixes/suffixes. The streaming
+    * shard format has no record index, so DESC keeps the forward read but
+    * retains only a ring buffer of the last n matches per shard
+    * ([[KvPartitionReader]]) — each shard still RETURNS ≤ n rows. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
                         n: Int): Boolean = {
-    val pushableTopN = orders.length == 1 && {
-      val o = orders(0)
-      o.expression() match {
-        case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
-          ref.fieldNames().length == 1 &&
-            ref.fieldNames()(0) == catalog.rowkey &&
-            o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
-        case _ => false
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val dir: Option[SortDirection] =
+      if (n <= 0 || orders.length != 1 || aggSpecs.nonEmpty) None
+      else orders(0).expression() match {
+        case ref: NamedReference
+            if ref.fieldNames().length == 1 && ref.fieldNames()(0) == catalog.rowkey =>
+          Some(orders(0).direction())
+        case _ => None
       }
+    dir match {
+      case Some(SortDirection.ASCENDING)  => limit = n; reverse = false; true
+      case Some(SortDirection.DESCENDING) => limit = n; reverse = true; true
+      case _                              => false
     }
-    if (pushableTopN) { limit = n; true } else false
   }
   override def isPartiallyPushed: Boolean = true
 
@@ -96,11 +104,12 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
     prunedSchema = StructType(required.fieldNames.flatMap(byName.get))
   }
 
-  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def pushLimit(l: Int): Boolean =
+    if (aggSpecs.nonEmpty) false else { limit = l; true }
 
   override def build(): Scan = aggSpecs match {
     case Some(specs) => new KvAggScan(dir, catalog.rowkey, declared, pushed, specs)
-    case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit)
+    case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit, reverse)
   }
 }
 
@@ -116,7 +125,8 @@ case class KvInputPartition(shard: KvShardMeta, startHex: Option[String],
 }
 
 class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
-             declared: StructType, filters: Array[Filter], limit: Int)
+             declared: StructType, filters: Array[Filter], limit: Int,
+             reverse: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -156,7 +166,9 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
 
   override def description(): String = {
     val f = allFilters.mkString(", ")
-    s"graft-kv $dir PushedFilters: [$f], Limit: ${if (limit >= 0) limit else "none"}"
+    val lim = if (limit >= 0) limit.toString else "none"
+    val topn = if (reverse) " (DESC tail)" else ""
+    s"graft-kv $dir PushedFilters: [$f], Limit: $lim$topn"
   }
 
   /** Intersect rowkey predicates (conjunctive top level) into one
@@ -219,7 +231,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvPartitionReaderFactory(dir, prunedSchema.json, declared.json,
-      rowkeyName, allFilters, limit)
+      rowkeyName, allFilters, limit, reverse)
 }
 
 /** Serializable factory (the driver→executor boundary; schemas travel as
@@ -227,14 +239,15 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   * `HbasePartitionReaderFactory.scala:11-23`). */
 case class KvPartitionReaderFactory(dir: String, prunedJson: String,
                                     declaredJson: String, rowkeyName: String,
-                                    filters: Array[Filter], limit: Int)
+                                    filters: Array[Filter], limit: Int,
+                                    reverse: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[KvInputPartition]
     new KvPartitionReader(dir, part,
       DataType.fromJson(prunedJson).asInstanceOf[StructType],
       DataType.fromJson(declaredJson).asInstanceOf[StructType],
-      rowkeyName, filters, limit)
+      rowkeyName, filters, limit, reverse)
   }
 }
 
@@ -278,10 +291,18 @@ final class KvRecordDecoder(declared: StructType, neededNames: Set[String]) {
 
 /** Per-partition reader: streams one shard, decodes only required +
   * filter-referenced columns, evaluates pushed predicates on decoded
-  * values, honors the pushed limit. */
+  * values, honors the pushed limit.
+  *
+  * `reverse` = pushed ORDER BY rowkey DESC LIMIT n: the streaming shard
+  * format has no record index, so the file is still read forward once,
+  * but only a ring buffer of the LAST `limit` matching projections is
+  * retained and then served newest-first — the shard contributes ≤ n
+  * rows (its key-descending prefix) and O(n) memory, never the full
+  * shard. */
 class KvPartitionReader(dir: String, part: KvInputPartition,
                         pruned: StructType, declared: StructType,
-                        rowkeyName: String, filters: Array[Filter], limit: Int)
+                        rowkeyName: String, filters: Array[Filter], limit: Int,
+                        reverse: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val reader = new KvStore.ShardReader(dir, part.shard,
@@ -297,15 +318,45 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
   private var current: InternalRow = _
   private var served = 0L
 
-  override def next(): Boolean = {
-    if (limit >= 0 && served >= limit) return false
+  private def project(): Array[Any] = {
+    val values = new Array[Any](pruned.length)
+    var k = 0
+    while (k < values.length) { values(k) = decoder.scratch(prunedFromNeeded(k)); k += 1 }
+    values
+  }
+
+  // ---- reverse (DESC tail) mode ----
+  private var tail: Array[Array[Any]] = _ // ring buffer, size = limit
+  private var tailMatches = 0L            // total matches seen in the shard
+
+  private def fillTail(): Unit = {
+    tail = new Array[Array[Any]](limit)
     while (reader.hasNext) {
       decoder.decodeInto(reader.next())
       if (filters.forall(FilterEval.eval(_, decoder.getByName, decoder.dtByName))) {
-        val values = new Array[Any](pruned.length)
-        var k = 0
-        while (k < values.length) { values(k) = decoder.scratch(prunedFromNeeded(k)); k += 1 }
-        current = InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
+        tail((tailMatches % limit).toInt) = project()
+        tailMatches += 1
+      }
+    }
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && served >= limit) return false
+    if (reverse && limit > 0) {
+      if (tail == null) fillTail()
+      if (served >= math.min(tailMatches, limit.toLong)) return false
+      // newest-first: served=0 → last match, walking backwards in the ring
+      val slot = ((tailMatches - 1L - served) % limit).toInt
+      current = InternalRow.fromSeq(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(tail(slot)))
+      served += 1
+      return true
+    }
+    while (reader.hasNext) {
+      decoder.decodeInto(reader.next())
+      if (filters.forall(FilterEval.eval(_, decoder.getByName, decoder.dtByName))) {
+        current = InternalRow.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(project()))
         served += 1
         return true
       }

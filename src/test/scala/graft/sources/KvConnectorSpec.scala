@@ -195,9 +195,27 @@ class KvConnectorSpec extends SparkSpec {
     }.get
     assert(scan.description().contains("Limit: 7"),
       s"top-N must reach the scan as a limit: ${scan.description()}")
-    // descending stays unpushed but correct
-    val desc = kv.orderBy(col("id").desc).limit(3).select("id")
-    assert(desc.collect().map(_.getLong(0)).toSeq == Seq(1000L, 999L, 998L))
+  }
+
+  test("top-N by rowkey DESC pushes a tail scan (<= n rows per shard)") {
+    val df = kv.orderBy(col("id").desc).limit(3).select("id")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1000L, 999L, 998L))
+    val scanExec = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scanExec.scan.description().contains("Limit: 3 (DESC tail)"),
+      s"DESC top-N must reach the scan: ${scanExec.scan.description()}")
+    // the scan itself (before Spark's merge-sort + global limit) must
+    // surface at most n rows per shard — 8 shards * 3 = 24, not 1000
+    val surfaced = scanExec.execute().count()
+    assert(surfaced <= 24, s"DESC tail scan surfaced $surfaced rows (> n per shard)")
+    // each shard's contribution must be ITS OWN key-descending tail
+    val perShard = scanExec.execute().glom().map(_.length).collect()
+    assert(perShard.forall(_ <= 3), s"per-shard counts: ${perShard.toSeq}")
+    // tail mode composes with a pushed value filter: odd ids only
+    val filtered = kv.filter(col("alive") === false)
+      .orderBy(col("id").desc).limit(4).select("id")
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(999L, 997L, 995L, 993L))
   }
 
   test("compact list catalog form parses to the same schema") {
