@@ -104,10 +104,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM/codegen + every one-time KV table build stays untimed —
-    // q70 ingests the lineitem table; q81/q82 (when in this batch) build
-    // their appended+compacted / streamed orders tables on first touch
+    // q70 ingests the lineitem table; q81/q82/q84 (when in this batch)
+    // build their appended+compacted / streamed / extended-type tables on
+    // first touch
     val builders = Seq("q70_kv_scan_filter") ++
-      names.filter(Set("q81_kv_compacted", "q82_kv_streamed"))
+      names.filter(Set("q81_kv_compacted", "q82_kv_streamed", "q84_kv_types"))
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
     builders.foreach { n =>

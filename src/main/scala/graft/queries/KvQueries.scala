@@ -149,6 +149,96 @@ object KvQueries {
       LIMIT 40"""),
     doc = "reference Java-demo shape: rowkey bound + DESC top-N tail scan")
 
+  /** Extended-type catalog (SURVEY.md §1.3/§1.4): every KV cell type
+    * beyond the long/int/double/string/timestamp set the other KV
+    * queries hash-check — decimal, date, short, byte, binary, float,
+    * array<float>, map<string,string>. */
+  private val typesCatalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "part_types_kv"},
+      |  "rowkey": "p_partkey",
+      |  "columns": {
+      |    "p_partkey": {"cf": "rowkey", "col": "p_partkey", "type": "long"},
+      |    "dec": {"cf": "t", "col": "dec", "type": "decimal(12,2)"},
+      |    "dt":  {"cf": "t", "col": "dt", "type": "date"},
+      |    "sh":  {"cf": "t", "col": "sh", "type": "short"},
+      |    "by":  {"cf": "t", "col": "by", "type": "byte"},
+      |    "bin": {"cf": "t", "col": "bin", "type": "binary"},
+      |    "fl":  {"cf": "t", "col": "fl", "type": "float"},
+      |    "vec": {"cf": "t", "col": "vec", "type": "array<float>"},
+      |    "props": {"cf": "t", "col": "props", "type": "map<string,string>"}
+      |  }
+      |}""".stripMargin
+
+  /** Build (once per sfDir) a KV table whose cells cover the extended
+    * type matrix, derived deterministically from `part` with exact
+    * integer/decimal/dyadic arithmetic so the DuckDB oracle can replay
+    * the identical derivation from the original parquet. Negative
+    * shorts/bytes are deliberate — the sign-flip key/value paths must
+    * survive the gate, not just unit tests. */
+  private def typesKvDir(s: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = graft.kv.KvStore.cacheDir(s"part-types-${cacheKey(sfDir)}")
+    if (!new File(s"$dir/_kvmeta.json").exists()) {
+      Tables.part(s, sfDir)
+        .select(
+          col("p_partkey"),
+          (col("p_partkey").cast(DecimalType(10, 0)) *
+            lit("0.25").cast(DecimalType(3, 2))).cast(DecimalType(12, 2)).as("dec"),
+          date_add(lit("1995-01-01").cast("date"), col("p_size")).as("dt"),
+          (col("p_partkey") % 1000 - 500).cast("short").as("sh"),
+          (col("p_size") % 100 - 50).cast("byte").as("by"),
+          col("p_brand").cast("binary").as("bin"),
+          (col("p_size").cast("float") + lit(0.5f)).as("fl"),
+          array(col("p_size").cast("float"), (col("p_partkey") % 7).cast("float")).as("vec"),
+          map(lit("brand"), col("p_brand"), lit("type"), col("p_type")).as("props"))
+        .repartitionByRange(8, col("p_partkey"))
+        .write.format("graft-kv")
+        .option("catalog", typesCatalogJson).option("path", dir)
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** Extended-type round-trip through the DuckDB gate: decimal, date,
+    * short and byte surface directly (with a pushed short-range filter);
+    * binary surfaces as hex, array<float>/map<string,string> as extracted
+    * elements — the KV decode of every extended type feeds a hashed
+    * output column. */
+  val q84KvTypes: Q = Q(
+    "q84_kv_types",
+    (s, d) =>
+      s.read.format("graft-kv")
+        .option("catalog", typesCatalogJson).option("path", typesKvDir(s, d)).load()
+        .filter(col("sh") >= -250 && col("sh") < 250 && col("dt") > lit("1995-01-10").cast("date"))
+        .select(
+          col("p_partkey"), col("dec"), col("dt"), col("sh"), col("by"),
+          hex(col("bin")).as("bin_hex"),
+          col("fl").cast("double").as("fl_d"),
+          element_at(col("vec"), 1).cast("double").as("v0"),
+          element_at(col("vec"), 2).cast("double").as("v1"),
+          element_at(col("props"), "brand").as("brand"),
+          element_at(col("props"), "type").as("ptype"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             CAST(CAST(p_partkey AS DECIMAL(10,0)) * CAST(0.25 AS DECIMAL(3,2)) AS DECIMAL(12,2)) AS dec,
+             DATE '1995-01-01' + p_size AS dt,
+             CAST(p_partkey % 1000 - 500 AS SMALLINT) AS sh,
+             CAST(p_size % 100 - 50 AS TINYINT) AS by,
+             hex(encode(p_brand)) AS bin_hex,
+             CAST(CAST(p_size AS REAL) + CAST(0.5 AS REAL) AS DOUBLE) AS fl_d,
+             CAST(CAST(p_size AS REAL) AS DOUBLE) AS v0,
+             CAST(CAST(p_partkey % 7 AS REAL) AS DOUBLE) AS v1,
+             p_brand AS brand,
+             p_type AS ptype
+      FROM part
+      WHERE CAST(p_partkey % 1000 - 500 AS SMALLINT) >= -250
+        AND CAST(p_partkey % 1000 - 500 AS SMALLINT) < 250
+        AND DATE '1995-01-01' + p_size > DATE '1995-01-10'
+      ORDER BY p_partkey"""),
+    doc = "extended-type KV round-trip: decimal/date/short/byte/binary/float/array/map")
+
   private val ordersCatalogJson =
     """{
       |  "table": {"namespace": "default", "name": "orders_kv"},
@@ -299,5 +389,5 @@ object KvQueries {
     doc = "append ingest -> compact -> vacuum -> pushdown scan round-trip")
 
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
-    q81KvCompacted, q82KvStreamed, q83KvTopnDesc)
+    q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes)
 }
