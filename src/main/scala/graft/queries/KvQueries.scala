@@ -149,6 +149,39 @@ object KvQueries {
       LIMIT 40"""),
     doc = "reference Java-demo shape: rowkey bound + DESC top-N tail scan")
 
+  /** Runtime (DPP-style) shard pruning through a real join: the KV
+    * lineitem table (16 range-partitioned shards) is the probe side of a
+    * broadcast join whose build side — a selectively filtered parquet
+    * scan — is only known at runtime. Spark's PartitionPruning rule sees
+    * `SupportsRuntimeFiltering.filterAttributes() == [lk]`, evaluates the
+    * broadcasted build keys, and calls `KvScan.filter(In(lk, …))`, which
+    * re-prunes shards by the IN-set's key range before any probe-side
+    * byte is read ([[graft.sources.KvScan]] `filter`/`rowkeyRange`). At
+    * 100 TB this is the difference between scanning every region and
+    * scanning the few the build side actually touches. */
+  val q85KvRuntimeFilter: Q = Q(
+    "q85_kv_runtime_filter",
+    (s, d) => {
+      val build = Tables.lineitem(s, d)
+        .filter(col("l_quantity") === 50.0 && col("l_orderkey") < 30000)
+        .select((col("l_orderkey") * 100 + col("l_linenumber")).as("blk"))
+      kv(s, d)
+        .join(broadcast(build), col("lk") === col("blk"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n,
+             ${sqlDsum("l_extendedprice")} AS sum_price
+      FROM lineitem
+      JOIN (SELECT l_orderkey * 100 + l_linenumber AS blk FROM lineitem
+            WHERE l_quantity = 50.0 AND l_orderkey < 30000) b
+        ON l_orderkey * 100 + l_linenumber = blk
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    doc = "runtime filter (DPP): broadcast build side re-prunes KV shards at execution")
+
   /** Extended-type catalog (SURVEY.md §1.3/§1.4): every KV cell type
     * beyond the long/int/double/string/timestamp set the other KV
     * queries hash-check — decimal, date, short, byte, binary, float,
@@ -389,5 +422,5 @@ object KvQueries {
     doc = "append ingest -> compact -> vacuum -> pushdown scan round-trip")
 
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
-    q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes)
+    q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter)
 }

@@ -284,6 +284,37 @@ class KvConnectorSpec extends SparkSpec {
       "runtime EqualTo on the rowkey must prune to one shard")
   }
 
+  test("DPP end-to-end: a broadcast join's build side re-prunes shards at runtime") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // build side only known at runtime: a selectively-filtered range
+    val build = spark.range(0, 1000).toDF("bid")
+      .filter(col("bid").isin(10L, 20L, 30L))
+    val joined = kv.join(broadcast(build), col("id") === col("bid"))
+      .select(col("id"), col("name"))
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L, 30L))
+    // Spark must have planned a dynamic-pruning subquery on the KV scan.
+    // AQE wraps every fragment (including the result) in QueryStageExecs
+    // whose subtree hangs off `plan`, not `children` — recurse through.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def findScan(p: SparkPlan): Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case s: QueryStageExec => findScan(s.plan)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+    val scanExec = findScan(joined.queryExecution.executedPlan).get
+    assert(scanExec.runtimeFilters.nonEmpty,
+      s"expected a runtime (dynamic pruning) filter on the KV scan:\n$finalPlan")
+    // ...and executing it must have re-pruned 8 shards down to 1 (ids
+    // 10/20/30 all fall in the first range shard)
+    val scan = scanExec.scan.asInstanceOf[KvScan]
+    assert(scan.planInputPartitions().length == 1,
+      "runtime IN-set must prune the 8 shards to the single covering one")
+  }
+
   test("aggregate pushdown: COUNT/MIN/MAX computed in the scan") {
     val df = kv.agg(
       count(lit(1)).as("n"),
