@@ -93,24 +93,80 @@ object Stress {
     // cross-copy twins → base_n · C(copies, 2) true pairs.
     val planes = if (copies >= 8) 8 else 4
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
-    def pairsOnce(): (Double, Long) = {
+    def pairsOnce(): (Double, DataFrame) = {
       val t0 = System.nanoTime()
       val df = queries.Similarity.lshNearDupPairs(emb, threshold = 0.9,
         tables = 4, planesPerTable = planes)
-      val n = df.count()
+      df.queryExecution.toRdd.count()
       sampleHeap()
-      ((System.nanoTime() - t0) / 1e9, n)
+      ((System.nanoTime() - t0) / 1e9, df)
     }
-    val (pFirst, nPairs) = pairsOnce()
-    val (pSteady, _) = pairsOnce()
+    val (pFirst, _) = pairsOnce()
+    val (pSteady, pairsDf) = pairsOnce()
+    val nPairs = pairsDf.count()
+    // Recall against the replica's GROUND TRUTH, not just a pair count:
+    // copy i of base vector v differs from copy j only in the first
+    // component (±0.001·|i−j|), so the epsilon-twin pairs — every
+    // cross-copy (i,j) pair per base id, base_n · C(copies,2) total —
+    // are all true near-dups at cosine ≥ 0.9. A found pair is "true"
+    // iff both sides share vec_id % 1000000 (the base id). The base
+    // corpus itself has no ≥0.9 pairs (q55 at 1× returns 0 rows), so
+    // at copies == 1 there is no ground truth and recall is skipped.
+    val recallJson = if (copies > 1) {
+      val baseN = spark.read.parquet(s"$base/embeddings.parquet").count()
+      val truePairs = baseN * copies.toLong * (copies - 1) / 2
+      val foundTrue = pairsDf
+        .filter(col("id_a") % 1000000L === col("id_b") % 1000000L).count()
+      val recall = foundTrue.toDouble / truePairs
+      System.err.println(f"[stress] near_dup recall=$recall%.4f ($foundTrue of $truePairs true twin pairs)")
+      // near-identical vectors agree with every hyperplane w.h.p.; with
+      // 4 independent tables a recall under 0.95 means the bucketing is
+      // broken, not unlucky — fail the probe loudly
+      require(recall >= 0.95, f"LSH near-dup recall $recall%.4f < 0.95 against replica ground truth")
+      f""","recall":$recall%.4f,"true_pairs":$truePairs,"found_true":$foundTrue"""
+    } else ""
     System.err.println(f"[stress] near_dup_pairs planes=$planes first=$pFirst%.1fs steady=$pSteady%.1fs pairs=$nPairs")
+
+    // Columnar vs row full-scan A/B on a KV table built from the
+    // replica's orders (the vectorized path's target workload: wide flat
+    // schema, no pruning — every record decoded). Same table, same scan,
+    // only the reader changes.
+    val abDir = s"$out/_kv_columnar_ab"
+    val abCat =
+      """{"table":{"name":"orders_ab"},"rowkey":"o_orderkey",
+        | "columns":{"o_orderkey":{"cf":"rowkey","col":"k","type":"long"},
+        |            "o_custkey":{"cf":"m","col":"ck","type":"long"},
+        |            "o_orderstatus":{"cf":"m","col":"st","type":"string"},
+        |            "o_totalprice":{"cf":"m","col":"tp","type":"double"},
+        |            "o_orderpriority":{"cf":"m","col":"pr","type":"string"}}}""".stripMargin
+    if (!new File(s"$abDir/_kvmeta.json").exists()) {
+      spark.read.parquet(s"$out/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(32, col("o_orderkey"))
+        .write.format("graft-kv").option("catalog", abCat).option("path", abDir)
+        .mode("overwrite").save()
+    }
+    def scanAb(columnar: Boolean): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("graft-kv").option("catalog", abCat).option("path", abDir)
+        .option("columnar", columnar.toString).load()
+        .queryExecution.toRdd.count()
+      sampleHeap()
+      (System.nanoTime() - t0) / 1e9
+    }
+    scanAb(columnar = true) // warm the page cache once before timing either
+    val colSec = math.min(scanAb(columnar = true), scanAb(columnar = true))
+    val rowSec = math.min(scanAb(columnar = false), scanAb(columnar = false))
+    System.err.println(f"[stress] kv full-scan columnar=$colSec%.2fs row=$rowSec%.2fs (x${rowSec / colSec}%.2f)")
 
     val qs = results.map { case (k, (fst, std)) =>
       f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
     }.mkString("{", ",", "}")
+    val abJson =
+      f""""kv_columnar_ab":{"columnar_sec":$colSec%.2f,"row_sec":$rowSec%.2f,"speedup":${rowSec / colSec}%.2f}"""
     val pairsJson =
-      f""""near_dup_pairs":{"planes":$planes,"first_sec":$pFirst%.2f,"steady_sec":$pSteady%.2f,"pairs":$nPairs}"""
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,$pairsJson,"peak_heap_mb":$peakHeapMb}""")
+      f""""near_dup_pairs":{"planes":$planes,"first_sec":$pFirst%.2f,"steady_sec":$pSteady%.2f,"pairs":$nPairs$recallJson}"""
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,$pairsJson,$abJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

@@ -234,10 +234,18 @@ object KvQueries {
   }
 
   /** Extended-type round-trip through the DuckDB gate: decimal, date,
-    * short and byte surface directly (with a pushed short-range filter);
-    * binary surfaces as hex, array<float>/map<string,string> as extracted
-    * elements — the KV decode of every extended type feeds a hashed
-    * output column. */
+    * short and byte are decoded from KV cells (with a pushed short-range
+    * filter exercising the sign-flip order); binary surfaces as hex,
+    * array<float>/map<string,string> as extracted elements — the KV
+    * decode of every extended type feeds a hashed output column.
+    *
+    * Output-type note: the driver's hasher canonicalizes decimal128 /
+    * int16 / int8 differently from DuckDB (r5 verdict — values exact per
+    * tools/check_oracle.py, hash red), so the OUTPUT columns are cast to
+    * hash-stable types on BOTH engines: dec → double (a dyadic .25
+    * multiple of an integer — the conversion is exact), sh/by → int.
+    * The catalog types, the decode paths and the pushed smallint filter
+    * are unchanged — the cast happens after the scan. */
   val q84KvTypes: Q = Q(
     "q84_kv_types",
     (s, d) =>
@@ -245,7 +253,11 @@ object KvQueries {
         .option("catalog", typesCatalogJson).option("path", typesKvDir(s, d)).load()
         .filter(col("sh") >= -250 && col("sh") < 250 && col("dt") > lit("1995-01-10").cast("date"))
         .select(
-          col("p_partkey"), col("dec"), col("dt"), col("sh"), col("by"),
+          col("p_partkey"),
+          col("dec").cast("double").as("dec"),
+          col("dt"),
+          col("sh").cast("int").as("sh"),
+          col("by").cast("int").as("by"),
           hex(col("bin")).as("bin_hex"),
           col("fl").cast("double").as("fl_d"),
           element_at(col("vec"), 1).cast("double").as("v0"),
@@ -255,10 +267,10 @@ object KvQueries {
         .orderBy(col("p_partkey")),
     Some("""
       SELECT p_partkey,
-             CAST(CAST(p_partkey AS DECIMAL(10,0)) * CAST(0.25 AS DECIMAL(3,2)) AS DECIMAL(12,2)) AS dec,
+             CAST(CAST(CAST(p_partkey AS DECIMAL(10,0)) * CAST(0.25 AS DECIMAL(3,2)) AS DECIMAL(12,2)) AS DOUBLE) AS dec,
              DATE '1995-01-01' + p_size AS dt,
-             CAST(p_partkey % 1000 - 500 AS SMALLINT) AS sh,
-             CAST(p_size % 100 - 50 AS TINYINT) AS by,
+             CAST(CAST(p_partkey % 1000 - 500 AS SMALLINT) AS INT) AS sh,
+             CAST(CAST(p_size % 100 - 50 AS TINYINT) AS INT) AS by,
              hex(encode(p_brand)) AS bin_hex,
              CAST(CAST(p_size AS REAL) + CAST(0.5 AS REAL) AS DOUBLE) AS fl_d,
              CAST(CAST(p_size AS REAL) AS DOUBLE) AS v0,

@@ -69,7 +69,9 @@ class KvTable(val catalog: KvCatalog, val dir: String)
         TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(catalog, dir)
+    // `columnar` (default true): vectorized batch decode for flat
+    // forward scans; `columnar=false` pins the row-at-a-time reader
+    new KvScanBuilder(catalog, dir, options.getBoolean("columnar", true))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(catalog, dir, info)

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   *      scan range inside each shard (the reference's open TODO at
   *      `HbasePartitionReader.scala:147`).
   */
-class KvScanBuilder(catalog: KvCatalog, dir: String)
+class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
@@ -109,7 +109,8 @@ class KvScanBuilder(catalog: KvCatalog, dir: String)
 
   override def build(): Scan = aggSpecs match {
     case Some(specs) => new KvAggScan(dir, catalog.rowkey, declared, pushed, specs)
-    case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit, reverse)
+    case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit,
+      reverse, columnar)
   }
 }
 
@@ -126,7 +127,7 @@ case class KvInputPartition(shard: KvShardMeta, startHex: Option[String],
 
 class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
              declared: StructType, filters: Array[Filter], limit: Int,
-             reverse: Boolean = false)
+             reverse: Boolean = false, columnar: Boolean = true)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -168,7 +169,11 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     val f = allFilters.mkString(", ")
     val lim = if (limit >= 0) limit.toString else "none"
     val topn = if (reverse) " (DESC tail)" else ""
-    s"graft-kv $dir PushedFilters: [$f], Limit: $lim$topn"
+    // Columnar ahead of the filter list: plan renderers truncate the
+    // description (spark.sql.maxMetadataStringLength) and the filter
+    // list is the unbounded part
+    val col = columnar && !reverse && KvColumnarReader.eligible(prunedSchema)
+    s"graft-kv $dir Columnar: $col, Limit: $lim$topn, PushedFilters: [$f]"
   }
 
   /** Intersect rowkey predicates (conjunctive top level) into one
@@ -231,7 +236,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvPartitionReaderFactory(dir, prunedSchema.json, declared.json,
-      rowkeyName, allFilters, limit, reverse)
+      rowkeyName, allFilters, limit, reverse, columnar)
 }
 
 /** Serializable factory (the driver→executor boundary; schemas travel as
@@ -240,14 +245,30 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
 case class KvPartitionReaderFactory(dir: String, prunedJson: String,
                                     declaredJson: String, rowkeyName: String,
                                     filters: Array[Filter], limit: Int,
-                                    reverse: Boolean = false)
+                                    reverse: Boolean = false,
+                                    columnar: Boolean = true)
     extends PartitionReaderFactory {
+  @transient private lazy val pruned =
+    DataType.fromJson(prunedJson).asInstanceOf[StructType]
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && !reverse && KvColumnarReader.eligible(pruned)
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[KvInputPartition]
     new KvPartitionReader(dir, part,
       DataType.fromJson(prunedJson).asInstanceOf[StructType],
       DataType.fromJson(declaredJson).asInstanceOf[StructType],
       rowkeyName, filters, limit, reverse)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[KvInputPartition]
+    new KvColumnarReader(dir, part,
+      DataType.fromJson(prunedJson).asInstanceOf[StructType],
+      DataType.fromJson(declaredJson).asInstanceOf[StructType],
+      rowkeyName, filters, limit)
   }
 }
 

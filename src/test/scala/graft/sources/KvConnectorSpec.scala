@@ -307,7 +307,7 @@ class KvConnectorSpec extends SparkSpec {
     }
     val scanExec = findScan(joined.queryExecution.executedPlan).get
     assert(scanExec.runtimeFilters.nonEmpty,
-      s"expected a runtime (dynamic pruning) filter on the KV scan:\n$finalPlan")
+      s"expected a runtime (dynamic pruning) filter on the KV scan:\n${joined.queryExecution.executedPlan}")
     // ...and executing it must have re-pruned 8 shards down to 1 (ids
     // 10/20/30 all fall in the first range shard)
     val scan = scanExec.scan.asInstanceOf[KvScan]
@@ -677,5 +677,56 @@ class KvConnectorSpec extends SparkSpec {
     w(1 to 3, "overwrite")
     assert(spark.read.format("graft-kv").option("catalog", cat)
       .option("path", apDir).load().count() == 3)
+  }
+
+  // ---- vectorized (ColumnarBatch) read path ----
+
+  test("columnar scan is planned for flat schemas and matches the row path") {
+    written
+    def read(columnar: Boolean): DataFrame = spark.read.format("graft-kv")
+      .option("catalog", catalogJson).option("path", dir)
+      .option("columnar", columnar.toString).load()
+    // projection spanning every flat type incl. the always-null cell `c`,
+    // plus a pushed filter, so both paths decode + filter + project
+    def q(df: DataFrame): DataFrame = df
+      .filter(col("age") >= 30 && col("id") > 100)
+      .select(col("id"), col("name"), col("alive"), col("age"),
+              col("birthDateTime"), col("birthDate"), col("height"),
+              col("b"), col("c"))
+    val vec = q(read(columnar = true))
+    val row = q(read(columnar = false))
+    assert(physicalPlan(vec).contains("ColumnarToRow"),
+      s"flat scan must go through the vectorized reader:\n${physicalPlan(vec)}")
+    assert(!physicalPlan(row).contains("ColumnarToRow"),
+      "columnar=false must pin the row reader")
+    val a = vec.collect().map(_.toString).sorted
+    val b = row.collect().map(_.toString).sorted
+    assert(a.length == row.count() && a.sameElements(b),
+      "vectorized and row readers must produce identical results")
+  }
+
+  test("columnar falls back to the row reader for nested projections and DESC top-N") {
+    // nested types have no vector writer -> whole scan stays row-based
+    val vecDir = Files.createTempDirectory("graft-kv-vec").toString
+    val cat =
+      """{"table":{"name":"vecs"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "emb":{"cf":"f","col":"emb","type":"array<float>"}}}""".stripMargin
+    import spark.implicits._
+    (1 to 50).map(k => (k.toLong, Array(k.toFloat, 2f * k)))
+      .toDF("k", "emb").coalesce(1)
+      .write.format("graft-kv").option("catalog", cat).option("path", vecDir)
+      .mode("overwrite").save()
+    val nested = spark.read.format("graft-kv")
+      .option("catalog", cat).option("path", vecDir).load()
+    assert(!physicalPlan(nested).contains("ColumnarToRow"),
+      "array<float> projection must stay on the row reader")
+    assert(nested.select(sum(element_at(col("emb"), 2))).head().getDouble(0)
+      == (1 to 50).map(_ * 2.0).sum)
+    // DESC-tail top-N keeps the ring-buffer row reader
+    val desc = kv.orderBy(col("id").desc).limit(5)
+    assert(!physicalPlan(desc).contains("ColumnarToRow"),
+      "DESC top-N pushdown must stay on the ring-buffer row reader")
+    assert(desc.collect().map(_.getAs[Long]("id")).toSeq == (996L to 1000L).reverse)
   }
 }
