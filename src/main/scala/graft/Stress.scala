@@ -128,21 +128,27 @@ object Stress {
     System.err.println(f"[stress] near_dup_pairs planes=$planes first=$pFirst%.1fs steady=$pSteady%.1fs pairs=$nPairs")
 
     // Columnar vs row full-scan A/B on a KV table built from the
-    // replica's orders (the vectorized path's target workload: wide flat
-    // schema, no pruning — every record decoded). Same table, same scan,
-    // only the reader changes.
-    val abDir = s"$out/_kv_columnar_ab"
+    // replica's lineitem (the vectorized path's target workload: wide
+    // flat schema, no pruning — every record decoded; big enough that
+    // the scan is decode-bound, not task-scheduling-bound). Same table,
+    // same scan, only the reader changes.
+    val abDir = s"$out/_kv_columnar_ab_li"
     val abCat =
-      """{"table":{"name":"orders_ab"},"rowkey":"o_orderkey",
-        | "columns":{"o_orderkey":{"cf":"rowkey","col":"k","type":"long"},
-        |            "o_custkey":{"cf":"m","col":"ck","type":"long"},
-        |            "o_orderstatus":{"cf":"m","col":"st","type":"string"},
-        |            "o_totalprice":{"cf":"m","col":"tp","type":"double"},
-        |            "o_orderpriority":{"cf":"m","col":"pr","type":"string"}}}""".stripMargin
+      """{"table":{"name":"lineitem_ab"},"rowkey":"lk",
+        | "columns":{"lk":{"cf":"rowkey","col":"lk","type":"long"},
+        |            "l_partkey":{"cf":"m","col":"pk","type":"long"},
+        |            "l_quantity":{"cf":"m","col":"qt","type":"double"},
+        |            "l_extendedprice":{"cf":"m","col":"ep","type":"double"},
+        |            "l_discount":{"cf":"m","col":"di","type":"double"},
+        |            "l_returnflag":{"cf":"m","col":"rf","type":"string"},
+        |            "l_shipmode":{"cf":"m","col":"sm","type":"string"}}}""".stripMargin
     if (!new File(s"$abDir/_kvmeta.json").exists()) {
-      spark.read.parquet(s"$out/orders.parquet")
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
-        .repartitionByRange(32, col("o_orderkey"))
+      spark.read.parquet(s"$out/lineitem.parquet")
+        .select(
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("lk"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_returnflag"), col("l_shipmode"))
+        .repartitionByRange(32, col("lk"))
         .write.format("graft-kv").option("catalog", abCat).option("path", abDir)
         .mode("overwrite").save()
     }

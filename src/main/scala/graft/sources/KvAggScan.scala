@@ -149,10 +149,12 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     val reader = new KvStore.ShardReader(dir, part.shard,
       part.startHex.map(KvStore.fromHex).orNull,
       part.endHex.map(KvStore.fromHex).orNull)
+    val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
+      decoder.scratch)
     try {
       while (reader.hasNext) {
         decoder.decodeInto(reader.next())
-        if (filters.forall(FilterEval.eval(_, decoder.getByName, decoder.dtByName))) {
+        if (pred()) {
           countStar += 1
           var i = 0
           while (i < countIdx.length) {

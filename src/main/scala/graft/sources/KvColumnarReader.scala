@@ -77,6 +77,8 @@ class KvColumnarReader(dir: String, part: KvInputPartition,
     pruned.fieldNames.toSet ++ filters.flatMap(_.references))
   private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map(decoder.idxByName)
   private val writers = pruned.fields.map(f => KvColumnarReader.writerFor(f.dataType))
+  private val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
+    decoder.scratch)
 
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, pruned)
@@ -90,7 +92,7 @@ class KvColumnarReader(dir: String, part: KvInputPartition,
     var n = 0
     while (n < capacity && (limit < 0 || served < limit) && reader.hasNext) {
       decoder.decodeInto(reader.next())
-      if (filters.forall(FilterEval.eval(_, decoder.getByName, decoder.dtByName))) {
+      if (pred()) {
         var k = 0
         while (k < writers.length) {
           val x = decoder.scratch(prunedFromNeeded(k))

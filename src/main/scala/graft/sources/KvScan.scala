@@ -335,6 +335,8 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
     pruned.fieldNames.toSet ++ filters.flatMap(_.references))
   // pruned position k ← needed position prunedFromNeeded(k)
   private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map(decoder.idxByName)
+  private val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
+    decoder.scratch)
 
   private var current: InternalRow = _
   private var served = 0L
@@ -354,7 +356,7 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
     tail = new Array[Array[Any]](limit)
     while (reader.hasNext) {
       decoder.decodeInto(reader.next())
-      if (filters.forall(FilterEval.eval(_, decoder.getByName, decoder.dtByName))) {
+      if (pred()) {
         tail((tailMatches % limit).toInt) = project()
         tailMatches += 1
       }
@@ -375,7 +377,7 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
     }
     while (reader.hasNext) {
       decoder.decodeInto(reader.next())
-      if (filters.forall(FilterEval.eval(_, decoder.getByName, decoder.dtByName))) {
+      if (pred()) {
         current = InternalRow.fromSeq(
           scala.collection.immutable.ArraySeq.unsafeWrapArray(project()))
         served += 1
