@@ -141,13 +141,13 @@ object Stress {
         |            "l_extendedprice":{"cf":"m","col":"ep","type":"double"},
         |            "l_discount":{"cf":"m","col":"di","type":"double"},
         |            "l_returnflag":{"cf":"m","col":"rf","type":"string"},
-        |            "l_shipmode":{"cf":"m","col":"sm","type":"string"}}}""".stripMargin
+        |            "l_linestatus":{"cf":"m","col":"ls","type":"string"}}}""".stripMargin
     if (!new File(s"$abDir/_kvmeta.json").exists()) {
       spark.read.parquet(s"$out/lineitem.parquet")
         .select(
           (col("l_orderkey") * 100 + col("l_linenumber")).as("lk"),
           col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_returnflag"), col("l_shipmode"))
+          col("l_discount"), col("l_returnflag"), col("l_linestatus"))
         .repartitionByRange(32, col("lk"))
         .write.format("graft-kv").option("catalog", abCat).option("path", abDir)
         .mode("overwrite").save()

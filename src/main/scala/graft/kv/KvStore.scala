@@ -56,6 +56,10 @@ object KvStore {
   /** Canonical location for format-versioned derived KV tables. */
   def cacheDir(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-kv-cache/v$FormatVersion-$name"
+
+  /** Shared empty cell list (records outside a clipped range, or whose
+    * cells were all parse-pruned, carry this instead of a fresh Seq). */
+  val NoCells: Seq[KvCell] = Vector.empty
   private val Magic = "GKV1".getBytes(StandardCharsets.US_ASCII)
   private val mapper = new ObjectMapper()
 
@@ -174,10 +178,21 @@ object KvStore {
   // ---- shard reader ----
 
   /** Streaming iterator over one shard, optionally clipped to an
-    * inclusive key range (start/end nullable). */
+    * inclusive key range (start/end nullable).
+    *
+    * `wanted(cf, qualifier)` (nullable = keep everything) lets scans
+    * drop cells for unprojected columns AT PARSE TIME: the value bytes
+    * are skipped in the stream instead of allocated+copied, and the
+    * cell object is never built. Maintenance readers (compactor) pass
+    * null and see every cell. The parse loop is the innermost loop of
+    * every KV scan — it avoids per-cell allocation for the cf/qualifier
+    * names entirely (scratch buffer + tiny intern table, names repeat
+    * on every record) and skips cell parsing for records outside the
+    * clipped key range. */
   final class ShardReader(tableDir: String, shard: KvShardMeta,
                           startKey: Array[Byte] = null,
-                          endKey: Array[Byte] = null)
+                          endKey: Array[Byte] = null,
+                          wanted: (String, String) => Boolean = null)
       extends Iterator[KvRecord] with Closeable {
     private val in = new DataInputStream(new BufferedInputStream(
       new FileInputStream(s"$tableDir/${shard.file}"), 1 << 16))
@@ -189,35 +204,88 @@ object KvStore {
     private var nextRec: KvRecord = _
     private var done = false
 
-    // cf/qualifier names repeat on every record — intern them so the hot
-    // loop reuses one String per distinct name instead of allocating two
-    // fresh Strings per cell
-    private val internCache = new java.util.HashMap[java.nio.ByteBuffer, String]()
-    private def intern(b: Array[Byte]): String = {
-      val key = java.nio.ByteBuffer.wrap(b)
-      val hit = internCache.get(key)
-      if (hit != null) hit
-      else { val s = new String(b, StandardCharsets.UTF_8); internCache.put(key, s); s }
+    // cf/qualifier intern: names repeat on every record, and a table has
+    // only a handful of distinct ones — read the bytes into a reused
+    // scratch buffer and linear-probe a tiny table (no per-cell
+    // allocation at all on the hit path)
+    private var nameScratch = new Array[Byte](64)
+    private var internedBytes = new Array[Array[Byte]](8)
+    private var internedStrs = new Array[String](8)
+    private var internedN = 0
+    private def readName(): String = {
+      val len = in.readShort()
+      if (nameScratch.length < len) nameScratch = new Array[Byte](math.max(len, 64))
+      in.readFully(nameScratch, 0, len)
+      var i = 0
+      while (i < internedN) {
+        val b = internedBytes(i)
+        if (b.length == len && java.util.Arrays.equals(b, 0, len, nameScratch, 0, len))
+          return internedStrs(i)
+        i += 1
+      }
+      if (internedN == internedBytes.length) {
+        internedBytes = java.util.Arrays.copyOf(internedBytes, internedN * 2)
+        internedStrs = java.util.Arrays.copyOf(internedStrs, internedN * 2)
+      }
+      val copy = java.util.Arrays.copyOf(nameScratch, len)
+      val s = new String(copy, StandardCharsets.UTF_8)
+      internedBytes(internedN) = copy
+      internedStrs(internedN) = s
+      internedN += 1
+      s
     }
 
+    // reused per-record cell staging (compacted into an exact-size
+    // ArraySeq only for the cells that survive `wanted`)
+    private var cellScratch = new Array[KvCell](8)
+
+    private def beforeStart(k: Array[Byte]): Boolean =
+      startKey != null && BytesCodec.compareKeys(k, startKey) < 0
+
+    /** Parse one record. A key below the clipped range start skips all
+      * cell parsing (lengths read, bytes skipped, nothing built) — the
+      * key alone decides whether the scan has reached its range. */
     private def readRecord(): KvRecord = {
       val keyLen = try in.readInt() catch { case _: EOFException => return null }
       val key = new Array[Byte](keyLen); in.readFully(key)
       val n = in.readInt()
-      val cells = Vector.tabulate(n) { _ =>
-        val cfLen = in.readShort(); val cf = new Array[Byte](cfLen); in.readFully(cf)
-        val qLen = in.readShort(); val q = new Array[Byte](qLen); in.readFully(q)
-        val vLen = in.readInt(); val v = new Array[Byte](vLen); in.readFully(v)
-        KvCell(intern(cf), intern(q), v)
+      if (beforeStart(key)) {
+        var i = 0
+        while (i < n) {
+          in.skipNBytes(in.readShort().toLong) // cf
+          in.skipNBytes(in.readShort().toLong) // qualifier
+          in.skipNBytes(in.readInt().toLong)   // value
+          i += 1
+        }
+        KvRecord(key, KvStore.NoCells)
+      } else {
+        if (cellScratch.length < n) cellScratch = new Array[KvCell](n)
+        var kept = 0
+        var i = 0
+        while (i < n) {
+          val cf = readName()
+          val q = readName()
+          val vLen = in.readInt()
+          if (wanted == null || wanted(cf, q)) {
+            val v = new Array[Byte](vLen); in.readFully(v)
+            cellScratch(kept) = KvCell(cf, q, v)
+            kept += 1
+          } else in.skipNBytes(vLen.toLong)
+          i += 1
+        }
+        val cells =
+          if (kept == 0) KvStore.NoCells
+          else scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            java.util.Arrays.copyOf(cellScratch, kept))
+        KvRecord(key, cells)
       }
-      KvRecord(key, cells)
     }
 
     private def advance(): Unit = {
       while (!done) {
         val r = readRecord()
         if (r == null) { done = true; nextRec = null; close() }
-        else if (startKey != null && BytesCodec.compareKeys(r.key, startKey) < 0) ()
+        else if (beforeStart(r.key)) ()
         else if (endKey != null && BytesCodec.compareKeys(r.key, endKey) > 0) {
           // sorted file → nothing further can match
           done = true; nextRec = null; close()

@@ -148,7 +148,7 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
 
     val reader = new KvStore.ShardReader(dir, part.shard,
       part.startHex.map(KvStore.fromHex).orNull,
-      part.endHex.map(KvStore.fromHex).orNull)
+      part.endHex.map(KvStore.fromHex).orNull, decoder.wantedCell)
     val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
       decoder.scratch)
     try {

@@ -288,6 +288,20 @@ final class KvRecordDecoder(declared: StructType, neededNames: Set[String]) {
   val scratch = new Array[Any](needed.length)
   val getByName: String => Any = name => scratch(idxByName(name))
 
+  /** Parse-time cell filter for [[graft.kv.KvStore.ShardReader]]: keep
+    * only cells some needed field decodes from (the rowkey pseudo-CF
+    * never materializes as a stored cell). Unprojected cell values are
+    * then SKIPPED in the stream — no allocation, no copy. */
+  val wantedCell: (String, String) => Boolean = (cf, q) => {
+    var i = 0
+    var hit = false
+    while (!hit && i < needed.length) {
+      hit = !neededIsRowkey(i) && neededCf(i) == cf && neededQual(i) == q
+      i += 1
+    }
+    hit
+  }
+
   def decodeInto(rec: KvRecord): Unit = {
     var i = 0
     while (i < needed.length) {
@@ -326,13 +340,12 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
                         reverse: Boolean = false)
     extends PartitionReader[InternalRow] {
 
-  private val reader = new KvStore.ShardReader(dir, part.shard,
-    part.startHex.map(KvStore.fromHex).orNull,
-    part.endHex.map(KvStore.fromHex).orNull)
-
   // columns needed = pruned ∪ filter references
   private val decoder = new KvRecordDecoder(declared,
     pruned.fieldNames.toSet ++ filters.flatMap(_.references))
+  private val reader = new KvStore.ShardReader(dir, part.shard,
+    part.startHex.map(KvStore.fromHex).orNull,
+    part.endHex.map(KvStore.fromHex).orNull, decoder.wantedCell)
   // pruned position k ← needed position prunedFromNeeded(k)
   private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map(decoder.idxByName)
   private val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
