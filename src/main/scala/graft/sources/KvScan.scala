@@ -302,24 +302,62 @@ final class KvRecordDecoder(declared: StructType, neededNames: Set[String]) {
     hit
   }
 
+  // (cf, qualifier) → needed index, memoized by REFERENCE: the shard
+  // reader interns names, so after the first record every lookup is two
+  // pointer compares. A miss falls back to string equality and appends
+  // the new identity pair (bounded by distinct names in one shard).
+  private var memoCf = new Array[String](8)
+  private var memoQ = new Array[String](8)
+  private var memoIdx = new Array[Int](8)
+  private var memoN = 0
+  private def fieldIdx(cf: String, q: String): Int = {
+    var i = 0
+    while (i < memoN) {
+      if ((memoCf(i) eq cf) && (memoQ(i) eq q)) return memoIdx(i)
+      i += 1
+    }
+    var idx = -1
+    var j = 0
+    while (j < needed.length && idx < 0) {
+      if (!neededIsRowkey(j) && neededCf(j) == cf && neededQual(j) == q) idx = j
+      j += 1
+    }
+    // A decoder normally serves ONE shard reader (≤ distinct names per
+    // shard). If it is ever shared across many readers, each shard's
+    // interned instances differ and the memo would grow linearly —
+    // reset instead of letting every cell lookup walk a long table.
+    if (memoN == 256) memoN = 0
+    if (memoN == memoCf.length) {
+      memoCf = java.util.Arrays.copyOf(memoCf, memoN * 2)
+      memoQ = java.util.Arrays.copyOf(memoQ, memoN * 2)
+      memoIdx = java.util.Arrays.copyOf(memoIdx, memoN * 2)
+    }
+    memoCf(memoN) = cf; memoQ(memoN) = q; memoIdx(memoN) = idx
+    memoN += 1
+    idx
+  }
+
+  /** One pass over the record's cells (not needed × cells): each cell
+    * resolves its field index through the identity memo and decodes
+    * straight into the scratch slot. First matching cell wins, missing
+    * cell ≡ null ≡ SQL NULL — identical semantics to the reference's
+    * per-column HBase `Result` lookup. */
   def decodeInto(rec: KvRecord): Unit = {
     var i = 0
     while (i < needed.length) {
       scratch(i) =
         if (neededIsRowkey(i)) BytesCodec.decodeKey(needed(i).dataType, rec.key)
-        else {
-          val cells = rec.cells
-          var j = 0
-          var v: Any = null
-          while (j < cells.length && v == null) {
-            val c = cells(j)
-            if (c.cf == neededCf(i) && c.qualifier == neededQual(i))
-              v = BytesCodec.decode(needed(i).dataType, c.value)
-            j += 1
-          }
-          v
-        }
+        else null
       i += 1
+    }
+    val cells = rec.cells
+    var j = 0
+    while (j < cells.length) {
+      val c = cells(j)
+      val k = fieldIdx(c.cf, c.qualifier)
+      if (k >= 0 && scratch(k) == null)
+        scratch(k) = BytesCodec.decode(needed(k).dataType, c.value)
+      j += 1
     }
   }
 }
