@@ -137,16 +137,55 @@ object KvStore {
   // ---- shard writer ----
 
   /** Streams records (must arrive sorted by key within the shard) to a
-    * shard file; tracks min/max/rows for the manifest entry. */
+    * shard file; tracks min/max/rows for the manifest entry. Same
+    * hand-rolled buffering as the reader: DataOutputStream.writeInt is
+    * four synchronized single-byte writes, which dominates ingest CPU
+    * at chunked-write volume. */
   final class ShardWriter(tableDir: String, fileName: String) {
     Files.createDirectories(Paths.get(tableDir))
-    private val out = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(s"$tableDir/$fileName"), 1 << 16))
-    out.write(Magic)
+    private val out = new FileOutputStream(s"$tableDir/$fileName")
+    private val buf = new Array[Byte](1 << 20)
+    private var pos = 0
+
+    private def flushBuf(): Unit = { if (pos > 0) { out.write(buf, 0, pos); pos = 0 } }
+    private def need(n: Int): Unit = if (buf.length - pos < n) flushBuf()
+    private def putInt(v: Int): Unit = {
+      need(4)
+      val p = pos
+      buf(p) = (v >>> 24).toByte; buf(p + 1) = (v >>> 16).toByte
+      buf(p + 2) = (v >>> 8).toByte; buf(p + 3) = v.toByte
+      pos = p + 4
+    }
+    private def putShort(v: Int): Unit = {
+      need(2)
+      buf(pos) = (v >>> 8).toByte; buf(pos + 1) = v.toByte
+      pos += 2
+    }
+    private def putBytes(b: Array[Byte]): Unit =
+      if (b.length <= buf.length - pos) {
+        System.arraycopy(b, 0, buf, pos, b.length); pos += b.length
+      } else { flushBuf(); out.write(b) }
+
+    putBytes(Magic)
     private var rows = 0L
     private var minKey: Array[Byte] = _
     private var maxKey: Array[Byte] = _
     private var lastKey: Array[Byte] = _
+
+    // cell names repeat every record — cache their UTF-8 bytes by
+    // reference so append() does not re-encode two strings per cell
+    private var nameKeys = new Array[String](8)
+    private var nameBytes = new Array[Array[Byte]](8)
+    private var nameN = 0
+    private def utf8(s: String): Array[Byte] = {
+      var i = 0
+      while (i < nameN) { if (nameKeys(i) eq s) return nameBytes(i); i += 1 }
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      if (nameN < nameKeys.length) {
+        nameKeys(nameN) = s; nameBytes(nameN) = b; nameN += 1
+      } // else: identity-cache full (unusual churn) — still correct, just uncached
+      b
+    }
 
     def append(rec: KvRecord): Unit = {
       if (lastKey != null)
@@ -155,20 +194,21 @@ object KvStore {
       lastKey = rec.key
       if (minKey == null) minKey = rec.key
       maxKey = rec.key
-      out.writeInt(rec.key.length); out.write(rec.key)
-      out.writeInt(rec.cells.length)
+      putInt(rec.key.length); putBytes(rec.key)
+      putInt(rec.cells.length)
       rec.cells.foreach { c =>
-        val cf = c.cf.getBytes(StandardCharsets.UTF_8)
-        val q = c.qualifier.getBytes(StandardCharsets.UTF_8)
-        out.writeShort(cf.length); out.write(cf)
-        out.writeShort(q.length); out.write(q)
-        out.writeInt(c.value.length); out.write(c.value)
+        val cf = utf8(c.cf)
+        val q = utf8(c.qualifier)
+        putShort(cf.length); putBytes(cf)
+        putShort(q.length); putBytes(q)
+        putInt(c.value.length); putBytes(c.value)
       }
       rows += 1
     }
 
     /** → manifest entry (None if no rows were written; file removed). */
     def close(): Option[KvShardMeta] = {
+      flushBuf()
       out.close()
       if (rows == 0) { new File(s"$tableDir/$fileName").delete(); None }
       else Some(KvShardMeta(fileName, rows, toHex(minKey), toHex(maxKey)))
