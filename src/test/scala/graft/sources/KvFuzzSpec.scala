@@ -87,6 +87,43 @@ class KvFuzzSpec extends SparkSpec {
     }
   }
 
+  test("values larger than the reader buffer round-trip and skip correctly") {
+    // the shard reader parses from a 1 MiB buffer: a 3 MiB value forces
+    // the ensure() growth path when projected and the stream-skip path
+    // (buffer bypass) when parse-pruned — both must preserve neighbors
+    import spark.implicits._
+    val bigCat =
+      """{"table":{"name":"big"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "big":{"cf":"f","col":"big","type":"string"},
+        |            "tag":{"cf":"f","col":"tag","type":"string"}}}""".stripMargin
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 12).map { k =>
+      val big =
+        if (k % 3 == 0) ("x" * (3 << 20)) + k  // 3 MiB, unique tail
+        else randomString(rnd)
+      (k.toLong, big, s"tag$k")
+    }
+    val dir = Files.createTempDirectory("graft-kv-big").toString
+    rows.toDF("k", "big", "tag").coalesce(1)
+      .write.format("graft-kv").option("catalog", bigCat).option("path", dir)
+      .mode("overwrite").save()
+    def read() = spark.read.format("graft-kv")
+      .option("catalog", bigCat).option("path", dir).load()
+    // projected: growth path decodes the 3 MiB values intact
+    val got = read().select("k", "big").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (k, big, _) => assert(got(k) == big, s"k=$k big value") }
+    // parse-pruned: the huge values are skipped in the stream; the cells
+    // after them must still parse
+    val tags = read().select("k", "tag").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (k, _, tag) => assert(tags(k) == tag, s"k=$k tag after skip") }
+    // and a filter on the huge column itself (decode + compare)
+    assert(read().filter(col("big") === rows(2)._2).select("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("random projections agree across row and columnar readers under parse-time cell skipping") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
