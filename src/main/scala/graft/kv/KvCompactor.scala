@@ -132,6 +132,22 @@ object KvCompactor {
     }
     val heap = mutable.PriorityQueue.empty[Head]
     readers.foreach { case (r, i) => if (r.hasNext) heap.enqueue(Head(r.next(), i, r)) }
+    // Zone-map merge needs no schema: bounds are stored in the
+    // order-preserving key encoding, so the merged extreme per column is
+    // a plain byte-order min/max. A column may carry stats only if EVERY
+    // input has them (an input without stats may still hold values
+    // anywhere in the domain — its extremes are unknown).
+    val mergedStats: Map[String, (String, String)] = group.head.stats.keySet
+      .filter(k => group.forall(_.stats.contains(k)))
+      .map { k =>
+        val bounds = group.map(_.stats(k))
+        val mn = bounds.map(b => KvStore.fromHex(b._1))
+          .min(Ordering.fromLessThan[Array[Byte]](BytesCodec.compareKeys(_, _) < 0))
+        val mx = bounds.map(b => KvStore.fromHex(b._2))
+          .max(Ordering.fromLessThan[Array[Byte]](BytesCodec.compareKeys(_, _) < 0))
+        k -> (KvStore.toHex(mn), KvStore.toHex(mx))
+      }.toMap
+
     val w = new KvStore.ShardWriter(tableDir, fileName)
     var done = false
     try {
@@ -141,7 +157,7 @@ object KvCompactor {
         if (h.it.hasNext) heap.enqueue(Head(h.it.next(), h.idx, h.it))
       }
       done = true
-      w.close()
+      w.close().map(_.copy(stats = mergedStats))
     } finally {
       readers.foreach(_._1.close())
       if (!done) {

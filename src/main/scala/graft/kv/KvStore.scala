@@ -36,9 +36,19 @@ final case class KvCell(cf: String, qualifier: String, value: Array[Byte])
 
 /** `hosts` = optional locality hints (nodes holding this shard's bytes,
   * ≙ the reference's per-region preferred host) surfaced to Spark via
-  * `InputPartition.preferredLocations`; empty on a shared filesystem. */
+  * `InputPartition.preferredLocations`; empty on a shared filesystem.
+  *
+  * `stats` = optional per-column zone maps: "cf:qualifier" →
+  * (minHex, maxHex) of the column's non-null cell values IN THE
+  * ORDER-PRESERVING KEY ENCODING ([[BytesCodec.encodeKey]] — sign-flip
+  * integrals, IEEE-total-order floats), NOT the raw cell encoding whose
+  * byte order misorders negative numerics. That choice makes the zone
+  * maps mergeable by plain byte comparison (compaction needs no schema)
+  * and decodable to typed bounds at scan time (the scan has the
+  * catalog). A column absent from the map ⇒ unknown ⇒ never pruned. */
 final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKeyHex: String,
-                             hosts: Seq[String] = Nil) {
+                             hosts: Seq[String] = Nil,
+                             stats: Map[String, (String, String)] = Map.empty) {
   def minKey: Array[Byte] = KvStore.fromHex(minKeyHex)
   def maxKey: Array[Byte] = KvStore.fromHex(maxKeyHex)
 }
@@ -103,8 +113,11 @@ object KvStore {
     val root = mapper.readTree(new File(metaPath(tableDir)))
     val shards = root.path("shards").elements().asScala.map { s =>
       val hosts = s.path("hosts").elements().asScala.map(_.asText()).toSeq
+      val stats = s.path("stats").fields().asScala.map { e =>
+        e.getKey -> (e.getValue.path("min").asText(), e.getValue.path("max").asText())
+      }.toMap
       KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
-        s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts)
+        s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts, stats)
     }.toSeq
     val epochs = root.path("committedEpochs").elements().asScala.map(_.asText()).toSeq
     KvTableMeta(shards, epochs)
@@ -121,6 +134,12 @@ object KvStore {
       if (s.hosts.nonEmpty) {
         val h = o.putArray("hosts")
         s.hosts.foreach(h.add)
+      }
+      if (s.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        s.stats.foreach { case (k, (mn, mx)) =>
+          val e = st.putObject(k); e.put("min", mn); e.put("max", mx)
+        }
       }
     }
     if (meta.committedEpochs.nonEmpty) {

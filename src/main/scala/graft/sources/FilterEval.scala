@@ -162,8 +162,10 @@ object FilterEval {
   /** Typed comparator for decoded values of `dt` against a canon'd
     * literal, mirroring [[cmp]]'s cross-type Number semantics. None =
     * the literal can never compare (wrong type / null) — the caller
-    * folds that to constant-false exactly as [[cmp]]'s None does. */
-  private def cmpFn(dt: DataType, lit: Any): Option[Any => Int] = (dt, lit) match {
+    * folds that to constant-false exactly as [[cmp]]'s None does.
+    * Shared with [[KvZoneMaps]], which compares shard BOUNDS (decoded
+    * through the same internal domain) against the same literals. */
+  private[sources] def cmpToLiteral(dt: DataType, lit: Any): Option[Any => Int] = (dt, lit) match {
     case (_, null) => None
     case (LongType | TimestampType, l: Number) =>
       val y = l.longValue(); Some(x => java.lang.Long.compare(x.asInstanceOf[Long], y))
@@ -190,7 +192,7 @@ object FilterEval {
                   dtOf: String => DataType, scratch: Array[Any]): () => Boolean = {
     val i = idxOf(a)
     val dt = dtOf(a)
-    cmpFn(dt, canon(dt, v)) match {
+    cmpToLiteral(dt, canon(dt, v)) match {
       case None => alwaysFalse // null / incomparable literal: eval() yields false too
       case Some(c) => () => { val x = scratch(i); x != null && test(c(x)) }
     }
@@ -206,7 +208,7 @@ object FilterEval {
     case In(a, vs) =>
       val i = idxOf(a)
       val dt = dtOf(a)
-      val cs: Array[Any => Int] = vs.flatMap(v => cmpFn(dt, canon(dt, v)))
+      val cs: Array[Any => Int] = vs.flatMap(v => cmpToLiteral(dt, canon(dt, v)))
       () => {
         val x = scratch(i)
         if (x == null) false

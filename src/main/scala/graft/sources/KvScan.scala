@@ -223,12 +223,14 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val meta = KvStore.readMeta(dir)
     val (lo, hi) = rowkeyRange()
-    meta.shards
-      .filter { s =>
-        // shard [min,max] intersects [lo,hi]?
-        lo.forall(l => BytesCodec.compareKeys(s.maxKey, l) >= 0) &&
-        hi.forall(h => BytesCodec.compareKeys(s.minKey, h) <= 0)
-      }
+    val inKeyRange = meta.shards.filter { s =>
+      // shard [min,max] intersects [lo,hi]?
+      lo.forall(l => BytesCodec.compareKeys(s.maxKey, l) >= 0) &&
+      hi.forall(h => BytesCodec.compareKeys(s.minKey, h) <= 0)
+    }
+    // zone maps: value-column predicates prune shards whose recorded
+    // min/max exclude the literal — the non-rowkey pruning axis
+    KvZoneMaps.prune(inKeyRange, allFilters, declared)
       .map(s => KvInputPartition(s, lo.map(KvStore.toHex), hi.map(KvStore.toHex))
         : InputPartition)
       .toArray

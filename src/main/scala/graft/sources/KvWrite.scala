@@ -217,6 +217,33 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
   private val emittedFiles = new ArrayBuffer[String]()
   private val emittedShards = new ArrayBuffer[KvShardMeta]()
 
+  // ---- per-chunk zone maps ("cf:qual" → min/max in key encoding) ----
+  // Tracked in the ORDER-PRESERVING key encoding so bounds merge under
+  // plain byte comparison at compaction time and decode to typed bounds
+  // at scan time (KvShardMeta.stats scaladoc). Oversized values poison
+  // the column for the chunk (giant string bounds don't belong in a
+  // manifest); unsupported types are never tracked.
+  private val statsCols: Array[Int] =
+    cellCols.indices.filter(c => KvZoneMaps.supported(cellCols(c)._4)).toArray
+  private val statsMin = new Array[Array[Byte]](cellCols.length)
+  private val statsMax = new Array[Array[Byte]](cellCols.length)
+  private val statsPoisoned = new Array[Boolean](cellCols.length)
+
+  private def trackStats(c: Int, dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
+    if (!statsPoisoned(c)) {
+      val enc = BytesCodec.encodeKey(dt, v)
+      if (enc.length > KvZoneMaps.MaxBoundBytes) {
+        statsPoisoned(c) = true
+        statsMin(c) = null; statsMax(c) = null
+      } else {
+        if (statsMin(c) == null || BytesCodec.compareKeys(enc, statsMin(c)) < 0)
+          statsMin(c) = enc
+        if (statsMax(c) == null || BytesCodec.compareKeys(enc, statsMax(c)) > 0)
+          statsMax(c) = enc
+      }
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(rowkeyIdx), s"null rowkey '${rowkey}' at write")
     val key = BytesCodec.encodeKey(keyType, row.get(rowkeyIdx, keyType))
@@ -227,6 +254,13 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
         recBytes += cf.length + qual.length + v.length + 8
         KvCell(cf, qual, v)
     }.toIndexedSeq
+    var sc = 0
+    while (sc < statsCols.length) {
+      val c = statsCols(sc)
+      val (i, _, _, dt) = cellCols(c)
+      if (!row.isNullAt(i)) trackStats(c, dt, row.get(i, dt))
+      sc += 1
+    }
     buffer += KvRecord(key, cells)
     bufferedBytes += recBytes
     if (bufferedBytes >= chunkBytes) flushChunk()
@@ -243,9 +277,17 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
       val sorted = buffer.sortWith((a, b) => BytesCodec.compareKeys(a.key, b.key) < 0)
       val w = new KvStore.ShardWriter(dir, name)
       sorted.foreach(w.append)
-      w.close().foreach(emittedShards += _)
+      val stats = statsCols.iterator.filter(c =>
+        !statsPoisoned(c) && statsMin(c) != null).map { c =>
+        val (_, cf, qual, _) = cellCols(c)
+        s"$cf:$qual" -> (KvStore.toHex(statsMin(c)), KvStore.toHex(statsMax(c)))
+      }.toMap
+      w.close().foreach(m => emittedShards += m.copy(stats = stats))
       buffer.clear()
       bufferedBytes = 0L
+      java.util.Arrays.fill(statsMin.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(statsMax.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(statsPoisoned, false)
     }
   }
 

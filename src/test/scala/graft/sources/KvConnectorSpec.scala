@@ -679,6 +679,56 @@ class KvConnectorSpec extends SparkSpec {
       .option("path", apDir).load().count() == 3)
   }
 
+  // ---- zone maps: value-column shard pruning ----
+
+  test("zone maps prune shards on value-column predicates and survive compaction") {
+    val zDir = Files.createTempDirectory("graft-kv-zone").toString
+    val zCat =
+      """{"table":{"name":"zoned"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"long"},
+        |            "s":{"cf":"f","col":"s","type":"string"}}}""".stripMargin
+    import spark.implicits._
+    // v and s are monotone in the rowkey, so range-partitioned shards
+    // carry disjoint value ranges — the shape zone maps exploit
+    (1 to 800).map(k => (k.toLong, k.toLong * 10, f"s$k%04d")).toDF("k", "v", "s")
+      .repartitionByRange(8, col("k"))
+      .write.format("graft-kv").option("catalog", zCat).option("path", zDir)
+      .mode("overwrite").save()
+    def read(): DataFrame = spark.read.format("graft-kv")
+      .option("catalog", zCat).option("path", zDir).load()
+
+    assert(read().rdd.getNumPartitions == 8)
+    val eq = read().filter(col("v") === 4000L)
+    assert(eq.rdd.getNumPartitions == 1, "v=4000 lives in exactly one shard's bounds")
+    assert(eq.collect().map(_.getAs[Long]("k")).toSeq == Seq(400L))
+    val range = read().filter(col("v") > 7000L)
+    assert(range.rdd.getNumPartitions <= 2, "top value range must touch at most 2 shards")
+    assert(range.count() == 100)
+    val strEq = read().filter(col("s") === "s0123")
+    assert(strEq.rdd.getNumPartitions == 1, "string bounds prune too")
+    assert(strEq.collect().map(_.getAs[Long]("k")).toSeq == Seq(123L))
+    val in = read().filter(col("v").isin(50L, 7990L))
+    assert(in.rdd.getNumPartitions == 2, "IN prunes to the shards covering its literals")
+    assert(in.count() == 2)
+    // spanning predicate keeps everything; IsNull never prunes
+    assert(read().filter(col("v") >= 0L).rdd.getNumPartitions == 8)
+    assert(read().filter(col("s").isNull).count() == 0)
+
+    // compaction merges bounds by byte order (no schema in the
+    // compactor) — pruning keeps working on the merged manifest
+    val total = graft.kv.KvStore.readMeta(zDir).shards
+      .map(s => new java.io.File(s"$zDir/${s.file}").length()).sum
+    assert(graft.kv.KvCompactor.compact(zDir, targetBytes = total / 2 + 1) >= 2)
+    val after = graft.kv.KvStore.readMeta(zDir).shards
+    assert(after.length < 8 && after.forall(_.stats.nonEmpty),
+      s"merged shards must carry merged stats: $after")
+    val eq2 = read().filter(col("v") === 4000L)
+    assert(eq2.rdd.getNumPartitions == 1)
+    assert(eq2.collect().map(_.getAs[Long]("k")).toSeq == Seq(400L))
+    assert(read().count() == 800)
+  }
+
   // ---- vectorized (ColumnarBatch) read path ----
 
   test("columnar scan is planned for flat schemas and matches the row path") {
