@@ -433,6 +433,73 @@ object KvQueries {
       ORDER BY o_orderpriority"""),
     doc = "append ingest -> compact -> vacuum -> pushdown scan round-trip")
 
+  private val zonedCatalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "orders_zoned"},
+      |  "rowkey": "o_orderkey",
+      |  "columns": {
+      |    "o_orderkey": {"cf": "rowkey", "col": "o_orderkey", "type": "long"},
+      |    "v": {"cf": "z", "col": "v", "type": "long"},
+      |    "o_totalprice": {"cf": "z", "col": "tp", "type": "double"}
+      |  }
+      |}""".stripMargin
+
+  /** Build (once per sfDir) a range-partitioned KV orders table whose
+    * cell column `v = 3·o_orderkey + 7` is monotone in the rowkey —
+    * every shard's zone map covers a disjoint `v` range, the shape
+    * value-column pruning exploits. */
+  private def zonedOrdersDir(s: SparkSession, sfDir: String): String = {
+    val dir = graft.kv.KvStore.cacheDir(s"orders-zoned-${cacheKey(sfDir)}")
+    if (!new File(s"$dir/_kvmeta.json").exists()) {
+      Tables.orders(s, sfDir)
+        .select(col("o_orderkey"),
+                (col("o_orderkey") * 3 + 7).as("v"),
+                col("o_totalprice"))
+        .repartitionByRange(16, col("o_orderkey"))
+        .write.format("graft-kv")
+        .option("catalog", zonedCatalogJson).option("path", dir)
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** Zone-map pruning through the gate: a VALUE-column window (no rowkey
+    * predicate at all) that covers ⅛ of the key domain — the scan keeps
+    * only the shards whose recorded `v` bounds intersect the window
+    * (verified at plan level by KvConnectorSpec's zone-map test) and the
+    * surviving rows hash-check against DuckDB replaying the identical
+    * derivation and window arithmetic on the original parquet. The
+    * window bounds derive from min/max(o_orderkey) with integer
+    * arithmetic mirrored textually (Spark long division ≡ DuckDB `//`
+    * on the positive domain), so the query is non-vacuous at every
+    * scale factor. */
+  val q86KvZoneMap: Q = Q(
+    "q86_kv_zonemap",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      // two scalars from the driver — the documented bounded collect
+      // (same pattern as the IVF centroid sample, Similarity.scala)
+      val Row(mn: Long, mx: Long) = Tables.orders(s, d)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val vlo = 3L * (mn + (mx - mn) * 2L / 8L) + 7L
+      val vhi = 3L * (mn + (mx - mn) * 3L / 8L) + 7L
+      s.read.format("graft-kv")
+        .option("catalog", zonedCatalogJson).option("path", zonedOrdersDir(s, d)).load()
+        .filter(col("v") >= vlo && col("v") <= vhi)
+        .select(col("o_orderkey"), col("v"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders),
+           w AS (SELECT 3*(mn + (mx-mn)*2//8)+7 AS vlo,
+                        3*(mn + (mx-mn)*3//8)+7 AS vhi FROM b)
+      SELECT o_orderkey, 3*o_orderkey+7 AS v, o_totalprice
+      FROM orders, w
+      WHERE 3*o_orderkey+7 >= vlo AND 3*o_orderkey+7 <= vhi
+      ORDER BY o_orderkey"""),
+    doc = "zone-map shard pruning on a value-column window, hash-checked")
+
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
-    q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter)
+    q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
+    q86KvZoneMap)
 }
