@@ -49,8 +49,15 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
     val s = start.asInstanceOf[KvOffset].shardCount
     val e = end.asInstanceOf[KvOffset].shardCount
     if (e == 0) Array.empty
-    else KvStore.readMeta(dir).shards.slice(s, e)
-      .map(sh => KvInputPartition(sh, None, None): InputPartition).toArray
+    else {
+      // the OFFSET is the manifest position (s until e); zone maps then
+      // drop newly-appeared shards whose value bounds exclude the pushed
+      // filters — rows in them could never survive the per-record filter,
+      // so skipping the file read is observationally identical
+      val slice = KvStore.readMeta(dir).shards.slice(s, e)
+      KvZoneMaps.prune(slice, filters, declared)
+        .map(sh => KvInputPartition(sh, None, None): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

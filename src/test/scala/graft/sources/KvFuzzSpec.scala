@@ -124,6 +124,34 @@ class KvFuzzSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("a truncated shard file fails loudly, never silently returns fewer rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-trunc").toString
+    val tCat =
+      """{"table":{"name":"trunc"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"string"}}}""".stripMargin
+    (1 to 500).map(k => (k.toLong, s"value-$k")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("catalog", tCat).option("path", dir)
+      .mode("overwrite").save()
+    val shard = graft.kv.KvStore.readMeta(dir).shards.head
+    val f = new java.io.File(s"$dir/${shard.file}")
+    val ch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(f.length() - 7) finally ch.close() // cut mid-record
+    // NOT count(): pure COUNT(*) answers from the manifest alone and
+    // never opens the file — collect() forces the record scan
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-kv").option("catalog", tCat).option("path", dir)
+        .load().collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(c => c.isInstanceOf[java.io.EOFException] &&
+      c.getMessage != null && c.getMessage.contains(shard.file)),
+      s"expected a truncated-shard EOFException naming the file, got: $ex")
+  }
+
   test("random projections agree across row and columnar readers under parse-time cell skipping") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
