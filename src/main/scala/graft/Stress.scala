@@ -102,7 +102,10 @@ object Stress {
       ((System.nanoTime() - t0) / 1e9, df)
     }
     val (pFirst, _) = pairsOnce()
-    val (pSteady, pairsDf) = pairsOnce()
+    val (pSteady, pairsDf0) = pairsOnce()
+    // one more materialization serves BOTH the pair count and the recall
+    // filter (uncached counts would re-run the whole LSH pipeline each)
+    val pairsDf = pairsDf0.persist()
     val nPairs = pairsDf.count()
     // Recall against the replica's GROUND TRUTH, not just a pair count:
     // copy i of base vector v differs from copy j only in the first
@@ -125,6 +128,7 @@ object Stress {
       require(recall >= 0.95, f"LSH near-dup recall $recall%.4f < 0.95 against replica ground truth")
       f""","recall":$recall%.4f,"true_pairs":$truePairs,"found_true":$foundTrue"""
     } else ""
+    pairsDf.unpersist(blocking = true)
     System.err.println(f"[stress] near_dup_pairs planes=$planes first=$pFirst%.1fs steady=$pSteady%.1fs pairs=$nPairs")
 
     // Columnar vs row full-scan A/B on a KV table built from the

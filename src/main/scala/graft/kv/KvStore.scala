@@ -269,7 +269,13 @@ object KvStore {
     private def ensure(n: Int): Boolean = {
       if (lim - pos >= n) return true
       if (pos > 0) { System.arraycopy(buf, pos, buf, 0, lim - pos); lim -= pos; pos = 0 }
-      if (n > buf.length) buf = java.util.Arrays.copyOf(buf, java.lang.Integer.highestOneBit(n) << 1)
+      if (n > buf.length) {
+        // long math: doubling-or-n, clamped — highestOneBit(n)<<1 would
+        // overflow negative for n in (2^30, 2^31)
+        val target = math.min(Int.MaxValue.toLong - 8L,
+          math.max(n.toLong, buf.length.toLong * 2L)).toInt
+        buf = java.util.Arrays.copyOf(buf, target)
+      }
       while (lim < n) {
         val r = in.read(buf, lim, buf.length - lim)
         if (r < 0) {

@@ -128,9 +128,18 @@ object FilterEval {
     case IsNull(a)    => get(a) == null
     case IsNotNull(a) => get(a) != null
     case StringStartsWith(a, p) =>
-      get(a) match { case s: UTF8String => s.toString.startsWith(p); case _ => false }
+      // UTF8String byte-prefix semantics — identical to Spark's own
+      // StartsWith expression (and to the compiled path); UTF-16
+      // String.startsWith would diverge on unpaired surrogates
+      get(a) match {
+        case s: UTF8String => s.startsWith(UTF8String.fromString(p))
+        case _ => false
+      }
     case StringContains(a, p) =>
-      get(a) match { case s: UTF8String => s.toString.contains(p); case _ => false }
+      get(a) match {
+        case s: UTF8String => s.contains(UTF8String.fromString(p))
+        case _ => false
+      }
     case And(l, r) => eval(l, get, dtOf) && eval(r, get, dtOf)
     case Or(l, r)  => eval(l, get, dtOf) || eval(r, get, dtOf)
     case other => throw new IllegalStateException(s"unpushable filter reached reader: $other")

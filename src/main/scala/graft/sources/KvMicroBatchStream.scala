@@ -26,7 +26,7 @@ case class KvOffset(shardCount: Int) extends Offset {
 
 class KvMicroBatchStream(dir: String, rowkeyName: String,
                          prunedSchema: StructType, declared: StructType,
-                         filters: Array[Filter])
+                         filters: Array[Filter], columnar: Boolean = true)
     extends MicroBatchStream {
 
   /** Missing manifest = table not yet written → empty offset (the file
@@ -62,7 +62,7 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvPartitionReaderFactory(dir, prunedSchema.json, declared.json,
-      rowkeyName, filters, -1)
+      rowkeyName, filters, -1, reverse = false, columnar = columnar)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

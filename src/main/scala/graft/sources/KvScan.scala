@@ -163,7 +163,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KvMicroBatchStream(dir, rowkeyName, prunedSchema, declared, filters)
+    new KvMicroBatchStream(dir, rowkeyName, prunedSchema, declared, filters, columnar)
 
   override def description(): String = {
     val f = allFilters.mkString(", ")
@@ -250,26 +250,25 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
                                     reverse: Boolean = false,
                                     columnar: Boolean = true)
     extends PartitionReaderFactory {
+  // parsed once per (driver/executor) factory instance, not per partition
   @transient private lazy val pruned =
     DataType.fromJson(prunedJson).asInstanceOf[StructType]
+  @transient private lazy val declared =
+    DataType.fromJson(declaredJson).asInstanceOf[StructType]
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar && !reverse && KvColumnarReader.eligible(pruned)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[KvInputPartition]
-    new KvPartitionReader(dir, part,
-      DataType.fromJson(prunedJson).asInstanceOf[StructType],
-      DataType.fromJson(declaredJson).asInstanceOf[StructType],
+    new KvPartitionReader(dir, part, pruned, declared,
       rowkeyName, filters, limit, reverse)
   }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[KvInputPartition]
-    new KvColumnarReader(dir, part,
-      DataType.fromJson(prunedJson).asInstanceOf[StructType],
-      DataType.fromJson(declaredJson).asInstanceOf[StructType],
+    new KvColumnarReader(dir, part, pruned, declared,
       rowkeyName, filters, limit)
   }
 }
