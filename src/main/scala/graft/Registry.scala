@@ -24,5 +24,6 @@ object Registry {
       queries.Dedup.defs ++
       queries.Similarity.defs ++
       queries.Multimodal.defs ++
+      queries.Curation.defs ++
       queries.KvQueries.defs
 }

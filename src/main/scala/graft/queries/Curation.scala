@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining-data pipeline runs between
+  * raw ingest and tokenization: within-document repetition signals
+  * (the Gopher-style quality rules), benchmark decontamination
+  * (n-gram overlap against an evaluation set), and tokenizer-vocabulary
+  * coverage (OOV rate). All candidate generation is per-row expressions
+  * or hash-shuffle joins — nothing all-pairs, nothing driver-side — so
+  * every operator here keeps its shape at 100 TB.
+  */
+object Curation {
+
+  /** doc_id + materialized token array (shared first stage; the token
+    * array MUST be its own column before n-gram transforms — see
+    * [[Text.shinglesOf]] for the O(tokens²) regex trap otherwise). */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+
+  /** Longest run of one token in the SORTED token array — i.e. the
+    * occurrence count of the document's most frequent token — as a
+    * single linear per-row fold (state: previous token, current run,
+    * best run). Sorting costs O(n log n) per document and the fold is
+    * one pass; the naive per-distinct-token count would be O(n·distinct),
+    * quadratic on pathological (natural-language-scale) vocabularies.
+    * Factored out so the spec can probe it on handcrafted arrays. */
+  def maxRunLength(toks: Column): Column =
+    aggregate(
+      sort_array(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Within-document repetition quality signals (the Gopher repetition
+    * rules, Rae et al. 2021 §A1.1): distinct-token ratio, duplicate
+    * word-trigram fraction, and the fraction of tokens taken by the
+    * single most frequent token. Pure per-row array expressions — zero
+    * shuffles, stays inside whole-stage codegen, embarrassingly parallel
+    * at any scale. The DuckDB oracle replays the exact same fold via
+    * list_reduce over a struct accumulator. */
+  val q87RepetitionQuality: Q = Q(
+    "q87_repetition_quality",
+    (s, d) => {
+      val base = tokenized(s, d)
+        .select(col("doc_id"), col("toks"),
+          Text.shinglesOf(col("toks"), 3).as("tri"))
+      val n = size(col("toks"))
+      base.select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          round(size(array_distinct(col("toks"))).cast("double") /
+            greatest(n, lit(1)).cast("double"), 6).as("distinct_token_ratio"),
+          when(size(col("tri")) === 0, lit(0.0)).otherwise(
+            round(lit(1.0) - size(array_distinct(col("tri"))).cast("double") /
+              size(col("tri")).cast("double"), 6)).as("dup_trigram_frac"),
+          round(maxRunLength(col("toks")).cast("double") /
+            greatest(n, lit(1)).cast("double"), 6).as("top_token_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, greatest(len(toks) - 1, 1)),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri,
+               list_reduce(
+                 list_prepend({'prev': '', 'run': CAST(0 AS BIGINT), 'best': CAST(0 AS BIGINT)},
+                   list_transform(list_sort(toks),
+                     s -> {'prev': s, 'run': CAST(0 AS BIGINT), 'best': CAST(0 AS BIGINT)})),
+                 (acc, x) -> CASE WHEN x.prev = acc.prev
+                   THEN {'prev': x.prev, 'run': acc.run + 1,
+                         'best': greatest(acc.best, acc.run + 1)}
+                   ELSE {'prev': x.prev, 'run': CAST(1 AS BIGINT),
+                         'best': greatest(acc.best, CAST(1 AS BIGINT))} END
+               ).best AS max_run
+        FROM t)
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) /
+                   CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS distinct_token_ratio,
+             CASE WHEN len(tri) = 0 THEN 0.0
+                  ELSE round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) /
+                             CAST(len(tri) AS DOUBLE), 6) END AS dup_trigram_frac,
+             round(CAST(max_run AS DOUBLE) /
+                   CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS top_token_frac
+      FROM g
+      ORDER BY doc_id"""),
+    doc = "Gopher-style within-doc repetition quality signals (zero-shuffle)")
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 4-gram with a held-out evaluation set (here: every 50th document
+    * plays the benchmark — a deterministic, corpus-derived stand-in).
+    * Output: contaminated doc_id + distinct matched-gram count.
+    *
+    * Scale shape: the benchmark side of the join is an evaluation set
+    * (MBs even for large benchmark suites), so it broadcasts and the
+    * 100 TB corpus side never shuffles — each task filters its exploded
+    * grams against the broadcast hash relation. In production the join
+    * key would be xxhash64(gram) (8 bytes instead of the gram string);
+    * the string key here keeps the query DuckDB-replayable, and the
+    * hash variant is exercised by the MinHash family (q43). */
+  val q88Decontamination: Q = Q(
+    "q88_decontamination",
+    (s, d) => {
+      val grams = tokenized(s, d)
+        .select(col("doc_id"), explode(Text.shinglesOf(col("toks"), 4)).as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select(col("gram")).distinct()
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+        FROM t),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+      SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id"""),
+    doc = "eval-set 4-gram decontamination (broadcast semi-join, corpus never shuffles)")
+
+  /** Tokenizer-vocabulary coverage: build the top-20 corpus vocabulary
+    * by token frequency (ties broken lexically so the cut is
+    * deterministic on both engines), then score every document's
+    * out-of-vocabulary token count and rate.
+    *
+    * Scale shape: the vocabulary aggregate is a map-side-combined
+    * groupBy whose result is top-K rows (constant size — real BPE
+    * vocabularies are ≤ a few hundred K entries), so the scoring join
+    * broadcasts; the corpus is scanned once and never shuffled. An
+    * explode_outer keeps zero-token documents in the result with
+    * n_oov = 0 rather than silently dropping them. */
+  val q89VocabOov: Q = Q(
+    "q89_vocab_oov",
+    (s, d) => {
+      val docs = tokenized(s, d)
+      val vocab = docs.select(explode(col("toks")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+        .select(col("token")).withColumn("in_vocab", lit(1))
+      docs.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          explode_outer(col("toks")).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          max(col("n_tokens")).as("n_tokens"),
+          sum(when(col("token").isNotNull && col("in_vocab").isNull, 1L)
+            .otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ratio", round(col("n_oov").cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double"), 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS toks
+        FROM documents),
+      v AS (
+        SELECT token FROM (SELECT unnest(toks) AS token FROM t) u
+        GROUP BY token ORDER BY count(*) DESC, token LIMIT 20),
+      vl AS (SELECT list(token) AS vocab FROM v),
+      e AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_filter(toks, x -> NOT list_contains(vocab, x))) AS n_oov
+        FROM t, vl)
+      SELECT doc_id, n_tokens, n_oov,
+             round(CAST(n_oov AS DOUBLE) /
+                   CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS oov_ratio
+      FROM e
+      ORDER BY doc_id"""),
+    doc = "top-K vocabulary coverage / OOV rate (broadcast vocab, single corpus scan)")
+
+  def defs: Seq[Q] = Seq(q87RepetitionQuality, q88Decontamination, q89VocabOov)
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: repetition quality signals, benchmark
+  * decontamination, vocabulary OOV. The DuckDB hash gate checks value
+  * parity; these specs check the SEMANTICS against brute-force
+  * reformulations and the plan shapes the 100 TB story depends on. */
+class CurationSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.01"
+
+  test("maxRunLength = occurrence count of the most frequent token") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "a", "c")), // a×3
+      (2L, Seq("x")),                     // single token
+      (3L, Seq.empty[String]),            // empty doc
+      (4L, Seq("t", "t", "t", "t"))       // all one token
+    ).toDF("id", "toks")
+    val got = df.select($"id", Curation.maxRunLength($"toks").as("mr"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 4L))
+  }
+
+  test("maxRunLength agrees with a brute-force mode count on real docs") {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    // brute force: count each distinct token's occurrences, take the max
+    val bruteMode = array_max(transform(array_distinct(col("toks")),
+      u => size(filter(col("toks"), t => t === u))))
+    val mismatches = docs.select(
+        Curation.maxRunLength(col("toks")).as("fast"),
+        coalesce(bruteMode.cast("long"), lit(0L)).as("brute"))
+      .filter(col("fast") =!= col("brute")).count()
+    assert(mismatches == 0)
+  }
+
+  test("q87 repetition signals stay in [0,1] and flag real duplication") {
+    val out = Curation.q87RepetitionQuality.fn(spark, d).cache()
+    try {
+      assert(out.count() == Tables.documents(spark, d).count())
+      val bad = out.filter(
+        col("distinct_token_ratio") < 0 || col("distinct_token_ratio") > 1 ||
+        col("dup_trigram_frac") < 0 || col("dup_trigram_frac") > 1 ||
+        col("top_token_frac") < 0 || col("top_token_frac") > 1).count()
+      assert(bad == 0, "all signal columns must be ratios in [0,1]")
+      // the sf0.01 corpus contains documents with repeated trigrams —
+      // the signal must light up (vacuity guard)
+      assert(out.filter(col("dup_trigram_frac") > 0).count() > 0)
+    } finally out.unpersist()
+  }
+
+  test("q88 decontamination: semi-join semantics verified brute-force") {
+    val out = Curation.q88Decontamination.fn(spark, d).cache()
+    try {
+      assert(out.count() > 0, "sf0.01 must yield contaminated docs (vacuity guard)")
+      assert(out.filter(col("doc_id") % 50 === 0).count() == 0,
+        "benchmark documents must never flag themselves")
+      // brute force: distinct (doc, gram) pairs, intersect via array overlap
+      val grams = Tables.documents(spark, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), array_distinct(Text.shinglesOf(col("toks"), 4)).as("grams"))
+      val benchGrams = grams.filter(col("doc_id") % 50 === 0)
+        .agg(array_distinct(flatten(collect_list(col("grams")))).as("bg"))
+      val brute = grams.filter(col("doc_id") % 50 =!= 0).crossJoin(benchGrams)
+        .select(col("doc_id"),
+          size(array_intersect(col("grams"), col("bg"))).as("n_hits"))
+        .filter(col("n_hits") > 0)
+      assert(out.exceptAll(brute).count() == 0 && brute.exceptAll(out).count() == 0,
+        "broadcast semi-join must equal the brute-force gram intersection")
+    } finally out.unpersist()
+  }
+
+  test("q88 plan broadcasts the benchmark side (corpus never shuffles for the join)") {
+    val plan = Curation.q88Decontamination.fn(spark, d)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$plan")
+  }
+
+  test("q89 OOV: every doc present, counts bounded, vocab cut deterministic") {
+    val out = Curation.q89VocabOov.fn(spark, d).cache()
+    try {
+      assert(out.count() == Tables.documents(spark, d).count(),
+        "zero-token docs must be retained (explode_outer), none dropped")
+      assert(out.filter(col("n_oov") > col("n_tokens")).count() == 0)
+      assert(out.filter(col("n_oov") < 0).count() == 0)
+      // sf0.01 has 31 distinct tokens and a 20-token vocab → OOV must occur
+      assert(out.filter(col("n_oov") > 0).count() > 0, "vacuity guard")
+      // determinism: a second run yields the identical relation
+      val again = Curation.q89VocabOov.fn(spark, d)
+      assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    } finally out.unpersist()
+  }
+}
