@@ -151,5 +151,29 @@ object EventsTime {
       ORDER BY k_bucket"""),
     doc = "JSON scalar extraction + agg")
 
-  def defs: Seq[Q] = Seq(q21Tumbling, q22Sliding, q23SessionWindow, q24AsofJoin, q25JsonExtract)
+  /** Batch twin of the STREAMING attribution join — built by the very
+    * same [[graft.streaming.EventsStream.attributionJoin]] function the
+    * streaming spec drives (the Dataset API's batch/stream unification:
+    * `withWatermark` is a no-op on a batch frame). One definition, two
+    * execution modes: this batch side is hash-checked by the DuckDB
+    * oracle; EventsStreamSpec asserts the micro-batched run emits the
+    * identical relation. */
+  val q90AttributionJoin: Q = Q(
+    "q90_attribution_join",
+    (s, d) =>
+      graft.streaming.EventsStream.attributionJoin(Tables.events(s, d))
+        .orderBy(col("view_id"), col("click_id")),
+    Some("""
+      WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT event_id AS click_id, user_id AS click_user, CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click')
+      SELECT view_id, click_id, user_id, view_ts, click_ts
+      FROM v JOIN c ON user_id = click_user
+         AND click_ts >= view_ts AND click_ts <= view_ts + INTERVAL 6 HOUR
+      ORDER BY view_id, click_id"""),
+    doc = "view→click attribution interval join (same code runs streaming, q.v. EventsStreamSpec)")
+
+  def defs: Seq[Q] = Seq(q21Tumbling, q22Sliding, q23SessionWindow, q24AsofJoin,
+    q25JsonExtract, q90AttributionJoin)
 }

@@ -65,6 +65,32 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: click attribution to a preceding view
+    * by the same user within a 6-hour window — the canonical two-stream
+    * enrichment. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark evicts a buffered view once
+    * the click-side watermark passes `view_ts + 6h` (and vice versa):
+    * join state is proportional to lateness budget + attribution window,
+    * NOT to stream history — the property that makes stream-stream joins
+    * viable on an unbounded 100 TB/day feed. Inner joins emit each match
+    * as soon as both sides have arrived (no emission delay). */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   case class UserEvent(event_id: Long, user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

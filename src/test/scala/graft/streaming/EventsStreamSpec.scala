@@ -87,6 +87,47 @@ class EventsStreamSpec extends SparkSpec {
     assert(out.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    // time-ordered chunks (first/second half of the event-time range) so
+    // the watermark advances monotonically and no input arrives late —
+    // under that feed the inner interval join must emit EVERY batch match
+    val dir = Files.createTempDirectory("graft-events-timechunks").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts stays long ns
+    val mid = raw.agg((min(col("ts")) + (max(col("ts")) - min(col("ts"))) / 2)
+        .cast("long").as("m"))
+      .collect()(0).getLong(0)
+    def chunk(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ev-chunk").toString + "/out"
+      df.coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    chunk(raw.filter(col("ts") <= mid), "part-0.parquet")
+    chunk(raw.filter(col("ts") > mid), "part-1.parquet")
+
+    val out = runToMemory(
+      EventsStream.attributionJoin(EventsStream.readStream(spark, dir)),
+      "attribution_out", "append")
+    val ev = Tables.events(spark, sfDir)
+    val batch = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+            col("ts").as("click_ts")),
+        col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        col("view_ts"), col("click_ts"))
+    assert(out.count() > 0, "attribution window must produce matches (vacuity guard)")
+    assert(out.except(batch).count() == 0,
+      "streamed join must never invent a pair the batch join lacks")
+    assert(batch.except(out).count() == 0,
+      "with an in-order feed the streamed inner join must emit every batch match")
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     val out = runToMemory(
       EventsStream.runningUserTotals(EventsStream.readStream(spark, chunkDir)).toDF(),
