@@ -198,5 +198,57 @@ object Curation {
       ORDER BY doc_id"""),
     doc = "top-K vocabulary coverage / OOV rate (broadcast vocab, single corpus scan)")
 
-  def defs: Seq[Q] = Seq(q87RepetitionQuality, q88Decontamination, q89VocabOov)
+  /** Per-language relative quality filtering: keep documents at or above
+    * the 25th percentile of stopword-ratio quality WITHIN their language
+    * — the retention decision that turns raw quality scores (q31) into a
+    * curated corpus. Absolute thresholds misfire across languages (a
+    * ratio healthy for German is anemic for English); per-stratum
+    * percentile cutoffs are how production pipelines filter.
+    *
+    * Scale shape: one hash shuffle on the stratum key, then a streaming
+    * window pass — percent_rank needs no second scan. Ties are broken by
+    * doc_id so the cut is deterministic and engine-replayable; the
+    * filter runs on the UNROUNDED rank on both engines (rounding is
+    * presentation only). */
+  val q91QualityCutoff: Q = Q(
+    "q91_quality_cutoff",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+      val score = round(
+        size(filter(col("toks"),
+          t => t.isin(Text.stopwordsEn.map(lit): _*))).cast("double") /
+          greatest(size(col("toks")), lit(1)).cast("double"), 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+      base.withColumn("score", score)
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.25)
+        .select(col("doc_id"), col("lang"), col("score"),
+          round(col("pr"), 6).as("pr"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, lang,
+               round(CAST(len(list_filter(toks,
+                       x -> x IN ('the','a','an','of','to','and','in','is'))) AS DOUBLE) /
+                     CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS score
+        FROM t),
+      r AS (
+        SELECT doc_id, lang, score,
+               percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+        FROM s)
+      SELECT doc_id, lang, score, round(pr, 6) AS pr
+      FROM r WHERE pr >= 0.25
+      ORDER BY doc_id"""),
+    doc = "per-language percentile quality cutoff (single stratum shuffle + window)")
+
+  def defs: Seq[Q] = Seq(q87RepetitionQuality, q88Decontamination, q89VocabOov,
+    q91QualityCutoff)
 }

@@ -81,6 +81,28 @@ class CurationSpec extends SparkSpec {
       s"benchmark gram set must broadcast:\n$plan")
   }
 
+  test("q91 percentile cutoff keeps exactly the per-language (score, doc_id) suffix") {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        round(size(filter(col("toks"),
+          t => t.isin(Text.stopwordsEn.map(lit): _*))).cast("double") /
+          greatest(size(col("toks")), lit(1)).cast("double"), 6).as("score"))
+    val kept = Curation.q91QualityCutoff.fn(spark, d).select("doc_id", "lang", "score")
+    val dropped = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    // the cut property: within a language, every dropped doc sorts
+    // strictly below every kept doc in (score, doc_id) order
+    val violations = dropped.as("x").join(kept.as("k"),
+        col("x.lang") === col("k.lang") &&
+        (col("x.score") > col("k.score") ||
+         (col("x.score") === col("k.score") && col("x.doc_id") > col("k.doc_id"))))
+      .count()
+    assert(violations == 0, "percentile cutoff must be a clean suffix per language")
+    // ~75% retention per language (±1 row for the rank boundary)
+    val frac = kept.count().toDouble / docs.count()
+    assert(frac > 0.70 && frac < 0.80, s"expected ~0.75 retention, got $frac")
+  }
+
   test("q89 OOV: every doc present, counts bounded, vocab cut deterministic") {
     val out = Curation.q89VocabOov.fn(spark, d).cache()
     try {
