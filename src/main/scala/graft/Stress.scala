@@ -42,6 +42,12 @@ object Stress {
     "q72_kv_canonical", "q81_kv_compacted",      // + maintenance loop
     "q82_kv_streamed")                           // + multi-epoch streaming ingest
 
+  /** Every table generate() replicates, in order. The list is written
+    * into the replica's _done sentinel and compared on startup, so
+    * adding a table here automatically invalidates older replicas. */
+  private val replicaTables =
+    Seq("documents", "embeddings", "lineitem", "orders", "events")
+
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,10 +64,15 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // events.parquet arrived with the q90 probe — a replica generated by
-    // an older build carries _done but not events; rebuild it
-    if (!new File(s"$out/_done").exists() ||
-        !new File(s"$out/events.parquet").exists()) {
+    // _done records WHICH tables the replica holds — a replica generated
+    // by an older build (fewer tables) regenerates instead of letting a
+    // new probe read a missing path or silently stale data
+    val doneFile = new File(s"$out/_done")
+    val haveTables =
+      if (doneFile.exists())
+        new String(java.nio.file.Files.readAllBytes(doneFile.toPath)).trim
+      else ""
+    if (haveTables != replicaTables.mkString(",")) {
       System.err.println(s"[stress] generating ${copies}x replica of $base -> $out")
       generate(spark, base, out, copies)
     }
@@ -228,6 +239,7 @@ object Stress {
       df.withColumn("event_id", col("event_id") + lit(i * 1000000L))
         .withColumn("user_id", col("user_id") + lit(i * 1000000L))
     }
-    new File(s"$out/_done").createNewFile()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/_done"),
+      replicaTables.mkString(",").getBytes("UTF-8"))
   }
 }

@@ -46,6 +46,19 @@ object Text {
     * should materialize tokens and use shinglesOf). */
   def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
+  /** Occurrence count of the stopword-probe tokens in a token array —
+    * the shared numerator of the quality scores (q31's stop_ratio,
+    * q80's integer gate, q91's retention cutoff). One definition so the
+    * scoring rule cannot drift between the scorer and its consumers. */
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwordsEn.map(lit): _*)))
+
+  /** Stopword-ratio quality score in [0,1], rounded to 6 dp for exact
+    * cross-engine parity (both engines divide identical integers). */
+  def stopwordRatio(toks: Column): Column =
+    round(stopwordHits(toks).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 6)
+
   /** Order-sensitive 64-bit rolling fingerprint: chained
     * xxhash64(accumulator, token) fold over the token stream. The chain
     * makes it position-sensitive (a swap changes the value); xxhash

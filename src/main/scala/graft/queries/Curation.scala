@@ -198,34 +198,34 @@ object Curation {
       ORDER BY doc_id"""),
     doc = "top-K vocabulary coverage / OOV rate (broadcast vocab, single corpus scan)")
 
-  /** Per-language relative quality filtering: keep documents at or above
-    * the 25th percentile of stopword-ratio quality WITHIN their language
-    * — the retention decision that turns raw quality scores (q31) into a
+  /** Per-language relative quality filtering: drop the worst ⌊n/4⌋
+    * documents of each language by stopword-ratio quality — the
+    * retention decision that turns raw quality scores (q31) into a
     * curated corpus. Absolute thresholds misfire across languages (a
     * ratio healthy for German is anemic for English); per-stratum
-    * percentile cutoffs are how production pipelines filter.
+    * relative cutoffs are how production pipelines filter. The
+    * drop-count formulation (rather than `percent_rank >= 0.25`) is
+    * deliberate: percent_rank is 0 for a single-row partition, so a
+    * rank-threshold cut deletes one-document languages outright and
+    * over-drops any small stratum; ⌊n/4⌋ drops nothing until a stratum
+    * has 4 documents.
     *
-    * Scale shape: one hash shuffle on the stratum key, then a streaming
-    * window pass — percent_rank needs no second scan. Ties are broken by
-    * doc_id so the cut is deterministic and engine-replayable; the
-    * filter runs on the UNROUNDED rank on both engines (rounding is
-    * presentation only). */
+    * Scale shape: one hash shuffle on the stratum key, then a single
+    * streaming window pass computes both rank and stratum size. Ties
+    * are broken by doc_id so the cut is deterministic and
+    * engine-replayable. */
   val q91QualityCutoff: Q = Q(
     "q91_quality_cutoff",
     (s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
-      val score = round(
-        size(filter(col("toks"),
-          t => t.isin(Text.stopwordsEn.map(lit): _*))).cast("double") /
-          greatest(size(col("toks")), lit(1)).cast("double"), 6)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
-      base.withColumn("score", score)
-        .withColumn("pr", percent_rank().over(w))
-        .filter(col("pr") >= 0.25)
-        .select(col("doc_id"), col("lang"), col("score"),
-          round(col("pr"), 6).as("pr"))
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      base.withColumn("score", Text.stopwordRatio(col("toks")))
+        .withColumn("rn", row_number().over(
+          byLang.orderBy(col("score"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .filter(col("rn") > floor(col("n") * 0.25))
+        .select(col("doc_id"), col("lang"), col("score"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -242,12 +242,13 @@ object Curation {
         FROM t),
       r AS (
         SELECT doc_id, lang, score,
-               percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+               row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
         FROM s)
-      SELECT doc_id, lang, score, round(pr, 6) AS pr
-      FROM r WHERE pr >= 0.25
+      SELECT doc_id, lang, score
+      FROM r WHERE rn > floor(n * 0.25)
       ORDER BY doc_id"""),
-    doc = "per-language percentile quality cutoff (single stratum shuffle + window)")
+    doc = "per-language relative quality cutoff: drop worst floor(n/4) per stratum")
 
   def defs: Seq[Q] = Seq(q87RepetitionQuality, q88Decontamination, q89VocabOov,
     q91QualityCutoff)

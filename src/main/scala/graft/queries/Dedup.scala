@@ -469,11 +469,10 @@ object Dedup {
       val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
       val survivors = docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       val toks = Text.tokens(col("text"))
-      val stopHits = size(filter(toks, t => t.isin(Text.stopwordsEn.map(lit): _*)))
       val scored = survivors.select(
         col("doc_id"), col("lang"),
         size(toks).as("n_tokens"),
-        stopHits.as("n_stop"))
+        Text.stopwordHits(toks).as("n_stop"))
       scored
         .filter(col("n_tokens") >= 5 && col("n_tokens") <= 1000 &&
                 col("n_stop") * 2 <= col("n_tokens")) // stop ratio <= 1/2, integer test

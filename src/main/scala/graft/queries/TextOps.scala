@@ -37,14 +37,11 @@ object TextOps {
       val docs = Tables.documents(s, d)
       val tokArr = graft.functions.Text.tokens(col("text"))
       val toks = size(tokArr)
-      val stopHits = size(filter(tokArr,
-        t => t.isin(graft.functions.Text.stopwordsEn.map(lit): _*)))
       docs.select(
           col("doc_id"),
           toks.as("n_tokens"),
-          stopHits.as("n_stop"),
-          round(stopHits.cast("double") / greatest(toks, lit(1)).cast("double"), 6)
-            .as("stop_ratio"),
+          graft.functions.Text.stopwordHits(tokArr).as("n_stop"),
+          graft.functions.Text.stopwordRatio(tokArr).as("stop_ratio"),
           round(length(col("text")).cast("double") / greatest(toks, lit(1)).cast("double"), 6)
             .as("chars_per_token"))
         .orderBy(col("doc_id"))

@@ -81,13 +81,10 @@ class CurationSpec extends SparkSpec {
       s"benchmark gram set must broadcast:\n$plan")
   }
 
-  test("q91 percentile cutoff keeps exactly the per-language (score, doc_id) suffix") {
+  test("q91 cutoff drops exactly the worst floor(n/4) per language") {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("lang"),
-        round(size(filter(col("toks"),
-          t => t.isin(Text.stopwordsEn.map(lit): _*))).cast("double") /
-          greatest(size(col("toks")), lit(1)).cast("double"), 6).as("score"))
+      .select(col("doc_id"), col("lang"), Text.stopwordRatio(col("toks")).as("score"))
     val kept = Curation.q91QualityCutoff.fn(spark, d).select("doc_id", "lang", "score")
     val dropped = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
     // the cut property: within a language, every dropped doc sorts
@@ -97,10 +94,33 @@ class CurationSpec extends SparkSpec {
         (col("x.score") > col("k.score") ||
          (col("x.score") === col("k.score") && col("x.doc_id") > col("k.doc_id"))))
       .count()
-    assert(violations == 0, "percentile cutoff must be a clean suffix per language")
-    // ~75% retention per language (±1 row for the rank boundary)
-    val frac = kept.count().toDouble / docs.count()
-    assert(frac > 0.70 && frac < 0.80, s"expected ~0.75 retention, got $frac")
+    assert(violations == 0, "cutoff must be a clean suffix per language")
+    // exact retention: every language keeps n - floor(n/4)
+    val expected = docs.groupBy("lang").agg(count(lit(1)).as("n_all"))
+      .select(col("lang"), (col("n_all") - floor(col("n_all") * 0.25)).as("want"))
+    val got = kept.groupBy("lang").agg(count(lit(1)).as("got"))
+    val off = expected.join(got, Seq("lang"), "left")
+      .filter(coalesce(col("got"), lit(0L)) =!= col("want")).count()
+    assert(off == 0, "each language must keep exactly n - floor(n/4) documents")
+  }
+
+  test("q91 drop-count semantics never wipe out a small stratum") {
+    import spark.implicits._
+    // 1-doc and 3-doc strata keep everything; a 4-doc stratum drops one
+    val mini = Seq(
+      (1L, "aa", 0.1), (2L, "bb", 0.1), (3L, "bb", 0.2), (4L, "bb", 0.3),
+      (5L, "cc", 0.1), (6L, "cc", 0.2), (7L, "cc", 0.3), (8L, "cc", 0.4)
+    ).toDF("doc_id", "lang", "score")
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    val kept = mini
+      .withColumn("rn", row_number().over(byLang.orderBy($"score", $"doc_id")))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .filter($"rn" > floor($"n" * 0.25))
+    val perLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == Map("aa" -> 1L, "bb" -> 3L, "cc" -> 3L))
+    assert(kept.filter($"lang" === "cc" && $"doc_id" === 5L).count() == 0,
+      "the 4-doc stratum must drop its single worst document")
   }
 
   test("q89 OOV: every doc present, counts bounded, vocab cut deterministic") {

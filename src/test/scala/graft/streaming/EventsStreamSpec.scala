@@ -97,15 +97,20 @@ class EventsStreamSpec extends SparkSpec {
     val mid = raw.agg((min(col("ts")) + (max(col("ts")) - min(col("ts"))) / 2)
         .cast("long").as("m"))
       .collect()(0).getLong(0)
-    def chunk(df: DataFrame, name: String): Unit = {
+    // FileStreamSource orders files by modification time — pin mtimes
+    // explicitly so chunk order can't flip on a coarse-mtime filesystem
+    // (out-of-order chunks would advance the watermark past part-0 and
+    // legitimately drop its rows as late)
+    def chunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
       val tmp = Files.createTempDirectory("graft-ev-chunk").toString + "/out"
       df.coalesce(1).write.parquet(tmp)
       val f = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$dir/$name"))
+      assert(new java.io.File(s"$dir/$name").setLastModified(mtimeMs))
     }
-    chunk(raw.filter(col("ts") <= mid), "part-0.parquet")
-    chunk(raw.filter(col("ts") > mid), "part-1.parquet")
+    chunk(raw.filter(col("ts") <= mid), "part-0.parquet", 1000000L)
+    chunk(raw.filter(col("ts") > mid), "part-1.parquet", 2000000L)
 
     val out = runToMemory(
       EventsStream.attributionJoin(EventsStream.readStream(spark, dir)),
