@@ -798,4 +798,44 @@ class KvConnectorSpec extends SparkSpec {
       "DESC top-N pushdown must stay on the ring-buffer row reader")
     assert(desc.collect().map(_.getAs[Long]("id")).toSeq == (996L to 1000L).reverse)
   }
+
+  test("schema evolution: a catalog with added columns reads older shards as null") {
+    written
+    // the same table read through a WIDER catalog — two columns the
+    // writer never stored. Cells are stored per-column, so a missing
+    // cell is simply absent from the record and decodes as NULL — no
+    // shard rewrite, the schema-evolution story of column-family stores.
+    val widened =
+      """{
+        |  "table": {"namespace": "default", "name": "people"},
+        |  "rowkey": "id",
+        |  "columns": {
+        |    "id": {"cf": "rowkey", "col": "id", "type": "long"},
+        |    "name": {"cf": "columns", "col": "name", "type": "string"},
+        |    "age": {"cf": "columns", "col": "age", "type": "int"},
+        |    "nickname": {"cf": "columns", "col": "nickname", "type": "string"},
+        |    "score": {"cf": "extra", "col": "score", "type": "double"}
+        |  }
+        |}""".stripMargin
+    val wide = spark.read.format("graft-kv")
+      .option("catalog", widened).option("path", dir).load()
+    assert(wide.count() == 1000, "widened catalog must still see every row")
+    assert(wide.filter(col("nickname").isNotNull || col("score").isNotNull).count() == 0,
+      "columns absent from older shards must decode as NULL")
+    // IS NULL on the added column is pushable and keeps all rows; the
+    // mixed old+new-column predicate still evaluates correctly
+    val f = wide.filter(col("nickname").isNull && col("age") >= 30)
+    assert(f.count() == wide.filter(col("age") >= 30).count())
+    // and a write THROUGH the widened catalog round-trips the new cells
+    val evoDir = Files.createTempDirectory("graft-kv-evolved").toString
+    import spark.implicits._
+    Seq((2000L, "late", 31, "nick", 9.5))
+      .toDF("id", "name", "age", "nickname", "score")
+      .write.format("graft-kv").option("catalog", widened).option("path", evoDir)
+      .mode("overwrite").save()
+    val back = spark.read.format("graft-kv")
+      .option("catalog", widened).option("path", evoDir).load().collect()
+    assert(back.length == 1 && back(0).getAs[String]("nickname") == "nick"
+      && back(0).getAs[Double]("score") == 9.5)
+  }
 }
