@@ -25,6 +25,28 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 4L))
   }
 
+  test("maxRunLength ≡ mode count on randomized token arrays (property)") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    import spark.implicits._
+    // small alphabet forces runs; lengths 0-60 cover empty + boundaries
+    val toksGen = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "e f")))
+    // evaluate the COLUMN expression against a plain Scala mode count —
+    // batched: collect the generated arrays, run one Spark job for all
+    val cases = Gen.listOfN(120, toksGen).sample.get
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("i", "toks")
+    val got = df.select($"i", Curation.maxRunLength($"toks").as("mr"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Prop.forAll(Gen.choose(0, cases.length - 1)) { i =>
+      val expect =
+        if (cases(i).isEmpty) 0L
+        else cases(i).groupBy(identity).values.map(_.size).max.toLong
+      got(i.toLong) == expect
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("maxRunLength agrees with a brute-force mode count on real docs") {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
