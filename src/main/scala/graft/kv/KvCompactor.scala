@@ -75,6 +75,11 @@ object KvCompactor {
     val outputs = mutable.ArrayBuffer.empty[KvShardMeta]
     val inputs = mutable.ArrayBuffer.empty[KvShardMeta]
     toMerge.foreach { group =>
+      // integrity gate: refuse to merge a bit-rotted input — compaction
+      // is where silent corruption would otherwise spread into a fresh
+      // shard and outlive the evidence (the corrupt original gets
+      // deleted/vacuumed after the swap)
+      group.foreach(s => KvStore.verifyShard(tableDir, s))
       val name = f"shard-compact-$token-c$seq.kv"
       seq += 1
       outputs ++= mergeGroup(tableDir, group, name)

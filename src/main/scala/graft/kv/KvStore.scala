@@ -21,6 +21,10 @@ import scala.jdk.CollectionConverters._
   *     repeat nCells: int16 cfLen, cf, int16 qualLen, qual, int32 valLen, val
   * }}}
   *
+  * Each manifest entry also records the shard file's CRC32C, giving the
+  * maintenance path (compaction, [[KvStore.verifyTable]] fsck) bit-rot
+  * detection without touching the scan hot path.
+  *
   * The manifest mirrors what the reference derives live from the HBase
   * Admin API — region (startKey, endKey) + locality host
   * (`/root/reference/src/main/scala/com/dm/hbase/spark3/datasource/HbaseScan.scala:27-45`).
@@ -48,7 +52,8 @@ final case class KvCell(cf: String, qualifier: String, value: Array[Byte])
   * catalog). A column absent from the map ⇒ unknown ⇒ never pruned. */
 final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKeyHex: String,
                              hosts: Seq[String] = Nil,
-                             stats: Map[String, (String, String)] = Map.empty) {
+                             stats: Map[String, (String, String)] = Map.empty,
+                             crc32cHex: String = "") {
   def minKey: Array[Byte] = KvStore.fromHex(minKeyHex)
   def maxKey: Array[Byte] = KvStore.fromHex(maxKeyHex)
 }
@@ -117,7 +122,8 @@ object KvStore {
         e.getKey -> (e.getValue.path("min").asText(), e.getValue.path("max").asText())
       }.toMap
       KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
-        s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts, stats)
+        s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts, stats,
+        s.path("crc32c").asText(""))
     }.toSeq
     val epochs = root.path("committedEpochs").elements().asScala.map(_.asText()).toSeq
     KvTableMeta(shards, epochs)
@@ -141,6 +147,7 @@ object KvStore {
           val e = st.putObject(k); e.put("min", mn); e.put("max", mx)
         }
       }
+      if (s.crc32cHex.nonEmpty) o.put("crc32c", s.crc32cHex)
     }
     if (meta.committedEpochs.nonEmpty) {
       val e = node.putArray("committedEpochs")
@@ -165,8 +172,13 @@ object KvStore {
     private val out = new FileOutputStream(s"$tableDir/$fileName")
     private val buf = new Array[Byte](1 << 20)
     private var pos = 0
+    // CRC32C over every byte of the file (hardware-accelerated on
+    // x86/ARM) — recorded in the manifest so maintenance can detect
+    // bit-rot instead of merging or serving decoded garbage
+    private val crc = new java.util.zip.CRC32C
 
-    private def flushBuf(): Unit = { if (pos > 0) { out.write(buf, 0, pos); pos = 0 } }
+    private def flushBuf(): Unit =
+      if (pos > 0) { crc.update(buf, 0, pos); out.write(buf, 0, pos); pos = 0 }
     private def need(n: Int): Unit = if (buf.length - pos < n) flushBuf()
     private def putInt(v: Int): Unit = {
       need(4)
@@ -183,7 +195,7 @@ object KvStore {
     private def putBytes(b: Array[Byte]): Unit =
       if (b.length <= buf.length - pos) {
         System.arraycopy(b, 0, buf, pos, b.length); pos += b.length
-      } else { flushBuf(); out.write(b) }
+      } else { flushBuf(); crc.update(b); out.write(b) }
 
     putBytes(Magic)
     private var rows = 0L
@@ -230,8 +242,39 @@ object KvStore {
       flushBuf()
       out.close()
       if (rows == 0) { new File(s"$tableDir/$fileName").delete(); None }
-      else Some(KvShardMeta(fileName, rows, toHex(minKey), toHex(maxKey)))
+      else Some(KvShardMeta(fileName, rows, toHex(minKey), toHex(maxKey),
+        crc32cHex = f"${crc.getValue}%08x"))
     }
+  }
+
+  // ---- shard integrity ----
+
+  /** Verify one shard's bytes against its manifest CRC32C. No-op for
+    * legacy entries without a recorded checksum. Throws with the file
+    * name on mismatch — callers (compaction, explicit fsck) must fail
+    * loudly rather than propagate decoded garbage. */
+  def verifyShard(tableDir: String, shard: KvShardMeta): Unit = {
+    if (shard.crc32cHex.isEmpty) return
+    val crc = new java.util.zip.CRC32C
+    val in = new FileInputStream(s"$tableDir/${shard.file}")
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) { crc.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    val got = f"${crc.getValue}%08x"
+    if (got != shard.crc32cHex)
+      throw new IllegalStateException(
+        s"shard ${shard.file} is corrupt: crc32c $got != manifest ${shard.crc32cHex}")
+  }
+
+  /** fsck for a table: verify every manifest shard's checksum. Returns
+    * the number of shards actually verified (legacy entries without a
+    * CRC are skipped); throws on the first corrupt shard. */
+  def verifyTable(tableDir: String): Int = {
+    val shards = readMeta(tableDir).shards
+    shards.foreach(verifyShard(tableDir, _))
+    shards.count(_.crc32cHex.nonEmpty)
   }
 
   // ---- shard reader ----

@@ -113,4 +113,52 @@ class KvCompactorSpec extends SparkSpec {
     assert(viaKv == viaParquet,
       "post-maintenance KV scan must agree with the original parquet")
   }
+
+  test("shard checksums: fsck passes on healthy shards, bit-rot fails fsck AND compaction") {
+    val dir = Files.createTempDirectory("graft-kv-crc").toString
+    import spark.implicits._
+    def w(ks: Seq[Long], mode: String) =
+      ks.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .option("chunkBytes", "2048").mode(mode).save()
+    w(1L to 400L by 2L, "overwrite")
+    w(2L to 400L by 2L, "append")
+    val shards = KvStore.readMeta(dir).shards
+    assert(shards.forall(_.crc32cHex.nonEmpty), "every written shard records a CRC")
+    assert(KvStore.verifyTable(dir) == shards.length)
+
+    // flip one bit in the middle of one shard file
+    val victim = new java.io.File(s"$dir/${shards.head.file}")
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    try {
+      raf.seek(victim.length() / 2)
+      val b = raf.read()
+      raf.seek(victim.length() / 2)
+      raf.write(b ^ 0x10)
+    } finally raf.close()
+
+    val fsck = intercept[IllegalStateException](KvStore.verifyTable(dir))
+    assert(fsck.getMessage.contains(shards.head.file) &&
+      fsck.getMessage.contains("corrupt"))
+    // compaction must refuse to spread the corruption into a merged shard
+    val comp = intercept[IllegalStateException](
+      KvCompactor.compact(dir, targetBytes = 64L << 20))
+    assert(comp.getMessage.contains("corrupt"))
+    // the table was left untouched: manifest still lists the original runs
+    assert(KvStore.readMeta(dir).shards.map(_.file).toSet == shards.map(_.file).toSet)
+  }
+
+  test("legacy manifests without checksums verify as a no-op (forward compatible)") {
+    val dir = Files.createTempDirectory("graft-kv-legacy").toString
+    import spark.implicits._
+    (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("catalog", cat).option("path", dir)
+      .mode("overwrite").save()
+    // simulate a pre-CRC manifest
+    val meta = KvStore.readMeta(dir)
+    KvStore.writeMeta(dir,
+      meta.copy(shards = meta.shards.map(_.copy(crc32cHex = ""))))
+    assert(KvStore.verifyTable(dir) == 0, "no CRC recorded -> nothing verified, no failure")
+    assert(readBack(dir).count() == 100L)
+  }
 }
