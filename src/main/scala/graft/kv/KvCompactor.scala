@@ -105,13 +105,18 @@ object KvCompactor {
     * last modification is older than `graceMs` — the cleanup half of
     * retain-mode compaction. The grace period must exceed the longest
     * concurrent scan (a scan opens files it planned from a manifest at
-    * most one scan-lifetime ago). Returns the number of files removed. */
+    * most one scan-lifetime ago). Archived manifests (`_kvmeta.v*.json`,
+    * the snapshot-read history) expire on the same clock. Returns the
+    * number of files removed (shards + archived manifests). */
   def vacuum(tableDir: String, graceMs: Long): Int = {
     KvStore.withTableLock(tableDir) {
       val live = KvStore.readMeta(tableDir).shards.map(_.file).toSet
       val cutoff = System.currentTimeMillis() - graceMs
+      // archived manifests expire on the same grace clock as the shard
+      // files their snapshot reads depend on — past it, neither remains
       val stale = Option(new File(tableDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".kv") && !live(f.getName) &&
+        .filter(f => (f.getName.endsWith(".kv") && !live(f.getName) ||
+            f.getName.startsWith("_kvmeta.v") && f.getName.endsWith(".json")) &&
           f.lastModified() < cutoff)
       stale.foreach(_.delete())
       stale.length

@@ -59,9 +59,16 @@ final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKey
 }
 /** `committedEpochs` records streaming epoch commits ("queryId-epochId")
   * INSIDE the atomic manifest write, so epoch idempotence cannot be
-  * split from the shard append by a crash between two files. */
+  * split from the shard append by a crash between two files.
+  *
+  * `version` increments on every manifest commit; the superseded
+  * manifest is archived as `_kvmeta.v{N}.json`, giving SNAPSHOT READS
+  * (`option("asOfVersion", N)`) over any state still within the vacuum
+  * grace period — retain-mode compaction keeps superseded shard files
+  * on disk for exactly that window. */
 final case class KvTableMeta(shards: Seq[KvShardMeta],
-                             committedEpochs: Seq[String] = Nil)
+                             committedEpochs: Seq[String] = Nil,
+                             version: Long = 0)
 
 object KvStore {
   /** Bump when the shard-file or manifest layout changes — cache dirs
@@ -114,8 +121,30 @@ object KvStore {
     }
   }
 
-  def readMeta(tableDir: String): KvTableMeta = {
-    val root = mapper.readTree(new File(metaPath(tableDir)))
+  def readMeta(tableDir: String): KvTableMeta =
+    readMetaFile(new File(metaPath(tableDir)))
+
+  /** Manifest as of a past commit. `None` → current. A missing archived
+    * version means it either never existed or was vacuumed — time travel
+    * is bounded by the same grace period that retains superseded shard
+    * files. */
+  def readMetaAsOf(tableDir: String, asOfVersion: Option[Long]): KvTableMeta =
+    asOfVersion match {
+      case None => readMeta(tableDir)
+      case Some(v) =>
+        val current = readMeta(tableDir)
+        if (v == current.version) current
+        else {
+          val f = new File(s"$tableDir/_kvmeta.v$v.json")
+          require(f.exists(),
+            s"table version $v is unavailable (current ${current.version}): " +
+              "it never existed or its manifest was vacuumed")
+          readMetaFile(f)
+        }
+    }
+
+  private def readMetaFile(file: File): KvTableMeta = {
+    val root = mapper.readTree(file)
     val shards = root.path("shards").elements().asScala.map { s =>
       val hosts = s.path("hosts").elements().asScala.map(_.asText()).toSeq
       val stats = s.path("stats").fields().asScala.map { e =>
@@ -126,10 +155,14 @@ object KvStore {
         s.path("crc32c").asText(""))
     }.toSeq
     val epochs = root.path("committedEpochs").elements().asScala.map(_.asText()).toSeq
-    KvTableMeta(shards, epochs)
+    KvTableMeta(shards, epochs, root.path("version").asLong(0))
   }
 
-  /** Atomic manifest write (temp + move) — commit point of a batch write. */
+  /** Atomic manifest write (temp + move) — commit point of a batch
+    * write. Always runs under [[withTableLock]] (all callers are
+    * read-modify-write sections). The input's `version` is ignored:
+    * the committed version is current+1, and the superseded manifest is
+    * archived first as `_kvmeta.v{current}.json` for snapshot reads. */
   def writeMeta(tableDir: String, meta: KvTableMeta): Unit = {
     val node = mapper.createObjectNode()
     val arr = node.putArray("shards")
@@ -153,10 +186,23 @@ object KvStore {
       val e = node.putArray("committedEpochs")
       meta.committedEpochs.foreach(e.add)
     }
-    val tmp = Paths.get(metaPath(tableDir) + ".tmp")
     Files.createDirectories(Paths.get(tableDir))
+    // archive the manifest being superseded, then commit version+1;
+    // the archive copy happens before the move, so a crash in between
+    // leaves the CURRENT manifest untouched (the archive is redundant,
+    // never load-bearing for the live table)
+    val live = Paths.get(metaPath(tableDir))
+    val currentVersion =
+      if (Files.exists(live)) {
+        val v = readMeta(tableDir).version
+        Files.copy(live, Paths.get(s"$tableDir/_kvmeta.v$v.json"),
+          StandardCopyOption.REPLACE_EXISTING)
+        v
+      } else 0L
+    node.put("version", currentVersion + 1)
+    val tmp = Paths.get(metaPath(tableDir) + ".tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
-    Files.move(tmp, Paths.get(metaPath(tableDir)), StandardCopyOption.ATOMIC_MOVE,
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 

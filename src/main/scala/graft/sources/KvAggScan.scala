@@ -61,10 +61,12 @@ object KvAggSpec {
 }
 
 class KvAggScan(dir: String, rowkeyName: String, declared: StructType,
-                filters: Array[Filter], specs: Seq[KvAggSpec])
+                filters: Array[Filter], specs: Seq[KvAggSpec],
+                asOf: Option[Long] = None)
     extends Scan with Batch {
 
-  private val base = new KvScan(dir, rowkeyName, declared, declared, filters, -1)
+  private val base =
+    new KvScan(dir, rowkeyName, declared, declared, filters, -1, asOf = asOf)
 
   override def readSchema(): StructType = KvAggSpec.outputSchema(specs, declared)
   override def toBatch: Batch = this

@@ -68,10 +68,15 @@ class KvTable(val catalog: KvCatalog, val dir: String)
         TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
         TableCapability.STREAMING_WRITE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // `columnar` (default true): vectorized batch decode for flat
-    // forward scans; `columnar=false` pins the row-at-a-time reader
-    new KvScanBuilder(catalog, dir, options.getBoolean("columnar", true))
+    // forward scans; `columnar=false` pins the row-at-a-time reader.
+    // `asOfVersion` (optional): snapshot read of a past manifest commit
+    // — valid while retain-mode compaction + vacuum grace keep the
+    // superseded shard files (truncate deletes them immediately).
+    val asOf = Option(options.get("asOfVersion")).map(_.toLong)
+    new KvScanBuilder(catalog, dir, options.getBoolean("columnar", true), asOf)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(catalog, dir, info)

