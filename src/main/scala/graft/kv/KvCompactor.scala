@@ -74,12 +74,11 @@ object KvCompactor {
     var seq = 0
     val outputs = mutable.ArrayBuffer.empty[KvShardMeta]
     val inputs = mutable.ArrayBuffer.empty[KvShardMeta]
+    // integrity gate: merge readers run with verifyCrc, so a bit-rotted
+    // input fails its group's merge BEFORE the manifest swap — corruption
+    // can never spread into a committed shard and outlive the evidence
+    // (the corrupt original would get deleted/vacuumed after the swap)
     toMerge.foreach { group =>
-      // integrity gate: refuse to merge a bit-rotted input — compaction
-      // is where silent corruption would otherwise spread into a fresh
-      // shard and outlive the evidence (the corrupt original gets
-      // deleted/vacuumed after the swap)
-      group.foreach(s => KvStore.verifyShard(tableDir, s))
       val name = f"shard-compact-$token-c$seq.kv"
       seq += 1
       outputs ++= mergeGroup(tableDir, group, name)
@@ -94,9 +93,18 @@ object KvCompactor {
       val current = KvStore.readMeta(tableDir)
       KvStore.writeMeta(tableDir,
         KvTableMeta(current.shards.filterNot(s => inputFiles(s.file)) ++ outputs,
-          current.committedEpochs))
+          current.committedEpochs, current.version))
       if (!retainInputs)
         inputs.foreach(s => new File(s"$tableDir/${s.file}").delete())
+      else {
+        // start the vacuum grace clock NOW: the guarantee is "grace
+        // since the file left the manifest", but vacuum can only see
+        // mtimes — an input WRITTEN long ago would otherwise be
+        // reclaimable the instant it is superseded, breaking both
+        // in-flight scans and snapshot reads planned minutes earlier
+        val now = System.currentTimeMillis()
+        inputs.foreach(s => new File(s"$tableDir/${s.file}").setLastModified(now))
+      }
     }
     outputs.length
   }
@@ -137,8 +145,11 @@ object KvCompactor {
         if (c != 0) -c else -(a.idx - b.idx) // PriorityQueue is a MAX-heap
       }
     }
+    // verifyCrc: the merge reads every input byte anyway, so integrity
+    // verification rides the same pass for free — a bit-rotted input
+    // throws at its EOF, before the manifest swap can commit the merge
     val readers = group.zipWithIndex.map { case (s, i) =>
-      (new KvStore.ShardReader(tableDir, s), i)
+      (new KvStore.ShardReader(tableDir, s, verifyCrc = true), i)
     }
     val heap = mutable.PriorityQueue.empty[Head]
     readers.foreach { case (r, i) => if (r.hasNext) heap.enqueue(Head(r.next(), i, r)) }

@@ -158,11 +158,21 @@ object KvStore {
     KvTableMeta(shards, epochs, root.path("version").asLong(0))
   }
 
-  /** Atomic manifest write (temp + move) — commit point of a batch
-    * write. Always runs under [[withTableLock]] (all callers are
-    * read-modify-write sections). The input's `version` is ignored:
-    * the committed version is current+1, and the superseded manifest is
-    * archived first as `_kvmeta.v{current}.json` for snapshot reads. */
+  /** Upper bound on archived `_kvmeta.v*.json` files: each commit that
+    * pushes history past this deletes the oldest archive, so a
+    * long-lived streaming sink (one commit per epoch, forever) cannot
+    * leak manifest files; vacuum additionally expires archives on the
+    * grace clock. 64 commits of snapshot history is far beyond any
+    * in-flight-scan or debugging window. */
+  val MaxArchivedManifests = 64
+
+  /** Atomic manifest write (temp + move) — the commit point of every
+    * batch / streaming-epoch / compaction-swap commit. ALL callers are
+    * read-modify-write sections under [[withTableLock]], and
+    * `meta.version` MUST be the version of the manifest state the
+    * caller read under that lock (0 for a fresh table): the superseded
+    * file is archived as `_kvmeta.v{meta.version}.json` and version+1
+    * commits — no second parse of the live manifest. */
   def writeMeta(tableDir: String, meta: KvTableMeta): Unit = {
     val node = mapper.createObjectNode()
     val arr = node.putArray("shards")
@@ -192,14 +202,14 @@ object KvStore {
     // leaves the CURRENT manifest untouched (the archive is redundant,
     // never load-bearing for the live table)
     val live = Paths.get(metaPath(tableDir))
-    val currentVersion =
-      if (Files.exists(live)) {
-        val v = readMeta(tableDir).version
-        Files.copy(live, Paths.get(s"$tableDir/_kvmeta.v$v.json"),
-          StandardCopyOption.REPLACE_EXISTING)
-        v
-      } else 0L
-    node.put("version", currentVersion + 1)
+    if (Files.exists(live)) {
+      Files.copy(live, Paths.get(s"$tableDir/_kvmeta.v${meta.version}.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val drop = meta.version - MaxArchivedManifests
+      if (drop >= 0)
+        Files.deleteIfExists(Paths.get(s"$tableDir/_kvmeta.v$drop.json"))
+    }
+    node.put("version", meta.version + 1)
     val tmp = Paths.get(metaPath(tableDir) + ".tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE,
@@ -340,8 +350,19 @@ object KvStore {
   final class ShardReader(tableDir: String, shard: KvShardMeta,
                           startKey: Array[Byte] = null,
                           endKey: Array[Byte] = null,
-                          wanted: (String, String) => Boolean = null)
+                          wanted: (String, String) => Boolean = null,
+                          verifyCrc: Boolean = false)
       extends Iterator[KvRecord] with Closeable {
+
+    // Inline integrity for FULL reads (compaction): CRC accumulates on
+    // the refill path, so verification costs no second pass over the
+    // file. Only meaningful when the read consumes every byte — a
+    // stream-level skip (unprojected big cell) or an endKey early-stop
+    // marks the CRC unverifiable and the check is skipped, never
+    // wrongly failed. Verification fires at clean EOF.
+    private val crc: java.util.zip.CRC32C =
+      if (verifyCrc && shard.crc32cHex.nonEmpty) new java.util.zip.CRC32C else null
+    private var crcComplete = true
 
     // Hand-rolled buffered parser instead of DataInputStream: readInt()
     // over BufferedInputStream costs four SYNCHRONIZED single-byte reads
@@ -371,6 +392,7 @@ object KvStore {
           if (lim == 0) return false
           throw new EOFException(s"truncated shard ${shard.file}")
         }
+        if (crc != null) crc.update(buf, lim, r)
         lim += r
       }
       true
@@ -397,6 +419,7 @@ object KvStore {
       else {
         val buffered = lim - pos
         pos = 0; lim = 0
+        crcComplete = false // skipped bytes never reach the CRC
         in.skipNBytes((n - buffered).toLong)
       }
     }
@@ -495,10 +518,21 @@ object KvStore {
     private def advance(): Unit = {
       while (!done) {
         val r = readRecord()
-        if (r == null) { done = true; nextRec = null; close() }
+        if (r == null) {
+          // clean EOF = the whole file passed through the buffer — the
+          // only point where the inline CRC covers every byte
+          if (crc != null && crcComplete) {
+            val got = f"${crc.getValue}%08x"
+            if (got != shard.crc32cHex)
+              throw new IllegalStateException(
+                s"shard ${shard.file} is corrupt: crc32c $got != manifest ${shard.crc32cHex}")
+          }
+          done = true; nextRec = null; close()
+        }
         else if (beforeStart(r.key)) ()
         else if (endKey != null && BytesCodec.compareKeys(r.key, endKey) > 0) {
-          // sorted file → nothing further can match
+          // sorted file → nothing further can match; bytes remain unread
+          crcComplete = false
           done = true; nextRec = null; close()
         } else { nextRec = r; return }
       }

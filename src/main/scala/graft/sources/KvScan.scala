@@ -165,18 +165,24 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a stream tails the LIVE manifest; silently ignoring a pinned
+    // version would feed the user current+future data labeled as history
+    require(asOf.isEmpty,
+      "asOfVersion is a batch-read option; a streaming read tails the live table")
     new KvMicroBatchStream(dir, rowkeyName, prunedSchema, declared, filters, columnar)
+  }
 
   override def description(): String = {
     val f = allFilters.mkString(", ")
     val lim = if (limit >= 0) limit.toString else "none"
     val topn = if (reverse) " (DESC tail)" else ""
+    val pin = asOf.map(v => s", AsOf: $v").getOrElse("")
     // Columnar ahead of the filter list: plan renderers truncate the
     // description (spark.sql.maxMetadataStringLength) and the filter
     // list is the unbounded part
     val col = columnar && !reverse && KvColumnarReader.eligible(prunedSchema)
-    s"graft-kv $dir Columnar: $col, Limit: $lim$topn, PushedFilters: [$f]"
+    s"graft-kv $dir Columnar: $col$pin, Limit: $lim$topn, PushedFilters: [$f]"
   }
 
   /** Intersect rowkey predicates (conjunctive top level) into one

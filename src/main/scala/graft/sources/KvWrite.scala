@@ -85,7 +85,7 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
         else KvTableMeta(Nil)
       val keep = if (truncateFirst) newShards else prev.shards ++ newShards
       val epochs = if (truncateFirst) Nil else prev.committedEpochs
-      KvStore.writeMeta(dir, KvTableMeta(keep, epochs))
+      KvStore.writeMeta(dir, KvTableMeta(keep, epochs, prev.version))
       if (truncateFirst)
         prev.shards.map(_.file).toSet.diff(newShards.map(_.file).toSet)
           .foreach(f => new File(s"$dir/$f").delete())
@@ -136,7 +136,8 @@ class KvStreamingWrite(catalog: KvCatalog, dir: String, schema: StructType,
         // list would grow the manifest forever on a long-lived stream
         val epochs = (prev.committedEpochs :+ epochKey)
           .takeRight(KvStreamingWrite.MaxEpochRecords)
-        KvStore.writeMeta(dir, KvTableMeta(prev.shards ++ newShards, epochs))
+        KvStore.writeMeta(dir,
+          KvTableMeta(prev.shards ++ newShards, epochs, prev.version))
       }
     }
 

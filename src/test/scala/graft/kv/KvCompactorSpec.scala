@@ -129,20 +129,25 @@ class KvCompactorSpec extends SparkSpec {
     assert(shards.forall(_.crc32cHex.nonEmpty), "every written shard records a CRC")
     assert(KvStore.verifyTable(dir) == shards.length)
 
-    // flip one bit in the middle of one shard file
+    // flip one bit in the LAST byte of one shard — always value payload
+    // (the record layout ends with value bytes), so the parse stays
+    // structurally valid and only the checksum can catch the rot: this
+    // tests the CRC itself, not a lucky parse blow-up
     val victim = new java.io.File(s"$dir/${shards.head.file}")
     val raf = new java.io.RandomAccessFile(victim, "rw")
     try {
-      raf.seek(victim.length() / 2)
+      raf.seek(victim.length() - 1)
       val b = raf.read()
-      raf.seek(victim.length() / 2)
+      raf.seek(victim.length() - 1)
       raf.write(b ^ 0x10)
     } finally raf.close()
 
     val fsck = intercept[IllegalStateException](KvStore.verifyTable(dir))
     assert(fsck.getMessage.contains(shards.head.file) &&
       fsck.getMessage.contains("corrupt"))
-    // compaction must refuse to spread the corruption into a merged shard
+    // compaction must refuse to spread the corruption into a merged
+    // shard: the merge reader verifies inline (same pass as the merge
+    // read) and throws BEFORE the manifest swap
     val comp = intercept[IllegalStateException](
       KvCompactor.compact(dir, targetBytes = 64L << 20))
     assert(comp.getMessage.contains("corrupt"))
@@ -185,6 +190,48 @@ class KvCompactorSpec extends SparkSpec {
     assert(readBack(dir).count() == 200, "the live table is untouched")
     val e = intercept[Exception](at(1).count())
     assert(e.getMessage != null)
+  }
+
+  test("archived manifest history is bounded — a commit-per-epoch sink cannot leak files") {
+    val dir = Files.createTempDirectory("graft-kv-archcap").toString
+    val commits = KvStore.MaxArchivedManifests + 10
+    (1 to commits).foreach { _ =>
+      // the same read-modify-write shape every writer commit uses
+      KvStore.withTableLock(dir) {
+        val prev =
+          if (new java.io.File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir)
+          else KvTableMeta(Nil)
+        KvStore.writeMeta(dir, prev)
+      }
+    }
+    assert(KvStore.readMeta(dir).version == commits)
+    val archives = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("_kvmeta.v") && f.getName.endsWith(".json"))
+    assert(archives <= KvStore.MaxArchivedManifests,
+      s"$archives archived manifests exceed the ${KvStore.MaxArchivedManifests} cap")
+    // the most recent history is the part retained
+    assert(new java.io.File(s"$dir/_kvmeta.v${commits - 1}.json").exists())
+    assert(!new java.io.File(s"$dir/_kvmeta.v1.json").exists())
+  }
+
+  test("a streaming read rejects asOfVersion instead of silently tailing the live table") {
+    val dir = Files.createTempDirectory("graft-kv-streampin").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("catalog", cat).option("path", dir)
+      .mode("overwrite").save()
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-kv")
+        .option("catalog", cat).option("path", dir)
+        .option("asOfVersion", "1").load()
+        .writeStream.format("memory").queryName("pin_reject")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .processAllAvailable()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("asOfVersion is a batch-read option")))
   }
 
   test("legacy manifests without checksums verify as a no-op (forward compatible)") {
