@@ -51,12 +51,45 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
     truncateFirst = true; this
   }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private def chunkBytes: Long = {
       val cb = info.options().getLong("chunkBytes", KvDataWriter.DefaultChunkBytes)
       require(cb > 0, s"chunkBytes must be positive, got $cb")
       cb
     }
+
+    /** `distributeByRange=true` asks SPARK for the write layout instead
+      * of the caller hand-rolling `repartitionByRange` before every
+      * save: an ordered distribution on the rowkey makes Spark insert a
+      * range-partition + sort, so each task covers a disjoint key range
+      * and the emitted shards are range-tight — the layout plan-time
+      * pruning wants. Valid because the key ENCODING is order-preserving
+      * (BytesCodec), so column order ≡ encoded-shard-range order.
+      * Default off: unsorted/overlapping shards stay CORRECT (scans
+      * prune by per-shard min/max and re-clip), and appends of
+      * pre-partitioned data shouldn't pay a forced shuffle. */
+    private def rangeDistribute: Boolean =
+      info.options().getBoolean("distributeByRange", false)
+    private def rowkeySort =
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(catalog.rowkey),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      if (rangeDistribute)
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(
+          Array(rowkeySort))
+      else
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      if (rangeDistribute) Array(rowkeySort) else Array.empty
+    /** `writePartitions=N` pins the distribution's partition count (≙
+      * target shard count before chunk rolling); 0/absent lets Spark +
+      * AQE choose — which may coalesce a small write to one task. */
+    override def requiredNumPartitions(): Int =
+      info.options().getInt("writePartitions", 0)
+
     override def toBatch: BatchWrite =
       new KvBatchWrite(catalog, dir, info.schema(), truncateFirst, chunkBytes)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {

@@ -799,6 +799,44 @@ class KvConnectorSpec extends SparkSpec {
     assert(desc.collect().map(_.getAs[Long]("id")).toSeq == (996L to 1000L).reverse)
   }
 
+  test("distributeByRange asks Spark for the layout: shards land range-tight") {
+    import spark.implicits._
+    val rows = (1L to 10000L).map(k => (k, s"v$k")).toDF("id", "payload")
+    val cat =
+      """{"table":{"name":"layout"},"rowkey":"id",
+        | "columns":{"id":{"cf":"rowkey","col":"id","type":"long"},
+        |            "payload":{"cf":"f","col":"p","type":"string"}}}""".stripMargin
+    def overlaps(dir: String): Int = {
+      val shards = graft.kv.KvStore.readMeta(dir).shards
+        .sortWith((a, b) => graft.kv.BytesCodec.compareKeys(a.minKey, b.minKey) < 0)
+      shards.sliding(2).count {
+        case Seq(a, b) => graft.kv.BytesCodec.compareKeys(b.minKey, a.maxKey) <= 0
+        case _ => false
+      }
+    }
+    // hash-partitioned baseline: sequential keys spread over every
+    // partition, so shard ranges all overlap (correct, but un-prunable)
+    val hashDir = Files.createTempDirectory("graft-kv-layout-hash").toString
+    rows.repartition(8).write.format("graft-kv")
+      .option("catalog", cat).option("path", hashDir).mode("overwrite").save()
+    assert(graft.kv.KvStore.readMeta(hashDir).shards.length > 1)
+    assert(overlaps(hashDir) > 0, "hash layout should overlap (else this test is vacuous)")
+    // ordered distribution: Spark range-partitions + sorts before the
+    // writer sees a row — disjoint shard ranges with no caller shuffle
+    val rangeDir = Files.createTempDirectory("graft-kv-layout-range").toString
+    rows.repartition(8).write.format("graft-kv")
+      .option("catalog", cat).option("path", rangeDir)
+      .option("distributeByRange", "true").option("writePartitions", "8")
+      .mode("overwrite").save()
+    val shards = graft.kv.KvStore.readMeta(rangeDir).shards
+    assert(shards.length > 1, "range write should still parallelize")
+    assert(overlaps(rangeDir) == 0, "ordered distribution must yield disjoint shard ranges")
+    // identical content either way
+    val a = spark.read.format("graft-kv").option("catalog", cat).option("path", hashDir).load()
+    val b = spark.read.format("graft-kv").option("catalog", cat).option("path", rangeDir).load()
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("schema evolution: a catalog with added columns reads older shards as null") {
     written
     // the same table read through a WIDER catalog — two columns the
