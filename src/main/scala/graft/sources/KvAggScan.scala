@@ -76,6 +76,10 @@ class KvAggScan(dir: String, rowkeyName: String, declared: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = base.planInputPartitions()
 
+  // pruning metrics ride the base scan's partition planning
+  override def supportedCustomMetrics() = base.supportedCustomMetrics()
+  override def reportDriverMetrics() = base.reportDriverMetrics()
+
   override def createReaderFactory(): PartitionReaderFactory =
     KvAggReaderFactory(dir, declared.json, rowkeyName, filters, specs)
 }

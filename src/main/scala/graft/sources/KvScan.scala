@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.kv._
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -229,6 +230,15 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     (lo, hi)
   }
 
+  // pruning observability, filled by planInputPartitions and surfaced
+  // as driver-side custom metrics on the scan node (Spark SQL UI +
+  // executedPlan.metrics) — at cluster scale "how many shards did the
+  // manifest let us skip" is the first question a slow-scan
+  // investigation asks
+  private var shardsTotal = 0L
+  private var prunedByKeyRange = 0L
+  private var prunedByZoneMap = 0L
+
   override def planInputPartitions(): Array[InputPartition] = {
     val meta = KvStore.readMetaAsOf(dir, asOf)
     val (lo, hi) = rowkeyRange()
@@ -239,15 +249,47 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     }
     // zone maps: value-column predicates prune shards whose recorded
     // min/max exclude the literal — the non-rowkey pruning axis
-    KvZoneMaps.prune(inKeyRange, allFilters, declared)
+    val surviving = KvZoneMaps.prune(inKeyRange, allFilters, declared)
+    shardsTotal = meta.shards.length
+    prunedByKeyRange = (meta.shards.length - inKeyRange.length).toLong
+    prunedByZoneMap = (inKeyRange.length - surviving.length).toLong
+    surviving
       .map(s => KvInputPartition(s, lo.map(KvStore.toHex), hi.map(KvStore.toHex))
         : InputPartition)
       .toArray
   }
 
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    KvScanMetrics.supported
+
+  override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
+    KvScanMetrics.taskMetric("kvShardsTotal", shardsTotal),
+    KvScanMetrics.taskMetric("kvShardsPrunedKeyRange", prunedByKeyRange),
+    KvScanMetrics.taskMetric("kvShardsPrunedZoneMap", prunedByZoneMap))
+
   override def createReaderFactory(): PartitionReaderFactory =
     KvPartitionReaderFactory(dir, prunedSchema.json, declared.json,
       rowkeyName, allFilters, limit, reverse, columnar)
+}
+
+/** Driver-side scan metrics: manifest shard count and how many shards
+  * each pruning axis removed. Sum-aggregated (one driver value per
+  * scan). */
+object KvScanMetrics {
+  private class SumMetric(val name: String, val description: String)
+      extends CustomMetric {
+    override def aggregateTaskMetrics(values: Array[Long]): String =
+      values.sum.toString
+  }
+  val supported: Array[CustomMetric] = Array(
+    new SumMetric("kvShardsTotal", "total shards in manifest"),
+    new SumMetric("kvShardsPrunedKeyRange", "shards pruned by rowkey range"),
+    new SumMetric("kvShardsPrunedZoneMap", "shards pruned by zone maps"))
+  def taskMetric(metricName: String, v: Long): CustomTaskMetric =
+    new CustomTaskMetric {
+      override def name(): String = metricName
+      override def value(): Long = v
+    }
 }
 
 /** Serializable factory (the driver→executor boundary; schemas travel as

@@ -719,6 +719,9 @@ class KvConnectorSpec extends SparkSpec {
     assert(eq.rdd.getNumPartitions == covering((4000L, 4000L)) &&
       eq.rdd.getNumPartitions < 8, "v=4000 keeps only the covering shards")
     assert(eq.collect().map(_.getAs[Long]("k")).toSeq == Seq(400L))
+    // the pruning shows up in the scan's driver metrics too
+    val zm = eq.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(zm("kvShardsPrunedZoneMap").value == 8 - covering((4000L, 4000L)))
     val range = read().filter(col("v") > 7000L)
     assert(range.rdd.getNumPartitions == covering((7001L, Long.MaxValue)) &&
       range.rdd.getNumPartitions < 8, "top value range keeps only the tail shards")
@@ -797,6 +800,28 @@ class KvConnectorSpec extends SparkSpec {
     assert(!physicalPlan(desc).contains("ColumnarToRow"),
       "DESC top-N pushdown must stay on the ring-buffer row reader")
     assert(desc.collect().map(_.getAs[Long]("id")).toSeq == (996L to 1000L).reverse)
+  }
+
+  test("scan reports pruning metrics: total shards and per-axis pruned counts") {
+    written
+    val nShards = graft.kv.KvStore.readMeta(dir).shards.length
+    assert(nShards == 8, "fixture writes 8 range-partitioned shards")
+    // id <= 125 → exactly the first of 8 range-tight shards survives
+    val df = kv.filter(col("id") <= 125)
+    df.collect()
+    val scanNode = df.queryExecution.executedPlan.collectLeaves().head
+    val m = scanNode.metrics
+    assert(m.contains("kvShardsTotal") && m.contains("kvShardsPrunedKeyRange"),
+      s"scan node must expose the custom pruning metrics, has: ${m.keySet}")
+    assert(m("kvShardsTotal").value == nShards)
+    assert(m("kvShardsPrunedKeyRange").value == nShards - 1,
+      s"id<=125 must prune all but one shard, pruned ${m("kvShardsPrunedKeyRange").value}")
+    // unfiltered scan prunes nothing
+    val all = kv.select(col("id"))
+    all.collect()
+    val leaf = all.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.metrics("kvShardsPrunedKeyRange").value == 0)
+    assert(leaf.metrics("kvShardsTotal").value == nShards)
   }
 
   test("distributeByRange asks Spark for the layout: shards land range-tight") {
