@@ -273,18 +273,30 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
 }
 
 /** Driver-side scan metrics: manifest shard count and how many shards
-  * each pruning axis removed. Sum-aggregated (one driver value per
-  * scan). */
+  * each pruning axis removed. Each metric is its own PUBLIC NO-ARG
+  * class extending Spark's CustomSumMetric — the SQL UI aggregates V2
+  * custom metrics by re-instantiating the metric class reflectively
+  * (SQLAppStatusListener → Utils.loadExtensions), and anything without
+  * a no-arg constructor silently renders as "N/A". */
 object KvScanMetrics {
-  private class SumMetric(val name: String, val description: String)
-      extends CustomMetric {
-    override def aggregateTaskMetrics(values: Array[Long]): String =
-      values.sum.toString
+  class ShardsTotalMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "kvShardsTotal"
+    override def description(): String = "total shards in manifest"
+  }
+  class ShardsPrunedKeyRangeMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "kvShardsPrunedKeyRange"
+    override def description(): String = "shards pruned by rowkey range"
+  }
+  class ShardsPrunedZoneMapMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "kvShardsPrunedZoneMap"
+    override def description(): String = "shards pruned by zone maps"
   }
   val supported: Array[CustomMetric] = Array(
-    new SumMetric("kvShardsTotal", "total shards in manifest"),
-    new SumMetric("kvShardsPrunedKeyRange", "shards pruned by rowkey range"),
-    new SumMetric("kvShardsPrunedZoneMap", "shards pruned by zone maps"))
+    new ShardsTotalMetric, new ShardsPrunedKeyRangeMetric,
+    new ShardsPrunedZoneMapMetric)
   def taskMetric(metricName: String, v: Long): CustomTaskMetric =
     new CustomTaskMetric {
       override def name(): String = metricName

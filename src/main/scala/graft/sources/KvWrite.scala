@@ -86,9 +86,12 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
       if (rangeDistribute) Array(rowkeySort) else Array.empty
     /** `writePartitions=N` pins the distribution's partition count (≙
       * target shard count before chunk rolling); 0/absent lets Spark +
-      * AQE choose — which may coalesce a small write to one task. */
+      * AQE choose — which may coalesce a small write to one task.
+      * Only honored with `distributeByRange`: Spark REJECTS a partition
+      * count on an unspecified distribution at planning, which would
+      * turn a previously-working plain write into an error. */
     override def requiredNumPartitions(): Int =
-      info.options().getInt("writePartitions", 0)
+      if (rangeDistribute) info.options().getInt("writePartitions", 0) else 0
 
     override def toBatch: BatchWrite =
       new KvBatchWrite(catalog, dir, info.schema(), truncateFirst, chunkBytes)

@@ -824,6 +824,29 @@ class KvConnectorSpec extends SparkSpec {
     assert(leaf.metrics("kvShardsTotal").value == nShards)
   }
 
+  test("metric classes are UI-instantiable; writePartitions alone stays a plain write") {
+    // the SQL UI re-instantiates metric classes reflectively via a
+    // no-arg constructor — without one it silently renders "N/A"
+    KvScanMetrics.supported.foreach { m =>
+      val fresh = m.getClass.getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.connector.metric.CustomMetric]
+      assert(fresh.name() == m.name() && fresh.aggregateTaskMetrics(Array(2L, 3L)) == "5")
+    }
+    // writePartitions without distributeByRange must not poison the plan
+    // (a partition count on an unspecified distribution is rejected by
+    // Spark at planning)
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-kv-wp-only").toString
+    Seq((1L, "a")).toDF("id", "payload").write.format("graft-kv")
+      .option("catalog",
+        """{"table":{"name":"wp"},"rowkey":"id",
+          | "columns":{"id":{"cf":"rowkey","col":"id","type":"long"},
+          |            "payload":{"cf":"f","col":"p","type":"string"}}}""".stripMargin)
+      .option("path", d2).option("writePartitions", "8")
+      .mode("overwrite").save()
+    assert(graft.kv.KvStore.readMeta(d2).shards.map(_.rows).sum == 1)
+  }
+
   test("distributeByRange asks Spark for the layout: shards land range-tight") {
     import spark.implicits._
     val rows = (1L to 10000L).map(k => (k, s"v$k")).toDF("id", "payload")
