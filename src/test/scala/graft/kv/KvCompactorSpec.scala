@@ -192,6 +192,29 @@ class KvCompactorSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("fsck detects EVERY single-bit flip (CRC32C property, randomized positions)") {
+    val dir = Files.createTempDirectory("graft-kv-crcprop").toString
+    import spark.implicits._
+    (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("catalog", cat).option("path", dir)
+      .mode("overwrite").save()
+    val shard = KvStore.readMeta(dir).shards.head
+    val path = java.nio.file.Paths.get(s"$dir/${shard.file}")
+    val clean = java.nio.file.Files.readAllBytes(path)
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { i =>
+      val at = rnd.nextInt(clean.length)
+      val bit = 1 << rnd.nextInt(8)
+      val rotted = clean.clone()
+      rotted(at) = (rotted(at) ^ bit).toByte
+      java.nio.file.Files.write(path, rotted)
+      val e = intercept[IllegalStateException](KvStore.verifyShard(dir, shard))
+      assert(e.getMessage.contains("corrupt"), s"flip #$i at byte $at bit $bit undetected")
+    }
+    java.nio.file.Files.write(path, clean) // restore → healthy again
+    assert(KvStore.verifyTable(dir) == KvStore.readMeta(dir).shards.length)
+  }
+
   test("archived manifest history is bounded — a commit-per-epoch sink cannot leak files") {
     val dir = Files.createTempDirectory("graft-kv-archcap").toString
     val commits = KvStore.MaxArchivedManifests + 10
