@@ -187,4 +187,46 @@ class KvFuzzSpec extends SparkSpec {
         s"row proj $proj pred $pred diverged")
     }
   }
+
+  test("fuzz: every snapshot version replays its exact append prefix") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dir = Files.createTempDirectory("graft-kv-snapfuzz").toString
+    var nextKey = 0L
+    // history(v) = full expected row set right after the commit that
+    // produced manifest version v
+    val history = scala.collection.mutable.Map.empty[Long, Set[(Long, String, Int)]]
+    var accumulated = Set.empty[(Long, String, Int)]
+    (1 to 8).foreach { round =>
+      val batch = (0 until 20 + rnd.nextInt(60)).map { _ =>
+        nextKey += 1 + rnd.nextInt(3) // gaps: keys non-contiguous
+        (nextKey, randomString(rnd), rnd.nextInt())
+      }
+      batch.toDF("k", "s", "i")
+        .withColumn("d", lit(0.0)).withColumn("b", lit(true))
+        .withColumn("c", lit(null).cast("string"))
+        .select("k", "s", "i", "d", "b", "c")
+        .repartitionByRange(2, col("k"))
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(if (round == 1) "overwrite" else "append").save()
+      accumulated ++= batch
+      history(graft.kv.KvStore.readMeta(dir).version) = accumulated
+    }
+    assert(history.size == 8, "each commit must mint a distinct version")
+    history.foreach { case (v, expect) =>
+      val got = spark.read.format("graft-kv")
+        .option("catalog", cat).option("path", dir)
+        .option("asOfVersion", v.toString).load()
+        .select("k", "s", "i").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == expect, s"version $v replayed ${got.size} rows, expected ${expect.size}")
+      // pushdown against the pinned manifest stays consistent too
+      val maxK = expect.map(_._1).max
+      val cnt = spark.read.format("graft-kv")
+        .option("catalog", cat).option("path", dir)
+        .option("asOfVersion", v.toString).load()
+        .filter(col("k") > maxK).count()
+      assert(cnt == 0, s"version $v must not see keys appended after it")
+    }
+  }
 }
