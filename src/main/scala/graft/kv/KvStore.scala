@@ -363,6 +363,10 @@ object KvStore {
     private val crc: java.util.zip.CRC32C =
       if (verifyCrc && shard.crc32cHex.nonEmpty) new java.util.zip.CRC32C else null
     private var crcComplete = true
+    // file bytes consumed (refilled or stream-skipped) — one add per
+    // 1 MiB refill, surfaced as the scan's kvBytesRead task metric
+    private var bytesConsumed = 0L
+    def bytesRead: Long = bytesConsumed
 
     // Hand-rolled buffered parser instead of DataInputStream: readInt()
     // over BufferedInputStream costs four SYNCHRONIZED single-byte reads
@@ -393,6 +397,7 @@ object KvStore {
           throw new EOFException(s"truncated shard ${shard.file}")
         }
         if (crc != null) crc.update(buf, lim, r)
+        bytesConsumed += r
         lim += r
       }
       true
@@ -420,6 +425,7 @@ object KvStore {
         val buffered = lim - pos
         pos = 0; lim = 0
         crcComplete = false // skipped bytes never reach the CRC
+        bytesConsumed += (n - buffered).toLong
         in.skipNBytes((n - buffered).toLong)
       }
     }

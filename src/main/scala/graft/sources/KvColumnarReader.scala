@@ -112,4 +112,9 @@ class KvColumnarReader(dir: String, part: KvInputPartition,
     reader.close()
     batch.close()
   }
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    KvScanMetrics.taskMetric("kvRecordsRead", served),
+    KvScanMetrics.taskMetric("kvBytesRead", reader.bytesRead))
 }

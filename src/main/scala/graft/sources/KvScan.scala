@@ -294,9 +294,19 @@ object KvScanMetrics {
     override def name(): String = "kvShardsPrunedZoneMap"
     override def description(): String = "shards pruned by zone maps"
   }
+  class RecordsReadMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "kvRecordsRead"
+    override def description(): String = "records emitted by shard readers"
+  }
+  class BytesReadMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "kvBytesRead"
+    override def description(): String = "shard file bytes consumed"
+  }
   val supported: Array[CustomMetric] = Array(
     new ShardsTotalMetric, new ShardsPrunedKeyRangeMetric,
-    new ShardsPrunedZoneMapMetric)
+    new ShardsPrunedZoneMapMetric, new RecordsReadMetric, new BytesReadMetric)
   def taskMetric(metricName: String, v: Long): CustomTaskMetric =
     new CustomTaskMetric {
       override def name(): String = metricName
@@ -504,4 +514,8 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    KvScanMetrics.taskMetric("kvRecordsRead", served),
+    KvScanMetrics.taskMetric("kvBytesRead", reader.bytesRead))
 }

@@ -816,12 +816,19 @@ class KvConnectorSpec extends SparkSpec {
     assert(m("kvShardsTotal").value == nShards)
     assert(m("kvShardsPrunedKeyRange").value == nShards - 1,
       s"id<=125 must prune all but one shard, pruned ${m("kvShardsPrunedKeyRange").value}")
-    // unfiltered scan prunes nothing
+    // unfiltered scan prunes nothing; task metrics report the read volume
     val all = kv.select(col("id"))
+    assert(all.count() == 1000)
     all.collect()
     val leaf = all.queryExecution.executedPlan.collectLeaves().head
     assert(leaf.metrics("kvShardsPrunedKeyRange").value == 0)
     assert(leaf.metrics("kvShardsTotal").value == nShards)
+    assert(leaf.metrics("kvRecordsRead").value == 1000,
+      s"task metric must sum emitted records, got ${leaf.metrics("kvRecordsRead").value}")
+    val bytes = leaf.metrics("kvBytesRead").value
+    val onDisk = graft.kv.KvStore.readMeta(dir).shards
+      .map(s => new java.io.File(s"$dir/${s.file}").length()).sum
+    assert(bytes == onDisk, s"full scan must consume every shard byte ($bytes vs $onDisk)")
   }
 
   test("metric classes are UI-instantiable; writePartitions alone stays a plain write") {
