@@ -250,6 +250,49 @@ object Curation {
       ORDER BY doc_id"""),
     doc = "per-language relative quality cutoff: drop worst floor(n/4) per stratum")
 
+  /** Context-window chunking: split every document into fixed-size
+    * token chunks (64 tokens, stride 48 → 16-token overlap) — the
+    * packing step between curation and tokenization in a training
+    * pipeline. Overlap preserves cross-boundary n-grams so no training
+    * signal is lost at chunk seams; the chunk index is derived
+    * arithmetically from the start offset, keeping the whole operator a
+    * per-row explode — zero shuffles besides the presentation sort,
+    * embarrassingly parallel at corpus scale. */
+  val q92DocChunks: Q = Q(
+    "q92_doc_chunks",
+    (s, d) => {
+      val n = size(col("toks"))
+      val starts = when(n === 0, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), n, lit(48)))
+      tokenized(s, d)
+        .select(col("doc_id"), col("toks"), posexplode(starts).as(Seq("chunk_idx", "start")))
+        .withColumn("chunk", slice(col("toks"), col("start"), lit(64)))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_chunk_tokens"),
+          concat_ws(" ", col("chunk")).as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, toks,
+               unnest(CASE WHEN len(toks) = 0 THEN []::BIGINT[]
+                           ELSE range(1, len(toks) + 1, 48) END) AS start
+        FROM t),
+      c AS (
+        SELECT doc_id, CAST((start - 1) // 48 AS INT) AS chunk_idx,
+               toks[start : start + 63] AS chunk
+        FROM s)
+      SELECT doc_id, chunk_idx, len(chunk) AS n_chunk_tokens,
+             array_to_string(chunk, ' ') AS chunk_text
+      FROM c
+      ORDER BY doc_id, chunk_idx"""),
+    doc = "context-window chunking: 64-token chunks, 16-token overlap (per-row explode)")
+
   def defs: Seq[Q] = Seq(q87RepetitionQuality, q88Decontamination, q89VocabOov,
-    q91QualityCutoff)
+    q91QualityCutoff, q92DocChunks)
 }

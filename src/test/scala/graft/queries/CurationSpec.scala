@@ -145,6 +145,30 @@ class CurationSpec extends SparkSpec {
       "the 4-doc stratum must drop its single worst document")
   }
 
+  test("q92 chunks reconstruct the document exactly (overlap dropped, no token lost)") {
+    val out = Curation.q92DocChunks.fn(spark, d).cache()
+    try {
+      assert(out.filter(col("n_chunk_tokens") > 64).count() == 0)
+      assert(out.filter(col("n_chunk_tokens") < 1).count() == 0)
+      // stitch: chunk 0 whole + each later chunk minus its 16-token
+      // overlap = the original token stream, for every document
+      val stitched = out
+        .withColumn("toks", split(col("chunk_text"), " "))
+        .withColumn("tail", when(col("chunk_idx") === 0, col("toks"))
+          .otherwise(expr("slice(toks, 17, size(toks))")))
+        .groupBy(col("doc_id"))
+        .agg(flatten(sort_array(collect_list(
+          struct(col("chunk_idx"), col("tail")))).getField("tail")).as("rebuilt"))
+      val original = Tables.documents(spark, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("orig"))
+      val broken = stitched.join(original, Seq("doc_id"))
+        .filter(not(col("rebuilt") === col("orig"))).count()
+      assert(broken == 0, "overlap-stripped chunk concatenation must equal the token stream")
+      // every non-empty doc is chunked
+      assert(stitched.count() == original.filter(size(col("orig")) > 0).count())
+    } finally out.unpersist()
+  }
+
   test("q89 OOV: every doc present, counts bounded, vocab cut deterministic") {
     val out = Curation.q89VocabOov.fn(spark, d).cache()
     try {
