@@ -26,14 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the builders are the SAME values register() installs, so the two
+    // routes cannot drift (arity checks and defaults live with each
+    // function object, not here)
     ext.injectFunction(fn("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two float vectors (fused codegen)",
-      exprs => functions.CosineSimilarity(exprs(0), exprs(1))))
+      functions.CosineSimilarity.builder))
     ext.injectFunction(fn("int8_dot",
       "int8_dot(a, b) - exact LONG dot product of two int8-code vectors",
-      exprs => functions.Int8Dot(exprs(0), exprs(1))))
+      functions.Int8Dot.builder))
     ext.injectFunction(fn("lsh_buckets",
       "lsh_buckets(vec) - multi-table hyperplane LSH bucket ids (4 tables x 4 planes)",
-      exprs => functions.LshBuckets(exprs.head, 4, 4)))
+      functions.LshBuckets.builder()))
   }
 }

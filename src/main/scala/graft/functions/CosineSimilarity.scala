@@ -85,12 +85,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  /** The one SQL builder both install routes (register() and
+    * GraftExtensions) consume — arity is validated here so a SQL user
+    * gets a clear error, not an IndexOutOfBoundsException. */
+  val builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      s"cosine_sim expects 2 arguments (vecA, vecB), got ${exprs.length}")
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   /** Register `cosine_sim(a, b)` in the session's function registry
     * (Spark 4's Column API no longer exposes raw expressions, so the
     * registry + `expr("cosine_sim(…)")` is the supported route). */
   def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+      "cosine_sim", builder, "built-in")
 }

@@ -78,11 +78,16 @@ case class Int8Dot(left: Expression, right: Expression)
 }
 
 object Int8Dot {
+  /** The one SQL builder both install routes consume (arity-checked). */
+  val builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      s"int8_dot expects 2 arguments (codesA, codesB), got ${exprs.length}")
+    Int8Dot(exprs(0), exprs(1))
+  }
+
   /** Register `int8_dot(a, b)` (registry + `expr(...)` is the supported
     * route to a custom expression on Spark 4's Column API). */
   def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "int8_dot",
-      exprs => Int8Dot(exprs(0), exprs(1)),
-      "built-in")
+      "int8_dot", builder, "built-in")
 }

@@ -104,10 +104,19 @@ object LshBuckets {
     m.toDouble / (1L << 19).toDouble - 1.0
   }
 
+  /** SQL builder for a fixed (tables, planes) configuration — both
+    * install routes (register() and GraftExtensions) consume this, so
+    * arity validation and the default geometry live in one place. */
+  def builder(tables: Int = 4, planesPerTable: Int = 4): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 1,
+        s"lsh_buckets expects 1 argument (vec), got ${exprs.length}; " +
+          "table/plane counts are fixed at registration")
+      LshBuckets(exprs.head, tables, planesPerTable)
+    }
+
   /** Register `lsh_buckets(vec)` (4 tables × 4 planes). */
   def register(s: SparkSession, tables: Int = 4, planesPerTable: Int = 4): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_buckets",
-      exprs => LshBuckets(exprs.head, tables, planesPerTable),
-      "built-in")
+      "lsh_buckets", builder(tables, planesPerTable), "built-in")
 }

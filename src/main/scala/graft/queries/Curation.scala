@@ -257,13 +257,20 @@ object Curation {
     * signal is lost at chunk seams; the chunk index is derived
     * arithmetically from the start offset, keeping the whole operator a
     * per-row explode — zero shuffles besides the presentation sort,
-    * embarrassingly parallel at corpus scale. */
+    * embarrassingly parallel at corpus scale.
+    *
+    * Starts are capped at n−16 so the final chunk always contributes at
+    * least one token beyond the overlap: an uncapped stride would emit
+    * a fully-redundant trailing chunk (a strict subset of its
+    * predecessor) for every document with (n−1) mod 48 ≤ 15 — pure
+    * duplicated text in a pipeline whose dedup stages exist to remove
+    * exactly that. */
   val q92DocChunks: Q = Q(
     "q92_doc_chunks",
     (s, d) => {
       val n = size(col("toks"))
       val starts = when(n === 0, array().cast("array<int>"))
-        .otherwise(sequence(lit(1), n, lit(48)))
+        .otherwise(sequence(lit(1), greatest(n - 16, lit(1)), lit(48)))
       tokenized(s, d)
         .select(col("doc_id"), col("toks"), posexplode(starts).as(Seq("chunk_idx", "start")))
         .withColumn("chunk", slice(col("toks"), col("start"), lit(64)))
@@ -281,7 +288,7 @@ object Curation {
       s AS (
         SELECT doc_id, toks,
                unnest(CASE WHEN len(toks) = 0 THEN []::BIGINT[]
-                           ELSE range(1, len(toks) + 1, 48) END) AS start
+                           ELSE range(1, greatest(len(toks) - 16, 1) + 1, 48) END) AS start
         FROM t),
       c AS (
         SELECT doc_id, CAST((start - 1) // 48 AS INT) AS chunk_idx,

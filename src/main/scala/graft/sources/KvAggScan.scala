@@ -101,6 +101,10 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
 
   private var emitted = false
   private val dtByName = declared.fields.map(f => f.name -> f.dataType).toMap
+  // read-volume task metrics (same names as the row/columnar readers);
+  // the manifest-only COUNT(*) fast path legitimately reads nothing
+  private var recordsRead = 0L
+  private var bytesRead = 0L
 
   private def ordering(dt: DataType): Ordering[Any] = dt match {
     case StringType => Ordering.by((v: Any) => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
@@ -160,6 +164,7 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     try {
       while (reader.hasNext) {
         decoder.decodeInto(reader.next())
+        recordsRead += 1
         if (pred()) {
           countStar += 1
           var i = 0
@@ -178,7 +183,7 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
           }
         }
       }
-    } finally reader.close()
+    } finally { bytesRead = reader.bytesRead; reader.close() }
 
     val countByName: Map[String, Long] =
       specs.collect { case KvCountCol(n) => n }.distinct
@@ -197,4 +202,9 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
   private var current: InternalRow = _
   override def get(): InternalRow = current
   override def close(): Unit = ()
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    KvScanMetrics.taskMetric("kvRecordsRead", recordsRead),
+    KvScanMetrics.taskMetric("kvBytesRead", bytesRead))
 }

@@ -83,6 +83,7 @@ class KvColumnarReader(dir: String, part: KvInputPartition,
     OnHeapColumnVector.allocateColumns(capacity, pruned)
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
   private var served = 0L
+  private var recordsRead = 0L // pre-filter: every record decoded
 
   override def next(): Boolean = {
     if (limit >= 0 && served >= limit) return false
@@ -91,6 +92,7 @@ class KvColumnarReader(dir: String, part: KvInputPartition,
     var n = 0
     while (n < capacity && (limit < 0 || served < limit) && reader.hasNext) {
       decoder.decodeInto(reader.next())
+      recordsRead += 1
       if (pred()) {
         var k = 0
         while (k < writers.length) {
@@ -115,6 +117,6 @@ class KvColumnarReader(dir: String, part: KvInputPartition,
 
   override def currentMetricsValues()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
-    KvScanMetrics.taskMetric("kvRecordsRead", served),
+    KvScanMetrics.taskMetric("kvRecordsRead", recordsRead),
     KvScanMetrics.taskMetric("kvBytesRead", reader.bytesRead))
 }

@@ -297,7 +297,7 @@ object KvScanMetrics {
   class RecordsReadMetric
       extends org.apache.spark.sql.connector.metric.CustomSumMetric {
     override def name(): String = "kvRecordsRead"
-    override def description(): String = "records emitted by shard readers"
+    override def description(): String = "records decoded by shard readers (pre-filter)"
   }
   class BytesReadMetric
       extends org.apache.spark.sql.connector.metric.CustomSumMetric {
@@ -465,6 +465,7 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
 
   private var current: InternalRow = _
   private var served = 0L
+  private var recordsRead = 0L // pre-filter: every record decoded
 
   private def project(): Array[Any] = {
     val values = new Array[Any](pruned.length)
@@ -481,6 +482,7 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
     tail = new Array[Array[Any]](limit)
     while (reader.hasNext) {
       decoder.decodeInto(reader.next())
+      recordsRead += 1
       if (pred()) {
         tail((tailMatches % limit).toInt) = project()
         tailMatches += 1
@@ -502,6 +504,7 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
     }
     while (reader.hasNext) {
       decoder.decodeInto(reader.next())
+      recordsRead += 1
       if (pred()) {
         current = InternalRow.fromSeq(
           scala.collection.immutable.ArraySeq.unsafeWrapArray(project()))
@@ -516,6 +519,6 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
   override def close(): Unit = reader.close()
 
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
-    KvScanMetrics.taskMetric("kvRecordsRead", served),
+    KvScanMetrics.taskMetric("kvRecordsRead", recordsRead),
     KvScanMetrics.taskMetric("kvBytesRead", reader.bytesRead))
 }

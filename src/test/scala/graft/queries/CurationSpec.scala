@@ -150,6 +150,11 @@ class CurationSpec extends SparkSpec {
     try {
       assert(out.filter(col("n_chunk_tokens") > 64).count() == 0)
       assert(out.filter(col("n_chunk_tokens") < 1).count() == 0)
+      // no redundant packing: every non-first chunk must extend coverage
+      // beyond its 16-token overlap (an uncapped stride would emit a
+      // trailing chunk that is a strict subset of its predecessor)
+      assert(out.filter(col("chunk_idx") > 0 && col("n_chunk_tokens") <= 16).count() == 0,
+        "a chunk contributing zero new tokens is duplicated training text")
       // stitch: chunk 0 whole + each later chunk minus its 16-token
       // overlap = the original token stream, for every document
       val stitched = out

@@ -806,8 +806,10 @@ class KvConnectorSpec extends SparkSpec {
     written
     val nShards = graft.kv.KvStore.readMeta(dir).shards.length
     assert(nShards == 8, "fixture writes 8 range-partitioned shards")
-    // id <= 125 → exactly the first of 8 range-tight shards survives
-    val df = kv.filter(col("id") <= 125)
+    // id <= 100 → exactly the first of 8 range-tight shards (rows 1-125)
+    // survives; the reader still decodes all 125 records of that shard
+    val df = kv.filter(col("id") <= 100)
+    assert(df.count() == 100)
     df.collect()
     val scanNode = df.queryExecution.executedPlan.collectLeaves().head
     val m = scanNode.metrics
@@ -815,7 +817,17 @@ class KvConnectorSpec extends SparkSpec {
       s"scan node must expose the custom pruning metrics, has: ${m.keySet}")
     assert(m("kvShardsTotal").value == nShards)
     assert(m("kvShardsPrunedKeyRange").value == nShards - 1,
-      s"id<=125 must prune all but one shard, pruned ${m("kvShardsPrunedKeyRange").value}")
+      s"id<=100 must prune all but one shard, pruned ${m("kvShardsPrunedKeyRange").value}")
+    assert(m("kvRecordsRead").value == 100,
+      "in-shard range clipping bounds decode cost: only the clipped prefix is read")
+    // a non-rowkey predicate can't clip: every record is decoded even
+    // though few survive — kvRecordsRead is PRE-filter, the true cost
+    val vf = kv.filter(col("age") === 0)
+    assert(vf.count() < 50)
+    vf.collect()
+    val vm = vf.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(vm("kvRecordsRead").value == 1000,
+      s"value filter decodes every record, got ${vm("kvRecordsRead").value}")
     // unfiltered scan prunes nothing; task metrics report the read volume
     val all = kv.select(col("id"))
     assert(all.count() == 1000)
