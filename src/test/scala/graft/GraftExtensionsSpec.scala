@@ -48,6 +48,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .select(expr("cosine_sim(a, b)")).head().getDouble(0)
       }
       assert(viaRegister == viaExtensions, "both install routes run the same expression")
+      // arity misuse fails with a clear message, not an index error
+      val tooFew = intercept[Exception] {
+        Seq(Tuple1(Array(1.0f))).toDF("a").select(expr("cosine_sim(a)")).head()
+      }
+      assert(tooFew.getMessage.contains("expects 2 arguments"), tooFew.getMessage)
+      val tooMany = intercept[Exception] {
+        Seq(Tuple1(Array(1.0f))).toDF("a").select(expr("lsh_buckets(a, 8)")).head()
+      }
+      assert(tooMany.getMessage.contains("expects 1 argument"), tooMany.getMessage)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
