@@ -38,6 +38,7 @@ object Stress {
     "q88_decontamination",                     // broadcast 4-gram semi-join
     "q89_vocab_oov",                           // top-K vocab + broadcast scoring
     "q90_attribution_join",                    // event-time interval join
+    "q91_quality_cutoff",                      // per-stratum rank window (stratum-bounded)
     "q92_doc_chunks",                          // context-window chunk explode
     "q70_kv_scan_filter", "q71_kv_rowkey_range", // KV pushdown scans
     "q72_kv_canonical", "q81_kv_compacted",      // + maintenance loop

@@ -85,12 +85,29 @@ object KvCompactor {
       inputs ++= group
     }
 
-    // swap under the table lock: the manifest is re-read so shards a
-    // concurrent writer committed meanwhile are preserved, and no writer
-    // can interleave its own read-modify-write with ours
+    swapCompacted(tableDir, inputs.toSeq, outputs.toSeq, retainInputs)
+  }
+
+  /** The locked commit of a compaction: replace `inputs` with `outputs`
+    * in the manifest. The merge itself runs OUTSIDE the lock (it can be
+    * long; writers must not block on it), so this swap validates
+    * optimistically: if any input already left the manifest, a
+    * concurrent compactor picked the same groups and swapped first —
+    * appending our outputs then would DUPLICATE every record in them.
+    * In that case our outputs are discarded and 0 is returned; the
+    * other compactor's result stands. Package-private so the abort
+    * branch is directly testable. */
+  private[kv] def swapCompacted(tableDir: String, inputs: Seq[KvShardMeta],
+                                outputs: Seq[KvShardMeta],
+                                retainInputs: Boolean): Int = {
     val inputFiles = inputs.map(_.file).toSet
     KvStore.withTableLock(tableDir) {
       val current = KvStore.readMeta(tableDir)
+      val live = current.shards.map(_.file).toSet
+      if (!inputFiles.forall(live)) {
+        outputs.foreach(o => new File(s"$tableDir/${o.file}").delete())
+        return 0
+      }
       KvStore.writeMeta(tableDir,
         KvTableMeta(current.shards.filterNot(s => inputFiles(s.file)) ++ outputs,
           current.committedEpochs, current.version))
@@ -101,9 +118,16 @@ object KvCompactor {
         // since the file left the manifest", but vacuum can only see
         // mtimes — an input WRITTEN long ago would otherwise be
         // reclaimable the instant it is superseded, breaking both
-        // in-flight scans and snapshot reads planned minutes earlier
+        // in-flight scans and snapshot reads planned minutes earlier.
+        // A failed mtime bump silently re-opens that window, so it is
+        // an error, not a shrug.
         val now = System.currentTimeMillis()
-        inputs.foreach(s => new File(s"$tableDir/${s.file}").setLastModified(now))
+        inputs.foreach { s =>
+          val f = new File(s"$tableDir/${s.file}")
+          require(f.setLastModified(now),
+            s"cannot restart the vacuum grace clock on ${s.file}; " +
+              "retain-mode compaction would be unsafe against vacuum")
+        }
       }
     }
     outputs.length

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
 /** Corpus-curation operators a pretraining-data pipeline runs between
   * raw ingest and tokenization: within-document repetition signals
   * (the Gopher-style quality rules), benchmark decontamination
-  * (n-gram overlap against an evaluation set), and tokenizer-vocabulary
-  * coverage (OOV rate). All candidate generation is per-row expressions
-  * or hash-shuffle joins — nothing all-pairs, nothing driver-side — so
-  * every operator here keeps its shape at 100 TB.
+  * (n-gram overlap against an evaluation set), tokenizer-vocabulary
+  * coverage (OOV rate), relative quality retention, and context-window
+  * chunking. Candidate generation is per-row expressions or
+  * hash-shuffle joins — nothing all-pairs, nothing driver-side. Every
+  * operator keeps its shape at 100 TB except q91's exact-rank cutoff,
+  * which is stratum-bounded by design (see its caveat for the
+  * percentile_approx scale twin).
   */
 object Curation {
 
@@ -213,7 +216,16 @@ object Curation {
     * Scale shape: one hash shuffle on the stratum key, then a single
     * streaming window pass computes both rank and stratum size. Ties
     * are broken by doc_id so the cut is deterministic and
-    * engine-replayable. */
+    * engine-replayable. CAVEAT — the stratum window sorts each language
+    * inside ONE task, so per-task work is bounded by the largest
+    * stratum (a real corpus is ~half one language): this exact-rank
+    * formulation is the oracle-checkable baseline, correct at any size
+    * but straggler-bound at extreme strata. The scale path swaps the
+    * boundary for a per-language `percentile_approx(score, 0.25)`
+    * threshold (partial-aggregated — no single-task sort) and filters
+    * `score >= threshold`: same retention decision to sketch accuracy,
+    * not hash-checkable because the sketch isn't engine-replayable —
+    * the same exact/approx twin pattern as q51/q55. */
   val q91QualityCutoff: Q = Q(
     "q91_quality_cutoff",
     (s, d) => {

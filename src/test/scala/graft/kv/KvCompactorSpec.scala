@@ -192,6 +192,37 @@ class KvCompactorSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("a losing concurrent compactor aborts its swap instead of duplicating records") {
+    val dir = Files.createTempDirectory("graft-kv-compact-race").toString
+    import spark.implicits._
+    def w(ks: Seq[Long], mode: String) =
+      ks.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .option("chunkBytes", "2048").mode(mode).save()
+    w(1L to 200L by 2L, "overwrite")
+    w(2L to 200L by 2L, "append")
+    // compactor B reads the manifest and "merges" (simulated by a real
+    // extra shard file) ...
+    val staleInputs = KvStore.readMeta(dir).shards
+    val wtr = new KvStore.ShardWriter(dir, "shard-compact-race-b.kv")
+    wtr.append(KvRecord(BytesCodec.encodeKey(
+      org.apache.spark.sql.types.LongType, 1L),
+      Seq(KvCell("f", "v", "x".getBytes("UTF-8")))))
+    val bOutputs = Seq(wtr.close().get)
+    // ... meanwhile compactor A wins the race and swaps first
+    assert(KvCompactor.compact(dir, targetBytes = 64L << 20) >= 1)
+    val afterA = KvStore.readMeta(dir).shards.map(_.file).toSet
+    // B's swap must detect its inputs are gone, discard its output, and
+    // leave the manifest exactly as A committed it
+    assert(KvCompactor.swapCompacted(dir, staleInputs, bOutputs,
+      retainInputs = false) == 0)
+    assert(KvStore.readMeta(dir).shards.map(_.file).toSet == afterA,
+      "a losing compactor must not touch the manifest")
+    assert(!new java.io.File(s"$dir/shard-compact-race-b.kv").exists(),
+      "the losing compactor's output file must be cleaned up")
+    assert(readBack(dir).count() == 200L, "no duplicated records")
+  }
+
   test("fsck detects EVERY single-bit flip (CRC32C property, randomized positions)") {
     val dir = Files.createTempDirectory("graft-kv-crcprop").toString
     import spark.implicits._
