@@ -262,6 +262,34 @@ object Curation {
       ORDER BY doc_id"""),
     doc = "per-language relative quality cutoff: drop worst floor(n/4) per stratum")
 
+  /** SCALE TWIN of q91 (the q51/q55 exact/approx pattern): the same
+    * per-language retention decision via a `percentile_approx`
+    * threshold instead of an exact rank window. The threshold is a
+    * partial-aggregated sketch — no per-stratum single-task sort, so
+    * this shape survives a 50 TB language — and the corpus is filtered
+    * against the broadcast per-language thresholds in one scan.
+    * Boundary semantics differ from q91 only at threshold TIES (a
+    * threshold keeps every doc scoring exactly t; the rank window
+    * tie-breaks by doc_id), so no DuckDB oracle: the sketch is not
+    * engine-replayable. CurationSpec pins it to q91 instead — the
+    * symmetric difference of the two kept-sets must consist solely of
+    * threshold-tied documents. */
+  val q93QualityCutoffApprox: Q = Q(
+    "q93_quality_cutoff_approx",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), Text.stopwordRatio(col("toks")).as("score"))
+      val thresholds = base.groupBy(col("lang"))
+        .agg(percentile_approx(col("score"), lit(0.25), lit(10000)).as("q25"))
+      base.join(broadcast(thresholds), Seq("lang"))
+        .filter(col("score") >= col("q25"))
+        .select(col("doc_id"), col("lang"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+    None,
+    doc = "q91's scale twin: per-language percentile_approx threshold (no stratum sort)")
+
   /** Context-window chunking: split every document into fixed-size
     * token chunks (64 tokens, stride 48 → 16-token overlap) — the
     * packing step between curation and tokenization in a training
@@ -313,5 +341,5 @@ object Curation {
     doc = "context-window chunking: 64-token chunks, 16-token overlap (per-row explode)")
 
   def defs: Seq[Q] = Seq(q87RepetitionQuality, q88Decontamination, q89VocabOov,
-    q91QualityCutoff, q92DocChunks)
+    q91QualityCutoff, q92DocChunks, q93QualityCutoffApprox)
 }

@@ -126,6 +126,29 @@ class CurationSpec extends SparkSpec {
     assert(off == 0, "each language must keep exactly n - floor(n/4) documents")
   }
 
+  test("q93 approx twin differs from q91's exact cutoff only at threshold ties") {
+    val exact = Curation.q91QualityCutoff.fn(spark, d)
+      .select("doc_id", "lang", "score").cache()
+    val approx = Curation.q93QualityCutoffApprox.fn(spark, d)
+      .select("doc_id", "lang", "score").cache()
+    try {
+      assert(approx.count() > 0)
+      // retention in the same ballpark (the approx threshold keeps ties,
+      // so it can only retain MORE than drop-floor(n/4))
+      assert(approx.count() >= exact.count())
+      val frac = approx.count().toDouble / Tables.documents(spark, d).count()
+      assert(frac > 0.70 && frac < 0.90, s"approx retention out of range: $frac")
+      // every disagreement must sit exactly ON the language's threshold:
+      // the two formulations may only differ in tie-breaking at t
+      val thresholds = approx.groupBy("lang").agg(min(col("score")).as("t"))
+      val sym = approx.exceptAll(exact).unionByName(exact.exceptAll(approx))
+      val offTie = sym.join(thresholds, Seq("lang"))
+        .filter(col("score") =!= col("t")).count()
+      assert(offTie == 0,
+        "exact and approx cutoffs may only disagree on threshold-tied documents")
+    } finally { exact.unpersist(); approx.unpersist() }
+  }
+
   test("q91 drop-count semantics never wipe out a small stratum") {
     import spark.implicits._
     // 1-doc and 3-doc strata keep everything; a 4-doc stratum drops one
