@@ -226,20 +226,42 @@ object Curation {
     * `score >= threshold`: same retention decision to sketch accuracy,
     * not hash-checkable because the sketch isn't engine-replayable —
     * the same exact/approx twin pattern as q51/q55. */
+  /** Exact-rank retention over a (doc_id, lang, score) frame — q91's
+    * core, factored so the null-stratum semantics are unit-testable on
+    * handcrafted frames (a NULL lang is its own stratum under
+    * partitionBy, exactly like any other language). */
+  private[queries] def exactCutoff(scored: DataFrame): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rn", row_number().over(
+        byLang.orderBy(col("score"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .filter(col("rn") > floor(col("n") * 0.25))
+      .select(col("doc_id"), col("lang"), col("score"))
+  }
+
+  /** Threshold retention over the same frame — q93's core. The join is
+    * NULL-SAFE on the stratum key so a NULL-lang stratum gets its own
+    * threshold instead of being silently dropped by inner-join key
+    * semantics. */
+  private[queries] def approxCutoff(scored: DataFrame): DataFrame = {
+    val thresholds = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("score"), lit(0.25), lit(10000)).as("q25"))
+      .withColumnRenamed("lang", "t_lang")
+    scored.join(broadcast(thresholds), col("lang") <=> col("t_lang"))
+      .filter(col("score") >= col("q25"))
+      .select(col("doc_id"), col("lang"), col("score"))
+  }
+
+  /** (doc_id, lang, score) scoring stage shared by q91/q93. */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), Text.stopwordRatio(col("toks")).as("score"))
+
   val q91QualityCutoff: Q = Q(
     "q91_quality_cutoff",
-    (s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
-      val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-      base.withColumn("score", Text.stopwordRatio(col("toks")))
-        .withColumn("rn", row_number().over(
-          byLang.orderBy(col("score"), col("doc_id"))))
-        .withColumn("n", count(lit(1)).over(byLang))
-        .filter(col("rn") > floor(col("n") * 0.25))
-        .select(col("doc_id"), col("lang"), col("score"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => exactCutoff(scoredDocs(s, d)).orderBy(col("doc_id")),
     Some("""
       WITH t AS (
         SELECT doc_id, lang,
@@ -270,23 +292,17 @@ object Curation {
     * against the broadcast per-language thresholds in one scan.
     * Boundary semantics differ from q91 only at threshold TIES (a
     * threshold keeps every doc scoring exactly t; the rank window
-    * tie-breaks by doc_id), so no DuckDB oracle: the sketch is not
-    * engine-replayable. CurationSpec pins it to q91 instead — the
-    * symmetric difference of the two kept-sets must consist solely of
-    * threshold-tied documents. */
+    * tie-breaks by doc_id) — including for a NULL-lang stratum, which
+    * the null-safe join thresholds like any other language. A NULL
+    * score (null text) sorts worst in q91 and fails the threshold
+    * comparison here; the twins coincide whenever null-score docs per
+    * stratum ≤ ⌊n/4⌋, the regime of any real corpus. No DuckDB oracle:
+    * the sketch is not engine-replayable. CurationSpec pins it to q91
+    * instead — the symmetric difference of the two kept-sets must
+    * consist solely of threshold-tied documents. */
   val q93QualityCutoffApprox: Q = Q(
     "q93_quality_cutoff_approx",
-    (s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("lang"), Text.stopwordRatio(col("toks")).as("score"))
-      val thresholds = base.groupBy(col("lang"))
-        .agg(percentile_approx(col("score"), lit(0.25), lit(10000)).as("q25"))
-      base.join(broadcast(thresholds), Seq("lang"))
-        .filter(col("score") >= col("q25"))
-        .select(col("doc_id"), col("lang"), col("score"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => approxCutoff(scoredDocs(s, d)).orderBy(col("doc_id")),
     None,
     doc = "q91's scale twin: per-language percentile_approx threshold (no stratum sort)")
 

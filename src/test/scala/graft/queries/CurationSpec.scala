@@ -139,14 +139,42 @@ class CurationSpec extends SparkSpec {
       val frac = approx.count().toDouble / Tables.documents(spark, d).count()
       assert(frac > 0.70 && frac < 0.90, s"approx retention out of range: $frac")
       // every disagreement must sit exactly ON the language's threshold:
-      // the two formulations may only differ in tie-breaking at t
+      // the two formulations may only differ in tie-breaking at t.
+      // Null-safe join + comparison so a null-lang or null-score
+      // divergence COUNTS as a violation instead of vanishing in
+      // three-valued logic
       val thresholds = approx.groupBy("lang").agg(min(col("score")).as("t"))
+        .withColumnRenamed("lang", "t_lang")
       val sym = approx.exceptAll(exact).unionByName(exact.exceptAll(approx))
-      val offTie = sym.join(thresholds, Seq("lang"))
-        .filter(col("score") =!= col("t")).count()
+      val offTie = sym.join(thresholds, col("lang") <=> col("t_lang"), "left")
+        .filter(not(col("score") <=> col("t"))).count()
       assert(offTie == 0,
         "exact and approx cutoffs may only disagree on threshold-tied documents")
     } finally { exact.unpersist(); approx.unpersist() }
+  }
+
+  test("a NULL-lang stratum is retained by BOTH cutoff formulations") {
+    import spark.implicits._
+    // 4 docs in a real language, 4 in the null stratum — each drops
+    // exactly its single worst document under either formulation
+    val scored = Seq(
+      (1L, Some("en"), 0.1), (2L, Some("en"), 0.2), (3L, Some("en"), 0.3), (4L, Some("en"), 0.4),
+      (5L, None, 0.1), (6L, None, 0.2), (7L, None, 0.3), (8L, None, 0.4)
+    ).toDF("doc_id", "lang", "score")
+    val exact = Curation.exactCutoff(scored)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Curation.approxCutoff(scored)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(2L, 3L, 4L, 6L, 7L, 8L),
+      s"rank window must treat NULL lang as its own stratum, kept $exact")
+    // the threshold formulation keeps the tied boundary docs (score ==
+    // t == 0.1) that the rank window tie-breaks away — in BOTH strata
+    // symmetrically: the NULL stratum must behave exactly like 'en',
+    // not get silently dropped by inner-join null-key semantics
+    assert(approx == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+      s"threshold keeps boundary ties in the NULL stratum too, kept $approx")
+    assert((approx -- exact) == Set(1L, 5L),
+      "the twins may differ only at the threshold tie, one per stratum")
   }
 
   test("q91 drop-count semantics never wipe out a small stratum") {
