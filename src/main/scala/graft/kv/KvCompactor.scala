@@ -108,27 +108,29 @@ object KvCompactor {
         outputs.foreach(o => new File(s"$tableDir/${o.file}").delete())
         return 0
       }
-      KvStore.writeMeta(tableDir,
-        KvTableMeta(current.shards.filterNot(s => inputFiles(s.file)) ++ outputs,
-          current.committedEpochs, current.version))
-      if (!retainInputs)
-        inputs.foreach(s => new File(s"$tableDir/${s.file}").delete())
-      else {
+      if (retainInputs) {
         // start the vacuum grace clock NOW: the guarantee is "grace
         // since the file left the manifest", but vacuum can only see
         // mtimes — an input WRITTEN long ago would otherwise be
         // reclaimable the instant it is superseded, breaking both
         // in-flight scans and snapshot reads planned minutes earlier.
-        // A failed mtime bump silently re-opens that window, so it is
-        // an error, not a shrug.
+        // The bump must land BEFORE the manifest swap commits: a bump
+        // failure after commit would throw out of a compaction that
+        // already succeeded (caller retries a done swap, return count
+        // lost). Bumping first means failure and commit cannot
+        // coexist — on a failed bump the outputs are discarded and the
+        // swap aborts cleanly with 0, leaving the table untouched.
         val now = System.currentTimeMillis()
-        inputs.foreach { s =>
-          val f = new File(s"$tableDir/${s.file}")
-          require(f.setLastModified(now),
-            s"cannot restart the vacuum grace clock on ${s.file}; " +
-              "retain-mode compaction would be unsafe against vacuum")
+        if (!inputs.forall(s => new File(s"$tableDir/${s.file}").setLastModified(now))) {
+          outputs.foreach(o => new File(s"$tableDir/${o.file}").delete())
+          return 0
         }
       }
+      KvStore.writeMeta(tableDir,
+        KvTableMeta(current.shards.filterNot(s => inputFiles(s.file)) ++ outputs,
+          current.committedEpochs, current.version))
+      if (!retainInputs)
+        inputs.foreach(s => new File(s"$tableDir/${s.file}").delete())
     }
     outputs.length
   }

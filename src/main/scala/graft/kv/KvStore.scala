@@ -136,10 +136,19 @@ object KvStore {
         if (v == current.version) current
         else {
           val f = new File(s"$tableDir/_kvmeta.v$v.json")
-          require(f.exists(),
+          def unavailable() = throw new IllegalArgumentException(
             s"table version $v is unavailable (current ${current.version}): " +
               "it never existed or its manifest was vacuumed")
-          readMetaFile(f)
+          if (!f.exists()) unavailable()
+          // the exists() check runs outside any lock: a concurrent
+          // vacuum past the grace period can delete the archive between
+          // the check and the parse — surface that as the same clear
+          // "unavailable" error, not a raw FileNotFoundException
+          try readMetaFile(f)
+          catch {
+            case _: java.io.FileNotFoundException => unavailable()
+            case _: java.nio.file.NoSuchFileException => unavailable()
+          }
         }
     }
 
@@ -172,8 +181,16 @@ object KvStore {
     * `meta.version` MUST be the version of the manifest state the
     * caller read under that lock (0 for a fresh table): the superseded
     * file is archived as `_kvmeta.v{meta.version}.json` and version+1
-    * commits — no second parse of the live manifest. */
-  def writeMeta(tableDir: String, meta: KvTableMeta): Unit = {
+    * commits — no second parse of the live manifest.
+    *
+    * `archiveSuperseded = false` skips the archive copy (the version
+    * still bumps). The one caller is truncate-mode batch commit: it
+    * deletes the superseded shard files immediately, so an archived
+    * pre-truncate manifest would plan an `asOfVersion` scan that dies
+    * at task time with a raw FileNotFoundException. Not archiving it
+    * turns that into the clean "version unavailable" planning error. */
+  def writeMeta(tableDir: String, meta: KvTableMeta,
+                archiveSuperseded: Boolean = true): Unit = {
     val node = mapper.createObjectNode()
     val arr = node.putArray("shards")
     meta.shards.foreach { s =>
@@ -202,7 +219,7 @@ object KvStore {
     // leaves the CURRENT manifest untouched (the archive is redundant,
     // never load-bearing for the live table)
     val live = Paths.get(metaPath(tableDir))
-    if (Files.exists(live)) {
+    if (Files.exists(live) && archiveSuperseded) {
       Files.copy(live, Paths.get(s"$tableDir/_kvmeta.v${meta.version}.json"),
         StandardCopyOption.REPLACE_EXISTING)
       val drop = meta.version - MaxArchivedManifests

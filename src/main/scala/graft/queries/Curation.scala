@@ -225,7 +225,11 @@ object Curation {
     * threshold (partial-aggregated — no single-task sort) and filters
     * `score >= threshold`: same retention decision to sketch accuracy,
     * not hash-checkable because the sketch isn't engine-replayable —
-    * the same exact/approx twin pattern as q51/q55. */
+    * the same exact/approx twin pattern as q51/q55. Null ordering is
+    * explicit (NULLS FIRST) on both the Spark and oracle sides: Spark
+    * ASC defaults to nulls-first while DuckDB defaults to nulls-last,
+    * so leaving it implicit would silently diverge the kept sets the
+    * moment a null-text document appears. */
   /** Exact-rank retention over a (doc_id, lang, score) frame — q91's
     * core, factored so the null-stratum semantics are unit-testable on
     * handcrafted frames (a NULL lang is its own stratum under
@@ -234,7 +238,7 @@ object Curation {
     val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
     scored
       .withColumn("rn", row_number().over(
-        byLang.orderBy(col("score"), col("doc_id"))))
+        byLang.orderBy(col("score").asc_nulls_first, col("doc_id"))))
       .withColumn("n", count(lit(1)).over(byLang))
       .filter(col("rn") > floor(col("n") * 0.25))
       .select(col("doc_id"), col("lang"), col("score"))
@@ -276,7 +280,7 @@ object Curation {
         FROM t),
       r AS (
         SELECT doc_id, lang, score,
-               row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+               row_number() OVER (PARTITION BY lang ORDER BY score NULLS FIRST, doc_id) AS rn,
                count(*) OVER (PARTITION BY lang) AS n
         FROM s)
       SELECT doc_id, lang, score

@@ -241,6 +241,17 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val meta = KvStore.readMetaAsOf(dir, asOf)
+    // a pinned read plans from an ARCHIVED manifest whose shard files
+    // may have been reclaimed since (truncate deletes them immediately;
+    // vacuum past the grace period deletes them lazily) — verify here
+    // so the user gets the clear "version unavailable" planning error
+    // instead of a raw FileNotFoundException mid-task
+    if (asOf.isDefined) {
+      val gone = meta.shards.filterNot(s => new java.io.File(s"$dir/${s.file}").exists())
+      if (gone.nonEmpty) throw new IllegalArgumentException(
+        s"table version ${asOf.get} is unavailable: ${gone.length} of its " +
+          s"shard files (e.g. ${gone.head.file}) were truncated or vacuumed")
+    }
     val (lo, hi) = rowkeyRange()
     val inKeyRange = meta.shards.filter { s =>
       // shard [min,max] intersects [lo,hi]?

@@ -121,7 +121,12 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
         else KvTableMeta(Nil)
       val keep = if (truncateFirst) newShards else prev.shards ++ newShards
       val epochs = if (truncateFirst) Nil else prev.committedEpochs
-      KvStore.writeMeta(dir, KvTableMeta(keep, epochs, prev.version))
+      // truncate deletes the superseded shard files below, so archiving
+      // the pre-truncate manifest would only set up an asOfVersion scan
+      // that plans fine and dies mid-task on missing files — skip it so
+      // the pinned read fails at planning with "version unavailable"
+      KvStore.writeMeta(dir, KvTableMeta(keep, epochs, prev.version),
+        archiveSuperseded = !truncateFirst)
       if (truncateFirst)
         prev.shards.map(_.file).toSet.diff(newShards.map(_.file).toSet)
           .foreach(f => new File(s"$dir/$f").delete())

@@ -192,6 +192,42 @@ class KvCompactorSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("truncate leaves no readable snapshots behind — pinned reads fail at planning") {
+    val dir = Files.createTempDirectory("graft-kv-truncsnap").toString
+    import spark.implicits._
+    def w(ks: Seq[Long], mode: String) =
+      ks.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+    def at(v: Long) = spark.read.format("graft-kv")
+      .option("catalog", cat).option("path", dir)
+      .option("asOfVersion", v.toString).load()
+
+    w(1L to 100L, "overwrite")   // version 1
+    w(101L to 200L, "append")    // version 2 (archives v1)
+    w(201L to 250L, "overwrite") // version 3: truncate — deletes v1/v2 shard files
+    assert(KvStore.readMeta(dir).version == 3)
+    assert(readBack(dir).count() == 50, "live table holds only the truncating write")
+    // the immediately-superseded manifest was NOT archived (its shards
+    // are gone the instant the truncate commits) → clean planning error
+    assert(!new java.io.File(s"$dir/_kvmeta.v2.json").exists(),
+      "truncate must not archive a manifest whose shard files it deletes")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    def unavailable(t: Throwable) = causes(t).exists(c =>
+      c.getMessage != null && c.getMessage.contains("unavailable"))
+    val e2 = intercept[Exception](at(2).count())
+    assert(unavailable(e2), s"expected version-unavailable, got: $e2")
+    // version 1's archive predates the truncate (written by the append
+    // commit) but its shard files are gone too: the pinned scan must
+    // fail AT PLANNING with the same clear error, not mid-task with a
+    // raw FileNotFoundException
+    val e1 = intercept[Exception](at(1).count())
+    assert(unavailable(e1), s"expected version-unavailable planning error, got: $e1")
+    assert(!causes(e1).exists(_.isInstanceOf[java.io.FileNotFoundException]),
+      "pinned read of a truncated version must not surface FileNotFoundException")
+  }
+
   test("a losing concurrent compactor aborts its swap instead of duplicating records") {
     val dir = Files.createTempDirectory("graft-kv-compact-race").toString
     import spark.implicits._
