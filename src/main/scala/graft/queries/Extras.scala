@@ -266,7 +266,15 @@ object Extras {
     * row at a rank carries the same value.) The group count uses the
     * SAME (partition, order) spec with an unbounded frame so both
     * window functions evaluate in ONE Window operator over one sort —
-    * a partition-only count would plan a second Window pass. */
+    * a partition-only count would plan a second Window pass.
+    *
+    * CAVEAT — this is the STRATUM-BOUNDED EXACT BASELINE (the q91 /
+    * q51 role): `l_returnflag` has ~4 values, so the window sorts the
+    * whole fact table inside ~4 tasks. Invisible at sf0.1; at 100 TB it
+    * is THE straggler. The scale path is q94's `percentile_approx`
+    * twin — a partial-aggregated sketch with no per-stratum sort —
+    * pinned to this query by OperatorSpec's rank-tolerance test. Keep
+    * q37 as the oracle-checkable truth; run q94 in production. */
   val q37ExactQuantiles: Q = Q(
     "q37_exact_quantiles",
     (s, d) => {
@@ -298,9 +306,37 @@ object Extras {
              CAST(max(n) AS BIGINT) AS n
       FROM r GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
-    doc = "exact per-group quantiles via sort-based rank selection")
+    doc = "exact per-group quantiles via sort-based rank selection (labeled exact baseline; scale twin q94)")
+
+  /** SCALE TWIN of q37 (the q91/q93, q51/q55 exact/approx pattern): the
+    * same per-group median + p90 via `percentile_approx` — a
+    * partial-aggregated GK sketch that combines map-side, so no stratum
+    * ever sorts inside one task and the plan survives a fact table
+    * where one `l_returnflag` value holds 50 TB. Rank error is bounded
+    * by n/accuracy (here n·1e-4); the sketch returns an actual data
+    * value, not an interpolation, so the result is a member of the
+    * group like q37's. No DuckDB oracle: the GK sketch is not
+    * engine-replayable (same reason as q43/q44/q76/q93) — OperatorSpec
+    * pins each approx value to within the sketch's rank tolerance of
+    * q37's exact rank selection instead. */
+  val q94QuantilesApprox: Q = Q(
+    "q94_quantiles_approx",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_quantity"), array(lit(0.5), lit(0.9)), lit(10000))
+            .as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("qs").getItem(0).as("median_qty"),
+          col("qs").getItem(1).as("p90_qty"),
+          col("n"))
+        .orderBy(col("l_returnflag")),
+    None,
+    doc = "q37's scale twin: percentile_approx partial aggregation (no stratum sort)")
 
   def defs: Seq[Q] = Seq(q27RangeJoin, q28GroupingSets, q29ArrayFuncs, q37ExactQuantiles,
     q73FileFormats, q74MapFuncs, q75Pivot, q76ApproxDistinct,
-    q77BagSetOps, q78StringAgg, q79FilteredAgg)
+    q77BagSetOps, q78StringAgg, q79FilteredAgg, q94QuantilesApprox)
 }

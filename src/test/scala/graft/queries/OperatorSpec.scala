@@ -308,6 +308,36 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.8, s"near-dup recall $recall too low")
   }
 
+  test("q94 approx quantiles stay within sketch rank tolerance of q37's exact ranks") {
+    // q37 is the stratum-bounded exact baseline (whole-table sort inside
+    // ~4 tasks); q94 is its partial-aggregated percentile_approx twin.
+    // The GK sketch guarantees the returned value occupies a rank within
+    // eps*n of the target, eps = 1/accuracy — pin exactly that.
+    val accuracy = 10000.0
+    val byFlag = Tables.lineitem(spark, d)
+      .select(col("l_returnflag").as("f"), col("l_quantity").cast("double").as("q"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (f, rows) => f -> rows.map(_._2).sorted }
+    val approx = Extras.q94QuantilesApprox.fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(approx.map(_._1).toSet == byFlag.keySet, "one output row per stratum")
+    approx.foreach { case (f, med, p90, n) =>
+      val vals = byFlag(f)
+      assert(n == vals.length, s"group count for '$f'")
+      val tol = math.max(1.0, math.ceil(n / accuracy))
+      Seq(0.5 -> med, 0.9 -> p90).foreach { case (p, v) =>
+        assert(vals.contains(v), s"p$p for '$f': $v must be an actual group value")
+        // ranks the value v occupies: (lo, hi]
+        val lo = vals.count(_ < v)
+        val hi = vals.count(_ <= v)
+        val target = math.ceil(p * n)
+        assert(target >= lo + 1 - tol && target <= hi + tol,
+          s"p$p for '$f': value $v occupies ranks (${lo + 1}..$hi) of $n, " +
+            s"target rank $target exceeds sketch tolerance $tol")
+      }
+    }
+  }
+
   test("releaseShingles frees the persisted shingle blocks") {
     Dedup.releaseShingles() // reset whatever earlier tests cached
     val before = spark.sparkContext.getPersistentRDDs.keySet
