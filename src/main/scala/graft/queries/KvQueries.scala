@@ -499,7 +499,38 @@ object KvQueries {
       ORDER BY o_orderkey"""),
     doc = "zone-map shard pruning on a value-column window, hash-checked")
 
+  /** Grouped aggregate pushdown gate (§2.4 deepening — the reference has
+    * no aggregate pushdown at all): COUNT(*)/MIN/MAX grouped by a cell
+    * column run INSIDE the scan, one partial row per group per shard
+    * (`sources/KvAggScan.scala`); Spark's final aggregate merges ~4
+    * groups × 16 shards partials instead of shuffling whole rows. The
+    * plan shows `PushedAggregates` + `PushedGroupBy: [l_returnflag]`;
+    * the filter additionally proves pushed predicates compose with
+    * grouped partials. Hash-checked against DuckDB on the original
+    * parquet. */
+  val q95KvGroupedAgg: Q = Q(
+    "q95_kv_grouped_agg",
+    (s, d) =>
+      kv(s, d)
+        .filter(col("l_quantity") >= 5.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             count(col("l_linestatus")).as("n_ls"),
+             min(col("l_quantity")).as("min_qty"),
+             max(col("l_quantity")).as("max_qty"),
+             max(col("l_shipdate")).as("max_sd"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag, count(*) AS n, count(l_linestatus) AS n_ls,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             max(l_shipdate) AS max_sd
+      FROM lineitem
+      WHERE l_quantity >= 5.0
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    doc = "grouped aggregate pushdown: per-shard COUNT/MIN/MAX partials grouped by a cell column")
+
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
     q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
-    q86KvZoneMap)
+    q86KvZoneMap, q95KvGroupedAgg)
 }

@@ -9,10 +9,20 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 
 /** Aggregate pushdown (SURVEY.md §2.4 stretch — `SupportsPushDownAggregates`,
-  * absent in the reference): global COUNT(*) / COUNT(col) / MIN / MAX
-  * run inside the scan. Each partition emits ONE partial row; Spark's
-  * final aggregate merges them. COUNT(*) with no residual predicates is
-  * answered from the shard manifest without opening a single shard file.
+  * absent in the reference): COUNT(*) / COUNT(col) / MIN / MAX run inside
+  * the scan, globally or GROUPED BY declared columns. Each partition
+  * emits one partial row per group (one total when ungrouped); Spark's
+  * final aggregate merges partials across shards. Global COUNT(*) with
+  * no residual predicates is answered from the shard manifest without
+  * opening a single shard file.
+  *
+  * Grouped memory shape: GROUP BY the rowkey streams — shards are
+  * key-sorted, so equal keys are adjacent and each group closes as the
+  * scan passes it (O(1) state, rows emitted as produced). Any other
+  * grouping holds a per-shard hash map, bounded by the shard's record
+  * count — itself bounded by the writer's `chunkBytes` — which is the
+  * same order of memory Spark's own partial hash aggregate would spend
+  * on the shard's rows, minus the row materialization and exchange.
   */
 sealed trait KvAggSpec extends Serializable
 case object KvCountStar extends KvAggSpec
@@ -27,15 +37,19 @@ object KvAggSpec {
       case _ => None
     }
 
-  /** Translate a connector Aggregation (global, no group-by) into specs;
+  /** Translate a connector Aggregation into (group columns, agg specs);
     * None → not pushable. MIN/MAX additionally require an orderable
     * declared type — claiming a decimal/binary/array column and then
-    * failing executor-side would break a query Spark could run itself. */
-  def translate(agg: Aggregation, declared: StructType): Option[Seq[KvAggSpec]] = {
-    if (agg.groupByExpressions().nonEmpty) return None
+    * failing executor-side would break a query Spark could run itself.
+    * Group columns must be plain declared columns of comparable atomic
+    * type (decoded values carry value equality; arrays/maps don't). */
+  def translate(agg: Aggregation, declared: StructType): Option[(Seq[String], Seq[KvAggSpec])] = {
     val names = declared.fieldNames.toSet
     val orderable: Set[String] = declared.fields
       .filter(f => FilterEval.comparable(f.dataType)).map(_.name).toSet
+    val groupCols: Seq[String] = agg.groupByExpressions().toIndexedSeq.map { e =>
+      fieldName(e).filter(orderable).getOrElse(return None)
+    }
     val specs = agg.aggregateExpressions().map {
       case _: CountStar => KvCountStar
       case c: Count if !c.isDistinct =>
@@ -46,32 +60,39 @@ object KvAggSpec {
         fieldName(m.column()).filter(orderable).map(KvMaxCol.apply).getOrElse(return None)
       case _ => return None
     }
-    Some(specs.toIndexedSeq)
+    Some((groupCols, specs.toIndexedSeq))
   }
 
-  def outputSchema(specs: Seq[KvAggSpec], declared: StructType): StructType = {
+  /** Scan output schema: group columns FIRST, then one column per agg —
+    * the order `V2ScanRelationPushDown` zips its rewritten aggregate
+    * against. */
+  def outputSchema(groupCols: Seq[String], specs: Seq[KvAggSpec],
+                   declared: StructType): StructType = {
     val byName = declared.fields.map(f => f.name -> f).toMap
-    StructType(specs.zipWithIndex.map {
-      case (KvCountStar, i)    => StructField(s"count_star_$i", LongType, nullable = false)
-      case (KvCountCol(n), i)  => StructField(s"count_${n}_$i", LongType, nullable = false)
-      case (KvMinCol(n), i)    => StructField(s"min_${n}_$i", byName(n).dataType)
-      case (KvMaxCol(n), i)    => StructField(s"max_${n}_$i", byName(n).dataType)
-    })
+    StructType(
+      groupCols.map(n => StructField(n, byName(n).dataType, byName(n).nullable)) ++
+      specs.zipWithIndex.map {
+        case (KvCountStar, i)    => StructField(s"count_star_$i", LongType, nullable = false)
+        case (KvCountCol(n), i)  => StructField(s"count_${n}_$i", LongType, nullable = false)
+        case (KvMinCol(n), i)    => StructField(s"min_${n}_$i", byName(n).dataType)
+        case (KvMaxCol(n), i)    => StructField(s"max_${n}_$i", byName(n).dataType)
+      })
   }
 }
 
 class KvAggScan(dir: String, rowkeyName: String, declared: StructType,
-                filters: Array[Filter], specs: Seq[KvAggSpec],
+                filters: Array[Filter], groupCols: Seq[String], specs: Seq[KvAggSpec],
                 asOf: Option[Long] = None)
     extends Scan with Batch {
 
   private val base =
     new KvScan(dir, rowkeyName, declared, declared, filters, -1, asOf = asOf)
 
-  override def readSchema(): StructType = KvAggSpec.outputSchema(specs, declared)
+  override def readSchema(): StructType = KvAggSpec.outputSchema(groupCols, specs, declared)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-kv-agg $dir PushedAggregates: [${specs.mkString(", ")}], " +
+      s"PushedGroupBy: [${groupCols.mkString(", ")}], " +
       s"PushedFilters: [${filters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = base.planInputPartitions()
@@ -81,25 +102,28 @@ class KvAggScan(dir: String, rowkeyName: String, declared: StructType,
   override def reportDriverMetrics() = base.reportDriverMetrics()
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KvAggReaderFactory(dir, declared.json, rowkeyName, filters, specs)
+    KvAggReaderFactory(dir, declared.json, rowkeyName, filters, groupCols, specs)
 }
 
 case class KvAggReaderFactory(dir: String, declaredJson: String, rowkeyName: String,
-                              filters: Array[Filter], specs: Seq[KvAggSpec])
+                              filters: Array[Filter], groupCols: Seq[String],
+                              specs: Seq[KvAggSpec])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[KvInputPartition]
     new KvAggPartitionReader(dir, part,
-      DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkeyName, filters, specs)
+      DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkeyName, filters,
+      groupCols, specs)
   }
 }
 
-/** One partial-aggregate row per shard. */
+/** Partial-aggregate rows per shard: one per group (one total when the
+  * aggregation is global). */
 class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: StructType,
-                           rowkeyName: String, filters: Array[Filter], specs: Seq[KvAggSpec])
+                           rowkeyName: String, filters: Array[Filter],
+                           groupCols: Seq[String], specs: Seq[KvAggSpec])
     extends PartitionReader[InternalRow] {
 
-  private var emitted = false
   private val dtByName = declared.fields.map(f => f.name -> f.dataType).toMap
   // read-volume task metrics (same names as the row/columnar readers);
   // the manifest-only COUNT(*) fast path legitimately reads nothing
@@ -127,81 +151,186 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     case other => throw new IllegalStateException(s"min/max unsupported for $other")
   }
 
-  private def compute(): InternalRow = {
-    // fast path: pure COUNT(*) over the whole shard → manifest only
-    val countStarOnly = specs.forall(_ == KvCountStar)
-    if (countStarOnly && filters.isEmpty && part.startHex.isEmpty && part.endHex.isEmpty)
-      return InternalRow.fromSeq(specs.map(_ => part.shard.rows))
-
-    // shared per-column layout ([[KvRecordDecoder]], same hot loop as
-    // KvPartitionReader): resolved ONCE; the per-record loop fills a
-    // reused scratch array — no per-record hash maps or closures
-    val neededCols: Set[String] = specs.collect {
-      case KvCountCol(n) => n
-      case KvMinCol(n)   => n
-      case KvMaxCol(n)   => n
-    }.toSet ++ filters.flatMap(_.references)
-    val decoder = new KvRecordDecoder(declared, neededCols)
-
+  /** Mutable per-group partial state (counts + min/max per column). */
+  private final class GroupState(nCounts: Int, nMm: Int) {
     var countStar = 0L
-    val countIdx: Array[Int] =
-      specs.collect { case KvCountCol(n) => n }.distinct.map(decoder.idxByName).toArray
-    val countVals = new Array[Long](countIdx.length)
-    val minMaxNames: Array[String] = specs.collect {
-      case KvMinCol(n) => n
-      case KvMaxCol(n) => n
-    }.distinct.toArray
-    val mmIdx: Array[Int] = minMaxNames.map(decoder.idxByName)
-    val mmOrd: Array[Ordering[Any]] = minMaxNames.map(n => ordering(dtByName(n)))
-    val mmMin = new Array[Any](minMaxNames.length)
-    val mmMax = new Array[Any](minMaxNames.length)
+    val counts = new Array[Long](nCounts)
+    val mins = new Array[Any](nMm)
+    val maxs = new Array[Any](nMm)
+  }
+
+  // shared per-column layout ([[KvRecordDecoder]], same hot loop as
+  // KvPartitionReader): resolved ONCE; the per-record loop fills a
+  // reused scratch array — no per-record hash maps or closures.
+  // Grouping needs its key columns decoded too.
+  private val neededCols: Set[String] = specs.collect {
+    case KvCountCol(n) => n
+    case KvMinCol(n)   => n
+    case KvMaxCol(n)   => n
+  }.toSet ++ groupCols ++ filters.flatMap(_.references)
+
+  private val countNames: Seq[String] = specs.collect { case KvCountCol(n) => n }.distinct
+  private val minMaxNames: Seq[String] = specs.collect {
+    case KvMinCol(n) => n
+    case KvMaxCol(n) => n
+  }.distinct
+  private val countPos: Map[String, Int] = countNames.zipWithIndex.toMap
+  private val mmPos: Map[String, Int] = minMaxNames.zipWithIndex.toMap
+  private val mmOrd: Array[Ordering[Any]] =
+    minMaxNames.map(n => ordering(dtByName(n))).toArray
+
+  private def resultRow(groupKey: Array[Any], st: GroupState): InternalRow =
+    InternalRow.fromSeq(groupKey.toIndexedSeq ++ specs.map {
+      case KvCountStar   => st.countStar
+      case KvCountCol(n) => st.counts(countPos(n))
+      case KvMinCol(n)   => st.mins(mmPos(n))
+      case KvMaxCol(n)   => st.maxs(mmPos(n))
+    })
+
+  private def accumulate(st: GroupState, decoder: KvRecordDecoder,
+                         countIdx: Array[Int], mmIdx: Array[Int]): Unit = {
+    st.countStar += 1
+    var i = 0
+    while (i < countIdx.length) {
+      if (decoder.scratch(countIdx(i)) != null) st.counts(i) += 1
+      i += 1
+    }
+    i = 0
+    while (i < mmIdx.length) {
+      val v = decoder.scratch(mmIdx(i))
+      if (v != null) {
+        if (st.mins(i) == null || mmOrd(i).lt(v, st.mins(i))) st.mins(i) = v
+        if (st.maxs(i) == null || mmOrd(i).gt(v, st.maxs(i))) st.maxs(i) = v
+      }
+      i += 1
+    }
+  }
+
+  /** The whole computation as an iterator of output rows. Ungrouped →
+    * exactly one row. GROUP BY the rowkey → true streaming (groups are
+    * contiguous in key-sorted shards; each closes as the key changes).
+    * Other groupings → per-shard hash map, emitted after the scan. */
+  private def compute(): Iterator[InternalRow] = {
+    // fast path: pure global COUNT(*) over the whole shard → manifest only
+    val countStarOnly = groupCols.isEmpty && specs.forall(_ == KvCountStar)
+    if (countStarOnly && filters.isEmpty && part.startHex.isEmpty && part.endHex.isEmpty)
+      return Iterator.single(InternalRow.fromSeq(specs.map(_ => part.shard.rows)))
+
+    val decoder = new KvRecordDecoder(declared, neededCols)
+    val countIdx: Array[Int] = countNames.map(decoder.idxByName).toArray
+    val mmIdx: Array[Int] = minMaxNames.map(decoder.idxByName).toArray
+    val groupIdx: Array[Int] = groupCols.map(decoder.idxByName).toArray
 
     val reader = new KvStore.ShardReader(dir, part.shard,
       part.startHex.map(KvStore.fromHex).orNull,
       part.endHex.map(KvStore.fromHex).orNull, decoder.wantedCell)
+    openReader = reader
     val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
       decoder.scratch)
-    try {
-      while (reader.hasNext) {
-        decoder.decodeInto(reader.next())
-        recordsRead += 1
-        if (pred()) {
-          countStar += 1
-          var i = 0
-          while (i < countIdx.length) {
-            if (decoder.scratch(countIdx(i)) != null) countVals(i) += 1
-            i += 1
-          }
-          i = 0
-          while (i < mmIdx.length) {
-            val v = decoder.scratch(mmIdx(i))
-            if (v != null) {
-              if (mmMin(i) == null || mmOrd(i).lt(v, mmMin(i))) mmMin(i) = v
-              if (mmMax(i) == null || mmOrd(i).gt(v, mmMax(i))) mmMax(i) = v
+
+    def groupKey(): Array[Any] = {
+      val k = new Array[Any](groupIdx.length)
+      var i = 0
+      while (i < groupIdx.length) { k(i) = decoder.scratch(groupIdx(i)); i += 1 }
+      k
+    }
+
+    if (groupCols.isEmpty) {
+      val st = new GroupState(countNames.length, minMaxNames.length)
+      try {
+        while (reader.hasNext) {
+          decoder.decodeInto(reader.next())
+          recordsRead += 1
+          if (pred()) accumulate(st, decoder, countIdx, mmIdx)
+        }
+      } finally closeReader()
+      Iterator.single(resultRow(Array.empty, st))
+    } else if (groupCols == Seq(rowkeyName)) {
+      // key-sorted shard + rowkey grouping: equal keys are adjacent, so
+      // each group closes (and its row is served) the moment the key
+      // changes — O(1) state regardless of group count
+      new Iterator[InternalRow] {
+        private var openKey: Array[Any] = _
+        private var st: GroupState = _
+        private var pending: InternalRow = _
+        private var done = false
+        private def advance(): Unit = {
+          while (pending == null && !done) {
+            if (!reader.hasNext) {
+              done = true
+              closeReader()
+              if (st != null) { pending = resultRow(openKey, st); st = null }
+            } else {
+              decoder.decodeInto(reader.next())
+              recordsRead += 1
+              if (pred()) {
+                val k = decoder.scratch(groupIdx(0))
+                if (st == null) {
+                  openKey = Array[Any](k)
+                  st = new GroupState(countNames.length, minMaxNames.length)
+                } else if (k != openKey(0)) {
+                  pending = resultRow(openKey, st)
+                  openKey = Array[Any](k)
+                  st = new GroupState(countNames.length, minMaxNames.length)
+                }
+                accumulate(st, decoder, countIdx, mmIdx)
+              }
             }
-            i += 1
           }
         }
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): InternalRow = {
+          advance()
+          val r = pending; pending = null; r
+        }
       }
-    } finally { bytesRead = reader.bytesRead; reader.close() }
-
-    val countByName: Map[String, Long] =
-      specs.collect { case KvCountCol(n) => n }.distinct
-        .zipWithIndex.map { case (n, i) => n -> countVals(i) }.toMap
-    val mmPos: Map[String, Int] = minMaxNames.zipWithIndex.toMap
-    InternalRow.fromSeq(specs.map {
-      case KvCountStar   => countStar
-      case KvCountCol(n) => countByName(n)
-      case KvMinCol(n)   => mmMin(mmPos(n))
-      case KvMaxCol(n)   => mmMax(mmPos(n))
-    })
+    } else {
+      // general grouping: per-shard hash partials. Key values come out
+      // of the decoder freshly allocated, so storing references is safe;
+      // ArraySeq gives element-wise equality incl. nulls (SQL group-by
+      // null semantics: nulls form one group).
+      val groups = new java.util.LinkedHashMap[Seq[Any], GroupState]()
+      try {
+        while (reader.hasNext) {
+          decoder.decodeInto(reader.next())
+          recordsRead += 1
+          if (pred()) {
+            val key: Seq[Any] = scala.collection.immutable.ArraySeq.unsafeWrapArray(groupKey())
+            var st = groups.get(key)
+            if (st == null) {
+              st = new GroupState(countNames.length, minMaxNames.length)
+              groups.put(key, st)
+            }
+            accumulate(st, decoder, countIdx, mmIdx)
+          }
+        }
+      } finally closeReader()
+      val it = groups.entrySet().iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = {
+          val e = it.next()
+          resultRow(e.getKey.toArray, e.getValue)
+        }
+      }
+    }
   }
 
-  override def next(): Boolean =
-    if (emitted) false else { emitted = true; current = compute(); true }
+  private var openReader: KvStore.ShardReader = _
+  private def closeReader(): Unit = if (openReader != null) {
+    bytesRead = openReader.bytesRead
+    openReader.close()
+    openReader = null
+  }
+
+  private var rows: Iterator[InternalRow] = _
   private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (rows == null) rows = compute()
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = closeReader()
 
   override def currentMetricsValues()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(

@@ -38,7 +38,7 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
     Array.empty
   private var limit: Int = -1
   private var reverse: Boolean = false
-  private var aggSpecs: Option[Seq[KvAggSpec]] = None
+  private var aggSpecs: Option[(Seq[String], Seq[KvAggSpec])] = None
 
   /** Top-N pushdown (SURVEY.md §2.6 rebuild item): shards are SORTED by
     * rowkey, so ORDER BY rowkey ASC LIMIT n needs only the first n
@@ -68,15 +68,16 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
   }
   override def isPartiallyPushed: Boolean = true
 
-  /** Partial pushdown: each shard returns one partial row; Spark merges. */
+  /** Partial pushdown: each shard returns one partial row per group
+    * (one total when ungrouped); Spark merges. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     KvAggSpec.translate(agg, declared) match {
-      case Some(s) => aggSpecs = Some(s); true
-      case None    => false
+      case Some(gs) => aggSpecs = Some(gs); true
+      case None     => false
     }
 
   /** V2 predicate negotiation (the v1 `SupportsPushDownFilters` path is
@@ -110,7 +111,8 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
     if (aggSpecs.nonEmpty) false else { limit = l; true }
 
   override def build(): Scan = aggSpecs match {
-    case Some(specs) => new KvAggScan(dir, catalog.rowkey, declared, pushed, specs, asOf)
+    case Some((groupCols, specs)) =>
+      new KvAggScan(dir, catalog.rowkey, declared, pushed, groupCols, specs, asOf)
     case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit,
       reverse, columnar, asOf)
   }

@@ -339,11 +339,60 @@ class KvConnectorSpec extends SparkSpec {
     assert(r.getAs[Int]("m") == 9)
   }
 
-  test("group-by aggregates do NOT push (stay in Spark) and stay correct") {
-    val df = kv.groupBy(col("alive")).agg(count(lit(1)).as("n"))
+  // AQE wraps fragments in QueryStageExecs; recurse to the V2 scan node
+  private def findBatchScan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    p match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => findBatchScan(a.executedPlan)
+      case s: QueryStageExec => findBatchScan(s.plan)
+      case other => other.children.view.flatMap(findBatchScan(_)).headOption
+    }
+  }
+
+  test("grouped aggregate pushdown: GROUP BY a value column emits per-shard partials") {
+    val df = kv.groupBy(col("alive")).agg(count(lit(1)).as("n"),
+      min(col("age")).as("min_age"), max(col("name")).as("max_name"))
+    val m = df.collect().map(r => r.getAs[Boolean]("alive") ->
+      (r.getAs[Long]("n"), r.getAs[Int]("min_age"), r.getAs[String]("max_name"))).toMap
+    assert(m(true) == ((500L, 0, "people998")))
+    assert(m(false) == ((500L, 1, "people999")))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates"), s"grouped aggregates must push:\n$plan")
+    assert(plan.contains("PushedGroupBy: [alive]"), s"group columns must push:\n$plan")
+    // the scan must emit PARTIALS (≤ groups × shards rows), not raw rows
+    val scanExec = findBatchScan(df.queryExecution.executedPlan).get
+    val emitted = scanExec.metrics("numOutputRows").value
+    assert(emitted <= 16, s"scan emitted $emitted rows; grouped pushdown must " +
+      "produce at most 2 groups x 8 shards partial rows, not 1000 raw rows")
+  }
+
+  test("grouped aggregate pushdown: GROUP BY the rowkey streams sorted groups") {
+    val df = kv.filter(col("id") <= 5L).groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), max(col("age")).as("a"))
+    val rows = df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n"), r.getAs[Int]("a")))
+    assert(rows.sortBy(_._1).toSeq == (1L to 5L).map(i => (i, 1L, i.toInt)),
+      s"rowkey-grouped partials wrong: ${rows.toSeq}")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedGroupBy: [id]"), s"rowkey grouping must push:\n$plan")
+  }
+
+  test("grouped aggregate pushdown: a NULL group key forms one group (SQL semantics)") {
+    val df = kv.groupBy(col("c")).agg(count(lit(1)).as("n"), count(col("c")).as("nc"))
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.isNullAt(0), "c is always null → one null group")
+    assert(rows.head.getAs[Long]("n") == 1000L && rows.head.getAs[Long]("nc") == 0L)
+    assert(df.queryExecution.executedPlan.toString().contains("PushedGroupBy: [c]"))
+  }
+
+  test("grouped aggregates over unpushable shapes stay in Spark and stay correct") {
+    // expression group key → not a plain column → no pushdown
+    val df = kv.groupBy((col("age") % 2).as("parity")).agg(count(lit(1)).as("n"))
     assert(!df.queryExecution.executedPlan.toString().contains("PushedAggregates"))
-    val m = df.collect().map(r => r.getAs[Boolean]("alive") -> r.getAs[Long]("n")).toMap
-    assert(m(true) == 500L && m(false) == 500L)
+    val m = df.collect().map(r => r.getAs[Int]("parity") -> r.getAs[Long]("n")).toMap
+    assert(m.values.sum == 1000L)
   }
 
   test("extended types round-trip: decimal, array<float>, map<string,string>") {
