@@ -530,7 +530,32 @@ object KvQueries {
       ORDER BY l_returnflag"""),
     doc = "grouped aggregate pushdown: per-shard COUNT/MIN/MAX partials grouped by a cell column")
 
+  /** Extended-filter pushdown gate: `<>` (arrives as Not(EqualTo) — the
+    * scan evaluates the subtree in SQL three-valued logic) and a string
+    * suffix test, both pushed into the scan. The reference leaves all
+    * three of EndsWith/Not/EqualNullSafe residual because HBase byte
+    * comparators can't express them (`HbaseScanBuilder.scala:46`); this
+    * engine filters decoded values, where they are one compare each —
+    * residual evaluation would materialize full rows above the scan.
+    * Hash-checked against DuckDB on the original parquet. */
+  val q96KvFilterExtras: Q = Q(
+    "q96_kv_filter_extras",
+    (s, d) =>
+      kv(s, d)
+        .filter(col("l_returnflag") =!= "N" &&
+                col("l_linestatus").endsWith("F") &&
+                col("l_quantity") >= 45.0)
+        .select(col("lk"), col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .orderBy(col("lk")),
+    Some("""
+      SELECT l_orderkey * 100 + l_linenumber AS lk,
+             l_returnflag, l_linestatus, l_quantity
+      FROM lineitem
+      WHERE l_returnflag <> 'N' AND l_linestatus LIKE '%F' AND l_quantity >= 45.0
+      ORDER BY lk"""),
+    doc = "pushed <> (three-valued Not) + string-suffix filters on the KV scan")
+
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
     q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
-    q86KvZoneMap, q95KvGroupedAgg)
+    q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras)
 }

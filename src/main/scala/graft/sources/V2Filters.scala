@@ -59,6 +59,8 @@ object V2Filters {
     case n: V2Not => toV1(n.child()).map(Not.apply)
     case _ => (p.name(), p.children()) match {
       case ("=", ch) => colLit(ch).map { case (n, v, _) => EqualTo(n, v) }
+      // Catalyst emits a!=b as the dedicated "<>" predicate, not NOT(=)
+      case ("<>", ch) => colLit(ch).map { case (n, v, _) => Not(EqualTo(n, v)) }
       case ("<=>", ch) => colLit(ch).map { case (n, v, _) => EqualNullSafe(n, v) }
       case ("<", ch) => colLit(ch).map {
         case (n, v, false) => LessThan(n, v)

@@ -81,19 +81,25 @@ class FilterEvalSpec extends SparkSpec {
     val name = schema.fieldNames(rnd.nextInt(schema.fieldNames.length))
     val dt = dts(name)
     def lit: Any = rndLiteral(rnd, dt)
-    rnd.nextInt(if (depth > 0) 12 else 10) match {
+    // null literals on purpose: x IN (…, NULL) and x <=> NULL have
+    // distinct three-valued semantics the evaluators must agree on
+    def litOrNull: Any = if (rnd.nextInt(6) == 0) null else lit
+    rnd.nextInt(if (depth > 0) 15 else 12) match {
       case 0 => EqualTo(name, lit)
       case 1 => LessThan(name, lit)
       case 2 => LessThanOrEqual(name, lit)
       case 3 => GreaterThan(name, lit)
       case 4 => GreaterThanOrEqual(name, lit)
-      case 5 => In(name, Array.fill(1 + rnd.nextInt(4))(lit))
+      case 5 => In(name, Array.fill(1 + rnd.nextInt(4))(litOrNull))
       case 6 => IsNull(name)
       case 7 => IsNotNull(name)
       case 8 => StringStartsWith("s", "a")
       case 9 => StringContains("s", "b")
-      case 10 => And(rndFilter(rnd, depth - 1), rndFilter(rnd, depth - 1))
-      case _ => Or(rndFilter(rnd, depth - 1), rndFilter(rnd, depth - 1))
+      case 10 => StringEndsWith("s", "c")
+      case 11 => EqualNullSafe(name, litOrNull)
+      case 12 => And(rndFilter(rnd, depth - 1), rndFilter(rnd, depth - 1))
+      case 13 => Or(rndFilter(rnd, depth - 1), rndFilter(rnd, depth - 1))
+      case _ => Not(rndFilter(rnd, depth - 1))
     }
   }
 
@@ -114,5 +120,43 @@ class FilterEvalSpec extends SparkSpec {
           s"trial $trial: compiled != interpreted for $f over ${scratch.toSeq}")
       }
     }
+  }
+
+  test("three-valued truth table: NOT / <=> / IN-with-NULL on null operands") {
+    val scratch = new Array[Any](schema.length)
+    val getByName: String => Any = n => scratch(idx(n))
+    def run(f: Filter, values: Map[String, Any]): Boolean = {
+      schema.fieldNames.zipWithIndex.foreach { case (n, i) =>
+        scratch(i) = values.getOrElse(n, null)
+      }
+      val interp = FilterEval.eval(f, getByName, dts)
+      val compiled = FilterEval.compile(Array(f), idx, dts, scratch)()
+      assert(interp == compiled, s"paths disagree on $f over $values")
+      interp
+    }
+    val abc = org.apache.spark.unsafe.types.UTF8String.fromString("abc")
+    // NOT(l = 5): null l → UNKNOWN → row dropped (NOT must not flip it)
+    assert(!run(Not(EqualTo("l", 5L)), Map.empty))
+    assert(run(Not(EqualTo("l", 5L)), Map("l" -> 7L)))
+    assert(!run(Not(EqualTo("l", 5L)), Map("l" -> 5L)))
+    // NOT(l = NULL): UNKNOWN regardless of l
+    assert(!run(Not(EqualTo("l", null)), Map("l" -> 7L)))
+    // <=> is never UNKNOWN: NOT(l <=> 5) with null l is TRUE
+    assert(run(Not(EqualNullSafe("l", 5L)), Map.empty))
+    assert(run(EqualNullSafe("l", null), Map.empty))
+    assert(!run(EqualNullSafe("l", null), Map("l" -> 5L)))
+    assert(run(EqualNullSafe("s", "abc"), Map("s" -> abc)))
+    // NOT (l IN (5, NULL)): no true match → UNKNOWN → dropped, even for
+    // a non-null l that differs from every literal (the NOT IN trap)
+    assert(!run(Not(In("l", Array(5L, null))), Map("l" -> 7L)))
+    assert(!run(Not(In("l", Array[Any](5L, null))), Map("l" -> 5L)))
+    assert(run(Not(In("l", Array[Any](5L))), Map("l" -> 7L)))
+    // Kleene OR under NOT: NOT(FALSE OR UNKNOWN) = UNKNOWN → dropped
+    assert(!run(Not(Or(EqualTo("l", 5L), EqualTo("s", "x"))), Map("l" -> 7L)))
+    // Kleene AND under NOT: NOT(FALSE AND UNKNOWN) = TRUE → kept
+    assert(run(Not(And(EqualTo("l", 5L), EqualTo("s", "x"))), Map("l" -> 7L)))
+    // suffix test pushes; null string under NOT stays UNKNOWN
+    assert(run(StringEndsWith("s", "bc"), Map("s" -> abc)))
+    assert(!run(Not(StringEndsWith("s", "bc")), Map.empty))
   }
 }

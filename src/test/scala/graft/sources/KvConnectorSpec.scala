@@ -146,16 +146,61 @@ class KvConnectorSpec extends SparkSpec {
       kv.filter(col("id") === 1 || col("name") === "people1000").select("id"),
       Seq(1L, 1000L), "Or(EqualTo(id,1),EqualTo(name,people1000))")
   }
-  test("And with unsupported child stays residual (reference bug regression)") {
-    // Spark splits top-level And before pushdown, so exercise a nested
-    // one: Or(And(EqualTo, EndsWith), EqualTo) — EndsWith is unsupported,
-    // so the whole Or must stay residual; reference would MatchError.
+  test("StringEndsWith pushdown (HBase comparators can't; decoded values can)") {
+    assertPushedAndCorrect(kv.filter(col("name").endsWith("le1000")).select("id"),
+      Seq(1000L), "StringEndsWith(name,le1000)")
+  }
+  test("Not pushdown keeps SQL three-valued semantics on missing cells") {
+    // name != literal: pushed, excludes only the matching row
+    assertPushedAndCorrect(kv.filter(col("name") =!= "people10").select("id"),
+      (1L to 1000L).filterNot(_ == 10L), "EqualTo(name,people10)")
+    // c is ALWAYS the missing cell (null): NOT (c = 'x') is UNKNOWN for
+    // every row — pushed evaluation must drop all 1000, same as Spark
+    val none = kv.filter(!(col("c") === "x")).select("id")
+    assert(none.collect().isEmpty,
+      "NOT over a null comparison must stay UNKNOWN (drop), not flip to true")
+    // NOT over a nested tree: c='x' is UNKNOWN, so NOT(id<=998 OR c='x')
+    // is UNKNOWN everywhere — correct SQL answer is zero rows, and the
+    // Not(EqualTo(c,…)) must still show as PUSHED, not residual
+    val nested = kv.filter(!(col("id") <= 998L || col("c") === "x")).select("id")
+    assert(physicalPlan(nested).contains("Not(EqualTo(c,x))"),
+      s"Not must push:\n${physicalPlan(nested)}")
+    assert(nested.collect().isEmpty, "NOT over (false OR UNKNOWN) stays UNKNOWN")
+    // same shape with a definite right side keeps the definite rows
+    assertPushedAndCorrect(
+      kv.filter(!(col("id") <= 998L || col("name") === "people999")).select("id"),
+      Seq(1000L), "GreaterThan(id,998)")
+  }
+  test("EqualNullSafe pushdown (<=> treats null as an ordinary value)") {
+    // c <=> NULL: Catalyst folds it to IsNull before pushdown — TRUE
+    // everywhere (c is always the missing cell)
+    assertPushedAndCorrect(kv.filter(col("c") <=> lit(null)).select("id"),
+      1L to 1000L, "IsNull(c)")
+    // NOT (c <=> 'x') is TRUE everywhere — <=> is never UNKNOWN
+    assertPushedAndCorrect(kv.filter(!(col("c") <=> "x")).select("id"),
+      1L to 1000L, "EqualNullSafe(c,x)")
+    assertPushedAndCorrect(kv.filter(col("name") <=> "people10").select("id"),
+      Seq(10L), "EqualNullSafe(name,people10)")
+  }
+  test("And/Or with untranslatable child stays residual wholesale (reference bug regression)") {
+    // the reference pushes And/Or wholesale and MatchErrors executor-side
+    // on unsupported children; here the whole tree must stay residual.
+    // Use a predicate class the V1 bridge genuinely cannot translate.
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Or => V2Or, Predicate}
+    val b = new KvScanBuilder(KvCatalog.parse(catalogJson), dir)
+    val eq10 = new Predicate("=",
+      Array(Expressions.column("id"), Expressions.literal(10L)))
+    val weird = new Predicate("REGEXP_LIKE",
+      Array(Expressions.column("name"), Expressions.literal(".*0")))
+    val tree = new V2Or(new V2And(eq10, weird), new Predicate("=",
+      Array(Expressions.column("id"), Expressions.literal(20L))))
+    val residual = b.pushPredicates(Array(tree))
+    assert(residual.length == 1 && b.pushedPredicates().isEmpty,
+      "an Or with an untranslatable child must not be claimed by the scan")
+    // end-to-end: Spark keeps such shapes residual and results stay right
     val df = kv.filter(
-      (col("id") === 10 && col("name").endsWith("0")) || col("id") === 20)
-      .select("id")
-    val plan = physicalPlan(df)
-    assert(!plan.contains("StringEndsWith") ||
-      plan.contains("Filter"), "unsupported child must not be claimed by scan")
+      (col("id") === 10 && col("name").rlike(".*0$")) || col("id") === 20).select("id")
     assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(10L, 20L))
   }
   test("timestamp + date predicates decode correctly") {
