@@ -62,8 +62,15 @@ object Bench {
       }
     }
     val (results, failed) = (perBatch.flatMap(_._1), perBatch.flatMap(_._2))
-    println(resultJson(results, failed, skipped = oracleOnly.toSeq.sorted,
-      fallback = fallbackBatches.toSeq))
+    val json = resultJson(results, failed, skipped = oracleOnly.toSeq.sorted,
+      fallback = fallbackBatches.toSeq)
+    println(json)
+    // the driver's bench artifact stores only a tail of stdout, which
+    // has truncated early per-query timings out of the audit trail —
+    // persist the complete map alongside the repo as well
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json: ${e.getMessage}") }
   }
 
   /** Fork one fresh JVM for `batch`, parse its JSON line. */
