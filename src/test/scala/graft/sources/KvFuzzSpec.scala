@@ -87,6 +87,62 @@ class KvFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: string zone maps prune correctly under adversarial strings") {
+    // strings are the dominant predicate class of the curation suite
+    // (lang = 'en' style): fuzz equality/range/IN string predicates over
+    // shards whose manifests carry UTF8-binary string bounds, including
+    // multi-byte planes and >64-byte values that poison a chunk's bounds
+    import spark.implicits._
+    val zCat =
+      """{"table":{"name":"zstr"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "lang":{"cf":"f","col":"l","type":"string"},
+        |            "txt":{"cf":"f","col":"t","type":"string"}}}""".stripMargin
+    val rnd = new scala.util.Random(7331)
+    val langs = Vector("ar", "de", "en", "es", "fr", "hi", "ja", "zh", "𐐀x")
+    for (iter <- 1 to 3) {
+      val rows = (1 to 640).map { k =>
+        // lang monotone in k → range shards carry tight disjoint bounds
+        val lang = langs((k - 1) * langs.length / 640)
+        val txt =
+          if (rnd.nextInt(40) == 0) randomString(rnd) + ("y" * 100) // poisons bounds
+          else randomString(rnd)
+        (k.toLong, lang, txt)
+      }
+      val src = rows.toDF("k", "lang", "txt")
+      val dir = Files.createTempDirectory(s"graft-kv-zstr$iter").toString
+      src.repartitionByRange(8, col("k"))
+        .write.format("graft-kv").option("catalog", zCat).option("path", dir)
+        .mode("overwrite").save()
+      def read(): DataFrame = spark.read.format("graft-kv")
+        .option("catalog", zCat).option("path", dir).load()
+      def keySet(df: DataFrame, p: Column): Seq[Long] =
+        df.filter(p).select("k").collect().map(_.getLong(0)).sorted.toSeq
+
+      val pivotLang = langs(rnd.nextInt(langs.length))
+      val pivotTxt = rows(rnd.nextInt(rows.length))._3
+      val preds: Seq[Column] = Seq(
+        col("lang") === pivotLang, col("lang") < pivotLang,
+        col("lang") >= pivotLang, col("lang").isin("en", "zh"),
+        col("txt") === pivotTxt, col("txt") <= pivotTxt,
+        col("lang") === pivotLang && col("txt") > pivotTxt)
+      preds.zipWithIndex.foreach { case (p, pi) =>
+        assert(keySet(read(), p) == keySet(src, p),
+          s"iter $iter string predicate #$pi diverged: $p")
+      }
+      // a single-language equality must PRUNE (langs span ≥8 shard
+      // bounds ranges, so no one language covers all 8) and the pruning
+      // must be visible in the scan's zone-map metric
+      val one = read().filter(col("lang") === pivotLang)
+      assert(one.rdd.getNumPartitions < 8,
+        s"iter $iter: lang='$pivotLang' must prune some of the 8 shards")
+      one.collect()
+      val zm = one.queryExecution.executedPlan.collectLeaves().head.metrics
+      assert(zm("kvShardsPrunedZoneMap").value > 0,
+        s"iter $iter: string pruning must surface in kvShardsPrunedZoneMap")
+    }
+  }
+
   test("values larger than the reader buffer round-trip and skip correctly") {
     // the shard reader parses from a 1 MiB buffer: a 3 MiB value forces
     // the ensure() growth path when projected and the stream-skip path
