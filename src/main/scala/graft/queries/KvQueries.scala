@@ -500,8 +500,8 @@ object KvQueries {
     doc = "zone-map shard pruning on a value-column window, hash-checked")
 
   /** Grouped aggregate pushdown gate (§2.4 deepening — the reference has
-    * no aggregate pushdown at all): COUNT(*)/MIN/MAX grouped by a cell
-    * column run INSIDE the scan, one partial row per group per shard
+    * no aggregate pushdown at all): COUNT(*)/MIN/MAX/SUM grouped by a
+    * cell column run INSIDE the scan, one partial row per group per shard
     * (`sources/KvAggScan.scala`); Spark's final aggregate merges ~4
     * groups × 16 shards partials instead of shuffling whole rows. The
     * plan shows `PushedAggregates` + `PushedGroupBy: [l_returnflag]`;
@@ -518,12 +518,13 @@ object KvQueries {
              count(col("l_linestatus")).as("n_ls"),
              min(col("l_quantity")).as("min_qty"),
              max(col("l_quantity")).as("max_qty"),
-             max(col("l_shipdate")).as("max_sd"))
+             max(col("l_shipdate")).as("max_sd"),
+             sum(col("l_linenumber")).as("sum_ln"))
         .orderBy(col("l_returnflag")),
     Some("""
       SELECT l_returnflag, count(*) AS n, count(l_linestatus) AS n_ls,
              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-             max(l_shipdate) AS max_sd
+             max(l_shipdate) AS max_sd, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
       FROM lineitem
       WHERE l_quantity >= 5.0
       GROUP BY l_returnflag

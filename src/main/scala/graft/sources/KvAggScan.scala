@@ -29,6 +29,7 @@ case object KvCountStar extends KvAggSpec
 final case class KvCountCol(name: String) extends KvAggSpec
 final case class KvMinCol(name: String) extends KvAggSpec
 final case class KvMaxCol(name: String) extends KvAggSpec
+final case class KvSumCol(name: String) extends KvAggSpec
 
 object KvAggSpec {
   private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -36,6 +37,22 @@ object KvAggSpec {
       case f: NamedReference if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
       case _ => None
     }
+
+  /** SUM pushes for integral (partial accumulates in Long — wrap-around
+    * addition is associative, so per-shard partials merged by Spark wrap
+    * to the same non-ANSI answer Spark itself computes) and floating
+    * (Double) columns. Decimal stays residual: Spark widens decimal sums
+    * with precision arithmetic the partial would have to replicate
+    * exactly. */
+  private def summable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType => true
+    case _ => false
+  }
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
 
   /** Translate a connector Aggregation into (group columns, agg specs);
     * None → not pushable. MIN/MAX additionally require an orderable
@@ -45,6 +62,7 @@ object KvAggSpec {
     * type (decoded values carry value equality; arrays/maps don't). */
   def translate(agg: Aggregation, declared: StructType): Option[(Seq[String], Seq[KvAggSpec])] = {
     val names = declared.fieldNames.toSet
+    val byName = declared.fields.map(f => f.name -> f.dataType).toMap
     val orderable: Set[String] = declared.fields
       .filter(f => FilterEval.comparable(f.dataType)).map(_.name).toSet
     val groupCols: Seq[String] = agg.groupByExpressions().toIndexedSeq.map { e =>
@@ -58,10 +76,18 @@ object KvAggSpec {
         fieldName(m.column()).filter(orderable).map(KvMinCol.apply).getOrElse(return None)
       case m: Max =>
         fieldName(m.column()).filter(orderable).map(KvMaxCol.apply).getOrElse(return None)
+      case s: Sum if !s.isDistinct =>
+        fieldName(s.column()).filter(n => byName.get(n).exists(summable))
+          .map(KvSumCol.apply).getOrElse(return None)
       case _ => return None
     }
     Some((groupCols, specs.toIndexedSeq))
   }
+
+  /** The partial sum's column type — Spark's own Sum result type for the
+    * input (integral → Long, floating → Double), so the rewritten final
+    * Sum merges partials without a cast. */
+  def sumType(dt: DataType): DataType = if (isIntegral(dt)) LongType else DoubleType
 
   /** Scan output schema: group columns FIRST, then one column per agg —
     * the order `V2ScanRelationPushDown` zips its rewritten aggregate
@@ -76,6 +102,7 @@ object KvAggSpec {
         case (KvCountCol(n), i)  => StructField(s"count_${n}_$i", LongType, nullable = false)
         case (KvMinCol(n), i)    => StructField(s"min_${n}_$i", byName(n).dataType)
         case (KvMaxCol(n), i)    => StructField(s"max_${n}_$i", byName(n).dataType)
+        case (KvSumCol(n), i)    => StructField(s"sum_${n}_$i", sumType(byName(n).dataType))
       })
   }
 }
@@ -151,12 +178,19 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     case other => throw new IllegalStateException(s"min/max unsupported for $other")
   }
 
-  /** Mutable per-group partial state (counts + min/max per column). */
-  private final class GroupState(nCounts: Int, nMm: Int) {
+  /** Mutable per-group partial state (counts + min/max + sums per
+    * column). Integral sums accumulate in Long (wrap-around addition is
+    * associative — partials merged by Spark wrap to the same non-ANSI
+    * answer); floating sums in Double. `sumSeen` keeps an all-null
+    * group's sum NULL, as SQL requires. */
+  private final class GroupState(nCounts: Int, nMm: Int, nSums: Int) {
     var countStar = 0L
     val counts = new Array[Long](nCounts)
     val mins = new Array[Any](nMm)
     val maxs = new Array[Any](nMm)
+    val sumsL = new Array[Long](nSums)
+    val sumsD = new Array[Double](nSums)
+    val sumSeen = new Array[Boolean](nSums)
   }
 
   // shared per-column layout ([[KvRecordDecoder]], same hot loop as
@@ -167,6 +201,7 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     case KvCountCol(n) => n
     case KvMinCol(n)   => n
     case KvMaxCol(n)   => n
+    case KvSumCol(n)   => n
   }.toSet ++ groupCols ++ filters.flatMap(_.references)
 
   private val countNames: Seq[String] = specs.collect { case KvCountCol(n) => n }.distinct
@@ -174,10 +209,14 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     case KvMinCol(n) => n
     case KvMaxCol(n) => n
   }.distinct
+  private val sumNames: Seq[String] = specs.collect { case KvSumCol(n) => n }.distinct
   private val countPos: Map[String, Int] = countNames.zipWithIndex.toMap
   private val mmPos: Map[String, Int] = minMaxNames.zipWithIndex.toMap
+  private val sumPos: Map[String, Int] = sumNames.zipWithIndex.toMap
   private val mmOrd: Array[Ordering[Any]] =
     minMaxNames.map(n => ordering(dtByName(n))).toArray
+  private val sumIntegral: Array[Boolean] =
+    sumNames.map(n => KvAggSpec.sumType(dtByName(n)) == LongType).toArray
 
   private def resultRow(groupKey: Array[Any], st: GroupState): InternalRow =
     InternalRow.fromSeq(groupKey.toIndexedSeq ++ specs.map {
@@ -185,10 +224,15 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
       case KvCountCol(n) => st.counts(countPos(n))
       case KvMinCol(n)   => st.mins(mmPos(n))
       case KvMaxCol(n)   => st.maxs(mmPos(n))
+      case KvSumCol(n)   =>
+        val p = sumPos(n)
+        if (!st.sumSeen(p)) null
+        else if (sumIntegral(p)) st.sumsL(p) else st.sumsD(p)
     })
 
   private def accumulate(st: GroupState, decoder: KvRecordDecoder,
-                         countIdx: Array[Int], mmIdx: Array[Int]): Unit = {
+                         countIdx: Array[Int], mmIdx: Array[Int],
+                         sumIdx: Array[Int]): Unit = {
     st.countStar += 1
     var i = 0
     while (i < countIdx.length) {
@@ -201,6 +245,16 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
       if (v != null) {
         if (st.mins(i) == null || mmOrd(i).lt(v, st.mins(i))) st.mins(i) = v
         if (st.maxs(i) == null || mmOrd(i).gt(v, st.maxs(i))) st.maxs(i) = v
+      }
+      i += 1
+    }
+    i = 0
+    while (i < sumIdx.length) {
+      val v = decoder.scratch(sumIdx(i))
+      if (v != null) {
+        st.sumSeen(i) = true
+        if (sumIntegral(i)) st.sumsL(i) += v.asInstanceOf[Number].longValue()
+        else st.sumsD(i) += v.asInstanceOf[Number].doubleValue()
       }
       i += 1
     }
@@ -219,7 +273,9 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     val decoder = new KvRecordDecoder(declared, neededCols)
     val countIdx: Array[Int] = countNames.map(decoder.idxByName).toArray
     val mmIdx: Array[Int] = minMaxNames.map(decoder.idxByName).toArray
+    val sumIdx: Array[Int] = sumNames.map(decoder.idxByName).toArray
     val groupIdx: Array[Int] = groupCols.map(decoder.idxByName).toArray
+    def newState() = new GroupState(countNames.length, minMaxNames.length, sumNames.length)
 
     val reader = new KvStore.ShardReader(dir, part.shard,
       part.startHex.map(KvStore.fromHex).orNull,
@@ -236,12 +292,12 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     }
 
     if (groupCols.isEmpty) {
-      val st = new GroupState(countNames.length, minMaxNames.length)
+      val st = newState()
       try {
         while (reader.hasNext) {
           decoder.decodeInto(reader.next())
           recordsRead += 1
-          if (pred()) accumulate(st, decoder, countIdx, mmIdx)
+          if (pred()) accumulate(st, decoder, countIdx, mmIdx, sumIdx)
         }
       } finally closeReader()
       Iterator.single(resultRow(Array.empty, st))
@@ -267,13 +323,13 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
                 val k = decoder.scratch(groupIdx(0))
                 if (st == null) {
                   openKey = Array[Any](k)
-                  st = new GroupState(countNames.length, minMaxNames.length)
+                  st = newState()
                 } else if (k != openKey(0)) {
                   pending = resultRow(openKey, st)
                   openKey = Array[Any](k)
-                  st = new GroupState(countNames.length, minMaxNames.length)
+                  st = newState()
                 }
-                accumulate(st, decoder, countIdx, mmIdx)
+                accumulate(st, decoder, countIdx, mmIdx, sumIdx)
               }
             }
           }
@@ -298,10 +354,10 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
             val key: Seq[Any] = scala.collection.immutable.ArraySeq.unsafeWrapArray(groupKey())
             var st = groups.get(key)
             if (st == null) {
-              st = new GroupState(countNames.length, minMaxNames.length)
+              st = newState()
               groups.put(key, st)
             }
-            accumulate(st, decoder, countIdx, mmIdx)
+            accumulate(st, decoder, countIdx, mmIdx, sumIdx)
           }
         }
       } finally closeReader()

@@ -360,13 +360,15 @@ class KvConnectorSpec extends SparkSpec {
       "runtime IN-set must prune the 8 shards to the single covering one")
   }
 
-  test("aggregate pushdown: COUNT/MIN/MAX computed in the scan") {
+  test("aggregate pushdown: COUNT/MIN/MAX/SUM computed in the scan") {
     val df = kv.agg(
       count(lit(1)).as("n"),
       count(col("c")).as("n_c"),
       min(col("age")).as("min_age"),
       max(col("height")).as("max_h"),
-      max(col("name")).as("max_name"))
+      max(col("name")).as("max_name"),
+      sum(col("age")).as("sum_age"),
+      sum(col("height")).as("sum_h"))
     val plan = df.queryExecution.executedPlan.toString()
     val r = df.collect().head
     assert(r.getAs[Long]("n") == 1000L)
@@ -374,7 +376,15 @@ class KvConnectorSpec extends SparkSpec {
     assert(r.getAs[Int]("min_age") == 0)
     assert(r.getAs[Double]("max_h") == 10.9)
     assert(r.getAs[String]("max_name") == "people999") // lexicographic
+    assert(r.getAs[Long]("sum_age") == (1 to 1000).map(_ % 60).sum.toLong)
+    assert(math.abs(r.getAs[Double]("sum_h") -
+      (1 to 1000).map(i => (i % 100) / 10.0 + 1.0).sum) < 1e-6)
     assert(plan.contains("PushedAggregates"), s"aggregates must be pushed:\n$plan")
+    assert(plan.contains("KvSumCol"), s"sums must be pushed:\n$plan")
+    // SUM over zero matching rows is NULL (sumSeen stays false in every
+    // shard partial; Spark's final sum of nulls is null)
+    val empty = kv.filter(col("id") < 0L).agg(sum(col("age")).as("s"))
+    assert(empty.collect().head.isNullAt(0), "sum of an empty set must be NULL")
   }
 
   test("aggregate pushdown respects residual-free pushed filters") {
@@ -399,11 +409,18 @@ class KvConnectorSpec extends SparkSpec {
 
   test("grouped aggregate pushdown: GROUP BY a value column emits per-shard partials") {
     val df = kv.groupBy(col("alive")).agg(count(lit(1)).as("n"),
-      min(col("age")).as("min_age"), max(col("name")).as("max_name"))
+      min(col("age")).as("min_age"), max(col("name")).as("max_name"),
+      sum(col("age")).as("sum_age"))
+    val sums = (1 to 1000).groupBy(_ % 2 == 0).map { case (k, is) =>
+      k -> is.map(_ % 60).sum.toLong
+    }
     val m = df.collect().map(r => r.getAs[Boolean]("alive") ->
       (r.getAs[Long]("n"), r.getAs[Int]("min_age"), r.getAs[String]("max_name"))).toMap
+    val sm = df.collect().map(r =>
+      r.getAs[Boolean]("alive") -> r.getAs[Long]("sum_age")).toMap
     assert(m(true) == ((500L, 0, "people998")))
     assert(m(false) == ((500L, 1, "people999")))
+    assert(sm(true) == sums(true) && sm(false) == sums(false))
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("PushedAggregates"), s"grouped aggregates must push:\n$plan")
     assert(plan.contains("PushedGroupBy: [alive]"), s"group columns must push:\n$plan")
