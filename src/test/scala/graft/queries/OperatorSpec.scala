@@ -338,6 +338,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("shingle cache is LRU-of-1: touching a second corpus evicts the first") {
+    Dedup.releaseShingles()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.q42NgramJaccard.fn(spark, d).queryExecution.toRdd.count()
+    val first = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(first.nonEmpty)
+    // a different corpus dir (same data via a symlink-free copy of the
+    // path string is enough — the cache keys on the dir string)
+    val d2 = "/root/testdata/sf0.001/" // same corpus, distinct key
+    Dedup.q42NgramJaccard.fn(spark, d2).queryExecution.toRdd.count()
+    val now = spark.sparkContext.getPersistentRDDs.keySet
+    assert(first.intersect(now).isEmpty,
+      "the first corpus's shingle blocks must be unpersisted on eviction")
+    Dedup.releaseShingles()
+  }
+
   test("releaseShingles frees the persisted shingle blocks") {
     Dedup.releaseShingles() // reset whatever earlier tests cached
     val before = spark.sparkContext.getPersistentRDDs.keySet
