@@ -171,6 +171,22 @@ object BytesCodec {
     case other => throw new IllegalArgumentException(s"Unsupported rowkey type: $other")
   }
 
+  /** Smallest byte string strictly greater than EVERY string with
+    * prefix `p`, under unsigned lexicographic order: increment the last
+    * non-0xFF byte and truncate after it. None when p is empty or all
+    * 0xFF — no finite upper bound exists. The prefix-seek bound for
+    * StartsWith pushdown (rowkey ranges and zone maps). */
+  def prefixSuccessor(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val r = java.util.Arrays.copyOf(p, i + 1)
+      r(i) = ((r(i) & 0xff) + 1).toByte
+      Some(r)
+    }
+  }
+
   /** Unsigned lexicographic byte comparison (HBase rowkey order). */
   def compareKeys(a: Array[Byte], b: Array[Byte]): Int = {
     val n = math.min(a.length, b.length)

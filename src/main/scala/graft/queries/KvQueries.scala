@@ -556,7 +556,59 @@ object KvQueries {
       ORDER BY lk"""),
     doc = "pushed <> (three-valued Not) + string-suffix filters on the KV scan")
 
+  private val docsCatalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "documents_kv"},
+      |  "rowkey": "rk",
+      |  "columns": {
+      |    "rk": {"cf": "rowkey", "col": "rk", "type": "string"},
+      |    "doc_id": {"cf": "d", "col": "id", "type": "long"},
+      |    "lang": {"cf": "d", "col": "lg", "type": "string"},
+      |    "n_chars": {"cf": "d", "col": "nc", "type": "long"}
+      |  }
+      |}""".stripMargin
+
+  /** Composite STRING rowkey table ("<lang>#<doc_id zero-padded>"), the
+    * HBase idiom every multi-tenant / per-language layout uses; built
+    * once per corpus like the lineitem KV table. */
+  private def docsKvDir(s: SparkSession, sfDir: String): String = {
+    val dir = graft.kv.KvStore.cacheDir(s"documents-${cacheKey(sfDir)}")
+    if (!new File(s"$dir/_kvmeta.json").exists()) {
+      Tables.documents(s, sfDir)
+        .select(
+          concat(col("lang"), lit("#"), lpad(col("doc_id").cast("string"), 12, "0")).as("rk"),
+          col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
+        .repartitionByRange(16, col("rk"))
+        .write.format("graft-kv")
+        .option("catalog", docsCatalogJson).option("path", dir)
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** Rowkey PREFIX seek gate: `rk LIKE 'en#%'` arrives as StringStartsWith
+    * on the string rowkey and plans as the range [p, successor(p)) —
+    * shard pruning + in-shard clip, zero full-table work
+    * (`KvScan.rowkeyRange`). The reference's HBase client would issue a
+    * PrefixFilter full scan here; this engine seeks. Hash-checked
+    * against DuckDB building the same composite key from parquet. */
+  val q97KvPrefixSeek: Q = Q(
+    "q97_kv_prefix_seek",
+    (s, d) =>
+      s.read.format("graft-kv")
+        .option("catalog", docsCatalogJson).option("path", docsKvDir(s, d)).load()
+        .filter(col("rk").startsWith("en#"))
+        .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("rk")),
+    Some("""
+      SELECT lang || '#' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS rk,
+             doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+      WHERE lang = 'en'
+      ORDER BY rk"""),
+    doc = "string-rowkey prefix seek: StartsWith plans a key range, not a scan")
+
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
     q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
-    q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras)
+    q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras, q97KvPrefixSeek)
 }

@@ -217,6 +217,11 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     allFilters.foreach {
       case EqualTo(a, v) if a == rowkeyName =>
         enc(v).foreach { b => tightenLo(b); tightenHi(b) }
+      // the rowkey is never null, so <=> against a non-null literal is
+      // plain equality for range purposes (a null literal matches nothing
+      // — the per-record predicate returns false; no range to tighten)
+      case EqualNullSafe(a, v) if a == rowkeyName && v != null =>
+        enc(v).foreach { b => tightenLo(b); tightenHi(b) }
       case GreaterThan(a, v) if a == rowkeyName => enc(v).foreach(tightenLo)
       case GreaterThanOrEqual(a, v) if a == rowkeyName => enc(v).foreach(tightenLo)
       case LessThan(a, v) if a == rowkeyName => enc(v).foreach(tightenHi)
@@ -227,6 +232,17 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
           tightenLo(encs.minBy(identity)(Ordering.fromLessThan((x, y) => BytesCodec.compareKeys(x, y) < 0)))
           tightenHi(encs.maxBy(identity)(Ordering.fromLessThan((x, y) => BytesCodec.compareKeys(x, y) < 0)))
         }
+      // prefix seek — the classic KV access pattern: keys with prefix p
+      // live in [p, successor(p)). String key encoding is raw UTF-8, so
+      // the prefix's own bytes are the inclusive lower bound and the
+      // byte-successor (increment last non-0xFF byte, truncate) bounds
+      // above. The successor is used as an INCLUSIVE hi: at most one
+      // extra key range is read and the per-record StartsWith predicate
+      // drops it — bounds here must be sound, not tight.
+      case StringStartsWith(a, p) if a == rowkeyName && dt == StringType && p.nonEmpty =>
+        val pb = org.apache.spark.unsafe.types.UTF8String.fromString(p).getBytes
+        tightenLo(pb)
+        BytesCodec.prefixSuccessor(pb).foreach(tightenHi)
       case _ => // non-rowkey or non-range filter: no plan-time pruning
     }
     (lo, hi)

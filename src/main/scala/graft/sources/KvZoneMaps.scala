@@ -77,6 +77,11 @@ object KvZoneMaps {
 
     def compile(f: Filter): Seq[KvShardMeta => Boolean] = f match {
       case EqualTo(a, v) => boundsTest(a, v, (mn, mx) => mn <= 0 && mx >= 0).toSeq
+      // bounds cover only NON-NULL values, and a <=> v with non-null v
+      // matches only non-null a — excluded bounds exclude the match
+      // (v null ≡ IsNull: bounds say nothing about null presence)
+      case EqualNullSafe(a, v) if v != null =>
+        boundsTest(a, v, (mn, mx) => mn <= 0 && mx >= 0).toSeq
       case LessThan(a, v) => boundsTest(a, v, (mn, _) => mn < 0).toSeq
       case LessThanOrEqual(a, v) => boundsTest(a, v, (mn, _) => mn <= 0).toSeq
       case GreaterThan(a, v) => boundsTest(a, v, (_, mx) => mx > 0).toSeq
@@ -88,8 +93,24 @@ object KvZoneMaps {
         if (tests.length == vs.length)
           Seq((s: KvShardMeta) => tests.exists(_(s)))
         else Nil
+      // prefix window: matches live in [p, successor(p)) — keep iff
+      // shardMax >= p and (no successor | shardMin < successor). The
+      // successor may not be valid UTF-8; UTF8String.fromBytes carries
+      // raw bytes and the comparison is binary, so the bound is sound.
+      case StringStartsWith(a, p) if p.nonEmpty =>
+        val lo = boundsTest(a, p, (_, mx) => mx >= 0)
+        val hi = graft.kv.BytesCodec.prefixSuccessor(
+            org.apache.spark.unsafe.types.UTF8String.fromString(p).getBytes)
+          .flatMap(sb => boundsTest(a,
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(sb),
+            (mn, _) => mn < 0))
+        (lo, hi) match {
+          case (Some(l), Some(h)) => Seq((s: KvShardMeta) => l(s) && h(s))
+          case (Some(l), None)    => Seq(l)
+          case _                  => Nil
+        }
       case And(l, r) => compile(l) ++ compile(r)
-      case _ => Nil // Or / IsNull / StartsWith / … : no zone-map pruning
+      case _ => Nil // Or / IsNull / Contains / … : no zone-map pruning
     }
 
     filters.flatMap(compile)

@@ -203,6 +203,45 @@ class KvConnectorSpec extends SparkSpec {
       (col("id") === 10 && col("name").rlike(".*0$")) || col("id") === 20).select("id")
     assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(10L, 20L))
   }
+  test("rowkey prefix seek: StartsWith on a string rowkey prunes shards") {
+    val pDir = Files.createTempDirectory("graft-kv-prefix").toString
+    val pCat =
+      """{"table":{"name":"prefixed"},"rowkey":"rk",
+        | "columns":{"rk":{"cf":"rowkey","col":"rk","type":"string"},
+        |            "v":{"cf":"f","col":"v","type":"long"}}}""".stripMargin
+    import spark.implicits._
+    // composite string keys, the HBase idiom: "<tenant>#<seq>"; range
+    // partitioning on rk gives each tenant a tight shard neighborhood
+    val tenants = Seq("acme", "globex", "ini", "umbra", "wayne", "zorg", "ÿmulti𐐀")
+    val rows = for (t <- tenants; i <- 1 to 200) yield (f"$t#$i%04d", i.toLong)
+    rows.toDF("rk", "v").repartitionByRange(8, col("rk"))
+      .write.format("graft-kv").option("catalog", pCat).option("path", pDir)
+      .mode("overwrite").save()
+    def read() = spark.read.format("graft-kv")
+      .option("catalog", pCat).option("path", pDir).load()
+    assert(read().rdd.getNumPartitions == 8)
+
+    val one = read().filter(col("rk").startsWith("globex#"))
+    assert(one.count() == 200)
+    assert(one.rdd.getNumPartitions < 8,
+      "a single-tenant prefix must plan only the covering shards")
+    one.collect()
+    val m = one.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(m("kvShardsPrunedKeyRange").value > 0,
+      "prefix pruning must surface in the rowkey-range metric")
+    // prefix + range compose (clip tightens inside the prefix window)
+    val narrow = read().filter(col("rk").startsWith("globex#") && col("rk") >= "globex#0150")
+    assert(narrow.count() == 51)
+    // multi-byte prefix (successor increments a continuation byte — the
+    // bound is raw bytes, not a valid string, and must stay sound)
+    assert(read().filter(col("rk").startsWith("ÿmulti𐐀#")).count() == 200)
+    assert(read().filter(col("rk").startsWith("ÿmulti𐐀#00")).count() == 99)
+    // no matching tenant: every shard pruned or rows filtered — empty
+    assert(read().filter(col("rk").startsWith("nobody#")).count() == 0)
+    // prefix of everything prunes nothing and loses nothing
+    assert(read().filter(col("rk").startsWith("")).count() == rows.length)
+  }
+
   test("timestamp + date predicates decode correctly") {
     val ts = Timestamp.from(java.time.Instant.parse("1990-06-01T00:00:00Z"))
     val viaKv = kv.filter(col("birthDateTime") < ts).count()

@@ -125,7 +125,12 @@ class KvFuzzSpec extends SparkSpec {
         col("lang") === pivotLang, col("lang") < pivotLang,
         col("lang") >= pivotLang, col("lang").isin("en", "zh"),
         col("txt") === pivotTxt, col("txt") <= pivotTxt,
-        col("lang") === pivotLang && col("txt") > pivotTxt)
+        col("lang") === pivotLang && col("txt") > pivotTxt,
+        // prefix window pruning (StartsWith → [p, successor(p)) bounds),
+        // incl. a multi-byte prefix whose successor is not valid UTF-8
+        col("lang").startsWith(pivotLang.take(1)),
+        col("txt").startsWith(pivotTxt.take(2)),
+        col("lang").startsWith("𐐀"))
       preds.zipWithIndex.foreach { case (p, pi) =>
         assert(keySet(read(), p) == keySet(src, p),
           s"iter $iter string predicate #$pi diverged: $p")
