@@ -260,15 +260,52 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     }
   }
 
+  /** Manifest value for one aggregate spec, when the whole-shard answer
+    * is recorded there: COUNT(*) = shard rows; MIN/MAX = the rowkey
+    * bounds (minKeyHex/maxKeyHex) for the key column, zone-map bounds
+    * for cell columns. Exactness caveats: bounds cover non-null values
+    * only — exactly MIN/MAX's semantics; timestamps are EXCLUDED (the
+    * key encoding floors micros to millis, so the stored max is not the
+    * true max); a missing zone-map entry (all-null column, oversized
+    * bound, legacy manifest) returns None and the shard falls back to a
+    * real scan. */
+  private def manifestValue(spec: KvAggSpec): Option[Any] = spec match {
+    case KvCountStar => Some(part.shard.rows)
+    case KvMinCol(n) => manifestBound(n, isMax = false)
+    case KvMaxCol(n) => manifestBound(n, isMax = true)
+    case _ => None // COUNT(col) needs a null count; SUM needs the values
+  }
+
+  private def manifestBound(n: String, isMax: Boolean): Option[Any] = {
+    val fld = declared.fields.find(_.name == n).getOrElse(return None)
+    val dt = fld.dataType
+    if (dt == TimestampType || part.shard.rows == 0L) return None
+    val cf = fld.metadata.getString("columnFamily")
+    if (cf == KvCatalog.RowkeyCf)
+      Some(BytesCodec.decodeKey(dt,
+        KvStore.fromHex(if (isMax) part.shard.maxKeyHex else part.shard.minKeyHex)))
+    else
+      part.shard.stats.get(s"$cf:${fld.metadata.getString("column")}").map {
+        case (mnHex, mxHex) =>
+          BytesCodec.decodeKey(dt, KvStore.fromHex(if (isMax) mxHex else mnHex))
+      }
+  }
+
   /** The whole computation as an iterator of output rows. Ungrouped →
     * exactly one row. GROUP BY the rowkey → true streaming (groups are
     * contiguous in key-sorted shards; each closes as the key changes).
     * Other groupings → per-shard hash map, emitted after the scan. */
   private def compute(): Iterator[InternalRow] = {
-    // fast path: pure global COUNT(*) over the whole shard → manifest only
-    val countStarOnly = groupCols.isEmpty && specs.forall(_ == KvCountStar)
-    if (countStarOnly && filters.isEmpty && part.startHex.isEmpty && part.endHex.isEmpty)
-      return Iterator.single(InternalRow.fromSeq(specs.map(_ => part.shard.rows)))
+    // fast path: global COUNT(*)/MIN/MAX over the whole shard can be
+    // answered from the manifest entry without opening the file — the
+    // decision is PER SHARD, so one legacy shard missing a bound only
+    // costs that shard a scan
+    if (groupCols.isEmpty && filters.isEmpty &&
+        part.startHex.isEmpty && part.endHex.isEmpty) {
+      val vals = specs.map(manifestValue)
+      if (vals.forall(_.isDefined))
+        return Iterator.single(InternalRow.fromSeq(vals.map(_.get)))
+    }
 
     val decoder = new KvRecordDecoder(declared, neededCols)
     val countIdx: Array[Int] = countNames.map(decoder.idxByName).toArray

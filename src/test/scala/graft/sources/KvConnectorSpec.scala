@@ -426,6 +426,30 @@ class KvConnectorSpec extends SparkSpec {
     assert(empty.collect().head.isNullAt(0), "sum of an empty set must be NULL")
   }
 
+  test("global COUNT(*)/MIN/MAX answer from the manifest without reading a byte") {
+    val df = kv.agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+      max(col("id")).as("max_id"), min(col("age")).as("min_age"),
+      max(col("name")).as("max_name"), max(col("height")).as("max_h"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") == 1000L)
+    assert(r.getAs[Long]("min_id") == 1L && r.getAs[Long]("max_id") == 1000L)
+    assert(r.getAs[Int]("min_age") == 0)
+    assert(r.getAs[String]("max_name") == "people999")
+    assert(r.getAs[Double]("max_h") == 10.9)
+    val scan = findBatchScan(df.queryExecution.executedPlan).get
+    assert(scan.metrics("kvBytesRead").value == 0L,
+      "rowkey bounds + zone maps already hold these answers; no shard file may be opened")
+    assert(scan.metrics("kvRecordsRead").value == 0L)
+    // timestamps are excluded (key encoding floors micros to millis):
+    // the same shape over a timestamp column must SCAN and stay exact
+    val ts = kv.agg(max(col("birthDateTime")).as("m"))
+    val expect = peopleDf.agg(max(col("birthDateTime"))).head().getTimestamp(0)
+    assert(ts.collect().head.getAs[java.sql.Timestamp]("m") == expect)
+    val tsScan = findBatchScan(ts.queryExecution.executedPlan).get
+    assert(tsScan.metrics("kvRecordsRead").value == 1000L,
+      "a lossy-encoded column must fall back to the real scan")
+  }
+
   test("aggregate pushdown respects residual-free pushed filters") {
     val df = kv.filter(col("age") < 10).agg(count(lit(1)).as("n"), max(col("age")).as("m"))
     val r = df.collect().head
