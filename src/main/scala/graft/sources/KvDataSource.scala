@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 
-import graft.kv.{KvCatalog, KvStore}
+import graft.kv.{KvCatalog, KvShardMeta, KvStore, KvTableMeta}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -57,9 +57,11 @@ class KvDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-/** Table handle: batch read + batch write (+ truncate for overwrite). */
+/** Table handle: batch read + batch write (+ truncate for overwrite,
+  * + `DELETE FROM … WHERE` when every conjunct is pushable). */
 class KvTable(val catalog: KvCatalog, val dir: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = catalog.qualifiedName
   override def schema(): StructType = catalog.schema
@@ -67,6 +69,104 @@ class KvTable(val catalog: KvCatalog, val dir: String)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
         TableCapability.STREAMING_WRITE).asJava
+
+  /** DELETE pushes only when the scan could push every conjunct — the
+    * same `FilterEval` set (incl. three-valued Not). Anything else makes
+    * Spark raise its standard "cannot delete" analysis error rather than
+    * this table guessing at semantics it can't evaluate. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val dts = catalog.schema.fields.map(f => f.name -> f.dataType).toMap
+    filters.forall(FilterEval.pushable(_, dts))
+  }
+
+  /** Row-level delete as a per-shard rewrite under the table lock.
+    *
+    * Shards that cannot contain a match — by rowkey range or zone
+    * maps — are untouched (their manifest entries, files and stats stay
+    * byte-identical). Each surviving shard streams through the same
+    * reader/writer pair compaction uses: records where the predicate is
+    * TRUE are dropped (FALSE and UNKNOWN are kept — SQL DELETE
+    * semantics), everything else is appended to a replacement shard
+    * with a fresh CRC. A rewrite that removed nothing discards its
+    * output and keeps the original file. Replaced inputs are RETAINED
+    * on the vacuum grace clock (mtimes restarted before the manifest
+    * swap, the compactor's discipline), so pre-delete snapshot reads
+    * keep working until vacuum; the swap itself is one atomic
+    * versioned manifest commit. */
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val declared = catalog.schema
+    KvStore.withTableLock(dir) {
+      if (!new java.io.File(KvStore.metaPath(dir)).exists()) return
+      val meta = KvStore.readMeta(dir)
+      // reuse the scan's exact pruning (rowkey range + zone maps): only
+      // shards that could hold a matching row need a rewrite pass
+      val touchable: Set[String] =
+        new KvScan(dir, catalog.rowkey, declared, declared, filters, -1)
+          .planInputPartitions()
+          .map(_.asInstanceOf[KvInputPartition].shard.file).toSet
+      val decoder = new KvRecordDecoder(declared,
+        filters.flatMap(_.references).toSet)
+      val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
+        decoder.scratch)
+      val token = java.lang.Long.toUnsignedString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
+      var seq = 0
+      val replaced = scala.collection.mutable.ListBuffer[KvShardMeta]()
+      val newShards: Seq[KvShardMeta] = meta.shards.flatMap { shard =>
+        if (!touchable(shard.file)) Seq(shard)
+        else {
+          val outName = s"shard-delete-$token-d$seq.kv"
+          seq += 1
+          // full records (no cell filter): unprojected cells must survive
+          // the rewrite byte-for-byte; the read also CRC-verifies the
+          // input so a bit-rotted shard aborts before the swap
+          val reader = new KvStore.ShardReader(dir, shard, verifyCrc = true)
+          val w = new KvStore.ShardWriter(dir, outName)
+          var removed = 0L
+          var done = false
+          try {
+            while (reader.hasNext) {
+              val rec = reader.next()
+              decoder.decodeInto(rec)
+              if (pred()) removed += 1 else w.append(rec)
+            }
+            done = true
+          } finally {
+            reader.close()
+            if (!done) {
+              try w.close() catch { case _: Exception => () }
+              new java.io.File(s"$dir/$outName").delete()
+            }
+          }
+          val out = w.close()
+          if (removed == 0L) {
+            // nothing matched after all (bounds were loose): keep the
+            // original file — no churn, no new vacuum debt
+            out.foreach(o => new java.io.File(s"$dir/${o.file}").delete())
+            Seq(shard)
+          } else {
+            replaced += shard
+            // original stats stay sound supersets of the survivors'
+            // ranges; hosts carry over (same storage locality)
+            out.map(_.copy(stats = shard.stats, hosts = shard.hosts)).toSeq
+          }
+        }
+      }
+      if (replaced.nonEmpty) {
+        // restart the vacuum grace clock on replaced inputs BEFORE the
+        // swap commits (the compactor's failure-or-commit discipline):
+        // they stay readable for in-flight scans and pinned snapshots
+        val now = System.currentTimeMillis()
+        if (!replaced.forall(s => new java.io.File(s"$dir/${s.file}").setLastModified(now))) {
+          newShards.filterNot(meta.shards.contains)
+            .foreach(o => new java.io.File(s"$dir/${o.file}").delete())
+          throw new IllegalStateException(
+            "cannot restart the vacuum grace clock on replaced shards; delete aborted")
+        }
+        KvStore.writeMeta(dir, KvTableMeta(newShards, meta.committedEpochs, meta.version))
+      }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // `columnar` (default true): vectorized batch decode for flat

@@ -801,6 +801,72 @@ class KvConnectorSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_ddl")
   }
 
+  test("DELETE FROM pushes to a per-shard rewrite; untouched shards keep their files") {
+    val delDir = Files.createTempDirectory("graft-kv-delete").toString
+    val catJson =
+      """{"table":{"name":"del"},"rowkey":"k","columns":{""" +
+        """"k":{"cf":"rowkey","col":"k","type":"long"},""" +
+        """"grp":{"cf":"f","col":"g","type":"string"},""" +
+        """"v":{"cf":"f","col":"v","type":"long"}}}"""
+    import spark.implicits._
+    (1L to 800L).map(k => (k, if (k <= 400) "a" else "b", k * 10))
+      .toDF("k", "grp", "v")
+      .repartitionByRange(8, col("k"))
+      .write.format("graft-kv").option("catalog", catJson).option("path", delDir)
+      .mode("overwrite").save()
+    spark.sql("DROP TABLE IF EXISTS graft_del")
+    spark.sql(s"""
+      CREATE TABLE graft_del USING `graft-kv`
+      OPTIONS (catalog '$catJson', path '$delDir')""")
+    try {
+      val before = graft.kv.KvStore.readMeta(delDir)
+      assert(before.shards.length == 8)
+
+      // rowkey-range delete: shards outside [1,100] stay byte-identical
+      spark.sql("DELETE FROM graft_del WHERE k <= 100")
+      val after1 = graft.kv.KvStore.readMeta(delDir)
+      assert(spark.table("graft_del").count() == 700)
+      assert(spark.table("graft_del").agg(min(col("k"))).head().getLong(0) == 101L)
+      val untouched = before.shards.map(_.file).toSet
+        .intersect(after1.shards.map(_.file).toSet)
+      assert(untouched.nonEmpty, "shards outside the delete range must keep their files")
+      assert(after1.version == before.version + 1, "delete commits one manifest version")
+
+      // value-column delete (no rowkey range): three-valued kept rows
+      spark.sql("DELETE FROM graft_del WHERE grp = 'b' AND v > 7900")
+      assert(spark.table("graft_del").count() == 700 - 10)
+
+      // delete with nothing matching: manifest untouched (no version churn)
+      val preNoop = graft.kv.KvStore.readMeta(delDir)
+      spark.sql("DELETE FROM graft_del WHERE k > 100000")
+      val postNoop = graft.kv.KvStore.readMeta(delDir)
+      assert(postNoop.version == preNoop.version,
+        "a no-op delete must not commit a new version")
+      assert(postNoop.shards.map(_.file) == preNoop.shards.map(_.file))
+
+      // integrity: every surviving shard verifies (fresh CRCs on rewrites)
+      assert(graft.kv.KvStore.verifyTable(delDir) == postNoop.shards.length)
+
+      // snapshot-friendliness: the pre-delete version stays readable
+      // (replaced inputs retained on the grace clock)
+      val pinned = spark.read.format("graft-kv")
+        .option("catalog", catJson).option("path", delDir)
+        .option("asOfVersion", before.version.toString).load()
+      assert(pinned.count() == 800, "pre-delete snapshot must replay in full")
+
+      // ...until vacuum reclaims them past the grace period
+      assert(graft.kv.KvCompactor.vacuum(delDir, graceMs = -1000) > 0)
+      assert(spark.table("graft_del").count() == 690, "live table survives vacuum")
+
+      // an unpushable condition must fail Spark's canDeleteWhere gate,
+      // not half-delete
+      val e = intercept[Exception](
+        spark.sql("DELETE FROM graft_del WHERE length(grp) = 1"))
+      assert(e.getMessage != null)
+      assert(spark.table("graft_del").count() == 690)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_del")
+  }
+
   test("parallel appends serialize on the table lock and lose nothing") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
