@@ -79,7 +79,10 @@ class KvTable(val catalog: KvCatalog, val dir: String)
     filters.forall(FilterEval.pushable(_, dts))
   }
 
-  /** Row-level delete as a per-shard rewrite under the table lock.
+  /** Row-level delete as a per-shard rewrite with an OPTIMISTIC swap —
+    * the compactor's discipline, because the rewrite can take minutes
+    * on region-sized shards and must not hold the table lock that
+    * every writer commit (batch, streaming epoch) serializes on.
     *
     * Shards that cannot contain a match — by rowkey range or zone
     * maps — are untouched (their manifest entries, files and stats stay
@@ -88,82 +91,114 @@ class KvTable(val catalog: KvCatalog, val dir: String)
     * TRUE are dropped (FALSE and UNKNOWN are kept — SQL DELETE
     * semantics), everything else is appended to a replacement shard
     * with a fresh CRC. A rewrite that removed nothing discards its
-    * output and keeps the original file. Replaced inputs are RETAINED
-    * on the vacuum grace clock (mtimes restarted before the manifest
-    * swap, the compactor's discipline), so pre-delete snapshot reads
-    * keep working until vacuum; the swap itself is one atomic
-    * versioned manifest commit. */
+    * output and keeps the original file.
+    *
+    * The swap then runs UNDER the lock: if every rewritten input is
+    * still live in the current manifest, inputs are replaced by outputs
+    * (entries added concurrently — appends, epoch commits — are kept;
+    * their rows were not visible to this delete's snapshot, standard
+    * snapshot-delete semantics). If a concurrent compaction superseded
+    * an input, the outputs are discarded and the whole pass retries
+    * from a fresh manifest, bounded at 3 attempts. Replaced inputs are
+    * RETAINED on the vacuum grace clock (mtimes restarted before the
+    * swap commits), so pre-delete snapshot reads keep replaying until
+    * vacuum. */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    var attempt = 0
+    while (!deleteOnce(filters)) {
+      attempt += 1
+      if (attempt >= 3) throw new IllegalStateException(
+        "DELETE lost the manifest swap to concurrent maintenance 3 times; retry")
+    }
+  }
+
+  /** One optimistic pass; false = lost the swap, caller retries. */
+  private def deleteOnce(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
     val declared = catalog.schema
-    KvStore.withTableLock(dir) {
-      if (!new java.io.File(KvStore.metaPath(dir)).exists()) return
-      val meta = KvStore.readMeta(dir)
-      // reuse the scan's exact pruning (rowkey range + zone maps): only
-      // shards that could hold a matching row need a rewrite pass
-      val touchable: Set[String] =
-        new KvScan(dir, catalog.rowkey, declared, declared, filters, -1)
-          .planInputPartitions()
-          .map(_.asInstanceOf[KvInputPartition].shard.file).toSet
-      val decoder = new KvRecordDecoder(declared,
-        filters.flatMap(_.references).toSet)
-      val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
-        decoder.scratch)
-      val token = java.lang.Long.toUnsignedString(
-        java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
-      var seq = 0
-      val replaced = scala.collection.mutable.ListBuffer[KvShardMeta]()
-      val newShards: Seq[KvShardMeta] = meta.shards.flatMap { shard =>
-        if (!touchable(shard.file)) Seq(shard)
-        else {
-          val outName = s"shard-delete-$token-d$seq.kv"
-          seq += 1
-          // full records (no cell filter): unprojected cells must survive
-          // the rewrite byte-for-byte; the read also CRC-verifies the
-          // input so a bit-rotted shard aborts before the swap
-          val reader = new KvStore.ShardReader(dir, shard, verifyCrc = true)
-          val w = new KvStore.ShardWriter(dir, outName)
-          var removed = 0L
-          var done = false
-          try {
-            while (reader.hasNext) {
-              val rec = reader.next()
-              decoder.decodeInto(rec)
-              if (pred()) removed += 1 else w.append(rec)
-            }
-            done = true
-          } finally {
-            reader.close()
-            if (!done) {
-              try w.close() catch { case _: Exception => () }
-              new java.io.File(s"$dir/$outName").delete()
-            }
+    if (!new java.io.File(KvStore.metaPath(dir)).exists()) return true
+    val meta = KvStore.readMeta(dir)
+    // reuse the scan's exact pruning (rowkey range + zone maps): only
+    // shards that could hold a matching row need a rewrite pass
+    val touchable: Set[String] =
+      new KvScan(dir, catalog.rowkey, declared, declared, filters, -1)
+        .planInputPartitions()
+        .map(_.asInstanceOf[KvInputPartition].shard.file).toSet
+    val decoder = new KvRecordDecoder(declared,
+      filters.flatMap(_.references).toSet)
+    val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
+      decoder.scratch)
+    val token = java.lang.Long.toUnsignedString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
+    var seq = 0
+    val replacements = scala.collection.mutable.LinkedHashMap[String, Seq[KvShardMeta]]()
+    meta.shards.foreach { shard =>
+      if (touchable(shard.file)) {
+        val outName = s"shard-delete-$token-d$seq.kv"
+        seq += 1
+        // full records (no cell filter): unprojected cells must survive
+        // the rewrite byte-for-byte; the read also CRC-verifies the
+        // input so a bit-rotted shard aborts before the swap
+        val reader = new KvStore.ShardReader(dir, shard, verifyCrc = true)
+        val w = new KvStore.ShardWriter(dir, outName)
+        var removed = 0L
+        var done = false
+        try {
+          while (reader.hasNext) {
+            val rec = reader.next()
+            decoder.decodeInto(rec)
+            if (pred()) removed += 1 else w.append(rec)
           }
-          val out = w.close()
-          if (removed == 0L) {
-            // nothing matched after all (bounds were loose): keep the
-            // original file — no churn, no new vacuum debt
-            out.foreach(o => new java.io.File(s"$dir/${o.file}").delete())
-            Seq(shard)
-          } else {
-            replaced += shard
-            // original stats stay sound supersets of the survivors'
-            // ranges; hosts carry over (same storage locality)
-            out.map(_.copy(stats = shard.stats, hosts = shard.hosts)).toSeq
+          done = true
+        } finally {
+          reader.close()
+          if (!done) {
+            try w.close() catch { case _: Exception => () }
+            new java.io.File(s"$dir/$outName").delete()
+            // discard any outputs from earlier shards of this failed pass
+            replacements.values.flatten
+              .foreach(o => new java.io.File(s"$dir/${o.file}").delete())
           }
         }
+        val out = w.close()
+        if (removed == 0L)
+          // nothing matched after all (bounds were loose): keep the
+          // original file — no churn, no new vacuum debt
+          out.foreach(o => new java.io.File(s"$dir/${o.file}").delete())
+        else
+          // original stats stay sound supersets of the survivors'
+          // ranges; hosts carry over (same storage locality)
+          replacements(shard.file) =
+            out.map(_.copy(stats = shard.stats, hosts = shard.hosts)).toSeq
       }
-      if (replaced.nonEmpty) {
+    }
+    if (replacements.isEmpty) return true
+    def discardOutputs(): Unit = replacements.values.flatten
+      .foreach(o => new java.io.File(s"$dir/${o.file}").delete())
+
+    KvStore.withTableLock(dir) {
+      val current = KvStore.readMeta(dir)
+      val live = current.shards.map(_.file).toSet
+      if (!replacements.keySet.forall(live)) {
+        // a concurrent compaction superseded an input mid-rewrite: its
+        // merged shard holds rows this pass would have deleted — swap
+        // would resurrect nothing but would LOSE the delete for those
+        // rows. Abort and retry from the fresh manifest.
+        discardOutputs()
+        false
+      } else {
         // restart the vacuum grace clock on replaced inputs BEFORE the
-        // swap commits (the compactor's failure-or-commit discipline):
-        // they stay readable for in-flight scans and pinned snapshots
+        // swap commits (failure and commit cannot coexist)
         val now = System.currentTimeMillis()
-        if (!replaced.forall(s => new java.io.File(s"$dir/${s.file}").setLastModified(now))) {
-          newShards.filterNot(meta.shards.contains)
-            .foreach(o => new java.io.File(s"$dir/${o.file}").delete())
+        if (!replacements.keys.forall(f => new java.io.File(s"$dir/$f").setLastModified(now))) {
+          discardOutputs()
           throw new IllegalStateException(
             "cannot restart the vacuum grace clock on replaced shards; delete aborted")
         }
-        KvStore.writeMeta(dir, KvTableMeta(newShards, meta.committedEpochs, meta.version))
+        val newShards = current.shards.flatMap(s =>
+          replacements.getOrElse(s.file, Seq(s)))
+        KvStore.writeMeta(dir,
+          KvTableMeta(newShards, current.committedEpochs, current.version))
+        true
       }
     }
   }

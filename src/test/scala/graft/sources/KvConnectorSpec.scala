@@ -867,6 +867,37 @@ class KvConnectorSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_del")
   }
 
+  test("DELETE does not hold the table lock during its rewrite; a racing append lands") {
+    val rcDir = Files.createTempDirectory("graft-kv-delrace").toString
+    val catJson =
+      """{"table":{"name":"delrace"},"rowkey":"k","columns":{""" +
+        """"k":{"cf":"rowkey","col":"k","type":"long"},""" +
+        """"v":{"cf":"f","col":"v","type":"long"}}}"""
+    import spark.implicits._
+    def write(ks: Seq[Long], mode: String) =
+      ks.map(k => (k, k * 2)).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", catJson).option("path", rcDir)
+        .mode(mode).save()
+    write(1L to 500L, "overwrite")
+    spark.sql("DROP TABLE IF EXISTS graft_delrace")
+    spark.sql(s"""
+      CREATE TABLE graft_delrace USING `graft-kv`
+      OPTIONS (catalog '$catJson', path '$rcDir')""")
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // the appended keys are outside the delete range, so the final
+      // state is deterministic whichever side commits first
+      val del = Future(spark.sql("DELETE FROM graft_delrace WHERE k <= 100"))
+      val app = Future(write(1001L to 1100L, "append"))
+      Await.result(del, 60.seconds); Await.result(app, 60.seconds)
+      val keys = spark.table("graft_delrace").select("k").collect().map(_.getLong(0)).sorted
+      assert(keys.toSeq == ((101L to 500L) ++ (1001L to 1100L)),
+        "both the delete and the concurrent append must commit")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_delrace")
+  }
+
   test("parallel appends serialize on the table lock and lose nothing") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
