@@ -90,4 +90,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"as-of must not explode:\n$p")
   }
+
+  test("q94: approx quantiles plan has NO Window/Sort — partial aggregation only") {
+    val p = plan(Extras.q94QuantilesApprox.fn(spark, d))
+    assert(!p.linesIterator.exists(l => l.trim.matches("""\(\d+\) Window""")),
+      s"the scale twin must not sort strata in a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"), p)
+  }
+
+  test("q95: grouped aggregation pushes into the KV scan") {
+    val p = plan(KvQueries.q95KvGroupedAgg.fn(spark, d))
+    assert(p.contains("PushedAggregates"), s"aggregates must push:\n$p")
+    assert(p.contains("PushedGroupBy: [l_returnflag]"), s"grouping must push:\n$p")
+  }
+
+  test("q96/q97: extended filters and the rowkey prefix are pushed, no residual Filter") {
+    val p96 = plan(KvQueries.q96KvFilterExtras.fn(spark, d))
+    assert(p96.contains("Not(EqualTo(l_returnflag,N))") &&
+      p96.contains("StringEndsWith(l_linestatus,F)"),
+      s"<> and suffix must be in PushedFilters:\n$p96")
+    val p97 = plan(KvQueries.q97KvPrefixSeek.fn(spark, d))
+    assert(p97.contains("StringStartsWith(rk,en#)"), s"prefix must push:\n$p97")
+    // both claims are exact: no Filter node may sit above either scan
+    assert(!p96.linesIterator.exists(l => l.trim.matches("""\(\d+\) Filter""")),
+      s"q96 must not re-filter above the scan:\n$p96")
+    assert(!p97.linesIterator.exists(l => l.trim.matches("""\(\d+\) Filter""")),
+      s"q97 must not re-filter above the scan:\n$p97")
+  }
 }
