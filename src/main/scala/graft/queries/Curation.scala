@@ -360,6 +360,87 @@ object Curation {
       ORDER BY doc_id, chunk_idx"""),
     doc = "context-window chunking: 64-token chunks, 16-token overlap (per-row explode)")
 
+  // ---- PII scrubbing (q98) ----
+
+  /** Redaction patterns, written in the common subset of Java regex and
+    * RE2 (no backreferences, no lookaround) so the Spark implementation
+    * and the DuckDB oracle run the LITERAL SAME pattern strings. Order
+    * matters and is fixed: emails first (an address contains digit runs
+    * a later phone pass would mangle), then IPv4, then phone-like digit
+    * runs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d() -]{7,}\\d"
+
+  /** PII scrubbing: replace emails/IPv4s/phone-shaped digit runs with
+    * typed placeholder tokens, and report per-document match counts.
+    * Pure per-row `regexp_replace`/`regexp_extract_all` expressions —
+    * zero shuffles, embarrassingly parallel, the shape that saturates
+    * scan bandwidth at 100 TB. Counts are computed on the ORIGINAL
+    * text (before any replacement) so the three counters are
+    * independent of redaction order. Factored so the spec can probe
+    * crafted PII strings; the corpus oracle proves the engines' regex
+    * dialects agree on real text. */
+  def piiScrub(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+
+  val q98PiiScrub: Q = Q(
+    "q98_pii_scrub",
+    (s, d) => piiScrub(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+                 '$Ipv4Re', '<IP>', 'g'),
+               '$PhoneRe', '<PHONE>', 'g') AS scrubbed,
+             CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones
+      FROM documents
+      ORDER BY doc_id"""),
+    doc = "PII scrubbing: typed redaction + per-doc match counts, zero shuffles")
+
+  // ---- URL analysis (q99) ----
+
+  /** One capture group — the authority after the scheme, up to the
+    * next '/' or whitespace. Common Java/RE2 subset, same literal both
+    * engines. */
+  val UrlHostRe = "https?://([^/\\s]+)"
+
+  /** Per-document URL statistics: link count and distinct host count —
+    * the boilerplate/spam signals (link-farm pages have high URL
+    * density) every curation pipeline scores before filtering. Per-row
+    * extract + array ops, zero shuffles; emits a row for EVERY document
+    * (zeros included) so the result is never empty on a link-free
+    * corpus. */
+  def urlStats(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(UrlHostRe), lit(1))).cast("long").as("n_urls"),
+      size(array_distinct(regexp_extract_all(col("text"), lit(UrlHostRe), lit(1))))
+        .cast("long").as("n_hosts"))
+
+  val q99UrlStats: Q = Q(
+    "q99_url_stats",
+    (s, d) => urlStats(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$UrlHostRe', 1)) AS BIGINT) AS n_urls,
+             CAST(len(list_distinct(regexp_extract_all(text, '$UrlHostRe', 1))) AS BIGINT) AS n_hosts
+      FROM documents
+      ORDER BY doc_id"""),
+    doc = "per-doc URL density + distinct hosts (boilerplate/spam signal), zero shuffles")
+
   def defs: Seq[Q] = Seq(q87RepetitionQuality, q88Decontamination, q89VocabOov,
-    q91QualityCutoff, q92DocChunks, q93QualityCutoffApprox)
+    q91QualityCutoff, q92DocChunks, q93QualityCutoffApprox, q98PiiScrub, q99UrlStats)
 }

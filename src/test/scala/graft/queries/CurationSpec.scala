@@ -239,4 +239,42 @@ class CurationSpec extends SparkSpec {
       assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
     } finally out.unpersist()
   }
+
+  test("q98 PII scrub redacts crafted emails/IPs/phones and counts them pre-redaction") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "contact bob.smith+spam@ex-ample.co.uk or alice@local.io today"),
+      (2L, "server at 192.168.0.1 and 10.0.255.254, port open"),
+      (3L, "call +1 (415) 555-0199 or 020 7946 0958 now"),
+      (4L, "mixed: a@b.com from 8.8.8.8 dialed +44 7911 123456"),
+      (5L, "clean text, no pii at all"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Curation.piiScrub(crafted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[String]("scrubbed") == "contact <EMAIL> or <EMAIL> today")
+    assert(out(1).getAs[Long]("n_emails") == 2L)
+    assert(out(2).getAs[String]("scrubbed") == "server at <IP> and <IP>, port open")
+    assert(out(2).getAs[Long]("n_ips") == 2L)
+    assert(out(3).getAs[Long]("n_phones") == 2L)
+    assert(!out(3).getAs[String]("scrubbed").exists(_.isDigit),
+      s"no digits may survive phone redaction: ${out(3).getAs[String]("scrubbed")}")
+    assert(out(4).getAs[Long]("n_emails") == 1L &&
+      out(4).getAs[Long]("n_ips") == 1L && out(4).getAs[Long]("n_phones") >= 1L)
+    assert(out(5).getAs[String]("scrubbed") == "clean text, no pii at all")
+    assert(out(5).getAs[Long]("n_emails") == 0L && out(5).getAs[Long]("n_ips") == 0L &&
+      out(5).getAs[Long]("n_phones") == 0L)
+    assert(out(6).isNullAt(1) && out(6).isNullAt(2), "null text stays null through scrub")
+  }
+
+  test("q99 URL stats count links and distinct hosts, zeros for link-free docs") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "see https://ex.com/a and http://ex.com/b plus https://other.net"),
+      (2L, "no links here"),
+      (3L, "dup hosts http://a.io/x http://a.io/y http://a.io/z")).toDF("doc_id", "text")
+    val out = Curation.urlStats(crafted).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[Long]("n_urls") == 3L && out(1).getAs[Long]("n_hosts") == 2L)
+    assert(out(2).getAs[Long]("n_urls") == 0L && out(2).getAs[Long]("n_hosts") == 0L)
+    assert(out(3).getAs[Long]("n_urls") == 3L && out(3).getAs[Long]("n_hosts") == 1L)
+  }
 }
