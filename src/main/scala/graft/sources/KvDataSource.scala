@@ -117,12 +117,20 @@ class KvTable(val catalog: KvCatalog, val dir: String)
     val declared = catalog.schema
     if (!new java.io.File(KvStore.metaPath(dir)).exists()) return true
     val meta = KvStore.readMeta(dir)
-    // reuse the scan's exact pruning (rowkey range + zone maps): only
-    // shards that could hold a matching row need a rewrite pass
+    // reuse the scan's exact pruning (rowkey range + zone maps) — but
+    // applied to THIS manifest snapshot, the one the rewrite iterates.
+    // (planInputPartitions would re-read the manifest: a compaction
+    // committing between the two reads would rename every shard, the
+    // pruned set and the iterated set would share no file names, and
+    // the delete would silently skip the matching rows.)
+    val (lo, hi) = new KvScan(dir, catalog.rowkey, declared, declared, filters, -1)
+      .rowkeyRange()
+    val inKeyRange = meta.shards.filter { s =>
+      lo.forall(l => graft.kv.BytesCodec.compareKeys(s.maxKey, l) >= 0) &&
+      hi.forall(h => graft.kv.BytesCodec.compareKeys(s.minKey, h) <= 0)
+    }
     val touchable: Set[String] =
-      new KvScan(dir, catalog.rowkey, declared, declared, filters, -1)
-        .planInputPartitions()
-        .map(_.asInstanceOf[KvInputPartition].shard.file).toSet
+      KvZoneMaps.prune(inKeyRange, filters, declared).map(_.file).toSet
     val decoder = new KvRecordDecoder(declared,
       filters.flatMap(_.references).toSet)
     val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,

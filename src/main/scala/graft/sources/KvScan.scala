@@ -190,7 +190,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
 
   /** Intersect rowkey predicates (conjunctive top level) into one
     * [start, end] byte range; None bound = unbounded. */
-  private def rowkeyRange(): (Option[Array[Byte]], Option[Array[Byte]]) = {
+  private[sources] def rowkeyRange(): (Option[Array[Byte]], Option[Array[Byte]]) = {
     val dt = declared.find(_.name == rowkeyName).map(_.dataType).getOrElse(return (None, None))
     // the order-preserving key encoding (BytesCodec.encodeKey) makes
     // unsigned byte order == value order for the FULL signed domain, so
