@@ -148,6 +148,60 @@ class KvFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: DELETE keeps exactly the rows where the condition is not TRUE") {
+    // differential against Spark's own three-valued filter semantics:
+    // SQL DELETE removes rows where the condition is TRUE; FALSE and
+    // UNKNOWN survive. Expected survivors are computed by Spark on the
+    // source frame as NOT(coalesce(cond, false)).
+    import spark.implicits._
+    val rnd = new scala.util.Random(90210)
+    val rows = (1 to 300).map { j =>
+      (j.toLong, randomString(rnd), rnd.nextInt(100) - 50,
+        randomDouble(rnd),
+        if (rnd.nextBoolean()) null else randomString(rnd))
+    }
+    val src = rows.toDF("k", "s", "i", "d", "c")
+    val delCat =
+      """{"table":{"name":"delfuzz"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "s":{"cf":"f","col":"s","type":"string"},
+        |            "i":{"cf":"f","col":"i","type":"int"},
+        |            "d":{"cf":"f","col":"d","type":"double"},
+        |            "c":{"cf":"f","col":"c","type":"string"}}}""".stripMargin
+    val pivot = rows(rnd.nextInt(rows.length))
+    val sLit = pivot._2.replace("'", "''")
+    // a pivot double of ±Infinity/NaN has no SQL literal form
+    val dLit = if (pivot._4.isInfinite || pivot._4.isNaN) "0.0" else pivot._4.toString
+    val conds = Seq(
+      s"k <= ${pivot._1}",
+      s"i > ${pivot._3}",
+      s"c = '$sLit'",                        // UNKNOWN on null c rows
+      s"NOT (c = '$sLit')",                  // three-valued Not
+      s"k > ${pivot._1} AND i < ${pivot._3}",
+      s"s <= '$sLit' OR c IS NULL",
+      s"i IN (${pivot._3}, ${pivot._3 + 7}) OR d > $dLit",
+      "c IS NOT NULL AND NOT (i = 0)")
+    conds.zipWithIndex.foreach { case (cond, ci) =>
+      val dir = Files.createTempDirectory(s"graft-kv-delfuzz$ci").toString
+      src.repartitionByRange(4, col("k"))
+        .write.format("graft-kv").option("catalog", delCat).option("path", dir)
+        .mode("overwrite").save()
+      spark.sql(s"DROP TABLE IF EXISTS graft_delfuzz")
+      spark.sql(s"""
+        CREATE TABLE graft_delfuzz USING `graft-kv`
+        OPTIONS (catalog '${delCat.replace("'", "''").replace("\n", " ")}', path '$dir')""")
+      try {
+        spark.sql(s"DELETE FROM graft_delfuzz WHERE $cond")
+        val got = spark.table("graft_delfuzz")
+          .select("k").collect().map(_.getLong(0)).sorted.toSeq
+        val expect = src.filter(!coalesce(expr(cond), lit(false)))
+          .select("k").collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == expect,
+          s"DELETE WHERE $cond: kept ${got.length}, Spark keeps ${expect.length}")
+      } finally spark.sql("DROP TABLE IF EXISTS graft_delfuzz")
+    }
+  }
+
   test("values larger than the reader buffer round-trip and skip correctly") {
     // the shard reader parses from a 1 MiB buffer: a 3 MiB value forces
     // the ensure() growth path when projected and the stream-skip path
