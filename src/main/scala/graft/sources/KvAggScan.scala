@@ -77,8 +77,15 @@ object KvAggSpec {
       case m: Max =>
         fieldName(m.column()).filter(orderable).map(KvMaxCol.apply).getOrElse(return None)
       case s: Sum if !s.isDistinct =>
-        fieldName(s.column()).filter(n => byName.get(n).exists(summable))
-          .map(KvSumCol.apply).getOrElse(return None)
+        // integral partials accumulate with wrap-around Long addition —
+        // identical to Spark's own non-ANSI Sum. Under ANSI mode Spark
+        // promises ARITHMETIC_OVERFLOW on sum overflow, so the sum must
+        // stay residual for Spark to raise (or not) itself.
+        fieldName(s.column()).filter { n =>
+          byName.get(n).exists(dt => summable(dt) &&
+            !(isIntegral(dt) &&
+              org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
+        }.map(KvSumCol.apply).getOrElse(return None)
       case _ => return None
     }
     Some((groupCols, specs.toIndexedSeq))

@@ -148,13 +148,19 @@ class KvTable(val catalog: KvCatalog, val dir: String)
         // input so a bit-rotted shard aborts before the swap
         val reader = new KvStore.ShardReader(dir, shard, verifyCrc = true)
         val w = new KvStore.ShardWriter(dir, outName)
+        // zone-map stats must be RECOMPUTED from the survivors: the
+        // aggregate-pushdown manifest fast path serves them as exact
+        // min/max, so carrying the pre-delete bounds would let an
+        // unfiltered MIN/MAX return deleted values
+        val tracker = new KvZoneMaps.StatsTracker(declared)
         var removed = 0L
         var done = false
         try {
           while (reader.hasNext) {
             val rec = reader.next()
             decoder.decodeInto(rec)
-            if (pred()) removed += 1 else w.append(rec)
+            if (pred()) removed += 1
+            else { tracker.observe(rec); w.append(rec) }
           }
           done = true
         } finally {
@@ -173,10 +179,10 @@ class KvTable(val catalog: KvCatalog, val dir: String)
           // original file — no churn, no new vacuum debt
           out.foreach(o => new java.io.File(s"$dir/${o.file}").delete())
         else
-          // original stats stay sound supersets of the survivors'
-          // ranges; hosts carry over (same storage locality)
+          // fresh survivor stats (exact, see tracker note above); hosts
+          // carry over (same storage locality)
           replacements(shard.file) =
-            out.map(_.copy(stats = shard.stats, hosts = shard.hosts)).toSeq
+            out.map(_.copy(stats = tracker.result(), hosts = shard.hosts)).toSeq
       }
     }
     if (replacements.isEmpty) return true

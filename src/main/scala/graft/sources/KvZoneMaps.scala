@@ -121,4 +121,51 @@ object KvZoneMaps {
     val keeps = keepFns(filters, declared)
     if (keeps.isEmpty) shards else shards.filter(s => keeps.forall(_(s)))
   }
+
+  /** Recomputes per-column zone-map stats from RAW records during a
+    * maintenance rewrite (DELETE/UPDATE). The write path tracks bounds
+    * from typed row values ([[KvWriter]]); a rewrite only has encoded
+    * cells, so this decodes each tracked cell and re-encodes it in the
+    * order-preserving key encoding — identical bounds to a fresh write
+    * of the surviving rows. Carrying the ORIGINAL shard's stats instead
+    * would stay sound for pruning (a superset range) but is served as
+    * EXACT min/max by the aggregate-pushdown manifest fast path
+    * ([[KvAggScan]]), which would resurrect deleted extremes. */
+  final class StatsTracker(declared: StructType) {
+    private final class Col(val dt: DataType) {
+      var min: Array[Byte] = null
+      var max: Array[Byte] = null
+      var poisoned = false
+    }
+    private val cols: Map[String, Col] =
+      declared.fields.iterator.filter { f =>
+        supported(f.dataType) &&
+        f.metadata.getString("columnFamily") != KvCatalog.RowkeyCf
+      }.map { f =>
+        s"${f.metadata.getString("columnFamily")}:${f.metadata.getString("column")}" ->
+          new Col(f.dataType)
+      }.toMap
+
+    def observe(rec: graft.kv.KvRecord): Unit = rec.cells.foreach { c =>
+      cols.get(s"${c.cf}:${c.qualifier}") match {
+        case Some(col) if !col.poisoned =>
+          val enc = graft.kv.BytesCodec.encodeKey(col.dt,
+            graft.kv.BytesCodec.decode(col.dt, c.value))
+          if (enc.length > MaxBoundBytes) {
+            col.poisoned = true; col.min = null; col.max = null
+          } else {
+            if (col.min == null || graft.kv.BytesCodec.compareKeys(enc, col.min) < 0)
+              col.min = enc
+            if (col.max == null || graft.kv.BytesCodec.compareKeys(enc, col.max) > 0)
+              col.max = enc
+          }
+        case _ => ()
+      }
+    }
+
+    def result(): Map[String, (String, String)] = cols.iterator.collect {
+      case (k, col) if !col.poisoned && col.min != null =>
+        k -> (KvStore.toHex(col.min), KvStore.toHex(col.max))
+    }.toMap
+  }
 }

@@ -426,6 +426,41 @@ class KvConnectorSpec extends SparkSpec {
     assert(empty.collect().head.isNullAt(0), "sum of an empty set must be NULL")
   }
 
+  test("ANSI mode: integral SUM stays residual so Spark raises on overflow") {
+    val ovDir = Files.createTempDirectory("graft-kv-ansisum").toString
+    val catJson =
+      """{"table":{"name":"ansisum"},"rowkey":"k","columns":{""" +
+        """"k":{"cf":"rowkey","col":"k","type":"long"},""" +
+        """"v":{"cf":"f","col":"v","type":"long"},""" +
+        """"h":{"cf":"f","col":"h","type":"double"}}}"""
+    import spark.implicits._
+    Seq((1L, Long.MaxValue, 1.5), (2L, Long.MaxValue, 2.5))
+      .toDF("k", "v", "h").coalesce(1)
+      .write.format("graft-kv").option("catalog", catJson).option("path", ovDir)
+      .mode("overwrite").save()
+    def ovf = spark.read.format("graft-kv")
+      .option("catalog", catJson).option("path", ovDir).load()
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      // pushed partials would wrap silently; ANSI promises an overflow
+      // error, so the integral sum must NOT translate
+      val df = ovf.agg(sum(col("v")).as("s"))
+      assert(!physicalPlan(df).contains("KvSumCol"),
+        "integral SUM must stay residual under ANSI mode")
+      val e = intercept[Exception](df.collect())
+      assert(e.getMessage.toUpperCase.contains("OVERFLOW"),
+        s"ANSI sum overflow must surface Spark's own error, got: ${e.getMessage}")
+      // double sums saturate to Infinity in both modes — still pushed
+      val d = ovf.agg(sum(col("h")).as("s"))
+      assert(physicalPlan(d).contains("KvSumCol"))
+      assert(d.collect().head.getDouble(0) == 4.0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+    // ANSI off: pushed, and wraps to the same answer Spark computes
+    val off = ovf.agg(sum(col("v")).as("s"))
+    assert(physicalPlan(off).contains("KvSumCol"))
+    assert(off.collect().head.getLong(0) == -2L)
+  }
+
   test("global COUNT(*)/MIN/MAX answer from the manifest without reading a byte") {
     val df = kv.agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
       max(col("id")).as("max_id"), min(col("age")).as("min_age"),
@@ -865,6 +900,56 @@ class KvConnectorSpec extends SparkSpec {
       assert(e.getMessage != null)
       assert(spark.table("graft_del").count() == 690)
     } finally spark.sql("DROP TABLE IF EXISTS graft_del")
+  }
+
+  test("DELETE recomputes shard stats; manifest MIN/MAX excludes deleted extremes") {
+    val dsDir = Files.createTempDirectory("graft-kv-delstats").toString
+    val catJson =
+      """{"table":{"name":"delstats"},"rowkey":"k","columns":{""" +
+        """"k":{"cf":"rowkey","col":"k","type":"long"},""" +
+        """"v":{"cf":"f","col":"v","type":"long"}}}"""
+    import spark.implicits._
+    (1L to 1000L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.format("graft-kv").option("catalog", catJson).option("path", dsDir)
+      .mode("overwrite").save()
+    spark.sql("DROP TABLE IF EXISTS graft_delstats")
+    spark.sql(s"""
+      CREATE TABLE graft_delstats USING `graft-kv`
+      OPTIONS (catalog '$catJson', path '$dsDir')""")
+    try {
+      // the unfiltered global MIN/MAX rides the manifest fast path —
+      // make sure this test exercises it, not a row scan
+      val agg = spark.table("graft_delstats").agg(min(col("v")), max(col("v")))
+      assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+        "global MIN/MAX must ride aggregate pushdown for this test to bite")
+      assert(agg.head() == Row(10L, 10000L))
+
+      // remove each extreme: zone maps route each DELETE to one shard,
+      // whose replacement must carry SURVIVOR stats, not the pre-delete
+      // bounds (stale bounds stay sound for pruning but the manifest
+      // fast path serves them as exact — the deleted extremes would
+      // come back from the dead)
+      spark.sql("DELETE FROM graft_delstats WHERE v >= 9000")
+      spark.sql("DELETE FROM graft_delstats WHERE v <= 1000")
+      val after = spark.table("graft_delstats").agg(min(col("v")), max(col("v")))
+      assert(after.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+      assert(after.head() == Row(1010L, 8990L),
+        "manifest-answered MIN/MAX must reflect the survivors, not deleted rows")
+
+      // and the manifest itself: no shard's recorded v-bounds may cover
+      // the deleted ranges
+      val metas = graft.kv.KvStore.readMeta(dsDir).shards
+      val bounds = metas.flatMap(_.stats.get("f:v")).map { case (mnHex, mxHex) =>
+        (graft.kv.BytesCodec.decodeKey(org.apache.spark.sql.types.LongType,
+           graft.kv.KvStore.fromHex(mnHex)).asInstanceOf[Long],
+         graft.kv.BytesCodec.decodeKey(org.apache.spark.sql.types.LongType,
+           graft.kv.KvStore.fromHex(mxHex)).asInstanceOf[Long])
+      }
+      assert(bounds.nonEmpty && bounds.map(_._1).min == 1010L &&
+        bounds.map(_._2).max == 8990L,
+        s"replacement shards must carry recomputed stats, got $bounds")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_delstats")
   }
 
   test("DELETE does not hold the table lock during its rewrite; a racing append lands") {
