@@ -368,8 +368,29 @@ object KvStore {
                           startKey: Array[Byte] = null,
                           endKey: Array[Byte] = null,
                           wanted: (String, String) => Boolean = null,
-                          verifyCrc: Boolean = false)
+                          verifyCrc: Boolean = false,
+                          ranges: Array[(Array[Byte], Array[Byte])] = null)
       extends Iterator[KvRecord] with Closeable {
+
+    // Clip ranges: either the legacy single [startKey, endKey] span or a
+    // SORTED DISJOINT multi-range set (null bound = unbounded). Records
+    // in the gaps between ranges skip cell parsing exactly like records
+    // before the span start; records past the last bounded range stop
+    // the read early. The file is sorted, so one forward cursor (`ri`)
+    // suffices.
+    private val rLos: Array[Array[Byte]] =
+      if (ranges != null) ranges.map(_._1) else Array(startKey)
+    private val rHis: Array[Array[Byte]] =
+      if (ranges != null) ranges.map(_._2) else Array(endKey)
+    private var ri = 0
+    /** 0 = in range, 1 = gap (skip), 2 = past all ranges (stop). */
+    private def classify(k: Array[Byte]): Int = {
+      while (ri < rHis.length && rHis(ri) != null &&
+             BytesCodec.compareKeys(k, rHis(ri)) > 0) ri += 1
+      if (ri == rLos.length) 2
+      else if (rLos(ri) != null && BytesCodec.compareKeys(k, rLos(ri)) < 0) 1
+      else 0
+    }
 
     // Inline integrity for FULL reads (compaction): CRC accumulates on
     // the refill path, so verification costs no second pass over the
@@ -491,19 +512,20 @@ object KvStore {
     // ArraySeq only for the cells that survive `wanted`)
     private var cellScratch = new Array[KvCell](8)
 
-    private def beforeStart(k: Array[Byte]): Boolean =
-      startKey != null && BytesCodec.compareKeys(k, startKey) < 0
+    /** Classification of the record `readRecord` just returned. */
+    private var cls = 0
 
-    /** Parse one record. A key below the clipped range start skips all
+    /** Parse one record. A key outside every clip range skips all
       * cell parsing (lengths read, bytes skipped, nothing built) — the
-      * key alone decides whether the scan has reached its range. */
+      * key alone decides whether the scan has reached a range. */
     private def readRecord(): KvRecord = {
       if (!ensure(4)) return null
       val keyLen = readIntB()
       val key = readBytesB(keyLen)
       if (!ensure(4)) throw new EOFException(s"truncated shard ${shard.file}")
       val n = readIntB()
-      if (beforeStart(key)) {
+      cls = classify(key)
+      if (cls != 0) {
         var i = 0
         while (i < n) {
           if (!ensure(2)) throw new EOFException(s"truncated shard ${shard.file}")
@@ -552,8 +574,8 @@ object KvStore {
           }
           done = true; nextRec = null; close()
         }
-        else if (beforeStart(r.key)) ()
-        else if (endKey != null && BytesCodec.compareKeys(r.key, endKey) > 0) {
+        else if (cls == 1) () // gap between ranges: parsed key, skipped cells
+        else if (cls == 2) {
           // sorted file → nothing further can match; bytes remain unread
           crcComplete = false
           done = true; nextRec = null; close()

@@ -608,7 +608,35 @@ object KvQueries {
       ORDER BY rk"""),
     doc = "string-rowkey prefix seek: StartsWith plans a key range, not a scan")
 
+  /** Multi-range rowkey gate: a sparse IN across the whole keyspace OR
+    * a narrow contiguous band. The planner compiles this to a UNION of
+    * disjoint key ranges ([[graft.sources.KeyRanges]]) — one point range
+    * per IN literal plus one band — so every shard outside ALL ranges is
+    * pruned at plan time and in-shard gap records skip cell parsing. The
+    * previous single-span planner would have collapsed this to
+    * [101, 4800002] and scanned nearly every shard; at 100 TB that is
+    * the difference between a handful of region-seeks and a full-table
+    * scan on the classic KV point-lookup pattern. */
+  val q100KvMultiRange: Q = Q(
+    "q100_kv_multirange",
+    (s, d) =>
+      kv(s, d)
+        .filter(col("lk").isin(101L, 102L, 103L, 60001L, 120003L, 300002L,
+            600004L, 1200001L, 2400003L, 4800002L) ||
+          (col("lk") >= 100000L && col("lk") <= 100400L))
+        .select(col("lk"), col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("lk")),
+    Some("""
+      SELECT l_orderkey * 100 + l_linenumber AS lk, l_orderkey, l_quantity, l_returnflag
+      FROM lineitem
+      WHERE (l_orderkey * 100 + l_linenumber) IN (101, 102, 103, 60001, 120003,
+              300002, 600004, 1200001, 2400003, 4800002)
+         OR (l_orderkey * 100 + l_linenumber BETWEEN 100000 AND 100400)
+      ORDER BY lk"""),
+    doc = "sparse IN + band plans disjoint key ranges, not one envelope span")
+
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
     q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
-    q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras, q97KvPrefixSeek)
+    q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras, q97KvPrefixSeek,
+    q100KvMultiRange)
 }

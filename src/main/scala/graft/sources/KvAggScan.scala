@@ -29,7 +29,14 @@ case object KvCountStar extends KvAggSpec
 final case class KvCountCol(name: String) extends KvAggSpec
 final case class KvMinCol(name: String) extends KvAggSpec
 final case class KvMaxCol(name: String) extends KvAggSpec
-final case class KvSumCol(name: String) extends KvAggSpec
+/** `checked` = ANSI mode was on at translation: the integral partial
+  * accumulates with overflow-CHECKED addition (Math.addExact) so the
+  * pushed sum raises on overflow exactly where Spark's own Sum would,
+  * instead of silently wrapping under a session that promises
+  * ARITHMETIC_OVERFLOW. Non-ANSI partials keep wrap-around addition —
+  * associative, so shard partials merged by Spark wrap to the same
+  * answer Spark itself computes. */
+final case class KvSumCol(name: String, checked: Boolean = false) extends KvAggSpec
 
 object KvAggSpec {
   private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -77,15 +84,14 @@ object KvAggSpec {
       case m: Max =>
         fieldName(m.column()).filter(orderable).map(KvMaxCol.apply).getOrElse(return None)
       case s: Sum if !s.isDistinct =>
-        // integral partials accumulate with wrap-around Long addition —
-        // identical to Spark's own non-ANSI Sum. Under ANSI mode Spark
-        // promises ARITHMETIC_OVERFLOW on sum overflow, so the sum must
-        // stay residual for Spark to raise (or not) itself.
-        fieldName(s.column()).filter { n =>
-          byName.get(n).exists(dt => summable(dt) &&
-            !(isIntegral(dt) &&
+        fieldName(s.column()).filter(n => byName.get(n).exists(summable))
+          .map(n => KvSumCol(n,
+            // ANSI sessions (Spark 4's default) promise ARITHMETIC_OVERFLOW
+            // on integral sum overflow — the pushed partial must raise
+            // instead of wrapping (doubles saturate, never raise)
+            checked = byName.get(n).exists(isIntegral) &&
               org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
-        }.map(KvSumCol.apply).getOrElse(return None)
+          .getOrElse(return None)
       case _ => return None
     }
     Some((groupCols, specs.toIndexedSeq))
@@ -109,7 +115,7 @@ object KvAggSpec {
         case (KvCountCol(n), i)  => StructField(s"count_${n}_$i", LongType, nullable = false)
         case (KvMinCol(n), i)    => StructField(s"min_${n}_$i", byName(n).dataType)
         case (KvMaxCol(n), i)    => StructField(s"max_${n}_$i", byName(n).dataType)
-        case (KvSumCol(n), i)    => StructField(s"sum_${n}_$i", sumType(byName(n).dataType))
+        case (KvSumCol(n, _), i) => StructField(s"sum_${n}_$i", sumType(byName(n).dataType))
       })
   }
 }
@@ -208,7 +214,7 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     case KvCountCol(n) => n
     case KvMinCol(n)   => n
     case KvMaxCol(n)   => n
-    case KvSumCol(n)   => n
+    case KvSumCol(n, _) => n
   }.toSet ++ groupCols ++ filters.flatMap(_.references)
 
   private val countNames: Seq[String] = specs.collect { case KvCountCol(n) => n }.distinct
@@ -216,7 +222,7 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     case KvMinCol(n) => n
     case KvMaxCol(n) => n
   }.distinct
-  private val sumNames: Seq[String] = specs.collect { case KvSumCol(n) => n }.distinct
+  private val sumNames: Seq[String] = specs.collect { case KvSumCol(n, _) => n }.distinct
   private val countPos: Map[String, Int] = countNames.zipWithIndex.toMap
   private val mmPos: Map[String, Int] = minMaxNames.zipWithIndex.toMap
   private val sumPos: Map[String, Int] = sumNames.zipWithIndex.toMap
@@ -224,6 +230,11 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     minMaxNames.map(n => ordering(dtByName(n))).toArray
   private val sumIntegral: Array[Boolean] =
     sumNames.map(n => KvAggSpec.sumType(dtByName(n)) == LongType).toArray
+  private val sumChecked: Array[Boolean] =
+    sumNames.map(n => specs.exists {
+      case KvSumCol(`n`, c) => c
+      case _ => false
+    }).toArray
 
   private def resultRow(groupKey: Array[Any], st: GroupState): InternalRow =
     InternalRow.fromSeq(groupKey.toIndexedSeq ++ specs.map {
@@ -231,7 +242,7 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
       case KvCountCol(n) => st.counts(countPos(n))
       case KvMinCol(n)   => st.mins(mmPos(n))
       case KvMaxCol(n)   => st.maxs(mmPos(n))
-      case KvSumCol(n)   =>
+      case KvSumCol(n, _) =>
         val p = sumPos(n)
         if (!st.sumSeen(p)) null
         else if (sumIntegral(p)) st.sumsL(p) else st.sumsD(p)
@@ -260,8 +271,12 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
       val v = decoder.scratch(sumIdx(i))
       if (v != null) {
         st.sumSeen(i) = true
-        if (sumIntegral(i)) st.sumsL(i) += v.asInstanceOf[Number].longValue()
-        else st.sumsD(i) += v.asInstanceOf[Number].doubleValue()
+        if (sumIntegral(i)) {
+          val x = v.asInstanceOf[Number].longValue()
+          // checked = ANSI session: raise on overflow like Spark's Sum
+          st.sumsL(i) =
+            if (sumChecked(i)) Math.addExact(st.sumsL(i), x) else st.sumsL(i) + x
+        } else st.sumsD(i) += v.asInstanceOf[Number].doubleValue()
       }
       i += 1
     }
@@ -307,8 +322,7 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     // answered from the manifest entry without opening the file — the
     // decision is PER SHARD, so one legacy shard missing a bound only
     // costs that shard a scan
-    if (groupCols.isEmpty && filters.isEmpty &&
-        part.startHex.isEmpty && part.endHex.isEmpty) {
+    if (groupCols.isEmpty && filters.isEmpty && part.isFullRange) {
       val vals = specs.map(manifestValue)
       if (vals.forall(_.isDefined))
         return Iterator.single(InternalRow.fromSeq(vals.map(_.get)))
@@ -322,8 +336,7 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
     def newState() = new GroupState(countNames.length, minMaxNames.length, sumNames.length)
 
     val reader = new KvStore.ShardReader(dir, part.shard,
-      part.startHex.map(KvStore.fromHex).orNull,
-      part.endHex.map(KvStore.fromHex).orNull, decoder.wantedCell)
+      wanted = decoder.wantedCell, ranges = part.decodedRanges)
     openReader = reader
     val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
       decoder.scratch)

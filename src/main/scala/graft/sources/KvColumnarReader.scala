@@ -72,8 +72,7 @@ class KvColumnarReader(dir: String, part: KvInputPartition,
   private val decoder = new KvRecordDecoder(declared,
     pruned.fieldNames.toSet ++ filters.flatMap(_.references))
   private val reader = new graft.kv.KvStore.ShardReader(dir, part.shard,
-    part.startHex.map(graft.kv.KvStore.fromHex).orNull,
-    part.endHex.map(graft.kv.KvStore.fromHex).orNull, decoder.wantedCell)
+    wanted = decoder.wantedCell, ranges = part.decodedRanges)
   private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map(decoder.idxByName)
   private val writers = pruned.fields.map(f => KvColumnarReader.writerFor(f.dataType))
   private val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,

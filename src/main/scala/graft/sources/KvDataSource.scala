@@ -123,12 +123,10 @@ class KvTable(val catalog: KvCatalog, val dir: String)
     // committing between the two reads would rename every shard, the
     // pruned set and the iterated set would share no file names, and
     // the delete would silently skip the matching rows.)
-    val (lo, hi) = new KvScan(dir, catalog.rowkey, declared, declared, filters, -1)
-      .rowkeyRange()
-    val inKeyRange = meta.shards.filter { s =>
-      lo.forall(l => graft.kv.BytesCodec.compareKeys(s.maxKey, l) >= 0) &&
-      hi.forall(h => graft.kv.BytesCodec.compareKeys(s.minKey, h) <= 0)
-    }
+    val ranges = new KvScan(dir, catalog.rowkey, declared, declared, filters, -1)
+      .rowkeyRanges()
+    val inKeyRange = meta.shards.filter(s =>
+      KeyRanges.intersectsShard(ranges, s.minKey, s.maxKey))
     val touchable: Set[String] =
       KvZoneMaps.prune(inKeyRange, filters, declared).map(_.file).toSet
     val decoder = new KvRecordDecoder(declared,

@@ -56,7 +56,7 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
       // so skipping the file read is observationally identical
       val slice = KvStore.readMeta(dir).shards.slice(s, e)
       KvZoneMaps.prune(slice, filters, declared)
-        .map(sh => KvInputPartition(sh, None, None): InputPartition).toArray
+        .map(sh => KvInputPartition(sh): InputPartition).toArray
     }
   }
 

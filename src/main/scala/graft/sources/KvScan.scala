@@ -118,15 +118,32 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
   }
 }
 
-/** Serializable partition: one shard + the clipped key range. Locality
-  * hints flow from the shard manifest's optional `hosts` list — the
-  * rebuild of the reference's per-region preferred host
+/** Serializable partition: one shard + the (possibly multi-) clipped
+  * key ranges — sorted, disjoint, inclusive hex bounds (None =
+  * unbounded); `Seq((None, None))` = unclipped. Locality hints flow
+  * from the shard manifest's optional `hosts` list — the rebuild of the
+  * reference's per-region preferred host
   * (`/root/reference/src/main/scala/com/dm/hbase/spark3/datasource/HbaseInputPartition.scala:5-7`,
   * captured from the region locator at `HbaseScan.scala:34`); on a
   * shared filesystem the list is empty and Spark schedules freely. */
-case class KvInputPartition(shard: KvShardMeta, startHex: Option[String],
-                            endHex: Option[String]) extends InputPartition {
+case class KvInputPartition(shard: KvShardMeta,
+                            ranges: Seq[(Option[String], Option[String])])
+    extends InputPartition {
   override def preferredLocations(): Array[String] = shard.hosts.toArray
+  /** No clip at all — the aggregate manifest fast path's gate. */
+  def isFullRange: Boolean = ranges.length == 1 &&
+    ranges.head._1.isEmpty && ranges.head._2.isEmpty
+  /** Decoded ranges in ShardReader form (null = unbounded). */
+  def decodedRanges: Array[(Array[Byte], Array[Byte])] =
+    ranges.map { case (lo, hi) =>
+      (lo.map(KvStore.fromHex).orNull, hi.map(KvStore.fromHex).orNull)
+    }.toArray
+}
+
+object KvInputPartition {
+  val FullRange: Seq[(Option[String], Option[String])] = Seq((None, None))
+  def apply(shard: KvShardMeta): KvInputPartition =
+    KvInputPartition(shard, FullRange)
 }
 
 class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
@@ -188,64 +205,18 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     s"graft-kv $dir Columnar: $col$pin, Limit: $lim$topn, PushedFilters: [$f]"
   }
 
-  /** Intersect rowkey predicates (conjunctive top level) into one
-    * [start, end] byte range; None bound = unbounded. */
-  private[sources] def rowkeyRange(): (Option[Array[Byte]], Option[Array[Byte]]) = {
-    val dt = declared.find(_.name == rowkeyName).map(_.dataType).getOrElse(return (None, None))
+  /** Compile rowkey predicates into a normalized union of disjoint
+    * inclusive key ranges ([[KeyRanges]]): `IN`/`Or` shapes plan one
+    * range per disjunct instead of a single [min,max] envelope, so a
+    * sparse point lookup over a wide keyspace prunes every shard
+    * between the points. Empty = provably matches nothing. */
+  private[sources] def rowkeyRanges(): Seq[KeyRanges.Range] = {
+    val dt = declared.find(_.name == rowkeyName).map(_.dataType)
+      .getOrElse(return KeyRanges.Full)
     // the order-preserving key encoding (BytesCodec.encodeKey) makes
     // unsigned byte order == value order for the FULL signed domain, so
     // range pruning is sound everywhere — no literal-sign special cases
-    def enc(v: Any): Option[Array[Byte]] = {
-      val c = FilterEval.canon(dt, v)
-      try Some(BytesCodec.encodeKey(dt, (dt, c) match {
-        case (_, s: String) => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-        case (LongType, n: Number) => n.longValue()
-        case (IntegerType, n: Number) => n.intValue()
-        case (ShortType, n: Number) => n.shortValue()
-        case (ByteType, n: Number) => n.byteValue()
-        case (DoubleType, n: Number) => n.doubleValue()
-        case (FloatType, n: Number) => n.floatValue()
-        case (_, other) => other
-      })) catch { case _: Exception => None }
-    }
-    var lo: Option[Array[Byte]] = None
-    var hi: Option[Array[Byte]] = None
-    def tightenLo(b: Array[Byte]): Unit =
-      if (lo.isEmpty || BytesCodec.compareKeys(b, lo.get) > 0) lo = Some(b)
-    def tightenHi(b: Array[Byte]): Unit =
-      if (hi.isEmpty || BytesCodec.compareKeys(b, hi.get) < 0) hi = Some(b)
-    allFilters.foreach {
-      case EqualTo(a, v) if a == rowkeyName =>
-        enc(v).foreach { b => tightenLo(b); tightenHi(b) }
-      // the rowkey is never null, so <=> against a non-null literal is
-      // plain equality for range purposes (a null literal matches nothing
-      // — the per-record predicate returns false; no range to tighten)
-      case EqualNullSafe(a, v) if a == rowkeyName && v != null =>
-        enc(v).foreach { b => tightenLo(b); tightenHi(b) }
-      case GreaterThan(a, v) if a == rowkeyName => enc(v).foreach(tightenLo)
-      case GreaterThanOrEqual(a, v) if a == rowkeyName => enc(v).foreach(tightenLo)
-      case LessThan(a, v) if a == rowkeyName => enc(v).foreach(tightenHi)
-      case LessThanOrEqual(a, v) if a == rowkeyName => enc(v).foreach(tightenHi)
-      case In(a, vs) if a == rowkeyName && vs.nonEmpty =>
-        val encs = vs.flatMap(enc)
-        if (encs.length == vs.length) {
-          tightenLo(encs.minBy(identity)(Ordering.fromLessThan((x, y) => BytesCodec.compareKeys(x, y) < 0)))
-          tightenHi(encs.maxBy(identity)(Ordering.fromLessThan((x, y) => BytesCodec.compareKeys(x, y) < 0)))
-        }
-      // prefix seek — the classic KV access pattern: keys with prefix p
-      // live in [p, successor(p)). String key encoding is raw UTF-8, so
-      // the prefix's own bytes are the inclusive lower bound and the
-      // byte-successor (increment last non-0xFF byte, truncate) bounds
-      // above. The successor is used as an INCLUSIVE hi: at most one
-      // extra key range is read and the per-record StartsWith predicate
-      // drops it — bounds here must be sound, not tight.
-      case StringStartsWith(a, p) if a == rowkeyName && dt == StringType && p.nonEmpty =>
-        val pb = org.apache.spark.unsafe.types.UTF8String.fromString(p).getBytes
-        tightenLo(pb)
-        BytesCodec.prefixSuccessor(pb).foreach(tightenHi)
-      case _ => // non-rowkey or non-range filter: no plan-time pruning
-    }
-    (lo, hi)
+    KeyRanges.fromFilters(allFilters, rowkeyName, dt)
   }
 
   // pruning observability, filled by planInputPartitions and surfaced
@@ -256,6 +227,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   private var shardsTotal = 0L
   private var prunedByKeyRange = 0L
   private var prunedByZoneMap = 0L
+  private var rangesPlanned = 1L
 
   override def planInputPartitions(): Array[InputPartition] = {
     val meta = KvStore.readMetaAsOf(dir, asOf)
@@ -270,22 +242,23 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
         s"table version ${asOf.get} is unavailable: ${gone.length} of its " +
           s"shard files (e.g. ${gone.head.file}) were truncated or vacuumed")
     }
-    val (lo, hi) = rowkeyRange()
-    val inKeyRange = meta.shards.filter { s =>
-      // shard [min,max] intersects [lo,hi]?
-      lo.forall(l => BytesCodec.compareKeys(s.maxKey, l) >= 0) &&
-      hi.forall(h => BytesCodec.compareKeys(s.minKey, h) <= 0)
-    }
+    val ranges = rowkeyRanges()
+    val inKeyRange = meta.shards.filter(s =>
+      KeyRanges.intersectsShard(ranges, s.minKey, s.maxKey))
     // zone maps: value-column predicates prune shards whose recorded
     // min/max exclude the literal — the non-rowkey pruning axis
     val surviving = KvZoneMaps.prune(inKeyRange, allFilters, declared)
     shardsTotal = meta.shards.length
     prunedByKeyRange = (meta.shards.length - inKeyRange.length).toLong
     prunedByZoneMap = (inKeyRange.length - surviving.length).toLong
-    surviving
-      .map(s => KvInputPartition(s, lo.map(KvStore.toHex), hi.map(KvStore.toHex))
-        : InputPartition)
-      .toArray
+    rangesPlanned = ranges.length.toLong
+    surviving.map { s =>
+      // each shard carries only the ranges that touch it — the reader's
+      // cursor walks a short local list, not the global set
+      val local = KeyRanges.clipToShard(ranges, s.minKey, s.maxKey)
+        .map { case (lo, hi) => (lo.map(KvStore.toHex), hi.map(KvStore.toHex)) }
+      KvInputPartition(s, local): InputPartition
+    }.toArray
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
@@ -294,7 +267,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
     KvScanMetrics.taskMetric("kvShardsTotal", shardsTotal),
     KvScanMetrics.taskMetric("kvShardsPrunedKeyRange", prunedByKeyRange),
-    KvScanMetrics.taskMetric("kvShardsPrunedZoneMap", prunedByZoneMap))
+    KvScanMetrics.taskMetric("kvShardsPrunedZoneMap", prunedByZoneMap),
+    KvScanMetrics.taskMetric("kvKeyRangesPlanned", rangesPlanned))
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvPartitionReaderFactory(dir, prunedSchema.json, declared.json,
@@ -333,9 +307,15 @@ object KvScanMetrics {
     override def name(): String = "kvBytesRead"
     override def description(): String = "shard file bytes consumed"
   }
+  class KeyRangesPlannedMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "kvKeyRangesPlanned"
+    override def description(): String = "disjoint rowkey ranges planned"
+  }
   val supported: Array[CustomMetric] = Array(
     new ShardsTotalMetric, new ShardsPrunedKeyRangeMetric,
-    new ShardsPrunedZoneMapMetric, new RecordsReadMetric, new BytesReadMetric)
+    new ShardsPrunedZoneMapMetric, new RecordsReadMetric, new BytesReadMetric,
+    new KeyRangesPlannedMetric)
   def taskMetric(metricName: String, v: Long): CustomTaskMetric =
     new CustomTaskMetric {
       override def name(): String = metricName
@@ -485,8 +465,7 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
   private val decoder = new KvRecordDecoder(declared,
     pruned.fieldNames.toSet ++ filters.flatMap(_.references))
   private val reader = new KvStore.ShardReader(dir, part.shard,
-    part.startHex.map(KvStore.fromHex).orNull,
-    part.endHex.map(KvStore.fromHex).orNull, decoder.wantedCell)
+    wanted = decoder.wantedCell, ranges = part.decodedRanges)
   // pruned position k ← needed position prunedFromNeeded(k)
   private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map(decoder.idxByName)
   private val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,

@@ -399,6 +399,61 @@ class KvConnectorSpec extends SparkSpec {
       "runtime IN-set must prune the 8 shards to the single covering one")
   }
 
+  test("multi-range planning: sparse IN prunes every shard between the points") {
+    // 8 range shards over id 1..1000; a 3-point IN at the extremes +
+    // middle must plan exactly 3 shards (the envelope would keep all 8)
+    val df = kv.filter(col("id").isin(5L, 500L, 995L))
+      .select(col("id"), col("name"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 500L, 995L))
+    val scan = findBatchScan(df.queryExecution.executedPlan).get
+    val parts = scan.scan.asInstanceOf[KvScan].planInputPartitions()
+    assert(parts.length == 3,
+      s"IN(5,500,995) must plan 3 shards, not the envelope's 8; got ${parts.length}")
+    // each surviving shard carries exactly the one point range that hit it
+    parts.foreach { p =>
+      val kp = p.asInstanceOf[KvInputPartition]
+      assert(kp.ranges.length == 1 && kp.ranges.head._1 == kp.ranges.head._2)
+    }
+    // in-shard gap skip: the reader yields only in-range records, so the
+    // per-record decode count is the match count, not the shard sizes
+    assert(scan.metrics("kvRecordsRead").value == 3L,
+      "gap records between planned ranges must skip the consumer entirely")
+  }
+
+  test("multi-range planning: IN ∪ band over a temp view (canonical shape, multi-clip)") {
+    kv.createOrReplaceTempView("people_mr")
+    val df = spark.sql(
+      "SELECT id, age FROM people_mr WHERE id IN (3, 998) OR (id >= 400 AND id <= 420)")
+    val got = df.collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (Seq(3L, 998L) ++ (400L to 420L)).sorted)
+    val scan = findBatchScan(df.queryExecution.executedPlan).get
+    val parts = scan.scan.asInstanceOf[KvScan].planInputPartitions()
+    assert(parts.length == 3, s"3 disjoint ranges hit 3 shards, got ${parts.length}")
+    assert(scan.metrics("kvRecordsRead").value == 23L)
+  }
+
+  test("multi-range ≡ single-span results (fuzz) and empty-set plans zero partitions") {
+    val rnd = new scala.util.Random(7)
+    val all = peopleDf.select("id").collect().map(_.getLong(0)).toSet
+    (1 to 25).foreach { _ =>
+      val points = Array.fill(1 + rnd.nextInt(6))(rnd.between(-50L, 1100L))
+      val lo = rnd.between(-50L, 1100L)
+      val hi = lo + rnd.nextInt(200)
+      val df = kv.filter(col("id").isin(points.map(_.asInstanceOf[Any]).toIndexedSeq: _*) ||
+          (col("id") >= lo && col("id") <= hi))
+        .select("id")
+      val got = df.collect().map(_.getLong(0)).sorted.toSeq
+      val want = all.filter(v => points.contains(v) || (v >= lo && v <= hi)).toSeq.sorted
+      assert(got == want, s"points=${points.toSeq} band=[$lo,$hi]")
+    }
+    // a provably-empty rowkey predicate plans no partitions at all
+    val none = kv.filter(col("id") > 500L && col("id") < 400L)
+    assert(none.collect().isEmpty)
+    val scan = findBatchScan(none.queryExecution.executedPlan).get
+    assert(scan.scan.asInstanceOf[KvScan].planInputPartitions().isEmpty,
+      "disjoint conjuncts must plan the empty range set")
+  }
+
   test("aggregate pushdown: COUNT/MIN/MAX/SUM computed in the scan") {
     val df = kv.agg(
       count(lit(1)).as("n"),
@@ -440,25 +495,32 @@ class KvConnectorSpec extends SparkSpec {
       .mode("overwrite").save()
     def ovf = spark.read.format("graft-kv")
       .option("catalog", catJson).option("path", ovDir).load()
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try {
-      // pushed partials would wrap silently; ANSI promises an overflow
-      // error, so the integral sum must NOT translate
+      // ANSI (Spark 4's default): the sum still pushes, but the partial
+      // accumulates overflow-CHECKED and raises where Spark's own Sum
+      // would — a silently wrapping partial would change ANSI results
       val df = ovf.agg(sum(col("v")).as("s"))
-      assert(!physicalPlan(df).contains("KvSumCol"),
-        "integral SUM must stay residual under ANSI mode")
+      assert(physicalPlan(df).contains("KvSumCol(v,true)"),
+        s"ANSI integral SUM must push in checked mode:\n${physicalPlan(df)}")
       val e = intercept[Exception](df.collect())
-      assert(e.getMessage.toUpperCase.contains("OVERFLOW"),
-        s"ANSI sum overflow must surface Spark's own error, got: ${e.getMessage}")
-      // double sums saturate to Infinity in both modes — still pushed
+      def messages(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+      assert(messages(e).toLowerCase.contains("overflow"),
+        s"ANSI sum overflow must raise, got: ${messages(e)}")
+      // double sums saturate to Infinity in both modes — never checked
       val d = ovf.agg(sum(col("h")).as("s"))
-      assert(physicalPlan(d).contains("KvSumCol"))
+      assert(physicalPlan(d).contains("KvSumCol(h,false)"))
       assert(d.collect().head.getDouble(0) == 4.0)
-    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
-    // ANSI off: pushed, and wraps to the same answer Spark computes
-    val off = ovf.agg(sum(col("v")).as("s"))
-    assert(physicalPlan(off).contains("KvSumCol"))
-    assert(off.collect().head.getLong(0) == -2L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+    // ANSI off: pushed unchecked, wraps to the same answer Spark computes
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val off = ovf.agg(sum(col("v")).as("s"))
+      assert(physicalPlan(off).contains("KvSumCol(v,false)"))
+      assert(off.collect().head.getLong(0) == -2L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 
   test("global COUNT(*)/MIN/MAX answer from the manifest without reading a byte") {
