@@ -519,17 +519,23 @@ object KvQueries {
              min(col("l_quantity")).as("min_qty"),
              max(col("l_quantity")).as("max_qty"),
              max(col("l_shipdate")).as("max_sd"),
-             sum(col("l_linenumber")).as("sum_ln"))
+             sum(col("l_linenumber")).as("sum_ln"),
+             // Spark itself rewrites avg → pushed Sum+Count partials
+             // (both translate here); exact for an integral column —
+             // the final divide is one IEEE op on exact longs, so the
+             // cross-engine hash holds
+             avg(col("l_linenumber")).as("avg_ln"))
         .orderBy(col("l_returnflag")),
     Some("""
       SELECT l_returnflag, count(*) AS n, count(l_linestatus) AS n_ls,
              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-             max(l_shipdate) AS max_sd, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+             max(l_shipdate) AS max_sd, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+             avg(l_linenumber) AS avg_ln
       FROM lineitem
       WHERE l_quantity >= 5.0
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
-    doc = "grouped aggregate pushdown: per-shard COUNT/MIN/MAX partials grouped by a cell column")
+    doc = "grouped aggregate pushdown: per-shard COUNT/MIN/MAX/SUM(+AVG via sum/count) partials")
 
   /** Extended-filter pushdown gate: `<>` (arrives as Not(EqualTo) — the
     * scan evaluates the subtree in SQL three-valued logic) and a string

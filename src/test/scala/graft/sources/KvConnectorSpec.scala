@@ -523,6 +523,24 @@ class KvConnectorSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 
+  test("avg rides aggregate pushdown as sum+count partials (Spark's own rewrite)") {
+    // grouped: avg over an integral column becomes pushed Sum+Count
+    val df = kv.groupBy(col("alive")).agg(avg(col("age")).as("a"))
+    val plan = physicalPlan(df)
+    assert(plan.contains("PushedAggregates"), s"avg must push partials:\n$plan")
+    assert(plan.contains("KvSumCol(age") && plan.contains("KvCountCol(age)"),
+      s"avg must decompose to pushed sum+count:\n$plan")
+    val m = df.collect().map(r => r.getAs[Boolean]("alive") -> r.getAs[Double]("a")).toMap
+    val exp = (1 to 1000).groupBy(_ % 2 == 0).map { case (k, is) =>
+      k -> is.map(_ % 60).sum.toDouble / is.length
+    }
+    assert(m(true) == exp(true) && m(false) == exp(false))
+    // global avg: same decomposition, one partial row per shard
+    val g = kv.agg(avg(col("age")).as("a"))
+    assert(physicalPlan(g).contains("KvCountCol(age)"))
+    assert(g.collect().head.getDouble(0) == (1 to 1000).map(_ % 60).sum.toDouble / 1000)
+  }
+
   test("global COUNT(*)/MIN/MAX answer from the manifest without reading a byte") {
     val df = kv.agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
       max(col("id")).as("max_id"), min(col("age")).as("min_age"),
