@@ -61,7 +61,23 @@ class KvDataSource extends TableProvider with DataSourceRegister {
   * + `DELETE FROM … WHERE` when every conjunct is pushable). */
 class KvTable(val catalog: KvCatalog, val dir: String)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_shard`: which shard file served each record (`SELECT _shard, …`)
+    * — and the metadata hook Spark's row-level write projections key on. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    KvMetadataColumns.columns
+
+  /** SQL UPDATE / MERGE / unpushable DELETE: Spark rewrites the DML to a
+    * distributed group-based copy-on-write job ([[KvRowLevelOperation]]).
+    * Fully-pushable DELETEs keep taking the `deleteWhere` metadata fast
+    * path below — Spark prefers it when `canDeleteWhere` accepts. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new KvRowLevelOperation(catalog, dir, info.command())
 
   override def name(): String = catalog.qualifiedName
   override def schema(): StructType = catalog.schema

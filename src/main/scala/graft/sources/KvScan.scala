@@ -100,12 +100,11 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
   override def pushedPredicates(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     pushedV2
 
-  override def pruneColumns(required: StructType): Unit = {
+  override def pruneColumns(required: StructType): Unit =
     // keep the DECLARED field (with cf/qual metadata) per required name,
-    // as the reference does (`HbaseScanBuilder.scala:54-59`)
-    val byName = declared.fields.map(f => f.name -> f).toMap
-    prunedSchema = StructType(required.fieldNames.flatMap(byName.get))
-  }
+    // as the reference does (`HbaseScanBuilder.scala:54-59`); `_shard`
+    // passes through as a reader-synthesized pseudo-column
+    prunedSchema = KvMetadataColumns.prune(declared, required)
 
   override def pushLimit(l: Int): Boolean =
     if (aggSpecs.nonEmpty) false else { limit = l; true }
@@ -201,7 +200,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // Columnar ahead of the filter list: plan renderers truncate the
     // description (spark.sql.maxMetadataStringLength) and the filter
     // list is the unbounded part
-    val col = columnar && !reverse && KvColumnarReader.eligible(prunedSchema)
+    val col = columnar && !reverse && KvColumnarReader.eligible(prunedSchema) &&
+      !prunedSchema.fieldNames.contains(KvMetadataColumns.ShardCol)
     s"graft-kv $dir Columnar: $col$pin, Limit: $lim$topn, PushedFilters: [$f]"
   }
 
@@ -339,7 +339,8 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
     DataType.fromJson(declaredJson).asInstanceOf[StructType]
 
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnar && !reverse && KvColumnarReader.eligible(pruned)
+    columnar && !reverse && KvColumnarReader.eligible(pruned) &&
+      !pruned.fieldNames.contains(KvMetadataColumns.ShardCol)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[KvInputPartition]
@@ -461,13 +462,19 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
                         reverse: Boolean = false)
     extends PartitionReader[InternalRow] {
 
-  // columns needed = pruned ∪ filter references
+  // columns needed = pruned ∪ filter references (`_shard` is synthesized
+  // per partition, not decoded)
   private val decoder = new KvRecordDecoder(declared,
     pruned.fieldNames.toSet ++ filters.flatMap(_.references))
   private val reader = new KvStore.ShardReader(dir, part.shard,
     wanted = decoder.wantedCell, ranges = part.decodedRanges)
-  // pruned position k ← needed position prunedFromNeeded(k)
-  private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map(decoder.idxByName)
+  private val shardName =
+    org.apache.spark.unsafe.types.UTF8String.fromString(part.shard.file)
+  // pruned position k ← needed position prunedFromNeeded(k); -1 = _shard
+  private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map {
+    case KvMetadataColumns.ShardCol => -1
+    case n => decoder.idxByName(n)
+  }
   private val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
     decoder.scratch)
 
@@ -478,7 +485,11 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
   private def project(): Array[Any] = {
     val values = new Array[Any](pruned.length)
     var k = 0
-    while (k < values.length) { values(k) = decoder.scratch(prunedFromNeeded(k)); k += 1 }
+    while (k < values.length) {
+      val i = prunedFromNeeded(k)
+      values(k) = if (i < 0) shardName else decoder.scratch(i)
+      k += 1
+    }
     values
   }
 

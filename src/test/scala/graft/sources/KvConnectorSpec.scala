@@ -399,6 +399,18 @@ class KvConnectorSpec extends SparkSpec {
       "runtime IN-set must prune the 8 shards to the single covering one")
   }
 
+  test("_shard metadata column: every record names its source shard file") {
+    val rows = kv.select(col("id"), col("_shard")).collect()
+    assert(rows.length == 1000)
+    val files = graft.kv.KvStore.readMeta(dir).shards.map(_.file).toSet
+    assert(rows.forall(r => files(r.getString(1))),
+      "_shard must be a live manifest file name")
+    assert(rows.map(_.getString(1)).distinct.length == 8, "8 range shards")
+    // mixes with predicates and stays correct under pruning
+    val one = kv.filter(col("id") === 500L).select(col("_shard")).collect()
+    assert(one.length == 1 && files(one.head.getString(0)))
+  }
+
   test("multi-range planning: sparse IN prunes every shard between the points") {
     // 8 range shards over id 1..1000; a 3-point IN at the extremes +
     // middle must plan exactly 3 shards (the envelope would keep all 8)
@@ -973,12 +985,11 @@ class KvConnectorSpec extends SparkSpec {
       assert(graft.kv.KvCompactor.vacuum(delDir, graceMs = -1000) > 0)
       assert(spark.table("graft_del").count() == 690, "live table survives vacuum")
 
-      // an unpushable condition must fail Spark's canDeleteWhere gate,
-      // not half-delete
-      val e = intercept[Exception](
-        spark.sql("DELETE FROM graft_del WHERE length(grp) = 1"))
-      assert(e.getMessage != null)
-      assert(spark.table("graft_del").count() == 690)
+      // an unpushable condition fails the canDeleteWhere metadata gate
+      // and falls back to the GROUP-BASED rewrite (KvRowLevelOpsSpec
+      // covers it in depth) — here it must delete everything, correctly
+      spark.sql("DELETE FROM graft_del WHERE length(grp) = 1")
+      assert(spark.table("graft_del").count() == 0)
     } finally spark.sql("DROP TABLE IF EXISTS graft_del")
   }
 
