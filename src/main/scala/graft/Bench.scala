@@ -34,6 +34,14 @@ object Bench {
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
   private def repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
+  /** Sub-second queries repeat up to this many times (min reported):
+    * at 2 repeats a ±0.1 s load blip reads as a ±40% "regression" on a
+    * 0.25 s query — round 7's r6-diff had a cluster of exactly those.
+    * Expensive queries keep the base repeat count (their noise floor is
+    * proportionally irrelevant and extra runs cost real wall-clock). */
+  private def fastRepeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS_FAST", "5").toInt
+    .max(repeats)
+  private val FastThresholdSec = 1.0
 
   def main(args: Array[String]): Unit =
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
@@ -125,15 +133,21 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to repeats).flatMap { _ =>
+      val times = scala.collection.mutable.ListBuffer[Double]()
+      var attempts = 0
+      // base repeats for everyone; sub-second queries keep going (up to
+      // fastRepeats) so the reported min is a real floor, not load noise
+      while (attempts < repeats ||
+             (attempts < fastRepeats && times.nonEmpty && times.min < FastThresholdSec)) {
         val t0 = System.nanoTime()
         // toRdd.count() materializes the FULL physical plan (projections,
         // sorts, limits) without collecting to the driver; plain count()
         // would let Catalyst prune most of the query away.
         try { fn(spark, sfDir).queryExecution.toRdd.count()
-              Some((System.nanoTime() - t0) / 1e9) }
+              times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        attempts += 1
       }
       if (times.isEmpty) failed += name
       // -1.0 = sentinel: a crashing query must never look like a fast one

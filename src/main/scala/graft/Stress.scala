@@ -107,12 +107,21 @@ object Stress {
     queries.Dedup.releaseShingles()
 
     // near-dup PAIR enumeration at scale (q55's documented scale knob):
-    // bucket width grows with the corpus — 4 planes at 1×, 8 at 10× —
-    // keeping per-bucket candidate lists bounded. The 10× replica has
-    // real ground truth: every base vector has 10 epsilon-perturbed
-    // cross-copy twins → base_n · C(copies, 2) true pairs.
-    val planes = if (copies >= 8) 8 else 4
+    // bucket width grows with the corpus. A STATIC plane count is the
+    // trap round 7 measured — at 30× the 8-plane/256-bucket grid stayed
+    // fixed while the corpus tripled, so per-bucket density (and the
+    // quadratic false-candidate enumeration) tripled too: steady 38 s
+    // vs a ~12 s pair-linear expectation. planes ≈ log2(n / 64) keeps
+    // the EXPECTED bucket size bounded as n grows, which keeps candidate
+    // counts ~linear in true pairs; epsilon-twin recall is unaffected
+    // (near-identical vectors agree with virtually every hyperplane) and
+    // stays hard-asserted at ≥ 0.95 below. The 10×/30× replicas have
+    // real ground truth: every base vector has `copies` epsilon-
+    // perturbed cross-copy twins → base_n · C(copies, 2) true pairs.
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val nVec = emb.count()
+    val planes = math.max(4,
+      math.ceil(math.log(nVec / 64.0) / math.log(2.0)).toInt)
     def pairsOnce(): (Double, DataFrame) = {
       val t0 = System.nanoTime()
       val df = queries.Similarity.lshNearDupPairs(emb, threshold = 0.9,

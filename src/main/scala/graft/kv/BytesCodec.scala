@@ -78,6 +78,19 @@ object BytesCodec {
 
   // ---- decode (stored bytes → Catalyst internal value) ----
 
+  // offset variants for the zero-copy batch decode path: read straight
+  // out of a shard reader's internal buffer, no per-value slice copy
+  def longAt(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 56) | ((b(off + 1) & 0xffL) << 48) |
+      ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
+      ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
+      ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
+  def intAt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  def shortAt(b: Array[Byte], off: Int): Short =
+    (((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)).toShort
+
   def decodeLong(b: Array[Byte]): Long = ByteBuffer.wrap(b).getLong
   def decodeInt(b: Array[Byte]): Int = ByteBuffer.wrap(b).getInt
   def decodeShort(b: Array[Byte]): Short = ByteBuffer.wrap(b).getShort

@@ -104,8 +104,12 @@ object KvCompactor {
     KvStore.withTableLock(tableDir) {
       val current = KvStore.readMeta(tableDir)
       val live = current.shards.map(_.file).toSet
+      def discardOutputs(): Unit = outputs.foreach { o =>
+        new File(s"$tableDir/${o.file}").delete()
+        if (o.bloom.nonEmpty) new File(s"$tableDir/${o.bloom}").delete()
+      }
       if (!inputFiles.forall(live)) {
-        outputs.foreach(o => new File(s"$tableDir/${o.file}").delete())
+        discardOutputs()
         return 0
       }
       if (retainInputs) {
@@ -122,7 +126,7 @@ object KvCompactor {
         // swap aborts cleanly with 0, leaving the table untouched.
         val now = System.currentTimeMillis()
         if (!inputs.forall(s => new File(s"$tableDir/${s.file}").setLastModified(now))) {
-          outputs.foreach(o => new File(s"$tableDir/${o.file}").delete())
+          discardOutputs()
           return 0
         }
       }
@@ -130,7 +134,10 @@ object KvCompactor {
         KvTableMeta(current.shards.filterNot(s => inputFiles(s.file)) ++ outputs,
           current.committedEpochs, current.version))
       if (!retainInputs)
-        inputs.foreach(s => new File(s"$tableDir/${s.file}").delete())
+        inputs.foreach { s =>
+          new File(s"$tableDir/${s.file}").delete()
+          if (s.bloom.nonEmpty) new File(s"$tableDir/${s.bloom}").delete()
+        }
     }
     outputs.length
   }
@@ -148,12 +155,21 @@ object KvCompactor {
       val cutoff = System.currentTimeMillis() - graceMs
       // archived manifests expire on the same grace clock as the shard
       // files their snapshot reads depend on — past it, neither remains
-      val stale = Option(new File(tableDir).listFiles()).getOrElse(Array.empty)
+      val all = Option(new File(tableDir).listFiles()).getOrElse(Array.empty)
+      val stale = all
         .filter(f => (f.getName.endsWith(".kv") && !live(f.getName) ||
             f.getName.startsWith("_kvmeta.v") && f.getName.endsWith(".json")) &&
           f.lastModified() < cutoff)
       stale.foreach(_.delete())
-      stale.length
+      // bloom sidecars ride their base shard's lifecycle: once the base
+      // file is gone (this pass or an earlier one), the sidecar follows
+      val orphanBlooms = all.filter { f =>
+        f.getName.endsWith(".kv.bloom") &&
+        !live(f.getName.stripSuffix(".bloom")) &&
+        !new File(tableDir, f.getName.stripSuffix(".bloom")).exists()
+      }
+      orphanBlooms.foreach(_.delete())
+      stale.length + orphanBlooms.length
     }
   }
 
@@ -195,6 +211,15 @@ object KvCompactor {
         k -> (KvStore.toHex(mn), KvStore.toHex(mx))
       }.toMap
 
+    // bloom union (bit-OR): defined only when every input carries a
+    // compatible sidecar — otherwise the merged shard goes bloom-less,
+    // which only costs pruning, never correctness
+    val mergedBloom: Option[KvBloom.ShardBloom] =
+      if (group.forall(_.bloom.nonEmpty)) {
+        val loaded = group.map(s => KvBloom.read(s"$tableDir/${s.bloom}"))
+        if (loaded.forall(_.isDefined)) KvBloom.union(loaded.map(_.get)) else None
+      } else None
+
     val w = new KvStore.ShardWriter(tableDir, fileName)
     var done = false
     try {
@@ -204,7 +229,14 @@ object KvCompactor {
         if (h.it.hasNext) heap.enqueue(Head(h.it.next(), h.idx, h.it))
       }
       done = true
-      w.close().map(_.copy(stats = mergedStats))
+      w.close().map { m =>
+        val withBloom = mergedBloom.map { b =>
+          val sc = KvBloom.sidecarName(fileName)
+          KvBloom.write(s"$tableDir/$sc", b)
+          m.copy(bloom = sc)
+        }.getOrElse(m)
+        withBloom.copy(stats = mergedStats)
+      }
     } finally {
       readers.foreach(_._1.close())
       if (!done) {

@@ -53,7 +53,8 @@ final case class KvCell(cf: String, qualifier: String, value: Array[Byte])
 final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKeyHex: String,
                              hosts: Seq[String] = Nil,
                              stats: Map[String, (String, String)] = Map.empty,
-                             crc32cHex: String = "") {
+                             crc32cHex: String = "",
+                             bloom: String = "") {
   def minKey: Array[Byte] = KvStore.fromHex(minKeyHex)
   def maxKey: Array[Byte] = KvStore.fromHex(maxKeyHex)
 }
@@ -161,7 +162,7 @@ object KvStore {
       }.toMap
       KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
         s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts, stats,
-        s.path("crc32c").asText(""))
+        s.path("crc32c").asText(""), s.path("bloom").asText(""))
     }.toSeq
     val epochs = root.path("committedEpochs").elements().asScala.map(_.asText()).toSeq
     KvTableMeta(shards, epochs, root.path("version").asLong(0))
@@ -208,6 +209,7 @@ object KvStore {
         }
       }
       if (s.crc32cHex.nonEmpty) o.put("crc32c", s.crc32cHex)
+      if (s.bloom.nonEmpty) o.put("bloom", s.bloom)
     }
     if (meta.committedEpochs.nonEmpty) {
       val e = node.putArray("committedEpochs")
@@ -364,12 +366,23 @@ object KvStore {
     * names entirely (scratch buffer + tiny intern table, names repeat
     * on every record) and skips cell parsing for records outside the
     * clipped key range. */
+  /** Zero-copy per-record callback for [[ShardReader.visitNext]]: cell
+    * value bytes are a SLICE of the reader's internal buffer, valid only
+    * for the duration of the `cell` call. cf/qualifier strings are
+    * interned per shard (reference-comparable across records). */
+  trait CellVisitor {
+    def startRecord(key: Array[Byte]): Unit
+    def cell(cf: String, qualifier: String, buf: Array[Byte], off: Int, len: Int): Unit
+    def endRecord(): Unit
+  }
+
   final class ShardReader(tableDir: String, shard: KvShardMeta,
                           startKey: Array[Byte] = null,
                           endKey: Array[Byte] = null,
                           wanted: (String, String) => Boolean = null,
                           verifyCrc: Boolean = false,
-                          ranges: Array[(Array[Byte], Array[Byte])] = null)
+                          ranges: Array[(Array[Byte], Array[Byte])] = null,
+                          lazyStart: Boolean = false)
       extends Iterator[KvRecord] with Closeable {
 
     // Clip ranges: either the legacy single [startKey, endKey] span or a
@@ -583,13 +596,57 @@ object KvStore {
       }
     }
 
-    advance()
+    if (!lazyStart) advance()
     override def hasNext: Boolean = nextRec != null
     override def next(): KvRecord = {
       val r = nextRec
       if (done) nextRec = null else advance()
       r
     }
+
+    /** Zero-copy streaming parse of ONE record into `vis` — the batch
+      * decode path's innermost loop. Bypasses KvRecord/KvCell
+      * construction and the per-value byte copy entirely: wanted cell
+      * values are handed to the visitor as slices of the internal
+      * buffer. Requires `lazyStart = true` (the iterator API would have
+      * materialized the first record already) and an unclipped reader —
+      * clipped scans carry pushed filters and ride the iterator path.
+      * Returns false at clean EOF (CRC verified like the iterator). */
+    def visitNext(vis: CellVisitor): Boolean = {
+      if (done) return false
+      if (!ensure(4)) {
+        if (crc != null && crcComplete) {
+          val got = f"${crc.getValue}%08x"
+          if (got != shard.crc32cHex)
+            throw new IllegalStateException(
+              s"shard ${shard.file} is corrupt: crc32c $got != manifest ${shard.crc32cHex}")
+        }
+        done = true; close()
+        return false
+      }
+      val keyLen = readIntB()
+      val key = readBytesB(keyLen)
+      if (!ensure(4)) throw new EOFException(s"truncated shard ${shard.file}")
+      val n = readIntB()
+      vis.startRecord(key)
+      var i = 0
+      while (i < n) {
+        val cf = readName()
+        val q = readName()
+        if (!ensure(4)) throw new EOFException(s"truncated shard ${shard.file}")
+        val vLen = readIntB()
+        if (wanted == null || wanted(cf, q)) {
+          if (!ensure(vLen)) throw new EOFException(s"truncated shard ${shard.file}")
+          // NOTE: ensure may have replaced `buf`; read the field after it
+          vis.cell(cf, q, buf, pos, vLen)
+          pos += vLen
+        } else skipB(vLen)
+        i += 1
+      }
+      vis.endRecord()
+      true
+    }
+
     override def close(): Unit = in.close()
   }
 }

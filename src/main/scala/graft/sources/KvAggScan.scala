@@ -151,8 +151,11 @@ case class KvAggReaderFactory(dir: String, declaredJson: String, rowkeyName: Str
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[KvInputPartition]
-    new KvAggPartitionReader(dir, part,
-      DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkeyName, filters,
+    val declared = DataType.fromJson(declaredJson).asInstanceOf[StructType]
+    // a bloom-skipped shard contributes no rows, hence no partials
+    if (!KvBloomPrune.canMatch(dir, part.shard, filters, declared))
+      new KvBloomSkippedReader[InternalRow]
+    else new KvAggPartitionReader(dir, part, declared, rowkeyName, filters,
       groupCols, specs)
   }
 }

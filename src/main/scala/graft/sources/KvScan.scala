@@ -312,10 +312,15 @@ object KvScanMetrics {
     override def name(): String = "kvKeyRangesPlanned"
     override def description(): String = "disjoint rowkey ranges planned"
   }
+  class ShardsSkippedBloomMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "kvShardsSkippedBloom"
+    override def description(): String = "shards skipped by bloom sidecar (executor-side)"
+  }
   val supported: Array[CustomMetric] = Array(
     new ShardsTotalMetric, new ShardsPrunedKeyRangeMetric,
     new ShardsPrunedZoneMapMetric, new RecordsReadMetric, new BytesReadMetric,
-    new KeyRangesPlannedMetric)
+    new KeyRangesPlannedMetric, new ShardsSkippedBloomMetric)
   def taskMetric(metricName: String, v: Long): CustomTaskMetric =
     new CustomTaskMetric {
       override def name(): String = metricName
@@ -344,16 +349,32 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[KvInputPartition]
-    new KvPartitionReader(dir, part, pruned, declared,
+    // executor-side bloom gate: a definite point-predicate miss answers
+    // from the KiB sidecar without opening the shard file at all
+    if (!KvBloomPrune.canMatch(dir, part.shard, filters, declared))
+      new KvBloomSkippedReader[InternalRow]
+    else new KvPartitionReader(dir, part, pruned, declared,
       rowkeyName, filters, limit, reverse)
   }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[KvInputPartition]
-    new KvColumnarReader(dir, part, pruned, declared,
+    if (!KvBloomPrune.canMatch(dir, part.shard, filters, declared))
+      new KvBloomSkippedReader[org.apache.spark.sql.vectorized.ColumnarBatch]
+    else new KvColumnarReader(dir, part, pruned, declared,
       rowkeyName, filters, limit)
   }
+}
+
+/** Zero-row reader for a bloom-skipped shard; reports the skip as a
+  * task metric so pruning stays observable per query. */
+class KvBloomSkippedReader[T] extends PartitionReader[T] {
+  override def next(): Boolean = false
+  override def get(): T = throw new IllegalStateException("bloom-skipped shard has no rows")
+  override def close(): Unit = ()
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(KvScanMetrics.taskMetric("kvShardsSkippedBloom", 1L))
 }
 
 /** Precomputed record→scratch-array resolver shared by the row and

@@ -93,8 +93,16 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
     override def requiredNumPartitions(): Int =
       if (rangeDistribute) info.options().getInt("writePartitions", 0) else 0
 
+    /** `bloomColumns=c1,c2` (opt-in): emit a per-shard bloom sidecar
+      * over the named columns' cell encodings — point-predicate shard
+      * skipping where zone maps can't prune ([[graft.kv.KvBloom]]).
+      * `bloomBits` sizes the filter (default 1 MiBit ≈ 128 KiB/shard). */
+    private def bloomColumns: String = info.options().getOrDefault("bloomColumns", "")
+    private def bloomBits: Int = info.options().getInt("bloomBits", 1 << 20)
+
     override def toBatch: BatchWrite =
-      new KvBatchWrite(catalog, dir, info.schema(), truncateFirst, chunkBytes)
+      new KvBatchWrite(catalog, dir, info.schema(), truncateFirst, chunkBytes,
+        bloomColumns, bloomBits)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!truncateFirst,
         "graft-kv streaming sink supports append output mode only")
@@ -106,10 +114,13 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
 case class KvCommit(shards: Seq[KvShardMeta]) extends WriterCommitMessage
 
 class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
-                   truncateFirst: Boolean, chunkBytes: Long) extends BatchWrite {
+                   truncateFirst: Boolean, chunkBytes: Long,
+                   bloomColumns: String = "", bloomBits: Int = 1 << 20)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvDataWriterFactory(dir, schema.json, catalog.schema.json, catalog.rowkey, chunkBytes)
+    KvDataWriterFactory(dir, schema.json, catalog.schema.json, catalog.rowkey,
+      chunkBytes, bloomColumns, bloomBits)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     // lock: the read-modify-write must not interleave with a concurrent
@@ -127,14 +138,21 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
       // the pinned read fails at planning with "version unavailable"
       KvStore.writeMeta(dir, KvTableMeta(keep, epochs, prev.version),
         archiveSuperseded = !truncateFirst)
-      if (truncateFirst)
-        prev.shards.map(_.file).toSet.diff(newShards.map(_.file).toSet)
-          .foreach(f => new File(s"$dir/$f").delete())
+      if (truncateFirst) {
+        val keepFiles = newShards.map(_.file).toSet
+        prev.shards.filterNot(s => keepFiles(s.file)).foreach { s =>
+          new File(s"$dir/${s.file}").delete()
+          if (s.bloom.nonEmpty) new File(s"$dir/${s.bloom}").delete()
+        }
+      }
     }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KvCommit(s) => s }
-      .flatten.foreach(s => new File(s"$dir/${s.file}").delete())
+      .flatten.foreach { s =>
+        new File(s"$dir/${s.file}").delete()
+        if (s.bloom.nonEmpty) new File(s"$dir/${s.bloom}").delete()
+      }
 }
 
 /** Streaming sink (append mode): each epoch's tasks write shards exactly
@@ -184,7 +202,10 @@ class KvStreamingWrite(catalog: KvCatalog, dir: String, schema: StructType,
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KvCommit(s) => s }
-      .flatten.foreach(s => new File(s"$dir/${s.file}").delete())
+      .flatten.foreach { s =>
+        new File(s"$dir/${s.file}").delete()
+        if (s.bloom.nonEmpty) new File(s"$dir/${s.bloom}").delete()
+      }
 }
 
 object KvStreamingWrite {
@@ -206,13 +227,14 @@ case class KvStreamingDataWriterFactory(dir: String, schemaJson: String,
 
 case class KvDataWriterFactory(dir: String, schemaJson: String,
                                declaredJson: String, rowkey: String,
-                               chunkBytes: Long)
+                               chunkBytes: Long, bloomColumns: String = "",
+                               bloomBits: Int = 1 << 20)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(dir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkey,
-      partitionId, taskId, chunkBytes)
+      partitionId, taskId, chunkBytes, bloomColumns, bloomBits)
 }
 
 object KvDataWriter {
@@ -226,7 +248,8 @@ object KvDataWriter {
   * stored cells always land under the catalog's declared cf:qualifier. */
 class KvDataWriter(dir: String, schema: StructType, declared: StructType,
                    rowkey: String, partitionId: Int, taskId: Long,
-                   chunkBytes: Long = KvDataWriter.DefaultChunkBytes)
+                   chunkBytes: Long = KvDataWriter.DefaultChunkBytes,
+                   bloomColumns: String = "", bloomBits: Int = 1 << 20)
     extends DataWriter[InternalRow] {
 
   private val rowkeyIdx = schema.fieldIndex(rowkey)
@@ -286,16 +309,41 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
     }
   }
 
+  // ---- opt-in per-chunk bloom filters (option `bloomColumns`) ----
+  // tracked by the same "cf:qual" keys as zone maps, over the raw CELL
+  // encoding of non-null values; see [[graft.kv.KvBloom]] for why
+  // floats/decimals never track
+  private val bloomKeyOf: Array[String] = {
+    val wanted = bloomColumns.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    cellCols.map { case (i, cf, qual, dt) =>
+      if (wanted.contains(schema.fields(i).name) && graft.kv.KvBloom.trackable(dt))
+        s"$cf:$qual"
+      else null
+    }
+  }
+  private val bloomBuilder: graft.kv.KvBloom.Builder = {
+    val keys = bloomKeyOf.filter(_ != null).toSeq
+    if (keys.isEmpty) null else new graft.kv.KvBloom.Builder(bloomBits, 4, keys)
+  }
+
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(rowkeyIdx), s"null rowkey '${rowkey}' at write")
     val key = BytesCodec.encodeKey(keyType, row.get(rowkeyIdx, keyType))
     var recBytes = key.length.toLong + 8
-    val cells = cellCols.collect {
-      case (i, cf, qual, dt) if !row.isNullAt(i) =>
+    val cellBuf = new ArrayBuffer[KvCell](cellCols.length)
+    var c = 0
+    while (c < cellCols.length) {
+      val (i, cf, qual, dt) = cellCols(c)
+      if (!row.isNullAt(i)) {
         val v = BytesCodec.encode(dt, row.get(i, dt))
         recBytes += cf.length + qual.length + v.length + 8
-        KvCell(cf, qual, v)
-    }.toIndexedSeq
+        if (bloomBuilder != null && bloomKeyOf(c) != null)
+          bloomBuilder.add(bloomKeyOf(c), v)
+        cellBuf += KvCell(cf, qual, v)
+      }
+      c += 1
+    }
+    val cells = cellBuf.toIndexedSeq
     var sc = 0
     while (sc < statsCols.length) {
       val c = statsCols(sc)
@@ -324,7 +372,17 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
         val (_, cf, qual, _) = cellCols(c)
         s"$cf:$qual" -> (KvStore.toHex(statsMin(c)), KvStore.toHex(statsMax(c)))
       }.toMap
-      w.close().foreach(m => emittedShards += m.copy(stats = stats))
+      w.close().foreach { m =>
+        val withBloom =
+          if (bloomBuilder != null && bloomBuilder.nonEmpty) {
+            val sc2 = graft.kv.KvBloom.sidecarName(name)
+            graft.kv.KvBloom.write(s"$dir/$sc2", bloomBuilder.result())
+            emittedFiles += sc2
+            m.copy(bloom = sc2)
+          } else m
+        emittedShards += withBloom.copy(stats = stats)
+      }
+      if (bloomBuilder != null) bloomBuilder.reset()
       buffer.clear()
       bufferedBytes = 0L
       java.util.Arrays.fill(statsMin.asInstanceOf[Array[AnyRef]], null)
