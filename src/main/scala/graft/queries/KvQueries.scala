@@ -578,7 +578,9 @@ object KvQueries {
     * HBase idiom every multi-tenant / per-language layout uses; built
     * once per corpus like the lineitem KV table. */
   private def docsKvDir(s: SparkSession, sfDir: String): String = {
-    val dir = graft.kv.KvStore.cacheDir(s"documents-${cacheKey(sfDir)}")
+    // "-bloom" in the cache key: older cached builds lack the doc_id
+    // bloom sidecars q101 exercises and must not be reused
+    val dir = graft.kv.KvStore.cacheDir(s"documents-bloom-${cacheKey(sfDir)}")
     if (!new File(s"$dir/_kvmeta.json").exists()) {
       Tables.documents(s, sfDir)
         .select(
@@ -587,6 +589,10 @@ object KvQueries {
         .repartitionByRange(16, col("rk"))
         .write.format("graft-kv")
         .option("catalog", docsCatalogJson).option("path", dir)
+        // doc_id is the bloom workload: rowkey order is lang-first, so
+        // every lang shard's doc_id zone-map bounds span ~the whole id
+        // space — only the sidecar can answer a point probe
+        .option("bloomColumns", "doc_id")
         .mode("overwrite").save()
     }
     dir
@@ -641,8 +647,30 @@ object KvQueries {
       ORDER BY lk"""),
     doc = "sparse IN + band plans disjoint key ranges, not one envelope span")
 
+  /** Bloom-sidecar gate: point IN on `doc_id`, a column whose values
+    * scatter across every lang-sorted shard — zone maps keep all 16
+    * shards, the per-shard bloom sidecars skip the non-holders
+    * executor-side ([[graft.kv.KvBloom]], metric
+    * `kvShardsSkippedBloom`; KvBloomSpec asserts the skip counts).
+    * Hash-checked against DuckDB on the original parquet. */
+  val q101KvBloomPoint: Q = Q(
+    "q101_kv_bloom_point",
+    (s, d) =>
+      s.read.format("graft-kv")
+        .option("catalog", docsCatalogJson).option("path", docsKvDir(s, d)).load()
+        .filter(col("doc_id").isin(42L, 777L, 4242L, 999999983L))
+        .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("rk")),
+    Some("""
+      SELECT lang || '#' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS rk,
+             doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+      WHERE doc_id IN (42, 777, 4242, 999999983)
+      ORDER BY rk"""),
+    doc = "bloom-sidecar point lookup: executor-side shard skip on a cell column")
+
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
     q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
     q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras, q97KvPrefixSeek,
-    q100KvMultiRange)
+    q100KvMultiRange, q101KvBloomPoint)
 }

@@ -79,7 +79,14 @@ class KvFuzzSpec extends SparkSpec {
         col("c").isNull, col("c").isNotNull,
         col("k") > pivot._1 && col("i") < pivot._3,
         col("s") <= pivot._2 || col("d") > pivot._4,
-        col("k").isin(rows.take(5).map(_._1): _*))
+        col("k").isin(rows.take(5).map(_._1): _*),
+        // multi-range planner shapes (KeyRanges): sparse IN ∪ band,
+        // range-clipped IN, and a provably-empty conjunction
+        col("k").isin(rows.take(3).map(_._1) :+ 999999L: _*) ||
+          (col("k") >= pivot._1 - 50 && col("k") <= pivot._1 + 50),
+        col("k").isin(rows.take(8).map(_._1): _*) && col("k") > pivot._1,
+        col("k") > pivot._1 && col("k") < pivot._1 - 10,
+        (col("k") === pivot._1 || col("k") === rows.head._1) && col("i") < pivot._3)
       preds.zipWithIndex.foreach { case (p, pi) =>
         assert(keySet(back, Some(p)) == keySet(src, Some(p)),
           s"iter $iter predicate #$pi diverged: $p")
