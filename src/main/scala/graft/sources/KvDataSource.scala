@@ -144,7 +144,9 @@ class KvTable(val catalog: KvCatalog, val dir: String)
     val inKeyRange = meta.shards.filter(s =>
       KeyRanges.intersectsShard(ranges, s.minKey, s.maxKey))
     val touchable: Set[String] =
-      KvZoneMaps.prune(inKeyRange, filters, declared).map(_.file).toSet
+      KvZoneMaps.prune(inKeyRange, filters, declared)
+        .filter(s => KvBloomPrune.canMatch(dir, s, filters, declared))
+        .map(_.file).toSet
     val decoder = new KvRecordDecoder(declared,
       filters.flatMap(_.references).toSet)
     val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,

@@ -50,13 +50,25 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
     val e = end.asInstanceOf[KvOffset].shardCount
     if (e == 0) Array.empty
     else {
-      // the OFFSET is the manifest position (s until e); zone maps then
-      // drop newly-appeared shards whose value bounds exclude the pushed
-      // filters — rows in them could never survive the per-record filter,
-      // so skipping the file read is observationally identical
+      // the OFFSET is the manifest position (s until e); rowkey ranges
+      // and zone maps then drop newly-appeared shards that could not
+      // hold a matching row — rows in them could never survive the
+      // per-record filter, so skipping the file read is observationally
+      // identical. Surviving shards carry their clip ranges, so gap
+      // records inside a kept shard skip cell parsing too (same
+      // machinery as the batch scan).
       val slice = KvStore.readMeta(dir).shards.slice(s, e)
-      KvZoneMaps.prune(slice, filters, declared)
-        .map(sh => KvInputPartition(sh): InputPartition).toArray
+      val dt = declared.find(_.name == rowkeyName).map(_.dataType)
+      val ranges = dt.map(KeyRanges.fromFilters(filters, rowkeyName, _))
+        .getOrElse(KeyRanges.Full)
+      val inRange = slice.filter(sh =>
+        KeyRanges.intersectsShard(ranges, sh.minKey, sh.maxKey))
+      KvZoneMaps.prune(inRange, filters, declared)
+        .map { sh =>
+          val local = KeyRanges.clipToShard(ranges, sh.minKey, sh.maxKey)
+            .map { case (lo, hi) => (lo.map(KvStore.toHex), hi.map(KvStore.toHex)) }
+          KvInputPartition(sh, local): InputPartition
+        }.toArray
     }
   }
 

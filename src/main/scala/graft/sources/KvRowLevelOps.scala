@@ -160,7 +160,12 @@ class KvGroupScan(catalog: KvCatalog, dir: String, prunedSchema: StructType,
       .getOrElse(KeyRanges.Full)
     val inRange = meta.shards.filter(s =>
       KeyRanges.intersectsShard(ranges, s.minKey, s.maxKey))
+    // bloom sidecars prune here too (driver-side: one KiB read per
+    // candidate shard is the right trade for DML — every shard kept is
+    // a full rewrite): a point UPDATE/DELETE on a bloom-tracked column
+    // rewrites only the shards that might hold the key
     val surviving = KvZoneMaps.prune(inRange, pruning, declared)
+      .filter(s => KvBloomPrune.canMatch(dir, s, pruning, declared))
     op.scannedFiles = surviving.map(_.file)
     op.scanPlanned = true
     // full shard reads — no clip ranges, no row filters (see class doc)

@@ -106,7 +106,8 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!truncateFirst,
         "graft-kv streaming sink supports append output mode only")
-      new KvStreamingWrite(catalog, dir, info.schema(), chunkBytes, info.queryId())
+      new KvStreamingWrite(catalog, dir, info.schema(), chunkBytes, info.queryId(),
+        bloomColumns, bloomBits)
     }
   }
 }
@@ -170,13 +171,14 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
   * instead of double-appending. The whole read-modify-write runs under
   * the table lock. */
 class KvStreamingWrite(catalog: KvCatalog, dir: String, schema: StructType,
-                       chunkBytes: Long, queryId: String)
+                       chunkBytes: Long, queryId: String,
+                       bloomColumns: String = "", bloomBits: Int = 1 << 20)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     KvStreamingDataWriterFactory(dir, schema.json, catalog.schema.json,
-      catalog.rowkey, chunkBytes)
+      catalog.rowkey, chunkBytes, bloomColumns, bloomBits)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     KvStore.withTableLock(dir) {
@@ -215,14 +217,15 @@ object KvStreamingWrite {
 
 case class KvStreamingDataWriterFactory(dir: String, schemaJson: String,
                                         declaredJson: String, rowkey: String,
-                                        chunkBytes: Long)
+                                        chunkBytes: Long, bloomColumns: String = "",
+                                        bloomBits: Int = 1 << 20)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new KvDataWriter(dir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkey,
-      partitionId, taskId, chunkBytes)
+      partitionId, taskId, chunkBytes, bloomColumns, bloomBits)
 }
 
 case class KvDataWriterFactory(dir: String, schemaJson: String,

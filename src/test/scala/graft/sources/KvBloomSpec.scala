@@ -123,6 +123,35 @@ class KvBloomSpec extends SparkSpec {
     assert(kv(dir).count() == 1000L)
   }
 
+  test("point UPDATE/DELETE rewrite only the bloom-candidate shards") {
+    val dir = Files.createTempDirectory("graft-kv-bloomu").toString
+    writeTable(dir, n = 1000L, shards = 4)
+    spark.sql("DROP TABLE IF EXISTS graft_bloomu")
+    spark.sql(s"""
+      CREATE TABLE graft_bloomu USING `graft-kv`
+      OPTIONS (catalog '$catJson', path '$dir')""")
+    try {
+      val before = graft.kv.KvStore.readMeta(dir).shards.map(_.file).toSet
+      // uid of row 600 lives in exactly one shard; zone maps keep all 4
+      // (uniform uid bounds), blooms narrow the rewrite to the holder
+      val uid600 = s"uid-${(600L * 2654435761L) % 1000000007L}"
+      spark.sql(s"UPDATE graft_bloomu SET v = -5 WHERE uid = '$uid600'")
+      val after = graft.kv.KvStore.readMeta(dir).shards.map(_.file).toSet
+      assert(before.intersect(after).size == 3,
+        s"only the bloom-candidate shard may be rewritten; kept ${before.intersect(after).size} of 4")
+      assert(spark.table("graft_bloomu").filter(col("v") === -5)
+        .collect().map(_.getAs[Long]("k")).toSeq == Seq(600L))
+      // metadata DELETE path: same narrowing
+      val uid300 = s"uid-${(300L * 2654435761L) % 1000000007L}"
+      val preDel = graft.kv.KvStore.readMeta(dir).shards.map(_.file).toSet
+      spark.sql(s"DELETE FROM graft_bloomu WHERE uid = '$uid300'")
+      val postDel = graft.kv.KvStore.readMeta(dir).shards.map(_.file).toSet
+      assert(preDel.intersect(postDel).size == 3,
+        "bloom must confine the delete rewrite to the holder shard")
+      assert(spark.table("graft_bloomu").count() == 999L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bloomu")
+  }
+
   test("DELETE replacement shards drop the bloom (sound: unknown never prunes)") {
     val dir = Files.createTempDirectory("graft-kv-bloomd").toString
     writeTable(dir, n = 1000L, shards = 4)

@@ -102,4 +102,30 @@ class KvStreamSpec extends SparkSpec {
       assert(keys.toSeq == ((3L to 15L)))
     } finally q.stop()
   }
+
+  test("streaming reads prune appended shards by rowkey range (multi-range)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-streamrr").toString
+    def write(range: Range): Unit =
+      range.map(k => (k.toLong, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(if (range.head == 1) "overwrite" else "append").save()
+    write(1 to 10)
+    // sparse IN over the keyspace: appended shards outside every point
+    // range must be pruned per micro-batch, not scanned-and-dropped
+    val stream = spark.readStream.format("graft-kv")
+      .option("catalog", cat).option("path", dir).load()
+      .filter(col("k").isin(5L, 105L, 205L))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("kv_stream_mr").start()
+    try {
+      q.processAllAvailable()
+      write(101 to 110) // holds 105
+      write(301 to 310) // outside every range: pruned whole
+      q.processAllAvailable()
+      val keys = spark.table("kv_stream_mr").select("k")
+        .collect().map(_.getLong(0)).sorted
+      assert(keys.toSeq == Seq(5L, 105L))
+    } finally q.stop()
+  }
 }
