@@ -202,7 +202,10 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // list is the unbounded part
     val col = columnar && !reverse && KvColumnarReader.eligible(prunedSchema) &&
       !prunedSchema.fieldNames.contains(KvMetadataColumns.ShardCol)
-    s"graft-kv $dir Columnar: $col$pin, Limit: $lim$topn, PushedFilters: [$f]"
+    // Ranges counts the DISJOINT planned rowkey ranges (static filters
+    // only; runtime filters may tighten later) — 0 = provably empty
+    val nr = rowkeyRanges().length
+    s"graft-kv $dir Columnar: $col$pin, Ranges: $nr, Limit: $lim$topn, PushedFilters: [$f]"
   }
 
   /** Compile rowkey predicates into a normalized union of disjoint

@@ -535,6 +535,17 @@ class KvConnectorSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 
+  test("aggregates over a provably-empty rowkey range return SQL empty-set results") {
+    val df = kv.filter(col("id") > 500L && col("id") < 400L)
+      .agg(count(lit(1)).as("n"), min(col("age")).as("m"), sum(col("age")).as("s"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") == 0L && r.isNullAt(1) && r.isNullAt(2),
+      "zero planned partitions must still yield COUNT 0 / MIN NULL / SUM NULL")
+    // multi-range EXPLAIN surface: the plan names its planned range count
+    assert(physicalPlan(kv.filter(col("id").isin(5L, 500L, 995L)))
+      .contains("Ranges: 3"))
+  }
+
   test("avg rides aggregate pushdown as sum+count partials (Spark's own rewrite)") {
     // grouped: avg over an integral column becomes pushed Sum+Count
     val df = kv.groupBy(col("alive")).agg(avg(col("age")).as("a"))
