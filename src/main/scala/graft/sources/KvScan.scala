@@ -150,7 +150,22 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
              reverse: Boolean = false, columnar: Boolean = true,
              asOf: Option[Long] = None)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportOrdering {
+
+  /** Every partition emits rowkey order: a shard file is sorted by key,
+    * multi-range clips are visited in sorted range order, and the DESC
+    * tail reader serves its ring buffer newest-first (key-descending).
+    * Reporting it (DSv2 `SupportsReportOrdering`, picked up by Spark's
+    * `V2ScanPartitioningAndOrdering` rule) lets the planner drop
+    * partition-local Sorts on the rowkey instead of re-sorting data the
+    * storage layout already ordered. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (prunedSchema.fieldNames.contains(rowkeyName)) {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      val d = if (reverse) SortDirection.DESCENDING else SortDirection.ASCENDING
+      Array(Expressions.sort(Expressions.column(rowkeyName), d))
+    } else Array.empty
 
   /** Runtime filters (e.g. DPP-style IN-sets from a join's build side)
     * arrive after planning starts; they tighten both shard pruning and

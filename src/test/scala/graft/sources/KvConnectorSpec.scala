@@ -281,6 +281,27 @@ class KvConnectorSpec extends SparkSpec {
       s"top-N must reach the scan as a limit: ${scan.description()}")
   }
 
+  test("scan reports rowkey ordering: redundant partition-local sorts are removed") {
+    // RemoveRedundantSorts drops the SortExec because the scan's reported
+    // per-partition ordering (SupportsReportOrdering) already satisfies it
+    val sorted = kv.filter(col("age") > 10).sortWithinPartitions("id")
+    val plan = physicalPlan(sorted)
+    assert(!plan.contains("Sort ["),
+      s"rowkey sortWithinPartitions must be a no-op over the sorted scan:\n$plan")
+    val ord = sorted.queryExecution.executedPlan.outputOrdering
+    assert(ord.nonEmpty && ord.head.toString.contains("id") &&
+      ord.head.toString.contains("ASC"), s"scan must report rowkey ASC: $ord")
+    // a non-rowkey sort is NOT satisfied by the layout and must stay
+    assert(physicalPlan(kv.sortWithinPartitions("age")).contains("Sort ["))
+    // the DESC tail reader serves newest-first → reports key-descending
+    val desc = kv.orderBy(col("id").desc).limit(3)
+    val scanOrd = desc.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get.outputOrdering
+    assert(scanOrd.nonEmpty && scanOrd.head.toString.contains("DESC"),
+      s"DESC tail scan must report key-descending order: $scanOrd")
+  }
+
   test("top-N by rowkey DESC pushes a tail scan (<= n rows per shard)") {
     val df = kv.orderBy(col("id").desc).limit(3).select("id")
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(1000L, 999L, 998L))
