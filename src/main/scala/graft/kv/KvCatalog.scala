@@ -78,6 +78,47 @@ object KvCatalog {
     case other => throw new IllegalArgumentException(s"Unsupported type $other")
   }
 
+  /** DataType → the catalog type-string table above (exact inverse of
+    * [[parseType]] — catalogString alone would emit `bigint`/`tinyint`
+    * spellings the reference table never accepted). */
+  def typeString(dt: DataType): String = dt match {
+    case BooleanType          => "boolean"
+    case StringType           => "string"
+    case IntegerType          => "int"
+    case BinaryType           => "binary"
+    case ByteType             => "byte"
+    case DateType             => "date"
+    case DoubleType           => "double"
+    case FloatType            => "float"
+    case LongType             => "long"
+    case ShortType            => "short"
+    case TimestampType        => "timestamp"
+    case CalendarIntervalType => "calendar"
+    case d: DecimalType       => s"decimal(${d.precision},${d.scale})"
+    case ArrayType(FloatType, false)               => "array<float>"
+    case MapType(StringType, StringType, false)    => "map<string,string>"
+    case other => throw new IllegalArgumentException(
+      s"type ${other.catalogString} has no graft-kv cell encoding")
+  }
+
+  /** Catalog → map-form JSON ([[parse]]'s shape 1; ObjectNode preserves
+    * insertion order, so the declared column order round-trips). */
+  def render(cat: KvCatalog): String = {
+    val root = mapper.createObjectNode()
+    val t = root.putObject("table")
+    t.put("namespace", cat.namespace)
+    t.put("name", cat.table)
+    root.put("rowkey", cat.rowkey)
+    val cols = root.putObject("columns")
+    cat.columns.foreach { c =>
+      val n = cols.putObject(c.name)
+      n.put("cf", c.cf)
+      n.put("col", c.qualifier)
+      n.put("type", typeString(c.dataType))
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
   def parse(json: String): KvCatalog = {
     val root = mapper.readTree(json)
     val tableNode = root.path("table")
@@ -99,7 +140,11 @@ object KvCatalog {
           KvColumn(parts(0), parts(2), qual, parseType(parts(1)))
         }.toSeq
       } else if (colsNode.isObject) {
-        colsNode.properties().asScala.map { entry =>
+        // iterate the ObjectNode's LinkedHashMap IN INSERTION ORDER (a
+        // Set wrapper would re-hash it): declared column order is the
+        // table's positional schema — SQL `INSERT INTO t VALUES …` binds
+        // by position, so a scrambled order mis-assigns every value
+        colsNode.properties().iterator().asScala.map { entry =>
           val n = entry.getKey
           val v = entry.getValue
           val cf = v.path("cf").asText()

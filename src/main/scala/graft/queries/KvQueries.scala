@@ -669,8 +669,53 @@ object KvQueries {
       ORDER BY rk"""),
     doc = "bloom-sidecar point lookup: executor-side shard skip on a cell column")
 
+  /** SQL-catalog gate ([[graft.sources.KvSqlCatalog]]): the table is
+    * CREATED with `CREATE TABLE … AS SELECT` through the `graft_gate`
+    * catalog — no temp view, no inline catalog JSON — and every read is
+    * a plain SQL identifier. The loaded table is the same [[graft.sources.KvTable]]
+    * the path reader builds, so rowkey-range pruning and cell-filter
+    * pushdown ride unchanged; the oracle reruns the query on the
+    * original parquet. This is the workflow the reference cannot offer
+    * (its catalog JSON travels per-query as an option string,
+    * `HbaseTableCatalog.scala:49-78`). */
+  val q102SqlCatalog: Q = Q(
+    "q102_sql_catalog",
+    (s, d) => {
+      val wh = graft.kv.KvStore.cacheDir(s"sqlcat-wh-${cacheKey(d)}")
+      s.conf.set("spark.sql.catalog.graft_gate", "graft.sources.KvSqlCatalog")
+      s.conf.set("spark.sql.catalog.graft_gate.warehouse", wh)
+      if (!new File(s"$wh/default/lineitem_sql/_kvmeta.json").exists()) {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_ctas_src")
+        s.sql("DROP TABLE IF EXISTS graft_gate.default.lineitem_sql")
+        s.sql("""CREATE TABLE graft_gate.default.lineitem_sql
+                 TBLPROPERTIES ('rowkey'='lk') AS
+                 SELECT l_orderkey * 100 + l_linenumber AS lk, l_orderkey,
+                        l_quantity, l_extendedprice, l_returnflag
+                 FROM lineitem_ctas_src""")
+      }
+      // the exact fixed-point sum contract (graft.util.Exact) spelled in
+      // SQL — identical formula on the oracle side below
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+                      CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+               FROM graft_gate.default.lineitem_sql
+               WHERE lk BETWEEN 2000000 AND 3000000 AND l_quantity < 30
+               GROUP BY l_returnflag
+               ORDER BY l_returnflag""")
+    },
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n,
+             ${sqlDsum("l_quantity")} AS sum_qty,
+             ${sqlDsum("l_extendedprice")} AS sum_price
+      FROM lineitem
+      WHERE (l_orderkey * 100 + l_linenumber) BETWEEN 2000000 AND 3000000
+        AND l_quantity < 30
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    doc = "SQL catalog DDL surface: CTAS + catalog-identifier reads with full pushdown")
+
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
     q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
     q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras, q97KvPrefixSeek,
-    q100KvMultiRange, q101KvBloomPoint)
+    q100KvMultiRange, q101KvBloomPoint, q102SqlCatalog)
 }
