@@ -441,6 +441,103 @@ object Curation {
       ORDER BY doc_id"""),
     doc = "per-doc URL density + distinct hosts (boilerplate/spam signal), zero shuffles")
 
+  /** Domain-mixture resampling — the "data mixing" step that turns a
+    * crawl's accidental source distribution into the training mixture:
+    * every source is downsampled toward the SMALLEST source's share
+    * (uniform target mix). Selection is the same auditable md5 gate as
+    * q38, but the per-source keep-threshold is COMPUTED from corpus
+    * counts (floor(min_cnt·65536 / cnt) over the first 16 bits of
+    * md5(doc_id)) rather than hard-coded — rerunning after ingest picks
+    * up the new counts, and the integer arithmetic replays exactly in
+    * any engine. Scale shape: the corpus is scanned once and never
+    * shuffled — only the 20-row per-source count table aggregates, and
+    * the thresholds broadcast back. */
+  val q104MixtureResample: Q = Q(
+    "q104_mixture_resample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val thr = counts
+        .crossJoin(broadcast(counts.agg(min(col("cnt")).as("min_cnt"))))
+        .select(col("source"), expr("min_cnt * 65536 DIV cnt").as("thr"))
+      val h4 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      docs.withColumn("h4", h4)
+        .join(broadcast(thr), Seq("source"))
+        .filter(col("h4") < col("thr"))
+        .select(col("doc_id"), col("source"), col("h4"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+      thr AS (
+        SELECT source, (SELECT min(cnt) FROM counts) * 65536 // cnt AS thr
+        FROM counts),
+      hx AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      gated AS (
+        SELECT doc_id, source,
+               CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 +
+                    (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 +
+                    (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 +
+                    (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) AS BIGINT) AS h4
+        FROM hx)
+      SELECT g.doc_id, g.source, g.h4
+      FROM gated g JOIN thr t ON t.source = g.source
+      WHERE g.h4 < t.thr
+      ORDER BY g.doc_id"""),
+    doc = "count-derived uniform domain mixture via deterministic md5 gating")
+
+  /** Sequence packing — the step after chunking/tokenization that lays
+    * documents head-to-tail into fixed-size training sequences (budget
+    * 2048 tokens, document splits allowed: the concat-and-chunk packing
+    * every large pretraining run uses, zero padding waste by
+    * construction). Within each language stream, documents concatenate
+    * in doc_id order; a document's packed span is derived from the
+    * RUNNING token total alone (first_seq = start DIV B, last_seq =
+    * (end-1) DIV B), so the whole operator is one window over
+    * (lang, doc_id) — a single shuffle, no iteration, no driver state,
+    * and the window partitions by language stream so 100 TB packs as
+    * parallel per-stream prefix sums. */
+  val q105SequencePacking: Q = Q(
+    "q105_sequence_packing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          expr("(cum - n_toks) DIV 2048").as("first_seq"),
+          expr("CASE WHEN n_toks = 0 THEN (cum - n_toks) DIV 2048 " +
+               "ELSE (cum - 1) DIV 2048 END").as("last_seq"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+'))
+                    END AS BIGINT) AS n_toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_toks,
+               sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT doc_id, lang, n_toks,
+             (cum - n_toks) // 2048 AS first_seq,
+             CASE WHEN n_toks = 0 THEN (cum - n_toks) // 2048
+                  ELSE (cum - 1) // 2048 END AS last_seq
+      FROM c
+      ORDER BY doc_id"""),
+    doc = "concat-and-chunk sequence packing: per-stream running-sum spans, one shuffle")
+
   def defs: Seq[Q] = Seq(q87RepetitionQuality, q88Decontamination, q89VocabOov,
-    q91QualityCutoff, q92DocChunks, q93QualityCutoffApprox, q98PiiScrub, q99UrlStats)
+    q91QualityCutoff, q92DocChunks, q93QualityCutoffApprox, q98PiiScrub, q99UrlStats,
+    q104MixtureResample, q105SequencePacking)
 }

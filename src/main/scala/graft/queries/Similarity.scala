@@ -472,6 +472,76 @@ object Similarity {
       ORDER BY id_a, id_b"""),
     doc = "LSH-bucketed cosine near-dup pairs (sub-quadratic twin of q51)")
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus around a
+    * coarse quantizer, then mark as duplicate every vector that has a
+    * SMALLER-id neighbor above the cosine threshold in its own cluster
+    * (keep-first representative selection). Candidate enumeration is
+    * cluster-local — the within-cell self-join is each cell's ~n/k
+    * vectors, never the corpus — which is the published SemDeDup recipe
+    * for embedding dedup at web scale: k grows with n (k≈√n keeps cells
+    * bounded), the corpus shuffles ONCE on cell id, and no all-pairs
+    * stage exists anywhere. Output is the full per-vector verdict
+    * (cell + is_dup), so the hash pins assignment and dedup both.
+    *
+    * The quantizer is q53's deterministic md5-ordered sample, which is
+    * what lets DuckDB replay cluster boundaries exactly; an iterative
+    * k-means would be partitioning-dependent. τ=0.35 suits the
+    * synthetic corpus (random embeddings, max in-cell cosine ≈0.48 —
+    * real text embeddings would use ≈0.9+). */
+  val q103SemanticDedup: Q = Q(
+    "q103_semantic_dedup",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val emb = Tables.embeddings(s, d)
+      val k = 16
+      val tau = 0.35
+      val centroids: Array[Array[Float]] = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(k).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val centroidLits = centroids.map(c => array(c.map(lit).toIndexedSeq: _*))
+      val cosArr = array(centroidLits.map(cl =>
+        call_function("cosine_sim", col("embedding"), cl)).toIndexedSeq: _*)
+      val cells = emb
+        .withColumn("cell", array_position(cosArr, array_max(cosArr)).cast("int"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val dups = cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(expr("cosine_sim(a.embedding, b.embedding)") >= tau)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      cells.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH dbl AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cent AS (
+        SELECT emb AS cemb,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
+        FROM dbl
+        QUALIFY cid <= 16),
+      asgn AS (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.emb, c.cemb) /
+                 (sqrt(list_dot_product(e.emb, e.emb)) *
+                  sqrt(list_dot_product(c.cemb, c.cemb))) DESC, c.cid) AS r
+        FROM dbl e CROSS JOIN cent c),
+      cells AS (SELECT vec_id, emb, cid AS cell FROM asgn WHERE r = 1),
+      dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb) /
+              (sqrt(list_dot_product(a.emb, a.emb)) *
+               sqrt(list_dot_product(b.emb, b.emb))) >= 0.35)
+      SELECT c.vec_id, c.cell, (d.vec_id IS NOT NULL) AS is_dup
+      FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
+      ORDER BY c.vec_id"""),
+    doc = "SemDeDup: cluster-local cosine dedup with keep-first representatives")
+
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
-    q54QuantizedTopK, q55LshNearDup)
+    q54QuantizedTopK, q55LshNearDup, q103SemanticDedup)
 }

@@ -277,4 +277,50 @@ class CurationSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_urls") == 0L && out(2).getAs[Long]("n_hosts") == 0L)
     assert(out(3).getAs[Long]("n_urls") == 3L && out(3).getAs[Long]("n_hosts") == 1L)
   }
+
+  test("q104 mixture resample: min source keeps all, others land near the uniform target") {
+    val spark2 = spark
+    val kept = Curation.q104MixtureResample.fn(spark2, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark2, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = totals.values.min
+    val minSource = totals.minBy(_._2)._1
+    assert(kept(minSource) == minCnt, "the smallest source must survive whole")
+    // every other source is gated toward min_cnt: within binomial noise
+    // (sources here are ~25 docs; allow 4·sqrt for the tiny strata)
+    totals.foreach { case (src, cnt) =>
+      val k = kept.getOrElse(src, 0L)
+      assert(k <= cnt)
+      val tol = 4 * math.sqrt(minCnt.toDouble) + 2
+      assert(math.abs(k - minCnt) <= tol,
+        s"source $src kept $k, target $minCnt (cnt $cnt, tol $tol)")
+    }
+  }
+
+  test("q105 sequence packing: spans are contiguous and cover the token stream exactly") {
+    val out = Curation.q105SequencePacking.fn(spark, d)
+      .orderBy(col("lang"), col("doc_id")).collect()
+    val B = 2048L
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, docs) =>
+      var cum = 0L
+      var prevLast = 0L
+      docs.foreach { r =>
+        val n = r.getAs[Long]("n_toks")
+        val first = r.getAs[Long]("first_seq")
+        val last = r.getAs[Long]("last_seq")
+        assert(first == cum / B, "first_seq must be the running-total cut")
+        assert(if (n == 0) last == first else last == (cum + n - 1) / B)
+        assert(first >= prevLast, "spans may not move backwards")
+        assert(n == 0 || first - prevLast <= 1,
+          "no empty sequence gaps between consecutive documents")
+        cum += n
+        prevLast = math.max(prevLast, last)
+      }
+      // the stream fills ceil(total/B) sequences, no more, no fewer
+      if (cum > 0) assert(prevLast == (cum - 1) / B)
+    }
+  }
 }

@@ -366,4 +366,30 @@ class OperatorSpec extends SparkSpec {
     // and the next dedup query transparently re-persists + still works
     assert(Dedup.q42NgramJaccard.fn(spark, d).count() >= 0)
   }
+
+  test("q103 semantic dedup: survivors are pairwise below τ, dups have a witness") {
+    graft.functions.CosineSimilarity.register(spark)
+    val out = Similarity.q103SemanticDedup.fn(spark, d).cache()
+    try {
+      val emb = graft.Tables.embeddings(spark, d)
+      val withVec = out.join(emb, Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("is_dup"), col("embedding"))
+      assert(out.filter(col("is_dup")).count() > 0, "τ must bite (vacuity guard)")
+      // maximality: two SURVIVORS in one cell are never τ-close — else
+      // one of them had a smaller-id witness and had to be marked dup
+      val survivors = withVec.filter(!col("is_dup"))
+      val closePairs = survivors.as("a").join(survivors.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(expr("cosine_sim(a.embedding, b.embedding)") >= 0.35)
+        .count()
+      assert(closePairs == 0, "survivor set must be τ-separated within each cell")
+      // soundness: every dup has a smaller-id τ-close witness IN ITS CELL
+      val dups = withVec.filter(col("is_dup"))
+      val witnessed = dups.as("dp").join(withVec.as("w"),
+          col("w.cell") === col("dp.cell") && col("w.vec_id") < col("dp.vec_id") &&
+          expr("cosine_sim(w.embedding, dp.embedding)") >= 0.35, "left_semi")
+      assert(witnessed.count() == dups.count(),
+        "every dup flag needs an in-cell smaller-id witness")
+    } finally out.unpersist()
+  }
 }
