@@ -42,6 +42,13 @@ object Bench {
   private def fastRepeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS_FAST", "5").toInt
     .max(repeats)
   private val FastThresholdSec = 1.0
+  /** Mid tier (round 9): the r8-vs-r7 diff flagged +25–50% swings on
+    * 1–2.5 s queries that ran only the base 2 repeats — the same
+    * noise-floor problem one tier up. Queries under 2.5 s now get
+    * min-of-≥4 so a single load blip can't masquerade as a regression. */
+  private def midRepeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS_MID", "4").toInt
+    .max(repeats)
+  private val MidThresholdSec = 2.5
 
   def main(args: Array[String]): Unit =
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
@@ -138,7 +145,8 @@ object Bench {
       // base repeats for everyone; sub-second queries keep going (up to
       // fastRepeats) so the reported min is a real floor, not load noise
       while (attempts < repeats ||
-             (attempts < fastRepeats && times.nonEmpty && times.min < FastThresholdSec)) {
+             (attempts < fastRepeats && times.nonEmpty && times.min < FastThresholdSec) ||
+             (attempts < midRepeats && times.nonEmpty && times.min < MidThresholdSec)) {
         val t0 = System.nanoTime()
         // toRdd.count() materializes the FULL physical plan (projections,
         // sorts, limits) without collecting to the driver; plain count()

@@ -160,6 +160,77 @@ object Stress {
     pairsDf.unpersist(blocking = true)
     System.err.println(f"[stress] near_dup_pairs planes=$planes first=$pFirst%.1fs steady=$pSteady%.1fs pairs=$nPairs")
 
+    // SemDeDup at scale (q103, adaptive k ≈ √n keeps cell population
+    // bounded as the corpus grows). The epsilon-twin replicas give real
+    // ground truth here too: copy i>0 of base vector v has a SMALLER-id
+    // twin (copy 0, vec_id = v) at cosine ≈ 1 ≫ τ=0.35, so every
+    // higher-copy vector must come back is_dup=true unless its twin
+    // pair straddles a nearest-centroid boundary (rare: the ±0.001·i
+    // first-component nudge moves almost no vector across a boundary).
+    val semFn = SparkEntry.queries("q103_semantic_dedup")
+    def semOnce(): (Double, DataFrame) = {
+      val t0 = System.nanoTime()
+      val df = semFn(spark, out)
+      df.queryExecution.toRdd.count()
+      sampleHeap()
+      ((System.nanoTime() - t0) / 1e9, df)
+    }
+    val (semFirst, _) = semOnce()
+    val (semSteady, semDf0) = semOnce()
+    val semDf = semDf0.persist()
+    val semRows = semDf.count()
+    val semJson = if (copies > 1) {
+      val hi = semDf.filter(col("vec_id") >= 1000000L)
+      val hiN = hi.count()
+      val hiDup = hi.filter(col("is_dup")).count()
+      val twinRecall = hiDup.toDouble / hiN
+      System.err.println(f"[stress] semantic_dedup twin_dup_recall=$twinRecall%.4f ($hiDup of $hiN higher-copy vectors marked dup)")
+      require(twinRecall >= 0.9,
+        f"SemDeDup twin-dup recall $twinRecall%.4f < 0.9 against replica ground truth")
+      f""","twin_dup_recall":$twinRecall%.4f,"higher_copy_n":$hiN,"higher_copy_dup":$hiDup"""
+    } else ""
+    semDf.unpersist(blocking = true)
+    System.err.println(f"[stress] semantic_dedup first=$semFirst%.1fs steady=$semSteady%.1fs rows=$semRows")
+
+    // Sequence-packing A/B (q105): the distributed prefix sum
+    // (bucket subtotals → broadcast offsets → parallel local cumsums)
+    // vs the naive one-window-partition-per-LANGUAGE shape it replaced
+    // in round 9. The replica keeps the base corpus's skewed language
+    // mix, so the naive shape runs the whole cumsum on #languages
+    // tasks while the distributed shape runs on #languages × buckets —
+    // the two must agree row-for-row (asserted via symmetric EXCEPT).
+    def timePack(mk: () => DataFrame): (Double, DataFrame) = {
+      def once(): (Double, DataFrame) = {
+        val t0 = System.nanoTime()
+        val df = mk()
+        df.queryExecution.toRdd.count()
+        sampleHeap()
+        ((System.nanoTime() - t0) / 1e9, df)
+      }
+      val (a, _) = once(); val (b, df) = once()
+      (math.min(a, b), df)
+    }
+    val (packDistSec, packDistDf) =
+      timePack(() => SparkEntry.queries("q105_sequence_packing")(spark, out))
+    val (packLangSec, packLangDf) = timePack { () =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, out)
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          expr("(cum - n_toks) DIV 2048").as("first_seq"),
+          expr("CASE WHEN n_toks = 0 THEN (cum - n_toks) DIV 2048 " +
+               "ELSE (cum - 1) DIV 2048 END").as("last_seq"))
+    }
+    val packDiff = packDistDf.except(packLangDf).count() +
+      packLangDf.except(packDistDf).count()
+    require(packDiff == 0,
+      s"distributed packing disagrees with per-language window on $packDiff rows")
+    System.err.println(f"[stress] packing distributed=$packDistSec%.2fs per_lang_window=$packLangSec%.2fs (x${packLangSec / packDistSec}%.2f)")
+
     // Columnar vs row full-scan A/B on a KV table built from the
     // replica's lineitem (the vectorized path's target workload: wide
     // flat schema, no pruning — every record decoded; big enough that
@@ -205,7 +276,11 @@ object Stress {
       f""""kv_columnar_ab":{"columnar_sec":$colSec%.2f,"row_sec":$rowSec%.2f,"speedup":${rowSec / colSec}%.2f}"""
     val pairsJson =
       f""""near_dup_pairs":{"planes":$planes,"first_sec":$pFirst%.2f,"steady_sec":$pSteady%.2f,"pairs":$nPairs$recallJson}"""
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,$pairsJson,$abJson,"peak_heap_mb":$peakHeapMb}""")
+    val semOut =
+      f""""semantic_dedup":{"first_sec":$semFirst%.2f,"steady_sec":$semSteady%.2f,"rows":$semRows$semJson}"""
+    val packJson =
+      f""""packing_ab":{"distributed_sec":$packDistSec%.2f,"per_lang_window_sec":$packLangSec%.2f,"speedup":${packLangSec / packDistSec}%.2f}"""
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,$pairsJson,$semOut,$packJson,$abJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

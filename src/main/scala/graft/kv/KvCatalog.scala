@@ -95,10 +95,26 @@ object KvCatalog {
     case TimestampType        => "timestamp"
     case CalendarIntervalType => "calendar"
     case d: DecimalType       => s"decimal(${d.precision},${d.scale})"
-    case ArrayType(FloatType, false)               => "array<float>"
-    case MapType(StringType, StringType, false)    => "map<string,string>"
+    // nullability-insensitive: SQL `ARRAY<FLOAT>` parses to
+    // containsNull=true, but the cell encoding is the same either way
+    // (no per-element null bitmap is stored) — see [[normalizeType]]
+    case ArrayType(FloatType, _)                   => "array<float>"
+    case MapType(StringType, StringType, _)        => "map<string,string>"
     case other => throw new IllegalArgumentException(
       s"type ${other.catalogString} has no graft-kv cell encoding")
+  }
+
+  /** Collapse SQL-parsed nullable container variants to the cell
+    * encoding's canonical non-null form: `CREATE TABLE ... ARRAY<FLOAT>`
+    * arrives as ArrayType(FloatType, containsNull=true), which would
+    * otherwise be rejected as "no cell encoding" even though the
+    * encoding exists (it just never stores element nulls; a write with
+    * a null element still fails at encode time). */
+  def normalizeType(dt: DataType): DataType = dt match {
+    case ArrayType(FloatType, _) => ArrayType(FloatType, containsNull = false)
+    case MapType(StringType, StringType, _) =>
+      MapType(StringType, StringType, valueContainsNull = false)
+    case other => other
   }
 
   /** Catalog → map-form JSON ([[parse]]'s shape 1; ObjectNode preserves

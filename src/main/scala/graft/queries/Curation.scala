@@ -497,20 +497,52 @@ object Curation {
     * construction). Within each language stream, documents concatenate
     * in doc_id order; a document's packed span is derived from the
     * RUNNING token total alone (first_seq = start DIV B, last_seq =
-    * (end-1) DIV B), so the whole operator is one window over
-    * (lang, doc_id) — a single shuffle, no iteration, no driver state,
-    * and the window partitions by language stream so 100 TB packs as
-    * parallel per-stream prefix sums. */
+    * (end-1) DIV B).
+    *
+    * Scale shape — a DISTRIBUTED prefix sum, not one window partition
+    * per language (which would pull an entire ~20 TB language stream
+    * through a single task's sort at 100 TB). doc_id rows are assigned
+    * to order-preserving buckets (fixed-width slices of the doc_id
+    * range, so bucket i's ids all precede bucket i+1's); the per-
+    * (lang, bucket) token subtotals form a tiny table (buckets ×
+    * #languages rows) whose exclusive running sum yields each bucket's
+    * starting offset; the heavy cumsum then runs as parallel
+    * (lang, bucket)-partitioned windows, each adding its bucket's
+    * offset. Parallelism is buckets × #languages instead of
+    * #languages; the only driver-side data is a 1-row min/max/count
+    * agg (bounded, documented). */
   val q105SequencePacking: Q = Q(
     "q105_sequence_packing",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_toks"))
-        .withColumn("cum", sum(col("n_toks")).over(w))
+      // Bounded 1-row collect: global doc_id range for order-preserving buckets.
+      val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        count(lit(1)).as("n")).head()
+      val nBuckets =
+        if (bounds.isNullAt(0)) 1L
+        else math.max(s.sessionState.conf.numShufflePartitions.toLong, 1L)
+      val lo = if (bounds.isNullAt(0)) 0L else bounds.getLong(0)
+      val hi = if (bounds.isNullAt(0)) 0L else bounds.getLong(1)
+      val width = math.max((hi - lo) / nBuckets + 1L, 1L)
+      val bucketed = t.withColumn("bucket",
+        expr(s"(doc_id - ${lo}L) DIV ${width}L"))
+      // Tiny (buckets x #langs) subtotal table -> exclusive running offsets.
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("n_toks")).as("sub"))
+        .withColumn("off", coalesce(sum(col("sub")).over(wOff), lit(0L)))
+        .drop("sub")
+      // Heavy cumsum: parallel per-(lang, bucket) windows + bucket offset.
+      val wLocal = Window.partitionBy(col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bucketed
+        .join(broadcast(offsets), Seq("lang", "bucket"))
+        .withColumn("cum", col("off") + sum(col("n_toks")).over(wLocal))
         .select(col("doc_id"), col("lang"), col("n_toks"),
           expr("(cum - n_toks) DIV 2048").as("first_seq"),
           expr("CASE WHEN n_toks = 0 THEN (cum - n_toks) DIV 2048 " +
@@ -530,12 +562,13 @@ object Curation {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM t)
       SELECT doc_id, lang, n_toks,
-             (cum - n_toks) // 2048 AS first_seq,
-             CASE WHEN n_toks = 0 THEN (cum - n_toks) // 2048
-                  ELSE (cum - 1) // 2048 END AS last_seq
+             CAST((cum - n_toks) // 2048 AS BIGINT) AS first_seq,
+             CAST(CASE WHEN n_toks = 0 THEN (cum - n_toks) // 2048
+                       ELSE (cum - 1) // 2048 END AS BIGINT) AS last_seq
       FROM c
       ORDER BY doc_id"""),
-    doc = "concat-and-chunk sequence packing: per-stream running-sum spans, one shuffle")
+    doc = "concat-and-chunk sequence packing: distributed prefix sum " +
+      "(bucket subtotals -> broadcast offsets -> parallel local cumsums)")
 
   def defs: Seq[Q] = Seq(q87RepetitionQuality, q88Decontamination, q89VocabOov,
     q91QualityCutoff, q92DocChunks, q93QualityCutoffApprox, q98PiiScrub, q99UrlStats,

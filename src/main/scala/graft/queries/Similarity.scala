@@ -487,23 +487,44 @@ object Similarity {
     * what lets DuckDB replay cluster boundaries exactly; an iterative
     * k-means would be partitioning-dependent. τ=0.35 suits the
     * synthetic corpus (random embeddings, max in-cell cosine ≈0.48 —
-    * real text embeddings would use ≈0.9+). */
+    * real text embeddings would use ≈0.9+).
+    *
+    * k is ADAPTIVE (round 9): k = max(16, ceil(√n)) derived from one
+    * scalar corpus count, so cell population stays ~√n as the corpus
+    * grows and the within-cell self-join stays ~n·√n total work
+    * instead of degrading toward O(n²/k) with a constant k. The rule is
+    * pure integer/sqrt arithmetic on the count, so the DuckDB oracle
+    * computes the identical k from the same table. Assignment is a
+    * broadcast crossJoin + map-side-combined argmax (NOT k literal
+    * arrays in one codegen'd expression, which would blow past the JVM
+    * method limit at k in the thousands): each input partition
+    * collapses its n·k candidate rows back to n before any shuffle. */
   val q103SemanticDedup: Q = Q(
     "q103_semantic_dedup",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val emb = Tables.embeddings(s, d)
-      val k = 16
+      // Bounded scalar collect: corpus count -> deterministic k.
+      val n = emb.count()
+      val k = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
       val tau = 0.35
-      val centroids: Array[Array[Float]] = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(k).select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).toArray)
-      val centroidLits = centroids.map(c => array(c.map(lit).toIndexedSeq: _*))
-      val cosArr = array(centroidLits.map(cl =>
-        call_function("cosine_sim", col("embedding"), cl)).toIndexedSeq: _*)
-      val cells = emb
-        .withColumn("cell", array_position(cosArr, array_max(cosArr)).cast("int"))
+      // Distributed top-k (TakeOrdered) selects the md5-ordered sample;
+      // cid numbering is a window over the tiny k-row table only.
+      import org.apache.spark.sql.expressions.Window
+      val wc = Window.orderBy(col("h"), col("vec_id"))
+      val cent = emb
+        .select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),
+          col("embedding").as("cemb"))
+        .orderBy(col("h"), col("vec_id")).limit(k.toInt)
+        .withColumn("cid", row_number().over(wc).cast("int"))
+        .select(col("cid"), col("cemb"))
+      val cells = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          call_function("cosine_sim", col("embedding"), col("cemb")).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("cid"), struct(col("cos"), (lit(0) - col("cid")).as("nc")))
+            .as("cell"))
         .select(col("vec_id"), col("embedding"), col("cell"))
       val dups = cells.as("a").join(cells.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -522,7 +543,7 @@ object Similarity {
         SELECT emb AS cemb,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
         FROM dbl
-        QUALIFY cid <= 16),
+        QUALIFY cid <= GREATEST(16, CAST(ceil(sqrt((SELECT count(*) FROM dbl))) AS BIGINT))),
       asgn AS (
         SELECT e.vec_id, e.emb, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY

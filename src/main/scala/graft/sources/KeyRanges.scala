@@ -74,14 +74,36 @@ object KeyRanges {
     out.toSeq
   }
 
-  /** Pairwise intersection of two normalized sets (result normalized).
-    * Sizes are capped, so the quadratic pairing never matters. */
-  def intersect(a: Seq[Range], b: Seq[Range]): Seq[Range] =
-    normalize(for {
-      ra <- a; rb <- b
-      r = (maxLo(ra._1, rb._1), minHi(ra._2, rb._2))
-      if nonEmpty(r)
-    } yield r)
+  /** Collapse an oversized normalized set to its envelope (sound
+    * superset; in a disjoint set sorted by lo the his increase too, so
+    * (first.lo, last.hi) covers everything). Applied at EVERY combine
+    * step of the filter fold, not just at the end — two ~MaxRanges
+    * inputs (a 10k-literal static IN conjoined with a large runtime DPP
+    * IN-set) would otherwise do O(n·m) pairwise allocations on the
+    * driver before any cap could fire. */
+  private def clamp(rs: Seq[Range]): Seq[Range] =
+    if (rs.length > MaxRanges) Seq((rs.head._1, rs.last._2)) else rs
+
+  /** Intersection of two normalized sets (result normalized). A linear
+    * merge sweep, not pairwise O(n·m): both inputs are sorted and
+    * disjoint, so at each step only the current pair can overlap, and
+    * the side whose hi ends first advances (its range can't intersect
+    * anything later on the other side). Inputs are re-normalized
+    * defensively (idempotent, O(n log n)) so a non-normalized caller
+    * can't silently get wrong answers. */
+  def intersect(a: Seq[Range], b: Seq[Range]): Seq[Range] = {
+    val aa = normalize(a).toIndexedSeq
+    val bb = normalize(b).toIndexedSeq
+    val out = scala.collection.mutable.ArrayBuffer[Range]()
+    var i = 0
+    var j = 0
+    while (i < aa.length && j < bb.length) {
+      val r = (maxLo(aa(i)._1, bb(j)._1), minHi(aa(i)._2, bb(j)._2))
+      if (nonEmpty(r)) out += r
+      if (cmpHi(aa(i)._2, bb(j)._2) <= 0) i += 1 else j += 1
+    }
+    out.toSeq // sweep output is already sorted and disjoint
+  }
 
   def union(a: Seq[Range], b: Seq[Range]): Seq[Range] = normalize(a ++ b)
 
@@ -129,7 +151,7 @@ object KeyRanges {
         // constraining only if EVERY literal encodes — a missed literal
         // could match outside the encoded points
         if (encs.forall(_.isDefined))
-          Some(normalize(encs.map(b => (b, b))))
+          Some(clamp(normalize(encs.map(b => (b, b)))))
         else None
       // prefix seek: keys with prefix p live in [p, successor(p)); the
       // successor is kept INCLUSIVE (sound, one extra key possible —
@@ -138,18 +160,15 @@ object KeyRanges {
         val pb = org.apache.spark.unsafe.types.UTF8String.fromString(p).getBytes
         Some(Seq((Some(pb), BytesCodec.prefixSuccessor(pb))))
       case And(l, r) => (of(l), of(r)) match {
-        case (Some(x), Some(y)) => Some(intersect(x, y))
+        case (Some(x), Some(y)) => Some(clamp(intersect(x, y)))
         case (x, y) => x.orElse(y)
       }
-      case Or(l, r) => for { x <- of(l); y <- of(r) } yield union(x, y)
+      case Or(l, r) => for { x <- of(l); y <- of(r) } yield clamp(union(x, y))
       case _ => None
     }
-    val combined = filters.foldLeft(Full) { (acc, f) =>
-      of(f).map(intersect(acc, _)).getOrElse(acc)
+    filters.foldLeft(Full) { (acc, f) =>
+      of(f).map(s => clamp(intersect(acc, s))).getOrElse(acc)
     }
-    if (combined.length > MaxRanges)
-      Seq((combined.head._1, combined.last._2)) // envelope: sound superset
-    else combined
   }
 
   /** Does any range intersect the shard's [minKey, maxKey]? Binary

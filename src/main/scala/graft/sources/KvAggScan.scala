@@ -276,9 +276,18 @@ class KvAggPartitionReader(dir: String, part: KvInputPartition, declared: Struct
         st.sumSeen(i) = true
         if (sumIntegral(i)) {
           val x = v.asInstanceOf[Number].longValue()
-          // checked = ANSI session: raise on overflow like Spark's Sum
+          // checked = ANSI session: raise on overflow like Spark's Sum —
+          // via Spark's error class (ARITHMETIC_OVERFLOW), not a bare
+          // JVM ArithmeticException, so callers matching on the
+          // documented class see the same exception as the unpushed plan
           st.sumsL(i) =
-            if (sumChecked(i)) Math.addExact(st.sumsL(i), x) else st.sumsL(i) + x
+            if (sumChecked(i))
+              try Math.addExact(st.sumsL(i), x)
+              catch { case _: ArithmeticException =>
+                throw org.apache.spark.graft.GraftSparkErrors
+                  .arithmeticOverflow("long overflow", "try_add")
+              }
+            else st.sumsL(i) + x
         } else st.sumsD(i) += v.asInstanceOf[Number].doubleValue()
       }
       i += 1

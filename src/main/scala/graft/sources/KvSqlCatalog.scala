@@ -124,18 +124,25 @@ class KvSqlCatalog extends TableCatalog with SupportsNamespaces {
       require(isRk || cf != KvCatalog.RowkeyCf,
         s"column ${f.name}: family '${KvCatalog.RowkeyCf}' is reserved for the rowkey")
       val qual = props.getOrElse(s"qualifier.${f.name}", f.name)
-      KvColumn(f.name, cf, qual, f.dataType) // typeString validates the cell encoding
+      // normalizeType: SQL ARRAY<FLOAT>/MAP parse as nullable-element
+      // variants of the (element-null-free) cell encodings
+      KvColumn(f.name, cf, qual, KvCatalog.normalizeType(f.dataType))
     }
     columns.foreach(c => KvCatalog.typeString(c.dataType))
     val cat = KvCatalog(ident.namespace().headOption.getOrElse("default"),
       ident.name(), rowkey, columns)
     val dir = tableDir(ident)
-    if (catalogFile(dir).exists()) throw new TableAlreadyExistsException(
-      (catalogName +: ident.namespace() :+ ident.name()).toSeq)
     if (!nsDir(ident.namespace()).isDirectory) throw new NoSuchNamespaceException(
       (catalogName +: ident.namespace()).toSeq)
-    dir.mkdirs()
-    writeCatalogFile(dir, cat)
+    // the existence check + catalog write are one atomic section: two
+    // racing CREATEs must not both pass the check and then overwrite
+    // each other's catalog file
+    KvStore.withTableLock(dir.getPath) {
+      if (catalogFile(dir).exists()) throw new TableAlreadyExistsException(
+        (catalogName +: ident.namespace() :+ ident.name()).toSeq)
+      dir.mkdirs()
+      writeCatalogFile(dir, cat)
+    }
     new KvTable(cat, dir.getPath)
   }
 
@@ -167,7 +174,8 @@ class KvSqlCatalog extends TableCatalog with SupportsNamespaces {
         KvCatalog.typeString(add.dataType()) // validate the cell encoding
         require(add.isNullable,
           s"added column $n must be nullable: existing rows have no cell for it")
-        cat.copy(columns = cat.columns :+ KvColumn(n, "columns", n, add.dataType()))
+        cat.copy(columns = cat.columns :+
+          KvColumn(n, "columns", n, KvCatalog.normalizeType(add.dataType())))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1, "nested columns do not exist here")
         val n = del.fieldNames()(0)
@@ -187,12 +195,26 @@ class KvSqlCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!catalogFile(dir).exists()) return false
-    // delete the catalog file FIRST: a concurrent loadTable then sees a
-    // clean "no such table" instead of a half-deleted shard set
-    catalogFile(dir).delete()
-    dir.listFiles().foreach(_.delete())
+    // the delete sequence holds the table's manifest lock: a concurrent
+    // writer commit could otherwise recreate _kvmeta.json / shard files
+    // mid-delete, leaving an orphaned directory whose catalog file is
+    // already gone (dir.delete() silently fails on non-empty)
+    val dropped = KvStore.withTableLock(dir.getPath) {
+      if (!catalogFile(dir).exists()) false
+      else {
+        // delete the catalog file FIRST: a concurrent loadTable then sees
+        // a clean "no such table" instead of a half-deleted shard set
+        catalogFile(dir).delete()
+        dir.listFiles().foreach(_.delete())
+        true
+      }
+    }
+    // the lock file itself (recreated by taking the lock) and the dir go
+    // last, outside the lock; delete() on a non-empty dir is a no-op, so
+    // a racing recreate keeps its files
+    new File(dir, "_kvlock").delete()
     dir.delete()
-    true
+    dropped
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -80,6 +80,23 @@ class KeyRangesSpec extends AnyFunSuite {
       "envelope must be a sound superset")
   }
 
+  test("two near-cap INs conjoin without quadratic pairwise work (intermediate clamp)") {
+    // each IN is just under MaxRanges; their conjunction used to do
+    // O(n·m) ≈ 16M pairwise intersect allocations before the final cap.
+    // With the per-step clamp this completes fast and stays sound.
+    val n = KeyRanges.MaxRanges - 1
+    val a = (0 until n).map(i => (i * 10).toLong)          // 0, 10, 20, ...
+    val b = (0 until n).map(i => (i * 10 + 5000).toLong)   // offset grid
+    val t0 = System.nanoTime()
+    val rs = ranges(In(rk, a.toArray[Any]), In(rk, b.toArray[Any]))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 5.0, f"conjoining two ~MaxRanges INs took $sec%.1fs — clamp regressed")
+    assert(rs.length <= KeyRanges.MaxRanges)
+    // soundness: every key in BOTH grids must stay covered
+    val both = a.toSet.intersect(b.toSet)
+    both.take(50).foreach(v => assert(covered(rs, v), s"common key $v lost"))
+  }
+
   test("randomized: planned coverage ⊇ filter truth over a dense domain") {
     val rnd = new scala.util.Random(42)
     def leaf(): Filter = rnd.nextInt(6) match {

@@ -542,6 +542,16 @@ class KvConnectorSpec extends SparkSpec {
         if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
       assert(messages(e).toLowerCase.contains("overflow"),
         s"ANSI sum overflow must raise, got: ${messages(e)}")
+      // error-class parity with the unpushed plan: the chain must carry
+      // Spark's ARITHMETIC_OVERFLOW condition, not a bare JVM
+      // ArithmeticException (callers match on the documented class)
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists {
+        case s: org.apache.spark.SparkThrowable =>
+          s.getCondition == "ARITHMETIC_OVERFLOW"
+        case _ => false
+      }, s"expected ARITHMETIC_OVERFLOW in the cause chain, got: ${messages(e)}")
       // double sums saturate to Infinity in both modes — never checked
       val d = ovf.agg(sum(col("h")).as("s"))
       assert(physicalPlan(d).contains("KvSumCol(h,false)"))

@@ -119,4 +119,22 @@ class KvSqlCatalogSpec extends SparkSpec {
     intercept[Exception](sql(
       "CREATE TABLE graft.default.t_part (k BIGINT, d STRING) PARTITIONED BY (d) TBLPROPERTIES ('rowkey'='k')"))
   }
+
+  test("CREATE TABLE with ARRAY<FLOAT> / MAP columns (SQL nullable variants normalize)") {
+    // SQL ARRAY<FLOAT> parses to containsNull=true; the cell encoding is
+    // element-null-free, so creation must normalize instead of rejecting
+    sql("""CREATE TABLE graft.default.t_emb (id BIGINT, embedding ARRAY<FLOAT>,
+          |tags MAP<STRING, STRING>) TBLPROPERTIES ('rowkey'='id')""".stripMargin)
+    sql("INSERT INTO graft.default.t_emb VALUES " +
+      "(1, array(CAST(0.5 AS FLOAT), CAST(-1.25 AS FLOAT)), map('a', 'x'))")
+    val r = sql("SELECT embedding, tags FROM graft.default.t_emb WHERE id = 1").collect().head
+    assert(r.getSeq[Float](0) == Seq(0.5f, -1.25f))
+    assert(r.getMap[String, String](1) == Map("a" -> "x"))
+    // ALTER ADD COLUMN takes the same normalization path
+    sql("ALTER TABLE graft.default.t_emb ADD COLUMN extra ARRAY<FLOAT>")
+    sql("INSERT INTO graft.default.t_emb VALUES " +
+      "(2, array(CAST(1.0 AS FLOAT)), map('b', 'y'), array(CAST(2.0 AS FLOAT)))")
+    assert(sql("SELECT extra FROM graft.default.t_emb WHERE id = 2")
+      .collect().head.getSeq[Float](0) == Seq(2.0f))
+  }
 }
