@@ -511,44 +511,51 @@ object Curation {
     * offset. Parallelism is buckets × #languages instead of
     * #languages; the only driver-side data is a 1-row min/max/count
     * agg (bounded, documented). */
+  /** The distributed prefix sum shared by q105/q106: (doc_id, lang,
+    * n_toks, cum) where cum is the running per-language token total in
+    * doc_id order. See q105's doc-comment for the scale argument. */
+  private def packedCum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_toks"))
+    // Bounded 1-row collect: global doc_id range for order-preserving buckets.
+    val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+      count(lit(1)).as("n")).head()
+    val nBuckets =
+      if (bounds.isNullAt(0)) 1L
+      else math.max(s.sessionState.conf.numShufflePartitions.toLong, 1L)
+    val lo = if (bounds.isNullAt(0)) 0L else bounds.getLong(0)
+    val hi = if (bounds.isNullAt(0)) 0L else bounds.getLong(1)
+    val width = math.max((hi - lo) / nBuckets + 1L, 1L)
+    val bucketed = t.withColumn("bucket",
+      expr(s"(doc_id - ${lo}L) DIV ${width}L"))
+    // Tiny (buckets x #langs) subtotal table -> exclusive running offsets.
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_toks")).as("sub"))
+      .withColumn("off", coalesce(sum(col("sub")).over(wOff), lit(0L)))
+      .drop("sub")
+    // Heavy cumsum: parallel per-(lang, bucket) windows + bucket offset.
+    val wLocal = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum", col("off") + sum(col("n_toks")).over(wLocal))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("cum"))
+  }
+
   val q105SequencePacking: Q = Q(
     "q105_sequence_packing",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_toks"))
-      // Bounded 1-row collect: global doc_id range for order-preserving buckets.
-      val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
-        count(lit(1)).as("n")).head()
-      val nBuckets =
-        if (bounds.isNullAt(0)) 1L
-        else math.max(s.sessionState.conf.numShufflePartitions.toLong, 1L)
-      val lo = if (bounds.isNullAt(0)) 0L else bounds.getLong(0)
-      val hi = if (bounds.isNullAt(0)) 0L else bounds.getLong(1)
-      val width = math.max((hi - lo) / nBuckets + 1L, 1L)
-      val bucketed = t.withColumn("bucket",
-        expr(s"(doc_id - ${lo}L) DIV ${width}L"))
-      // Tiny (buckets x #langs) subtotal table -> exclusive running offsets.
-      val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = bucketed.groupBy(col("lang"), col("bucket"))
-        .agg(sum(col("n_toks")).as("sub"))
-        .withColumn("off", coalesce(sum(col("sub")).over(wOff), lit(0L)))
-        .drop("sub")
-      // Heavy cumsum: parallel per-(lang, bucket) windows + bucket offset.
-      val wLocal = Window.partitionBy(col("lang"), col("bucket"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bucketed
-        .join(broadcast(offsets), Seq("lang", "bucket"))
-        .withColumn("cum", col("off") + sum(col("n_toks")).over(wLocal))
+    (s, d) =>
+      packedCum(s, d)
         .select(col("doc_id"), col("lang"), col("n_toks"),
           expr("(cum - n_toks) DIV 2048").as("first_seq"),
           expr("CASE WHEN n_toks = 0 THEN (cum - n_toks) DIV 2048 " +
                "ELSE (cum - 1) DIV 2048 END").as("last_seq"))
-        .orderBy(col("doc_id"))
-    },
+        .orderBy(col("doc_id")),
     Some("""
       WITH t AS (
         SELECT doc_id, lang,
@@ -570,7 +577,62 @@ object Curation {
     doc = "concat-and-chunk sequence packing: distributed prefix sum " +
       "(bucket subtotals -> broadcast offsets -> parallel local cumsums)")
 
+  /** Pack-manifest materialization — the row set a training-data loader
+    * actually consumes: q105's per-document spans exploded into one row
+    * per (sequence, document-slice), with SEQUENCE-LOCAL token bounds.
+    * A document crossing sequence boundaries contributes one slice per
+    * sequence it touches (`sequence(first, last)` + explode — per-row
+    * generators, no extra shuffle beyond q105's own), so every sequence
+    * reads as a contiguous [0, 2047] layout: slice k of a sequence
+    * starts where slice k-1 ended, non-final sequences sum to exactly
+    * 2048 tokens, and the final sequence of each language stream ends
+    * early (CurationSpec's reconstruction test asserts all three).
+    * Empty documents (n_toks = 0) occupy no tokens and emit no rows. */
+  val q106PackManifest: Q = Q(
+    "q106_pack_manifest",
+    (s, d) =>
+      packedCum(s, d)
+        .filter(col("n_toks") > 0)
+        .select(col("doc_id"), col("lang"),
+          (col("cum") - col("n_toks")).as("tstart"),
+          (col("cum") - lit(1L)).as("tend"))
+        .withColumn("seq_id",
+          explode(sequence(expr("tstart DIV 2048"), expr("tend DIV 2048"))))
+        .select(col("lang"), col("seq_id"), col("doc_id"),
+          (greatest(col("tstart"), col("seq_id") * 2048L) -
+            col("seq_id") * 2048L).as("tok_start"),
+          (least(col("tend"), col("seq_id") * 2048L + 2047L) -
+            col("seq_id") * 2048L).as("tok_end"))
+        .orderBy(col("lang"), col("seq_id"), col("tok_start")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+'))
+                    END AS BIGINT) AS n_toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_toks,
+               sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t),
+      spans AS (
+        SELECT doc_id, lang, CAST(cum - n_toks AS BIGINT) AS tstart,
+               CAST(cum - 1 AS BIGINT) AS tend
+        FROM c WHERE n_toks > 0),
+      ex AS (
+        SELECT lang, doc_id, tstart, tend,
+               unnest(generate_series(tstart // 2048, tend // 2048)) AS seq_id
+        FROM spans)
+      SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+             CAST(greatest(tstart, seq_id * 2048) - seq_id * 2048 AS BIGINT) AS tok_start,
+             CAST(least(tend, seq_id * 2048 + 2047) - seq_id * 2048 AS BIGINT) AS tok_end
+      FROM ex
+      ORDER BY lang, seq_id, tok_start"""),
+    doc = "training-sequence manifest: per-(sequence, doc-slice) rows with " +
+      "sequence-local bounds; documents split across sequence boundaries")
+
   def defs: Seq[Q] = Seq(q87RepetitionQuality, q88Decontamination, q89VocabOov,
     q91QualityCutoff, q92DocChunks, q93QualityCutoffApprox, q98PiiScrub, q99UrlStats,
-    q104MixtureResample, q105SequencePacking)
+    q104MixtureResample, q105SequencePacking, q106PackManifest)
 }

@@ -669,6 +669,41 @@ object KvQueries {
       ORDER BY rk"""),
     doc = "bloom-sidecar point lookup: executor-side shard skip on a cell column")
 
+  /** Bloom-assisted runtime JOIN filter (q101's static IN, made
+    * dynamic): the probe side is the lang-sorted KV documents table
+    * whose `doc_id` zone-map bounds are useless (every shard spans ~the
+    * whole id space), and the build side — a selectively filtered
+    * parquet scan — is only known at runtime. Spark's PartitionPruning
+    * sees `doc_id` in `filterAttributes()`, evaluates the broadcasted
+    * build keys, and hands the scan `In(doc_id, …)`
+    * ([[graft.sources.KvScan]] `filter`); each task then consults its
+    * shard's bloom sidecar and skips shards holding NONE of the build
+    * ids (metric `kvShardsSkippedBloom`; KvBloomSpec asserts >0 skips
+    * and zero false skips under fuzz). At 100 TB this turns a
+    * dim-filtered fact join from "scan every region" into "read the few
+    * regions the build side touches" — parquet row-group blooms under
+    * DPP, re-expressed for the KV store. */
+  val q107KvBloomJoin: Q = Q(
+    "q107_kv_bloom_join",
+    (s, d) => {
+      val build = Tables.documents(s, d)
+        .filter(col("source") === "src7" && col("doc_id") % 11 === 3)
+        .select(col("doc_id").as("bid"))
+      s.read.format("graft-kv")
+        .option("catalog", docsCatalogJson).option("path", docsKvDir(s, d)).load()
+        .join(broadcast(build), col("doc_id") === col("bid"))
+        .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("rk"))
+    },
+    Some("""
+      SELECT lang || '#' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS rk,
+             doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM documents
+                       WHERE source = 'src7' AND doc_id % 11 = 3)
+      ORDER BY rk"""),
+    doc = "bloom-assisted runtime join filter: build-side IN-set skips shards executor-side")
+
   /** SQL-catalog gate ([[graft.sources.KvSqlCatalog]]): the table is
     * CREATED with `CREATE TABLE … AS SELECT` through the `graft_gate`
     * catalog — no temp view, no inline catalog JSON — and every read is
@@ -717,5 +752,5 @@ object KvQueries {
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
     q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
     q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras, q97KvPrefixSeek,
-    q100KvMultiRange, q101KvBloomPoint, q102SqlCatalog)
+    q100KvMultiRange, q101KvBloomPoint, q102SqlCatalog, q107KvBloomJoin)
 }

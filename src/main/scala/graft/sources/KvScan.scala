@@ -119,14 +119,24 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
 
 /** Serializable partition: one shard + the (possibly multi-) clipped
   * key ranges — sorted, disjoint, inclusive hex bounds (None =
-  * unbounded); `Seq((None, None))` = unclipped. Locality hints flow
+  * unbounded); `Seq((None, None))` = unclipped. `runtime` carries the
+  * runtime (DPP) filters that arrived AFTER planning started: Spark
+  * forces the reader factory early (its `supportsColumnar` probe), so
+  * the factory's captured filter array predates any runtime IN-set —
+  * but `planInputPartitions` IS re-run after `filter(...)`, making the
+  * partition itself the only driver→executor channel that sees them
+  * (the executor-side bloom gate reads it; per-row eval stays on the
+  * static filters — the join re-verifies every row anyway, and a
+  * 10k-literal DPP IN-set linear-scanned per record would cost more
+  * than it saves). Locality hints flow
   * from the shard manifest's optional `hosts` list — the rebuild of the
   * reference's per-region preferred host
   * (`/root/reference/src/main/scala/com/dm/hbase/spark3/datasource/HbaseInputPartition.scala:5-7`,
   * captured from the region locator at `HbaseScan.scala:34`); on a
   * shared filesystem the list is empty and Spark schedules freely. */
 case class KvInputPartition(shard: KvShardMeta,
-                            ranges: Seq[(Option[String], Option[String])])
+                            ranges: Seq[(Option[String], Option[String])],
+                            runtime: Seq[Filter] = Nil)
     extends InputPartition {
   override def preferredLocations(): Array[String] = shard.hosts.toArray
   /** No clip at all — the aggregate manifest fast path's gate. */
@@ -173,8 +183,22 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   private var runtimeFilters: Array[Filter] = Array.empty
   private def allFilters: Array[Filter] = filters ++ runtimeFilters
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(rowkeyName))
+  /** Which columns Spark's runtime-filter planner may target. The
+    * rowkey re-prunes key ranges (q85); NON-rowkey columns joined a
+    * runtime IN-set prune through zone maps driver-side and bloom
+    * sidecars executor-side (q107) — at 100 TB a selective dim-side
+    * join key skips whole regions the build side never touches, the
+    * same job parquet's row-group blooms do under a DPP filter.
+    * Declaring a column costs nothing when no stats exist for it (zone
+    * maps and blooms both degrade to "might contain"), and the
+    * interface is best-effort — the join itself still verifies every
+    * row — so every declared column is fair game. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val cells = declared.fields.iterator.filter(_.name != rowkeyName)
+      .map(f => Expressions.column(f.name))
+    (Iterator(Expressions.column(rowkeyName)) ++ cells).toArray
+  }
 
   override def filter(newFilters: Array[Filter]): Unit = {
     val dts = declared.fields.map(f => f.name -> f.dataType).toMap
@@ -275,7 +299,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
       // cursor walks a short local list, not the global set
       val local = KeyRanges.clipToShard(ranges, s.minKey, s.maxKey)
         .map { case (lo, hi) => (lo.map(KvStore.toHex), hi.map(KvStore.toHex)) }
-      KvInputPartition(s, local): InputPartition
+      KvInputPartition(s, local, runtimeFilters.toSeq): InputPartition
     }.toArray
   }
 
@@ -368,8 +392,10 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[KvInputPartition]
     // executor-side bloom gate: a definite point-predicate miss answers
-    // from the KiB sidecar without opening the shard file at all
-    if (!KvBloomPrune.canMatch(dir, part.shard, filters, declared))
+    // from the KiB sidecar without opening the shard file at all. The
+    // partition's runtime (DPP) filters join the check — the factory's
+    // own array predates them (see KvInputPartition doc)
+    if (!KvBloomPrune.canMatch(dir, part.shard, filters ++ part.runtime, declared))
       new KvBloomSkippedReader[InternalRow]
     else new KvPartitionReader(dir, part, pruned, declared,
       rowkeyName, filters, limit, reverse)
@@ -378,7 +404,7 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[KvInputPartition]
-    if (!KvBloomPrune.canMatch(dir, part.shard, filters, declared))
+    if (!KvBloomPrune.canMatch(dir, part.shard, filters ++ part.runtime, declared))
       new KvBloomSkippedReader[org.apache.spark.sql.vectorized.ColumnarBatch]
     else new KvColumnarReader(dir, part, pruned, declared,
       rowkeyName, filters, limit)

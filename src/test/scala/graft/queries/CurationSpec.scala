@@ -323,4 +323,43 @@ class CurationSpec extends SparkSpec {
       if (cum > 0) assert(prevLast == (cum - 1) / B)
     }
   }
+
+  test("q106 pack manifest: sequences reconstruct contiguously, docs split exactly") {
+    val B = 2048L
+    val rows = Curation.q106PackManifest.fn(spark, d).collect()
+    // 1) per (lang, seq): slices tile [0, len] with no gaps or overlaps,
+    //    non-final sequences are exactly full
+    val byLangSeq = rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("seq_id")))
+    val lastSeq = rows.groupBy(_.getAs[String]("lang"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("seq_id")).max }
+    byLangSeq.foreach { case ((lang, seq), slices) =>
+      val sorted = slices.sortBy(_.getAs[Long]("tok_start"))
+      assert(sorted.head.getAs[Long]("tok_start") == 0L,
+        s"($lang,$seq) must start at token 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("tok_start") == a.getAs[Long]("tok_end") + 1,
+            s"($lang,$seq) has a gap/overlap after doc ${a.getAs[Long]("doc_id")}")
+        case _ => ()
+      }
+      val end = sorted.last.getAs[Long]("tok_end")
+      assert(end <= B - 1)
+      if (seq != lastSeq(lang)) assert(end == B - 1,
+        s"non-final sequence ($lang,$seq) must hold exactly $B tokens, ends at $end")
+    }
+    // 2) per doc: its slices across sequences sum to n_toks (nothing
+    //    lost or duplicated when a document splits at a boundary), and
+    //    boundary-straddling documents exist in the corpus at all
+    val spans = Curation.q105SequencePacking.fn(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_toks")).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, slices) =>
+      val total = slices.map(r => r.getAs[Long]("tok_end") - r.getAs[Long]("tok_start") + 1).sum
+      assert(total == spans(doc), s"doc $doc slices sum to $total, expected ${spans(doc)}")
+    }
+    assert(rows.groupBy(_.getAs[Long]("doc_id")).exists(_._2.length > 1),
+      "the corpus must exercise at least one boundary-straddling document")
+    // 3) empty docs emit no manifest rows
+    val emptyDocs = spans.filter(_._2 == 0L).keySet
+    assert(rows.forall(r => !emptyDocs.contains(r.getAs[Long]("doc_id"))))
+  }
 }

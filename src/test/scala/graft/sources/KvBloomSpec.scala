@@ -96,6 +96,45 @@ class KvBloomSpec extends SparkSpec {
     assert(in.collect().map(_.getAs[Long]("k")).sorted.toSeq == Seq(5L, 1500L))
   }
 
+  test("runtime JOIN filter consults bloom sidecars and skips non-holder shards") {
+    val dir = Files.createTempDirectory("graft-kv-bloomdpp").toString
+    writeTable(dir) // 8 range shards, uid bloom sidecars
+    // build side: a SELECTIVELY FILTERED parquet scan — its key set is
+    // only known at runtime, so the scan can't plan the skip statically;
+    // PartitionPruning must hand the IN-set to KvScan.filter and the
+    // executor-side bloom check does the rest
+    val pq = Files.createTempDirectory("graft-kv-bloomdpp-pq").toString
+    import spark.implicits._
+    (1L to 2000L).map(k => (s"uid-${(k * 2654435761L) % 1000000007L}", k % 997))
+      .toDF("buid", "tag").write.mode("overwrite").parquet(pq)
+    val build = spark.read.parquet(pq).filter(col("tag") === 10) // k = 10, 1007
+    val joined = kv(dir).join(broadcast(build), col("uid") === col("buid"))
+      .select(col("k"), col("uid"), col("v"))
+    assert(joined.collect().map(_.getAs[Long]("k")).sorted.toSeq == Seq(10L, 1007L))
+    val scan = findBatchScan(joined.queryExecution.executedPlan)
+    val skipped = scan.metrics("kvShardsSkippedBloom").value
+    // k=10 and k=1007 live in two different shards; the other six hold
+    // neither build uid and must bloom-skip (>=5 tolerates one false
+    // positive). Zero means the runtime filter never reached the scan.
+    assert(skipped >= 5L,
+      s"expected >=5 bloom-skipped shards under the runtime join filter, got $skipped\n" +
+        joined.queryExecution.executedPlan.toString())
+
+    // fuzz: random build-side key sets (present and absent uids mixed)
+    // — the joined row set must always equal the brute-force expectation
+    // (zero false skips), whatever the bloom says per shard
+    val rnd = new scala.util.Random(23)
+    val uidOf = (1L to 4000L).map(k => k -> s"uid-${(k * 2654435761L) % 1000000007L}").toMap
+    (1 to 10).foreach { _ =>
+      val ks = Seq.fill(1 + rnd.nextInt(6))(rnd.between(1L, 4001L)).distinct
+      val probes = ks.map(uidOf) ++ Seq.fill(rnd.nextInt(3))(s"uid-absent-${rnd.nextInt(100)}")
+      val b = probes.toDF("buid").filter(col("buid").isNotNull) // selective predicate for DPP
+      val got = kv(dir).join(broadcast(b), col("uid") === col("buid"))
+        .collect().map(_.getAs[Long]("k")).sorted.toSeq
+      assert(got == ks.sorted, s"join lost/invented rows for build set $probes")
+    }
+  }
+
   test("compaction unions sidecars; vacuum reclaims superseded ones") {
     val dir = Files.createTempDirectory("graft-kv-bloomc").toString
     writeTable(dir, n = 1000L, shards = 4)
