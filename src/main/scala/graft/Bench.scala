@@ -162,6 +162,7 @@ object Bench {
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     queries.Dedup.releaseShingles() // free the dedup pass's persisted blocks
+    queries.Curation.releaseTokenCounts()
     spark.stop()
     (results, failed.toSeq)
   }

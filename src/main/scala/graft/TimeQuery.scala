@@ -33,6 +33,7 @@ object TimeQuery {
     }
     println(f"[time] $name min=${times.min}%.3f s over $repeats repeats @ $sfDir")
     queries.Dedup.releaseShingles()
+    queries.Curation.releaseTokenCounts()
     spark.stop()
   }
 }

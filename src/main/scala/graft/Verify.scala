@@ -15,11 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmDir(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmDir)
+      p.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // delete the PREVIOUS run's output first: a query that fails below
+      // must not leave a stale (possibly still-passing) parquet behind
+      // for the driver's compare to silently green-light
+      rmDir(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rmDir(new java.io.File(s"$outDir/$name")) // no half-written output either
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +47,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     queries.Dedup.releaseShingles() // free the dedup pass's persisted blocks
+    queries.Curation.releaseTokenCounts()
     spark.stop()
   }
 }

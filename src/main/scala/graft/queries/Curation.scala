@@ -511,14 +511,40 @@ object Curation {
     * offset. Parallelism is buckets × #languages instead of
     * #languages; the only driver-side data is a 1-row min/max/count
     * agg (bounded, documented). */
+  /** (doc_id, lang, n_toks), persisted per corpus (LRU of 1 — same
+    * policy and rationale as Dedup's shingle cache): the packing prefix
+    * sum reads it TWICE (bucket subtotals, then the cumsum itself), and
+    * tokenization dominates the scan — re-persisting a three-narrow-
+    * column projection (~24 B/row, spillable) costs far less than
+    * tokenizing the corpus twice. Released by [[releaseTokenCounts]]
+    * (Verify/Bench/Stress call it after their packing passes). */
+  private val tokenCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def tokenCounts(s: SparkSession, d: String): DataFrame =
+    tokenCountCache.getOrElseUpdate((s, d), {
+      tokenCountCache.keys.toSeq.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        tokenCountCache.remove(k).foreach(_.unpersist(blocking = true))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Release every persisted token-count relation (blocking, so callers
+    * can assert the blocks are gone). */
+  def releaseTokenCounts(): Unit =
+    tokenCountCache.keys.toSeq.foreach { k =>
+      tokenCountCache.remove(k).foreach(_.unpersist(blocking = true))
+    }
+
   /** The distributed prefix sum shared by q105/q106: (doc_id, lang,
     * n_toks, cum) where cum is the running per-language token total in
     * doc_id order. See q105's doc-comment for the scale argument. */
   private def packedCum(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_toks"))
+    val t = tokenCounts(s, d)
     // Bounded 1-row collect: global doc_id range for order-preserving buckets.
     val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
       count(lit(1)).as("n")).head()

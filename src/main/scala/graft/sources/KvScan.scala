@@ -192,12 +192,13 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     * Declaring a column costs nothing when no stats exist for it (zone
     * maps and blooms both degrade to "might contain"), and the
     * interface is best-effort — the join itself still verifies every
-    * row — so every declared column is fair game. */
+    * row. Only PRUNED-schema columns may be declared: Spark's
+    * PartitionPruning resolves every declared ref against the scan's
+    * output and throws on a projected-away column (a join key is
+    * necessarily in the output, so nothing filterable is lost). */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    val cells = declared.fields.iterator.filter(_.name != rowkeyName)
-      .map(f => Expressions.column(f.name))
-    (Iterator(Expressions.column(rowkeyName)) ++ cells).toArray
+    prunedSchema.fieldNames.map(Expressions.column)
   }
 
   override def filter(newFilters: Array[Filter]): Unit = {
