@@ -28,8 +28,17 @@ final case class KvColumn(name: String, cf: String, qualifier: String, dataType:
   def isRowkey: Boolean = cf == KvCatalog.RowkeyCf
 }
 
+/** `buckets` (optional, 0 = unbucketed): hash-bucket count over the
+  * encoded rowkey. Bucketed tables tag every shard with its bucket id
+  * at write time, and the scan reports a `KeyGroupedPartitioning` over
+  * `bucket(buckets, rowkey)` — two tables bucketed the same way join
+  * on their rowkeys WITHOUT a shuffle (Spark's storage-partitioned
+  * join), which at 100 TB removes the dominant exchange of every
+  * fact-fact join. The hash is [[KvBuckets.ofKey]] over the
+  * order-preserving key encoding, so it is identical for the writer,
+  * the scan and the SQL `bucket()` function the catalog exports. */
 final case class KvCatalog(namespace: String, table: String, rowkey: String,
-                           columns: Seq[KvColumn]) {
+                           columns: Seq[KvColumn], buckets: Int = 0) {
   def qualifiedName: String = s"$namespace:$table"
   def rowkeyColumn: KvColumn = columns.find(_.name == rowkey).getOrElse(
     throw new IllegalArgumentException(s"rowkey column '$rowkey' not declared"))
@@ -125,6 +134,7 @@ object KvCatalog {
     t.put("namespace", cat.namespace)
     t.put("name", cat.table)
     root.put("rowkey", cat.rowkey)
+    if (cat.buckets > 0) root.put("buckets", cat.buckets)
     val cols = root.putObject("columns")
     cat.columns.foreach { c =>
       val n = cols.putObject(c.name)
@@ -174,6 +184,8 @@ object KvCatalog {
     require(rk.cf == RowkeyCf,
       s"rowkey column '$rowkey' must use the '$RowkeyCf' pseudo column family " +
         s"(got '${rk.cf}') — a cell-cf rowkey would silently read as NULL")
-    KvCatalog(namespace, name, rowkey, columns)
+    val buckets = root.path("buckets").asInt(0)
+    require(buckets >= 0, s"catalog.buckets must be non-negative, got $buckets")
+    KvCatalog(namespace, name, rowkey, columns, buckets)
   }
 }

@@ -48,26 +48,34 @@ object KvCompactor {
     val before = KvStore.readMeta(tableDir).shards
     if (before.length <= 1) return 0
 
-    // order shards by key range so merged outputs stay range-tight
-    val ordered = before.sortWith((a, b) => {
-      val c = BytesCodec.compareKeys(a.minKey, b.minKey)
-      if (c != 0) c < 0 else BytesCodec.compareKeys(a.maxKey, b.maxKey) < 0
-    })
     val sizeOf: KvShardMeta => Long = s => new File(s"$tableDir/${s.file}").length()
 
-    // greedy size-bounded grouping of ADJACENT (key-ordered) shards
-    val groups = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[KvShardMeta])
-    var acc = 0L
-    ordered.foreach { s =>
-      val sz = sizeOf(s)
-      if (groups.last.nonEmpty && acc + sz > targetBytes) {
-        groups += mutable.ArrayBuffer.empty[KvShardMeta]
-        acc = 0L
+    // bucketed shards merge only WITHIN their bucket: a cross-bucket
+    // merge would produce a shard serving two partition keys and break
+    // the storage-partitioned-join invariant (shard ⊆ one bucket).
+    // Unbucketed tables have the single bucket group -1 — unchanged
+    // behavior. Within each bucket, order shards by key range so merged
+    // outputs stay range-tight, then greedily group ADJACENT
+    // (key-ordered) shards under the size bound.
+    val toMerge: Seq[Seq[KvShardMeta]] =
+      before.groupBy(_.bucket).toSeq.sortBy(_._1).flatMap { case (_, bucketShards) =>
+        val ordered = bucketShards.sortWith((a, b) => {
+          val c = BytesCodec.compareKeys(a.minKey, b.minKey)
+          if (c != 0) c < 0 else BytesCodec.compareKeys(a.maxKey, b.maxKey) < 0
+        })
+        val groups = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[KvShardMeta])
+        var acc = 0L
+        ordered.foreach { s =>
+          val sz = sizeOf(s)
+          if (groups.last.nonEmpty && acc + sz > targetBytes) {
+            groups += mutable.ArrayBuffer.empty[KvShardMeta]
+            acc = 0L
+          }
+          groups.last += s
+          acc += sz
+        }
+        groups.filter(_.length > 1).map(_.toSeq)
       }
-      groups.last += s
-      acc += sz
-    }
-    val toMerge = groups.filter(_.length > 1).map(_.toSeq).toSeq
     if (toMerge.isEmpty) return 0
 
     val token = UUID.randomUUID().toString.substring(0, 8)
@@ -235,7 +243,8 @@ object KvCompactor {
           KvBloom.write(s"$tableDir/$sc", b)
           m.copy(bloom = sc)
         }.getOrElse(m)
-        withBloom.copy(stats = mergedStats)
+        // group ⊆ one bucket by construction (see compact's grouping)
+        withBloom.copy(stats = mergedStats, bucket = group.head.bucket)
       }
     } finally {
       readers.foreach(_._1.close())

@@ -54,7 +54,8 @@ final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKey
                              hosts: Seq[String] = Nil,
                              stats: Map[String, (String, String)] = Map.empty,
                              crc32cHex: String = "",
-                             bloom: String = "") {
+                             bloom: String = "",
+                             bucket: Int = -1) {
   def minKey: Array[Byte] = KvStore.fromHex(minKeyHex)
   def maxKey: Array[Byte] = KvStore.fromHex(maxKeyHex)
 }
@@ -67,9 +68,14 @@ final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKey
   * (`option("asOfVersion", N)`) over any state still within the vacuum
   * grace period — retain-mode compaction keeps superseded shard files
   * on disk for exactly that window. */
+/** `committedAtMs` stamps when this manifest version committed (set by
+  * [[KvStore.writeMeta]], 0 in pre-stamp manifests) — the lookup key for
+  * SQL `TIMESTAMP AS OF` time travel: the archived manifest chain maps a
+  * wall-clock instant to the newest version committed at or before it. */
 final case class KvTableMeta(shards: Seq[KvShardMeta],
                              committedEpochs: Seq[String] = Nil,
-                             version: Long = 0)
+                             version: Long = 0,
+                             committedAtMs: Long = 0)
 
 object KvStore {
   /** Bump when the shard-file or manifest layout changes — cache dirs
@@ -162,10 +168,31 @@ object KvStore {
       }.toMap
       KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
         s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts, stats,
-        s.path("crc32c").asText(""), s.path("bloom").asText(""))
+        s.path("crc32c").asText(""), s.path("bloom").asText(""),
+        s.path("bucket").asInt(-1))
     }.toSeq
     val epochs = root.path("committedEpochs").elements().asScala.map(_.asText()).toSeq
-    KvTableMeta(shards, epochs, root.path("version").asLong(0))
+    KvTableMeta(shards, epochs, root.path("version").asLong(0),
+      root.path("committedAtMs").asLong(0))
+  }
+
+  /** SQL `TIMESTAMP AS OF` resolution: the newest manifest version whose
+    * commit stamp is at or before `tsMillis`, searched over the live
+    * manifest plus the archived `_kvmeta.v*.json` chain. Time travel is
+    * bounded by the same windows as version travel — [[MaxArchivedManifests]]
+    * commits of history and the vacuum grace period on superseded shard
+    * files. Pre-stamp manifests (committedAtMs = 0) match any timestamp,
+    * which errs toward availability for tables written by older builds. */
+  def versionAtTimestamp(tableDir: String, tsMillis: Long): Long = {
+    val retained = readMeta(tableDir) +:
+      Option(new File(tableDir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("_kvmeta.v") && f.getName.endsWith(".json"))
+        .flatMap(f => try Some(readMetaFile(f)) catch { case _: Exception => None })
+    val candidates = retained.filter(_.committedAtMs <= tsMillis)
+    if (candidates.isEmpty) throw new IllegalArgumentException(
+      s"no committed version of $tableDir at or before timestamp $tsMillis " +
+        s"(earliest retained commit: ${retained.map(_.committedAtMs).min})")
+    candidates.maxBy(_.version).version
   }
 
   /** Upper bound on archived `_kvmeta.v*.json` files: each commit that
@@ -210,6 +237,7 @@ object KvStore {
       }
       if (s.crc32cHex.nonEmpty) o.put("crc32c", s.crc32cHex)
       if (s.bloom.nonEmpty) o.put("bloom", s.bloom)
+      if (s.bucket >= 0) o.put("bucket", s.bucket)
     }
     if (meta.committedEpochs.nonEmpty) {
       val e = node.putArray("committedEpochs")
@@ -229,6 +257,7 @@ object KvStore {
         Files.deleteIfExists(Paths.get(s"$tableDir/_kvmeta.v$drop.json"))
     }
     node.put("version", meta.version + 1)
+    node.put("committedAtMs", System.currentTimeMillis())
     val tmp = Paths.get(metaPath(tableDir) + ".tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE,

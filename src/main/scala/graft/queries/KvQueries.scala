@@ -749,8 +749,130 @@ object KvQueries {
       ORDER BY l_returnflag"""),
     doc = "SQL catalog DDL surface: CTAS + catalog-identifier reads with full pushdown")
 
+  /** Storage-partitioned join gate ([[graft.sources.KvBucketFunction]],
+    * `KvScan.outputPartitioning`): two tables CTAS'd with
+    * `'buckets'='16'` — orders keyed by `ok`, per-order lineitem
+    * aggregates keyed the same — join on their rowkeys with NO exchange
+    * on either side: every shard is tagged with its rowkey's
+    * hash-bucket at write time, both scans report
+    * `KeyGroupedPartitioning(bucket(16, ok))`, and Spark zips matching
+    * buckets task-to-task (KvBucketJoinSpec asserts the executed plan
+    * is Exchange-free). At 100 TB this deletes BOTH sides' shuffles
+    * from the canonical fact-fact join — the single largest exchange in
+    * a star-schema pipeline; the band filter additionally demonstrates
+    * rowkey-range pruning composing with the bucket grouping. Money
+    * columns are stored as exact cent BIGINTs so the DuckDB oracle
+    * (which recomputes the join from the original parquet) hash-matches
+    * bit-for-bit. */
+  val q108SpjJoin: Q = Q(
+    "q108_spj_join",
+    (s, d) => {
+      val wh = graft.kv.KvStore.cacheDir(s"spj-wh-${cacheKey(d)}")
+      s.conf.set("spark.sql.catalog.graft_spj", "graft.sources.KvSqlCatalog")
+      s.conf.set("spark.sql.catalog.graft_spj.warehouse", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      if (!new File(s"$wh/default/order_lines/_kvmeta.json").exists()) {
+        Tables.orders(s, d).createOrReplaceTempView("orders_spj_src")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_spj_src")
+        s.sql("DROP TABLE IF EXISTS graft_spj.default.order_facts")
+        s.sql("""CREATE TABLE graft_spj.default.order_facts
+                 TBLPROPERTIES ('rowkey'='ok', 'buckets'='16') AS
+                 SELECT o_orderkey AS ok, o_orderstatus,
+                        CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS total_c
+                 FROM orders_spj_src""")
+        s.sql("DROP TABLE IF EXISTS graft_spj.default.order_lines")
+        s.sql("""CREATE TABLE graft_spj.default.order_lines
+                 TBLPROPERTIES ('rowkey'='ok', 'buckets'='16') AS
+                 SELECT l_orderkey AS ok, count(*) AS n_lines,
+                        sum(CAST(round(l_quantity, 0) AS BIGINT)) AS qty,
+                        sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS price_c
+                 FROM lineitem_spj_src GROUP BY l_orderkey""")
+      }
+      // MERGE hint: at gate scale the band-filtered sides fit a
+      // broadcast, which would mask the feature under test; the hint
+      // pins the sort-merge shape a 100 TB join takes anyway, and with
+      // both sides KeyGrouped-compatible EnsureRequirements elides BOTH
+      // exchanges AND both sorts (shards stream in rowkey order)
+      s.sql("""SELECT /*+ MERGE(l) */
+                      f.ok, f.o_orderstatus, f.total_c, l.n_lines, l.qty, l.price_c
+               FROM graft_spj.default.order_facts f
+               JOIN graft_spj.default.order_lines l ON f.ok = l.ok
+               WHERE f.ok BETWEEN 500 AND 4500
+               ORDER BY f.ok""")
+    },
+    Some("""
+      SELECT o.o_orderkey AS ok, o.o_orderstatus,
+             CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS total_c,
+             l.n_lines, l.qty, l.price_c
+      FROM orders o
+      -- CAST the sums: DuckDB's sum(BIGINT) is HUGEINT, which the
+      -- harness would materialize as float and hash-diverge (q105's
+      -- round-8 lesson)
+      JOIN (SELECT l_orderkey, count(*) AS n_lines,
+                   CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS price_c
+            FROM lineitem GROUP BY l_orderkey) l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey BETWEEN 500 AND 4500
+      ORDER BY ok"""),
+    doc = "storage-partitioned join: co-bucketed rowkey tables join with zero exchanges")
+
+  /** Time-travel gate ([[graft.sources.KvSqlCatalog.loadTable]] version
+    * overloads): the table is CTAS'd (manifest version 1), then a
+    * row-level DELETE commits version 2; the query reads BOTH states of
+    * the same table — `VERSION AS OF 1` replays the pre-delete snapshot
+    * from the archived manifest + grace-retained shard files, the
+    * unpinned read sees the survivors — and joins them per return flag.
+    * The DuckDB oracle recomputes both states from the original parquet
+    * (the pre-delete state is the full table, the post-delete state is
+    * `NOT (predicate)`), so a hash match proves the snapshot replay is
+    * byte-exact AND the delete removed exactly the predicate's rows.
+    * Money stays in cent BIGINTs; both engines' sums are integral. */
+  val q109TimeTravel: Q = Q(
+    "q109_time_travel",
+    (s, d) => {
+      val wh = graft.kv.KvStore.cacheDir(s"tt-wh-${cacheKey(d)}")
+      s.conf.set("spark.sql.catalog.graft_tt", "graft.sources.KvSqlCatalog")
+      s.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
+      if (!new File(s"$wh/default/li_hist/_kvmeta.json").exists()) {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_tt_src")
+        s.sql("DROP TABLE IF EXISTS graft_tt.default.li_hist")
+        s.sql("""CREATE TABLE graft_tt.default.li_hist
+                 TBLPROPERTIES ('rowkey'='lk') AS
+                 SELECT l_orderkey * 100 + l_linenumber AS lk, l_quantity,
+                        CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS price_c,
+                        l_returnflag
+                 FROM lineitem_tt_src""")                          // version 1
+        s.sql("DELETE FROM graft_tt.default.li_hist WHERE l_quantity = 25.0") // version 2
+      }
+      s.sql("""SELECT v1.l_returnflag, v1.n_before, v1.price_before,
+                      now.n_after, now.price_after
+               FROM (SELECT l_returnflag, count(*) AS n_before,
+                            sum(price_c) AS price_before
+                     FROM graft_tt.default.li_hist VERSION AS OF 1
+                     GROUP BY l_returnflag) v1
+               JOIN (SELECT l_returnflag, count(*) AS n_after,
+                            sum(price_c) AS price_after
+                     FROM graft_tt.default.li_hist
+                     GROUP BY l_returnflag) now
+                 ON v1.l_returnflag = now.l_returnflag
+               ORDER BY v1.l_returnflag""")
+    },
+    Some("""
+      SELECT v1.l_returnflag, v1.n_before, v1.price_before, now.n_after, now.price_after
+      FROM (SELECT l_returnflag, count(*) AS n_before,
+                   CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS price_before
+            FROM lineitem GROUP BY l_returnflag) v1
+      JOIN (SELECT l_returnflag, count(*) AS n_after,
+                   CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS price_after
+            FROM lineitem WHERE NOT (l_quantity = 25.0) GROUP BY l_returnflag) now
+        ON v1.l_returnflag = now.l_returnflag
+      ORDER BY v1.l_returnflag"""),
+    doc = "SQL time travel: VERSION AS OF replays the pre-DELETE snapshot next to the live table")
+
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
     q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
     q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras, q97KvPrefixSeek,
-    q100KvMultiRange, q101KvBloomPoint, q102SqlCatalog, q107KvBloomJoin)
+    q100KvMultiRange, q101KvBloomPoint, q102SqlCatalog, q107KvBloomJoin,
+    q108SpjJoin, q109TimeTravel)
 }

@@ -58,8 +58,15 @@ class KvDataSource extends TableProvider with DataSourceRegister {
 }
 
 /** Table handle: batch read + batch write (+ truncate for overwrite,
-  * + `DELETE FROM … WHERE` when every conjunct is pushable). */
-class KvTable(val catalog: KvCatalog, val dir: String)
+  * + `DELETE FROM … WHERE` when every conjunct is pushable).
+  *
+  * `pinnedAsOf` = a time-travel handle (SQL `VERSION AS OF` /
+  * `TIMESTAMP AS OF` through [[KvSqlCatalog.loadTable]]): every scan it
+  * builds defaults to that manifest version — the same snapshot
+  * machinery as the `asOfVersion` read option, which still wins if
+  * given explicitly. */
+class KvTable(val catalog: KvCatalog, val dir: String,
+              val pinnedAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -196,9 +203,11 @@ class KvTable(val catalog: KvCatalog, val dir: String)
           out.foreach(o => new java.io.File(s"$dir/${o.file}").delete())
         else
           // fresh survivor stats (exact, see tracker note above); hosts
-          // carry over (same storage locality)
+          // and the bucket tag carry over (same storage locality, same
+          // key subset — a rewrite never moves a key between buckets)
           replacements(shard.file) =
-            out.map(_.copy(stats = tracker.result(), hosts = shard.hosts)).toSeq
+            out.map(_.copy(stats = tracker.result(), hosts = shard.hosts,
+              bucket = shard.bucket)).toSeq
       }
     }
     if (replacements.isEmpty) return true
@@ -239,7 +248,7 @@ class KvTable(val catalog: KvCatalog, val dir: String)
     // `asOfVersion` (optional): snapshot read of a past manifest commit
     // — valid while retain-mode compaction + vacuum grace keep the
     // superseded shard files (truncate deletes them immediately).
-    val asOf = Option(options.get("asOfVersion")).map(_.toLong)
+    val asOf = Option(options.get("asOfVersion")).map(_.toLong).orElse(pinnedAsOf)
     new KvScanBuilder(catalog, dir, options.getBoolean("columnar", true), asOf)
   }
 

@@ -186,7 +186,7 @@ class KvReplaceGroupsWrite(catalog: KvCatalog, dir: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     KvDataWriterFactory(dir, schema.json, catalog.schema.json, catalog.rowkey,
-      chunkBytes)
+      chunkBytes, buckets = catalog.buckets)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq

@@ -113,7 +113,7 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
     case Some((groupCols, specs)) =>
       new KvAggScan(dir, catalog.rowkey, declared, pushed, groupCols, specs, asOf)
     case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit,
-      reverse, columnar, asOf)
+      reverse, columnar, asOf, catalog.buckets)
   }
 }
 
@@ -153,15 +153,35 @@ object KvInputPartition {
   val FullRange: Seq[(Option[String], Option[String])] = Seq((None, None))
   def apply(shard: KvShardMeta): KvInputPartition =
     KvInputPartition(shard, FullRange)
+  /** Unwrap a possibly-keyed partition to the KV partition readers use. */
+  def unwrap(p: InputPartition): KvInputPartition = p match {
+    case k: KvKeyedInputPartition => k.inner
+    case kp: KvInputPartition     => kp
+    case other => throw new IllegalArgumentException(
+      s"not a graft-kv partition: ${other.getClass.getName}")
+  }
+}
+
+/** A [[KvInputPartition]] carrying its shard's bucket id as a
+  * `HasPartitionKey` partition key (an `InternalRow` of the
+  * `bucket(n, rowkey)` transform's INT result) — what lets Spark group
+  * the partitions of a bucketed table per bucket and zip them against
+  * the matching buckets of a co-partitioned join side. */
+case class KvKeyedInputPartition(inner: KvInputPartition, bucketId: Int)
+    extends InputPartition with HasPartitionKey {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
 }
 
 class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
              declared: StructType, filters: Array[Filter], limit: Int,
              reverse: Boolean = false, columnar: Boolean = true,
-             asOf: Option[Long] = None)
+             asOf: Option[Long] = None, buckets: Int = 0)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportOrdering {
+    with SupportsReportOrdering with SupportsReportPartitioning {
 
   /** Every partition emits rowkey order: a shard file is sorted by key,
     * multi-range clips are visited in sorted range order, and the DESC
@@ -272,6 +292,35 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   private var prunedByZoneMap = 0L
   private var rangesPlanned = 1L
 
+  /** Storage-partitioned-join reporting for bucketed tables. A table
+    * whose EVERY shard carries a valid bucket tag is, by the writer's
+    * invariant (one shard ⊆ one bucket; [[KvDataWriter]]), physically
+    * partitioned by `bucket(buckets, rowkey)` — reported here as a
+    * `KeyGroupedPartitioning` so two co-bucketed tables join on their
+    * rowkeys with NO exchange on either side (Spark groups the keyed
+    * input partitions per bucket and zips the sides). At 100 TB this
+    * removes the dominant shuffle of every fact-fact join; the
+    * co-location survives appends, compaction (bucket-local merges),
+    * DELETE/UPDATE rewrites and streaming epochs, because all of them
+    * preserve the shard→bucket tag.
+    *
+    * Guards: the rowkey must still be in the output (Spark resolves the
+    * transform's column against the scan relation), and any untagged
+    * shard (legacy write into a re-declared table) downgrades to
+    * `UnknownPartitioning` — correctness never rests on the tag. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    lazy val shards = try KvStore.readMetaAsOf(dir, asOf).shards
+      catch { case _: Exception => Nil }
+    if (buckets > 0 && prunedSchema.fieldNames.contains(rowkeyName) &&
+        shards.nonEmpty && shards.forall(s => s.bucket >= 0 && s.bucket < buckets)) {
+      val distinct = shards.map(_.bucket).distinct.length
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.bucket(buckets, rowkeyName)), distinct)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val meta = KvStore.readMetaAsOf(dir, asOf)
     // a pinned read plans from an ARCHIVED manifest whose shard files
@@ -295,12 +344,18 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     prunedByKeyRange = (meta.shards.length - inKeyRange.length).toLong
     prunedByZoneMap = (inKeyRange.length - surviving.length).toLong
     rangesPlanned = ranges.length.toLong
+    // keyed wrappers only when EVERY manifest shard is bucket-tagged —
+    // the exact condition outputPartitioning() reported KeyGrouped for
+    // (Spark requires every partition to expose a key or none)
+    val keyed = buckets > 0 &&
+      meta.shards.forall(s => s.bucket >= 0 && s.bucket < buckets)
     surviving.map { s =>
       // each shard carries only the ranges that touch it — the reader's
       // cursor walks a short local list, not the global set
       val local = KeyRanges.clipToShard(ranges, s.minKey, s.maxKey)
         .map { case (lo, hi) => (lo.map(KvStore.toHex), hi.map(KvStore.toHex)) }
-      KvInputPartition(s, local, runtimeFilters.toSeq): InputPartition
+      val p = KvInputPartition(s, local, runtimeFilters.toSeq)
+      (if (keyed) KvKeyedInputPartition(p, s.bucket) else p): InputPartition
     }.toArray
   }
 
@@ -391,7 +446,7 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
       !pruned.fieldNames.contains(KvMetadataColumns.ShardCol)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[KvInputPartition]
+    val part = KvInputPartition.unwrap(p)
     // executor-side bloom gate: a definite point-predicate miss answers
     // from the KiB sidecar without opening the shard file at all. The
     // partition's runtime (DPP) filters join the check — the factory's
@@ -404,7 +459,7 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val part = p.asInstanceOf[KvInputPartition]
+    val part = KvInputPartition.unwrap(p)
     if (!KvBloomPrune.canMatch(dir, part.shard, filters ++ part.runtime, declared))
       new KvBloomSkippedReader[org.apache.spark.sql.vectorized.ColumnarBatch]
     else new KvColumnarReader(dir, part, pruned, declared,

@@ -48,7 +48,8 @@ import scala.jdk.CollectionConverters._
   * swaps atomically via temp-file rename, so concurrent readers see
   * either schema, never a torn file.
   */
-class KvSqlCatalog extends TableCatalog with SupportsNamespaces {
+class KvSqlCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -107,6 +108,33 @@ class KvSqlCatalog extends TableCatalog with SupportsNamespaces {
     new KvTable(cat, tableDir(ident).getPath)
   }
 
+  /** SQL `VERSION AS OF v`: a table handle pinned to manifest version
+    * `v` — resolved EAGERLY so a vacuumed/never-existed version fails at
+    * analysis with the clear "unavailable" message, not mid-job. The
+    * snapshot window is the vacuum grace period (superseded shard files
+    * are retained on its clock) and [[KvStore.MaxArchivedManifests]]
+    * commits of manifest history. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val cat = readCatalog(ident)
+    val dir = tableDir(ident).getPath
+    val v = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-kv versions are manifest commit numbers; got '$version'")
+    }
+    KvStore.readMetaAsOf(dir, Some(v)) // eager availability check
+    new KvTable(cat, dir, pinnedAsOf = Some(v))
+  }
+
+  /** SQL `TIMESTAMP AS OF t` (micros since epoch, per the connector
+    * contract): resolves to the newest version committed at or before
+    * `t` via the stamped manifest chain, then pins like `VERSION AS OF`. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val cat = readCatalog(ident)
+    val dir = tableDir(ident).getPath
+    val v = KvStore.versionAtTimestamp(dir, Math.floorDiv(timestampMicros, 1000L))
+    new KvTable(cat, dir, pinnedAsOf = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -117,6 +145,9 @@ class KvSqlCatalog extends TableCatalog with SupportsNamespaces {
     val rowkey = props.getOrElse(KvSqlCatalog.RowkeyProp, schema.fields.head.name)
     require(schema.fieldNames.contains(rowkey),
       s"table property '${KvSqlCatalog.RowkeyProp}'='$rowkey' names no declared column")
+    val buckets = props.get(KvSqlCatalog.BucketsProp).map(_.trim.toInt).getOrElse(0)
+    require(buckets >= 0 && buckets <= 4096,
+      s"table property '${KvSqlCatalog.BucketsProp}' must be in [0, 4096], got $buckets")
     val columns = schema.fields.toSeq.map { f =>
       val isRk = f.name == rowkey
       val cf = if (isRk) KvCatalog.RowkeyCf
@@ -130,7 +161,7 @@ class KvSqlCatalog extends TableCatalog with SupportsNamespaces {
     }
     columns.foreach(c => KvCatalog.typeString(c.dataType))
     val cat = KvCatalog(ident.namespace().headOption.getOrElse("default"),
-      ident.name(), rowkey, columns)
+      ident.name(), rowkey, columns, buckets)
     val dir = tableDir(ident)
     if (!nsDir(ident.namespace()).isDirectory) throw new NoSuchNamespaceException(
       (catalogName +: ident.namespace()).toSeq)
@@ -234,6 +265,27 @@ class KvSqlCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  // ---- functions ----
+
+  /** The catalog's one function: `bucket` ([[KvBucketFunction]]). Its
+    * REAL consumer is not user SQL but Spark's storage-partitioned-join
+    * machinery, which resolves the `bucket(n, rowkey)` transform a
+    * bucketed scan reports through the table's function catalog with an
+    * EMPTY-namespace identifier — so the empty namespace is accepted
+    * alongside the default one. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !nsDir(namespace).isDirectory)
+      throw new NoSuchNamespaceException((catalogName +: namespace).toSeq)
+    Array(Identifier.of(namespace, KvBucketFunction.name()))
+  }
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction = {
+    val nsOk = ident.namespace().isEmpty ||
+      (ident.namespace().length == 1 && nsDir(ident.namespace()).isDirectory)
+    if (nsOk && ident.name() == KvBucketFunction.name()) KvBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+  }
+
   // ---- namespaces ----
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -280,4 +332,8 @@ object KvSqlCatalog {
   /** Table property naming the rowkey column; defaults to the first
     * declared column when absent. */
   val RowkeyProp = "rowkey"
+
+  /** Table property setting the rowkey hash-bucket count (0/absent =
+    * unbucketed); see [[graft.kv.KvCatalog]]'s `buckets` scaladoc. */
+  val BucketsProp = "buckets"
 }

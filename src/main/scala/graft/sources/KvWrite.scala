@@ -121,7 +121,7 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     KvDataWriterFactory(dir, schema.json, catalog.schema.json, catalog.rowkey,
-      chunkBytes, bloomColumns, bloomBits)
+      chunkBytes, bloomColumns, bloomBits, catalog.buckets)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     // lock: the read-modify-write must not interleave with a concurrent
@@ -178,7 +178,7 @@ class KvStreamingWrite(catalog: KvCatalog, dir: String, schema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     KvStreamingDataWriterFactory(dir, schema.json, catalog.schema.json,
-      catalog.rowkey, chunkBytes, bloomColumns, bloomBits)
+      catalog.rowkey, chunkBytes, bloomColumns, bloomBits, catalog.buckets)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     KvStore.withTableLock(dir) {
@@ -218,26 +218,26 @@ object KvStreamingWrite {
 case class KvStreamingDataWriterFactory(dir: String, schemaJson: String,
                                         declaredJson: String, rowkey: String,
                                         chunkBytes: Long, bloomColumns: String = "",
-                                        bloomBits: Int = 1 << 20)
+                                        bloomBits: Int = 1 << 20, buckets: Int = 0)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new KvDataWriter(dir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkey,
-      partitionId, taskId, chunkBytes, bloomColumns, bloomBits)
+      partitionId, taskId, chunkBytes, bloomColumns, bloomBits, buckets)
 }
 
 case class KvDataWriterFactory(dir: String, schemaJson: String,
                                declaredJson: String, rowkey: String,
                                chunkBytes: Long, bloomColumns: String = "",
-                               bloomBits: Int = 1 << 20)
+                               bloomBits: Int = 1 << 20, buckets: Int = 0)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(dir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkey,
-      partitionId, taskId, chunkBytes, bloomColumns, bloomBits)
+      partitionId, taskId, chunkBytes, bloomColumns, bloomBits, buckets)
 }
 
 object KvDataWriter {
@@ -248,11 +248,22 @@ object KvDataWriter {
 
 /** `schema` = incoming row layout; `declared` = catalog schema carrying
   * the (cf, qualifier) metadata. Columns are matched BY NAME so the
-  * stored cells always land under the catalog's declared cf:qualifier. */
+  * stored cells always land under the catalog's declared cf:qualifier.
+  *
+  * `buckets > 0` = the table is hash-bucketed on the rowkey
+  * ([[graft.kv.KvBuckets]]): rows split into per-bucket runs so every
+  * emitted shard holds EXACTLY ONE bucket's keys and is tagged with it
+  * in the manifest — the invariant the scan's storage-partitioned-join
+  * reporting rests on. The `chunkBytes` memory bound stays GLOBAL
+  * across buckets (one oversized run still flushes everything), so a
+  * bucketed writer holds no more encoded data than an unbucketed one;
+  * it just cuts it into up to `buckets` smaller sorted shards per
+  * flush (compaction later merges per bucket). */
 class KvDataWriter(dir: String, schema: StructType, declared: StructType,
                    rowkey: String, partitionId: Int, taskId: Long,
                    chunkBytes: Long = KvDataWriter.DefaultChunkBytes,
-                   bloomColumns: String = "", bloomBits: Int = 1 << 20)
+                   bloomColumns: String = "", bloomBits: Int = 1 << 20,
+                   buckets: Int = 0)
     extends DataWriter[InternalRow] {
 
   private val rowkeyIdx = schema.fieldIndex(rowkey)
@@ -279,40 +290,12 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
   private def chunkFileName(seq: Int): String =
     f"shard-p$partitionId%05d-t$taskId-$writerToken-c$seq.kv"
 
-  private val buffer = new ArrayBuffer[KvRecord]()
-  private var bufferedBytes = 0L
   private var chunkSeq = 0
+  private var bufferedBytes = 0L // GLOBAL across buckets — the memory bound
   private val emittedFiles = new ArrayBuffer[String]()
   private val emittedShards = new ArrayBuffer[KvShardMeta]()
 
-  // ---- per-chunk zone maps ("cf:qual" → min/max in key encoding) ----
-  // Tracked in the ORDER-PRESERVING key encoding so bounds merge under
-  // plain byte comparison at compaction time and decode to typed bounds
-  // at scan time (KvShardMeta.stats scaladoc). Oversized values poison
-  // the column for the chunk (giant string bounds don't belong in a
-  // manifest); unsupported types are never tracked.
-  private val statsCols: Array[Int] =
-    cellCols.indices.filter(c => KvZoneMaps.supported(cellCols(c)._4)).toArray
-  private val statsMin = new Array[Array[Byte]](cellCols.length)
-  private val statsMax = new Array[Array[Byte]](cellCols.length)
-  private val statsPoisoned = new Array[Boolean](cellCols.length)
-
-  private def trackStats(c: Int, dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
-    if (!statsPoisoned(c)) {
-      val enc = BytesCodec.encodeKey(dt, v)
-      if (enc.length > KvZoneMaps.MaxBoundBytes) {
-        statsPoisoned(c) = true
-        statsMin(c) = null; statsMax(c) = null
-      } else {
-        if (statsMin(c) == null || BytesCodec.compareKeys(enc, statsMin(c)) < 0)
-          statsMin(c) = enc
-        if (statsMax(c) == null || BytesCodec.compareKeys(enc, statsMax(c)) > 0)
-          statsMax(c) = enc
-      }
-    }
-  }
-
-  // ---- opt-in per-chunk bloom filters (option `bloomColumns`) ----
+  // ---- bloom column resolution (shared by all accumulators) ----
   // tracked by the same "cf:qual" keys as zone maps, over the raw CELL
   // encoding of non-null values; see [[graft.kv.KvBloom]] for why
   // floats/decimals never track
@@ -324,14 +307,71 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
       else null
     }
   }
-  private val bloomBuilder: graft.kv.KvBloom.Builder = {
-    val keys = bloomKeyOf.filter(_ != null).toSeq
-    if (keys.isEmpty) null else new graft.kv.KvBloom.Builder(bloomBits, 4, keys)
+  private val bloomKeys: Seq[String] = bloomKeyOf.filter(_ != null).toSeq
+  private val statsCols: Array[Int] =
+    cellCols.indices.filter(c => KvZoneMaps.supported(cellCols(c)._4)).toArray
+
+  /** One in-flight sorted run: records + zone-map bounds + bloom bits.
+    * Unbucketed writers own exactly one (`bucketId = -1`); bucketed
+    * writers one per bucket id seen.
+    *
+    * Zone maps are tracked in the ORDER-PRESERVING key encoding so
+    * bounds merge under plain byte comparison at compaction time and
+    * decode to typed bounds at scan time (KvShardMeta.stats scaladoc).
+    * Oversized values poison the column for the chunk (giant string
+    * bounds don't belong in a manifest); unsupported types are never
+    * tracked. */
+  private final class ChunkAcc(val bucketId: Int) {
+    val buffer = new ArrayBuffer[KvRecord]()
+    val statsMin = new Array[Array[Byte]](cellCols.length)
+    val statsMax = new Array[Array[Byte]](cellCols.length)
+    val statsPoisoned = new Array[Boolean](cellCols.length)
+    val bloomBuilder: graft.kv.KvBloom.Builder =
+      if (bloomKeys.isEmpty) null
+      else new graft.kv.KvBloom.Builder(bloomBits, 4, bloomKeys)
+
+    def trackStats(c: Int, dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
+      if (!statsPoisoned(c)) {
+        val enc = BytesCodec.encodeKey(dt, v)
+        if (enc.length > KvZoneMaps.MaxBoundBytes) {
+          statsPoisoned(c) = true
+          statsMin(c) = null; statsMax(c) = null
+        } else {
+          if (statsMin(c) == null || BytesCodec.compareKeys(enc, statsMin(c)) < 0)
+            statsMin(c) = enc
+          if (statsMax(c) == null || BytesCodec.compareKeys(enc, statsMax(c)) > 0)
+            statsMax(c) = enc
+        }
+      }
+    }
+
+    def reset(): Unit = {
+      if (bloomBuilder != null) bloomBuilder.reset()
+      buffer.clear()
+      java.util.Arrays.fill(statsMin.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(statsMax.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(statsPoisoned, false)
+    }
   }
+
+  private val unbucketedAcc = if (buckets > 0) null else new ChunkAcc(-1)
+  private val bucketAccs =
+    if (buckets > 0) new Array[ChunkAcc](buckets) else null
+  private def accFor(encodedKey: Array[Byte]): ChunkAcc =
+    if (buckets <= 0) unbucketedAcc
+    else {
+      val b = graft.kv.KvBuckets.ofKey(encodedKey, buckets)
+      if (bucketAccs(b) == null) bucketAccs(b) = new ChunkAcc(b)
+      bucketAccs(b)
+    }
+  private def allAccs: Iterator[ChunkAcc] =
+    if (buckets <= 0) Iterator(unbucketedAcc)
+    else bucketAccs.iterator.filter(_ != null)
 
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(rowkeyIdx), s"null rowkey '${rowkey}' at write")
     val key = BytesCodec.encodeKey(keyType, row.get(rowkeyIdx, keyType))
+    val acc = accFor(key)
     var recBytes = key.length.toLong + 8
     val cellBuf = new ArrayBuffer[KvCell](cellCols.length)
     var c = 0
@@ -340,8 +380,8 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
       if (!row.isNullAt(i)) {
         val v = BytesCodec.encode(dt, row.get(i, dt))
         recBytes += cf.length + qual.length + v.length + 8
-        if (bloomBuilder != null && bloomKeyOf(c) != null)
-          bloomBuilder.add(bloomKeyOf(c), v)
+        if (acc.bloomBuilder != null && bloomKeyOf(c) != null)
+          acc.bloomBuilder.add(bloomKeyOf(c), v)
         cellBuf += KvCell(cf, qual, v)
       }
       c += 1
@@ -351,51 +391,54 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
     while (sc < statsCols.length) {
       val c = statsCols(sc)
       val (i, _, _, dt) = cellCols(c)
-      if (!row.isNullAt(i)) trackStats(c, dt, row.get(i, dt))
+      if (!row.isNullAt(i)) acc.trackStats(c, dt, row.get(i, dt))
       sc += 1
     }
-    buffer += KvRecord(key, cells)
+    acc.buffer += KvRecord(key, cells)
     bufferedBytes += recBytes
-    if (bufferedBytes >= chunkBytes) flushChunk()
+    // the bound is on TOTAL buffered bytes: flushing every accumulator
+    // at once keeps bucketed memory identical to unbucketed memory
+    if (bufferedBytes >= chunkBytes) flushAll()
   }
 
-  /** Sort the buffered run and stream it out as one shard file. */
-  private def flushChunk(): Unit = {
-    if (buffer.nonEmpty) {
+  /** Sort one accumulator's run and stream it out as one shard file
+    * (tagged with the accumulator's bucket, if any). */
+  private def flushAcc(acc: ChunkAcc): Unit = {
+    if (acc.buffer.nonEmpty) {
       val name = chunkFileName(chunkSeq)
       chunkSeq += 1
       require(!new File(s"$dir/$name").exists(),
         s"shard file $name already exists — refusing to truncate a committed shard")
       emittedFiles += name
-      val sorted = buffer.sortWith((a, b) => BytesCodec.compareKeys(a.key, b.key) < 0)
+      val sorted = acc.buffer.sortWith((a, b) => BytesCodec.compareKeys(a.key, b.key) < 0)
       val w = new KvStore.ShardWriter(dir, name)
       sorted.foreach(w.append)
       val stats = statsCols.iterator.filter(c =>
-        !statsPoisoned(c) && statsMin(c) != null).map { c =>
+        !acc.statsPoisoned(c) && acc.statsMin(c) != null).map { c =>
         val (_, cf, qual, _) = cellCols(c)
-        s"$cf:$qual" -> (KvStore.toHex(statsMin(c)), KvStore.toHex(statsMax(c)))
+        s"$cf:$qual" -> (KvStore.toHex(acc.statsMin(c)), KvStore.toHex(acc.statsMax(c)))
       }.toMap
       w.close().foreach { m =>
         val withBloom =
-          if (bloomBuilder != null && bloomBuilder.nonEmpty) {
+          if (acc.bloomBuilder != null && acc.bloomBuilder.nonEmpty) {
             val sc2 = graft.kv.KvBloom.sidecarName(name)
-            graft.kv.KvBloom.write(s"$dir/$sc2", bloomBuilder.result())
+            graft.kv.KvBloom.write(s"$dir/$sc2", acc.bloomBuilder.result())
             emittedFiles += sc2
             m.copy(bloom = sc2)
           } else m
-        emittedShards += withBloom.copy(stats = stats)
+        emittedShards += withBloom.copy(stats = stats, bucket = acc.bucketId)
       }
-      if (bloomBuilder != null) bloomBuilder.reset()
-      buffer.clear()
-      bufferedBytes = 0L
-      java.util.Arrays.fill(statsMin.asInstanceOf[Array[AnyRef]], null)
-      java.util.Arrays.fill(statsMax.asInstanceOf[Array[AnyRef]], null)
-      java.util.Arrays.fill(statsPoisoned, false)
+      acc.reset()
     }
   }
 
+  private def flushAll(): Unit = {
+    allAccs.foreach(flushAcc)
+    bufferedBytes = 0L
+  }
+
   override def commit(): WriterCommitMessage = {
-    flushChunk()
+    flushAll()
     KvCommit(emittedShards.toSeq)
   }
 

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.kv.{KvBuckets, KvCompactor, KvStore}
+import org.apache.spark.sql.types.LongType
+
+/** Bucketed tables → storage-partitioned joins: shard bucket tagging on
+  * write, `KeyGroupedPartitioning` reporting on scan, shuffle-free join
+  * plans between co-bucketed tables, and the invariants that keep the
+  * co-location true across maintenance (compaction, DELETE). */
+class KvBucketJoinSpec extends SparkSpec {
+
+  private lazy val wh = Files.createTempDirectory("graft-bucket-wh").toString
+
+  private lazy val ready: Unit = {
+    spark.conf.set("spark.sql.catalog.bkt", classOf[KvSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bkt.warehouse", wh)
+    // the one switch storage-partitioned joins sit behind
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+  private def sql(q: String) = { ready; spark.sql(q) }
+
+  private def makePair(): Unit = {
+    sql("""CREATE TABLE bkt.default.fact_a (id BIGINT, qty DOUBLE)
+          |TBLPROPERTIES ('rowkey'='id', 'buckets'='8')""".stripMargin)
+    sql("""CREATE TABLE bkt.default.fact_b (id BIGINT, price DOUBLE)
+          |TBLPROPERTIES ('rowkey'='id', 'buckets'='8')""".stripMargin)
+    sql("INSERT INTO bkt.default.fact_a SELECT id, CAST(id % 7 AS DOUBLE) " +
+      "FROM range(0, 1000)")
+    sql("INSERT INTO bkt.default.fact_b SELECT id, CAST(id % 11 AS DOUBLE) " +
+      "FROM range(0, 1000, 2)") // every second key: joins hit half
+  }
+  private lazy val pairReady: Unit = makePair()
+
+  test("writes tag every shard with its rowkey bucket") {
+    pairReady
+    val shards = KvStore.readMeta(s"$wh/default/fact_a").shards
+    assert(shards.nonEmpty && shards.forall(s => s.bucket >= 0 && s.bucket < 8))
+    // tag must MATCH the shared hash for every key in the shard: read
+    // each shard's rows via the _shard metadata column and re-hash
+    val byShard = sql("SELECT _shard, id FROM bkt.default.fact_a").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val tagOf = shards.map(s => s.file -> s.bucket).toMap
+    byShard.foreach { case (file, ids) =>
+      ids.foreach { id =>
+        assert(KvBuckets.ofValue(LongType, id, 8) == tagOf(file),
+          s"key $id landed in shard $file tagged ${tagOf(file)}")
+      }
+    }
+  }
+
+  test("co-bucketed join runs with NO shuffle and correct rows") {
+    pairReady
+    val df = sql(
+      """SELECT a.id, a.qty, b.price FROM bkt.default.fact_a a
+        |JOIN bkt.default.fact_b b ON a.id = b.id""".stripMargin)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"storage-partitioned join must elide both exchanges, got:\n$plan")
+    assert(df.count() == 500)
+    // values: every even id under 1000 pairs its qty/price
+    val row = df.where("id = 42").collect().head
+    assert(row.getDouble(1) == (42 % 7).toDouble && row.getDouble(2) == (42 % 11).toDouble)
+  }
+
+  test("join against an UNBUCKETED table falls back to a shuffle, correctly") {
+    pairReady
+    sql("CREATE TABLE bkt.default.plain (id BIGINT, tag STRING) TBLPROPERTIES ('rowkey'='id')")
+    sql("INSERT INTO bkt.default.plain SELECT id, CAST(id AS STRING) FROM range(0, 100)")
+    val df = sql(
+      """SELECT a.id, p.tag FROM bkt.default.fact_a a
+        |JOIN bkt.default.plain p ON a.id = p.id""".stripMargin)
+    assert(df.count() == 100) // correctness first; the plan may shuffle or broadcast
+  }
+
+  test("compaction merges only within a bucket and keeps the join shuffle-free") {
+    pairReady
+    // several small appends → many small shards per bucket
+    (0 until 3).foreach { i =>
+      sql(s"INSERT INTO bkt.default.fact_a SELECT id, CAST(id AS DOUBLE) " +
+        s"FROM range(${1000 + i * 10}, ${1010 + i * 10})")
+    }
+    val dir = s"$wh/default/fact_a"
+    assert(KvCompactor.compact(dir, 64L << 20) > 0, "compaction should merge something")
+    val after = KvStore.readMeta(dir).shards
+    assert(after.forall(s => s.bucket >= 0 && s.bucket < 8),
+      "compacted outputs must keep their bucket tag")
+    // every merged shard still holds exactly one bucket's keys
+    val tagOf = after.map(s => s.file -> s.bucket).toMap
+    sql("SELECT _shard, id FROM bkt.default.fact_a").collect().foreach { r =>
+      assert(KvBuckets.ofValue(LongType, r.getLong(1), 8) == tagOf(r.getString(0)))
+    }
+    val df = sql(
+      """SELECT a.id, b.price FROM bkt.default.fact_a a
+        |JOIN bkt.default.fact_b b ON a.id = b.id""".stripMargin)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString().contains("Exchange"),
+      "join must stay exchange-free after compaction")
+  }
+
+  test("DELETE preserves bucket tags; the SPJ plan survives") {
+    pairReady
+    sql("DELETE FROM bkt.default.fact_b WHERE id >= 900")
+    val shards = KvStore.readMeta(s"$wh/default/fact_b").shards
+    assert(shards.forall(s => s.bucket >= 0 && s.bucket < 8))
+    val df = sql(
+      """SELECT a.id FROM bkt.default.fact_a a
+        |JOIN bkt.default.fact_b b ON a.id = b.id""".stripMargin)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString().contains("Exchange"))
+    assert(df.count() == 450)
+  }
+
+  test("bucket function evaluates through SQL and matches KvBuckets") {
+    ready
+    val viaSql = spark.sql("SELECT bkt.bucket(8, CAST(123456 AS BIGINT))")
+      .collect().head.getInt(0)
+    assert(viaSql == KvBuckets.ofValue(LongType, 123456L, 8))
+  }
+}
