@@ -243,8 +243,12 @@ object KvCompactor {
           KvBloom.write(s"$tableDir/$sc", b)
           m.copy(bloom = sc)
         }.getOrElse(m)
-        // group ⊆ one bucket by construction (see compact's grouping)
-        withBloom.copy(stats = mergedStats, bucket = group.head.bucket)
+        // group ⊆ one bucket by construction (see compact's grouping);
+        // lineage = the EARLIEST input: a merged shard's rows are only
+        // as new as the oldest rows in it, so an incremental read can
+        // never re-serve compacted-away history as fresh
+        withBloom.copy(stats = mergedStats, bucket = group.head.bucket,
+          firstVersion = group.map(_.firstVersion).min)
       }
     } finally {
       readers.foreach(_._1.close())

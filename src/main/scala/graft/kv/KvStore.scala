@@ -50,12 +50,20 @@ final case class KvCell(cf: String, qualifier: String, value: Array[Byte])
   * maps mergeable by plain byte comparison (compaction needs no schema)
   * and decodable to typed bounds at scan time (the scan has the
   * catalog). A column absent from the map ⇒ unknown ⇒ never pruned. */
+/** `firstVersion` = the manifest version at which this shard's ROWS
+  * first entered the table (not the file: maintenance rewrites carry
+  * the MIN of their inputs' firstVersion forward, so a compacted or
+  * DELETE-surviving row never re-appears as "new"). 0 in pre-feature
+  * manifests ≡ "at or before the beginning". This is the planning key
+  * for incremental reads (`option("sinceVersion", v)` plans only
+  * shards with firstVersion > v). */
 final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKeyHex: String,
                              hosts: Seq[String] = Nil,
                              stats: Map[String, (String, String)] = Map.empty,
                              crc32cHex: String = "",
                              bloom: String = "",
-                             bucket: Int = -1) {
+                             bucket: Int = -1,
+                             firstVersion: Long = 0) {
   def minKey: Array[Byte] = KvStore.fromHex(minKeyHex)
   def maxKey: Array[Byte] = KvStore.fromHex(maxKeyHex)
 }
@@ -169,11 +177,36 @@ object KvStore {
       KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
         s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts, stats,
         s.path("crc32c").asText(""), s.path("bloom").asText(""),
-        s.path("bucket").asInt(-1))
+        s.path("bucket").asInt(-1), s.path("firstVersion").asLong(0))
     }.toSeq
     val epochs = root.path("committedEpochs").elements().asScala.map(_.asText()).toSeq
     KvTableMeta(shards, epochs, root.path("version").asLong(0),
       root.path("committedAtMs").asLong(0))
+  }
+
+  /** Append-delta shard set for the window `(since, asOf-or-current]` —
+    * the planning core of incremental (`sinceVersion`) reads. Replays
+    * the manifest chain COMMIT BY COMMIT (the Delta/Iceberg
+    * change-feed discipline, not a state diff): version W's data adds
+    * are exactly its shards with `firstVersion == W`, which excludes
+    * every maintenance output (compaction / DML rewrites inherit their
+    * inputs' min firstVersion) — so a row appended once is served
+    * exactly once, even if a later compaction merged its shard with
+    * older data (a state-diff would either lose it or re-serve the old
+    * rows around it). Availability is bounded like time travel: the
+    * archived-manifest window and the vacuum grace clock on superseded
+    * shard files; a vacuumed window surfaces the clear "unavailable"
+    * planning error. */
+  def deltaShards(tableDir: String, since: Long, asOf: Option[Long]): Seq[KvShardMeta] = {
+    val end = readMetaAsOf(tableDir, asOf)
+    val out = scala.collection.mutable.LinkedHashMap[String, KvShardMeta]()
+    var w = since + 1
+    while (w <= end.version) {
+      val m = if (w == end.version) end else readMetaAsOf(tableDir, Some(w))
+      m.shards.iterator.filter(_.firstVersion == w).foreach(s => out.put(s.file, s))
+      w += 1
+    }
+    out.values.toSeq
   }
 
   /** SQL `TIMESTAMP AS OF` resolution: the newest manifest version whose
@@ -238,6 +271,7 @@ object KvStore {
       if (s.crc32cHex.nonEmpty) o.put("crc32c", s.crc32cHex)
       if (s.bloom.nonEmpty) o.put("bloom", s.bloom)
       if (s.bucket >= 0) o.put("bucket", s.bucket)
+      if (s.firstVersion > 0) o.put("firstVersion", s.firstVersion)
     }
     if (meta.committedEpochs.nonEmpty) {
       val e = node.putArray("committedEpochs")

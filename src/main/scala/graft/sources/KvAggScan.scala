@@ -122,11 +122,15 @@ object KvAggSpec {
 
 class KvAggScan(dir: String, rowkeyName: String, declared: StructType,
                 filters: Array[Filter], groupCols: Seq[String], specs: Seq[KvAggSpec],
-                asOf: Option[Long] = None)
+                asOf: Option[Long] = None, since: Option[Long] = None)
     extends Scan with Batch {
 
+  // the base scan owns shard selection (ranges, zone maps, asOf, since),
+  // so pushed aggregates — including the manifest stats fast path, which
+  // reads per-PARTITION shard meta — see exactly the incremental subset
   private val base =
-    new KvScan(dir, rowkeyName, declared, declared, filters, -1, asOf = asOf)
+    new KvScan(dir, rowkeyName, declared, declared, filters, -1, asOf = asOf,
+      since = since)
 
   override def readSchema(): StructType = KvAggSpec.outputSchema(groupCols, specs, declared)
   override def toBatch: Batch = this

@@ -207,7 +207,7 @@ class KvTable(val catalog: KvCatalog, val dir: String,
           // key subset — a rewrite never moves a key between buckets)
           replacements(shard.file) =
             out.map(_.copy(stats = tracker.result(), hosts = shard.hosts,
-              bucket = shard.bucket)).toSeq
+              bucket = shard.bucket, firstVersion = shard.firstVersion)).toSeq
       }
     }
     if (replacements.isEmpty) return true
@@ -248,8 +248,13 @@ class KvTable(val catalog: KvCatalog, val dir: String,
     // `asOfVersion` (optional): snapshot read of a past manifest commit
     // — valid while retain-mode compaction + vacuum grace keep the
     // superseded shard files (truncate deletes them immediately).
+    // `sinceVersion` (optional): incremental append-CDC read — only rows
+    // whose shards entered the table after that manifest version (see
+    // KvShardMeta.firstVersion); composes with asOfVersion for a
+    // bounded (since, asOf] window.
     val asOf = Option(options.get("asOfVersion")).map(_.toLong).orElse(pinnedAsOf)
-    new KvScanBuilder(catalog, dir, options.getBoolean("columnar", true), asOf)
+    val since = Option(options.get("sinceVersion")).map(_.toLong)
+    new KvScanBuilder(catalog, dir, options.getBoolean("columnar", true), asOf, since)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

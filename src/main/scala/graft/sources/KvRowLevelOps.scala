@@ -218,7 +218,15 @@ class KvReplaceGroupsWrite(catalog: KvCatalog, dir: String,
         throw new IllegalStateException(
           "cannot restart the vacuum grace clock on replaced shards; rewrite aborted")
       }
-      val keep = current.shards.filterNot(s => replaced(s.file)) ++ newShards
+      // lineage = min over the replaced inputs: a rewrite reshuffles
+      // surviving rows across its output shards, so per-output tighter
+      // bounds don't exist — the min keeps incremental reads from ever
+      // re-serving surviving rows as new. (UPDATEd row versions do not
+      // surface as changes; the incremental contract is append-only.)
+      val inheritedFirst = current.shards.filter(s => replaced(s.file))
+        .map(_.firstVersion).minOption.getOrElse(0L)
+      val keep = current.shards.filterNot(s => replaced(s.file)) ++
+        newShards.map(_.copy(firstVersion = inheritedFirst))
       KvStore.writeMeta(dir,
         KvTableMeta(keep, current.committedEpochs, current.version))
     }

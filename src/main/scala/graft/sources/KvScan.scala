@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   *      `HbasePartitionReader.scala:147`).
   */
 class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
-                    asOf: Option[Long] = None)
+                    asOf: Option[Long] = None, since: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
@@ -111,9 +111,10 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
 
   override def build(): Scan = aggSpecs match {
     case Some((groupCols, specs)) =>
-      new KvAggScan(dir, catalog.rowkey, declared, pushed, groupCols, specs, asOf)
+      new KvAggScan(dir, catalog.rowkey, declared, pushed, groupCols, specs, asOf,
+        since)
     case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit,
-      reverse, columnar, asOf, catalog.buckets)
+      reverse, columnar, asOf, catalog.buckets, since)
   }
 }
 
@@ -178,7 +179,8 @@ case class KvKeyedInputPartition(inner: KvInputPartition, bucketId: Int)
 class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
              declared: StructType, filters: Array[Filter], limit: Int,
              reverse: Boolean = false, columnar: Boolean = true,
-             asOf: Option[Long] = None, buckets: Int = 0)
+             asOf: Option[Long] = None, buckets: Int = 0,
+             since: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportOrdering with SupportsReportPartitioning {
@@ -230,8 +232,13 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     * schema width). */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val rows: Long =
-      try KvStore.readMetaAsOf(dir, asOf).shards.map(_.rows).sum
-      catch { case _: Exception => -1L }
+      try {
+        val shards = since match {
+          case Some(v) => KvStore.deltaShards(dir, v, asOf)
+          case None    => KvStore.readMetaAsOf(dir, asOf).shards
+        }
+        shards.map(_.rows).sum
+      } catch { case _: Exception => -1L }
     private lazy val rowWidth: Long = declared.fields.map(_.dataType.defaultSize.toLong).sum + 16L
     override def sizeInBytes(): java.util.OptionalLong =
       if (rows < 0) java.util.OptionalLong.empty()
@@ -249,6 +256,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // version would feed the user current+future data labeled as history
     require(asOf.isEmpty,
       "asOfVersion is a batch-read option; a streaming read tails the live table")
+    require(since.isEmpty,
+      "sinceVersion is a batch-read option; a streaming read has its own offsets")
     new KvMicroBatchStream(dir, rowkeyName, prunedSchema, declared, filters, columnar)
   }
 
@@ -256,7 +265,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     val f = allFilters.mkString(", ")
     val lim = if (limit >= 0) limit.toString else "none"
     val topn = if (reverse) " (DESC tail)" else ""
-    val pin = asOf.map(v => s", AsOf: $v").getOrElse("")
+    val pin = asOf.map(v => s", AsOf: $v").getOrElse("") +
+      since.map(v => s", Since: $v").getOrElse("")
     // Columnar ahead of the filter list: plan renderers truncate the
     // description (spark.sql.maxMetadataStringLength) and the filter
     // list is the unbounded part
@@ -322,16 +332,28 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val meta = KvStore.readMetaAsOf(dir, asOf)
-    // a pinned read plans from an ARCHIVED manifest whose shard files
-    // may have been reclaimed since (truncate deletes them immediately;
-    // vacuum past the grace period deletes them lazily) — verify here
-    // so the user gets the clear "version unavailable" planning error
-    // instead of a raw FileNotFoundException mid-task
-    if (asOf.isDefined) {
+    val full = KvStore.readMetaAsOf(dir, asOf)
+    // incremental (append-CDC) read: plan only the shards each commit
+    // in the (since, asOf] window ADDED — a manifest-chain replay
+    // ([[KvStore.deltaShards]]), zero data reads for untouched history.
+    // At 100 TB the daily delta of a 100k-shard table plans from ≤64
+    // manifest files, never the table.
+    val meta = since match {
+      case Some(v) => full.copy(shards = KvStore.deltaShards(dir, v, asOf))
+      case None    => full
+    }
+    // a pinned or incremental read may plan shard files that
+    // maintenance has since replaced — retained on the vacuum grace
+    // clock, but reclaimable (truncate deletes immediately; vacuum past
+    // the grace period deletes lazily) — verify here so the user gets
+    // the clear "version unavailable" planning error instead of a raw
+    // FileNotFoundException mid-task
+    if (asOf.isDefined || since.isDefined) {
       val gone = meta.shards.filterNot(s => new java.io.File(s"$dir/${s.file}").exists())
+      val window = asOf.map(v => s"table version $v")
+        .getOrElse(s"the incremental window since version ${since.get}")
       if (gone.nonEmpty) throw new IllegalArgumentException(
-        s"table version ${asOf.get} is unavailable: ${gone.length} of its " +
+        s"$window is unavailable: ${gone.length} of its " +
           s"shard files (e.g. ${gone.head.file}) were truncated or vacuumed")
     }
     val ranges = rowkeyRanges()
@@ -346,9 +368,10 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     rangesPlanned = ranges.length.toLong
     // keyed wrappers only when EVERY manifest shard is bucket-tagged —
     // the exact condition outputPartitioning() reported KeyGrouped for
-    // (Spark requires every partition to expose a key or none)
+    // (judged on the FULL shard set, matching that report; Spark
+    // requires every partition to expose a key or none)
     val keyed = buckets > 0 &&
-      meta.shards.forall(s => s.bucket >= 0 && s.bucket < buckets)
+      full.shards.forall(s => s.bucket >= 0 && s.bucket < buckets)
     surviving.map { s =>
       // each shard carries only the ranges that touch it — the reader's
       // cursor walks a short local list, not the global set

@@ -127,10 +127,13 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
     // lock: the read-modify-write must not interleave with a concurrent
     // epoch commit or compaction swap on the same table dir
     KvStore.withTableLock(dir) {
-      val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
       val prev: KvTableMeta =
         if (new File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir)
         else KvTableMeta(Nil)
+      // lineage for incremental reads: these rows first appear in the
+      // version this commit is about to create (prev.version + 1)
+      val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
+        .map(_.copy(firstVersion = prev.version + 1))
       val keep = if (truncateFirst) newShards else prev.shards ++ newShards
       val epochs = if (truncateFirst) Nil else prev.committedEpochs
       // truncate deletes the superseded shard files below, so archiving
@@ -182,11 +185,12 @@ class KvStreamingWrite(catalog: KvCatalog, dir: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     KvStore.withTableLock(dir) {
-      val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
       val epochKey = s"$queryId-$epochId"
       val prev: KvTableMeta =
         if (new File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir)
         else KvTableMeta(Nil)
+      val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
+        .map(_.copy(firstVersion = prev.version + 1))
       if (prev.committedEpochs.contains(epochKey)) {
         // epoch already committed (driver retry): drop the duplicates
         newShards.foreach(s => new File(s"$dir/${s.file}").delete())
