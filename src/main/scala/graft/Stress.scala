@@ -269,6 +269,68 @@ object Stress {
     val rowSec = math.min(scanAb(columnar = false), scanAb(columnar = false))
     System.err.println(f"[stress] kv full-scan columnar=$colSec%.2fs row=$rowSec%.2fs (x${rowSec / colSec}%.2f)")
 
+    // Storage-partitioned join A/B: the SAME co-bucketed fact-fact join
+    // (per-order lineitem aggregates ⋈ orders, both bucketed 32 ways on
+    // the order key) executed (A) with SPJ enabled — zero join
+    // exchanges, shards stream in rowkey order so the SMJ sorts elide
+    // too — and (B) with `spark.sql.sources.v2.bucketing.enabled=false`,
+    // which forces the classic both-sides shuffle. Same tables, same
+    // SQL, one conf bit: the delta IS the cost of shuffling the join,
+    // which is the dominant exchange of a 100 TB star-schema pipeline.
+    // Results must agree row-for-row; plan shapes are asserted so a
+    // regression can't silently turn A into B.
+    val spjWh = s"$out/_spj_wh"
+    spark.conf.set("spark.sql.catalog.stress_spj", "graft.sources.KvSqlCatalog")
+    spark.conf.set("spark.sql.catalog.stress_spj.warehouse", spjWh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    if (!new File(s"$spjWh/default/order_lines/_kvmeta.json").exists()) {
+      spark.read.parquet(s"$out/orders.parquet").createOrReplaceTempView("spj_orders_src")
+      spark.read.parquet(s"$out/lineitem.parquet").createOrReplaceTempView("spj_lineitem_src")
+      spark.sql("DROP TABLE IF EXISTS stress_spj.default.order_facts")
+      spark.sql("""CREATE TABLE stress_spj.default.order_facts
+                   TBLPROPERTIES ('rowkey'='ok', 'buckets'='32') AS
+                   SELECT o_orderkey AS ok, o_orderstatus,
+                          CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS total_c
+                   FROM spj_orders_src""")
+      spark.sql("DROP TABLE IF EXISTS stress_spj.default.order_lines")
+      spark.sql("""CREATE TABLE stress_spj.default.order_lines
+                   TBLPROPERTIES ('rowkey'='ok', 'buckets'='32') AS
+                   SELECT l_orderkey AS ok, count(*) AS n_lines,
+                          sum(CAST(round(l_quantity, 0) AS BIGINT)) AS qty
+                   FROM spj_lineitem_src GROUP BY l_orderkey""")
+    }
+    def spjQuery(): DataFrame = spark.sql(
+      """SELECT /*+ MERGE(l) */ f.o_orderstatus, count(*) AS n,
+                sum(l.qty) AS qty, sum(f.total_c) AS total_c
+         FROM stress_spj.default.order_facts f
+         JOIN stress_spj.default.order_lines l ON f.ok = l.ok
+         GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""")
+    def timeSpj(bucketing: Boolean): (Double, Array[org.apache.spark.sql.Row], Int) = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", bucketing.toString)
+      def once(): (Double, Array[org.apache.spark.sql.Row], Int) = {
+        val t0 = System.nanoTime()
+        val df = spjQuery()
+        val rows = df.collect()
+        sampleHeap()
+        // count only JOIN exchanges (partitioned on the join key `ok`):
+        // the aggregation's status-keyed exchange is always there, and
+        // the AQE plan string repeats Initial + Final sections
+        val joinExchanges = df.queryExecution.executedPlan.toString().linesIterator
+          .count(l => l.contains("Exchange hashpartitioning(ok"))
+        ((System.nanoTime() - t0) / 1e9, rows, joinExchanges)
+      }
+      val (a, _, _) = once(); val (b, rows, ex) = once()
+      (math.min(a, b), rows, ex)
+    }
+    val (spjSec, spjRows, spjEx) = timeSpj(bucketing = true)
+    val (shufSec, shufRows, shufEx) = timeSpj(bucketing = false)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    require(spjEx == 0, s"SPJ plan regressed: $spjEx join exchanges (expected 0)")
+    require(shufEx >= 2, s"shuffle baseline lost its exchanges ($shufEx) — A/B is not measuring the join")
+    require(spjRows.sameElements(shufRows),
+      "storage-partitioned join disagrees with the shuffled join")
+    System.err.println(f"[stress] spj_join spj=$spjSec%.2fs shuffled=$shufSec%.2fs (x${shufSec / spjSec}%.2f)")
+
     val qs = results.map { case (k, (fst, std)) =>
       f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
     }.mkString("{", ",", "}")
@@ -280,7 +342,9 @@ object Stress {
       f""""semantic_dedup":{"first_sec":$semFirst%.2f,"steady_sec":$semSteady%.2f,"rows":$semRows$semJson}"""
     val packJson =
       f""""packing_ab":{"distributed_sec":$packDistSec%.2f,"per_lang_window_sec":$packLangSec%.2f,"speedup":${packLangSec / packDistSec}%.2f}"""
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,$pairsJson,$semOut,$packJson,$abJson,"peak_heap_mb":$peakHeapMb}""")
+    val spjJson =
+      f""""spj_ab":{"spj_sec":$spjSec%.2f,"shuffled_sec":$shufSec%.2f,"speedup":${shufSec / spjSec}%.2f}"""
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,$pairsJson,$semOut,$packJson,$abJson,$spjJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

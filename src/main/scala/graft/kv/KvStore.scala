@@ -167,6 +167,10 @@ object KvStore {
         }
     }
 
+  /** Parse one (possibly archived) manifest file — the `history`
+    * procedure's view into the retained version chain. */
+  def readMetaFileForHistory(file: File): KvTableMeta = readMetaFile(file)
+
   private def readMetaFile(file: File): KvTableMeta = {
     val root = mapper.readTree(file)
     val shards = root.path("shards").elements().asScala.map { s =>

@@ -88,6 +88,17 @@ class KvTable(val catalog: KvCatalog, val dir: String,
 
   override def name(): String = catalog.qualifiedName
   override def schema(): StructType = catalog.schema
+
+  /** Surface the engine-level table facts to `SHOW TBLPROPERTIES` /
+    * `DESCRIBE TABLE EXTENDED`: the rowkey binding and (when bucketed)
+    * the bucket count a user must match to get co-partitioned joins. */
+  override def properties(): util.Map[String, String] = {
+    val p = new util.HashMap[String, String]()
+    p.put("rowkey", catalog.rowkey)
+    if (catalog.buckets > 0) p.put("buckets", catalog.buckets.toString)
+    pinnedAsOf.foreach(v => p.put("asOfVersion", v.toString))
+    p
+  }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,

@@ -49,7 +49,7 @@ import scala.jdk.CollectionConverters._
   * either schema, never a torn file.
   */
 class KvSqlCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -285,6 +285,21 @@ class KvSqlCatalog extends TableCatalog with SupportsNamespaces
     if (nsOk && ident.name() == KvBucketFunction.name()) KvBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
   }
+
+  // ---- procedures ----
+
+  /** Maintenance procedures ([[KvProcedures]]): `CALL graft.system.
+    * compact/vacuum/fsck/history(tbl => 'ns.name', …)`. Namespace-
+    * agnostic (the conventional `system` namespace, the default one,
+    * or none) — the table argument carries its own namespace. */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    KvProcedures.all(warehouse).getOrElse(ident.name(),
+      throw new RuntimeException(
+        s"no such procedure: ${(catalogName +: ident.namespace() :+ ident.name()).mkString(".")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    KvProcedures.all(warehouse).keys.toSeq.sorted
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   // ---- namespaces ----
 
