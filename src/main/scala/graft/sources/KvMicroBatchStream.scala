@@ -10,18 +10,30 @@ import org.apache.spark.sql.types.StructType
   * reference declares spark-streaming as a dependency but never uses it,
   * `HbaseTable.scala:21` excludes streaming capabilities).
   *
-  * The shard manifest is APPEND-ONLY under `mode("append")` writes, so
-  * the stream offset is simply the number of manifest entries consumed;
-  * each micro-batch reads the shard files that appeared since the last
-  * offset — the same contract as Spark's file source, minus the
-  * directory listing (the manifest is the listing). Overwrite/truncate
-  * resets the manifest and is NOT a valid source for a running stream.
+  * The offset is the MANIFEST VERSION, and each micro-batch plans the
+  * commits in `(start, end]` through the same log replay incremental
+  * batch reads use ([[KvStore.deltaShards]]): version W contributes
+  * exactly the shards it ADDED (lineage tag `firstVersion == W`), so
+  * maintenance commits — compaction, DELETE, UPDATE — contribute
+  * NOTHING and a running stream stays exactly-once under concurrent
+  * maintenance. (The previous offset design counted manifest
+  * POSITIONS, which a compaction swap renumbers — a mid-stream compact
+  * could double-serve merged rows or skip fresh ones. Offsets are now
+  * positions in the COMMIT LOG, which maintenance never rewrites.)
+  *
+  * The initial batch (start = 0) is the full state snapshot at `end` —
+  * the file source's "existing files" semantics — and every later
+  * batch is pure appends. Replays are deterministic: a checkpointed
+  * `(start, end]` re-plans from the immutable archived manifests, and
+  * a window vacuumed past retention fails loudly ("unavailable")
+  * instead of silently skipping.
   *
   * Pushed filters and column pruning apply per micro-batch exactly as
-  * in batch scans (same reader factory).
+  * in batch scans (same reader factory, same range/zone-map/bloom
+  * pruning).
   */
-case class KvOffset(shardCount: Int) extends Offset {
-  override def json(): String = s"""{"shardCount":$shardCount}"""
+case class KvOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
 }
 
 class KvMicroBatchStream(dir: String, rowkeyName: String,
@@ -29,39 +41,45 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
                          filters: Array[Filter], columnar: Boolean = true)
     extends MicroBatchStream {
 
-  /** Missing manifest = table not yet written → empty offset (the file
+  /** Missing manifest = table not yet written → version 0 (the file
     * source tolerates an initially empty directory the same way). */
-  private def shardCount(): Int =
+  private def currentVersion(): Long =
     if (new java.io.File(KvStore.metaPath(dir)).exists())
-      KvStore.readMeta(dir).shards.length
-    else 0
+      KvStore.readMeta(dir).version
+    else 0L
 
-  override def latestOffset(): Offset = KvOffset(shardCount())
+  override def latestOffset(): Offset = KvOffset(currentVersion())
 
-  override def initialOffset(): Offset = KvOffset(0)
+  override def initialOffset(): Offset = KvOffset(0L)
 
-  override def deserializeOffset(json: String): Offset =
-    KvOffset("\"shardCount\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toInt)
+  override def deserializeOffset(json: String): Offset = {
+    if (json.contains("shardCount")) throw new IllegalStateException(
+      "this checkpoint was written by the positional-offset stream (pre-r9); " +
+        "restart the query with a fresh checkpoint — version offsets cannot " +
+        "be derived from shard positions")
+    KvOffset("\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad KvOffset json: $json")))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[KvOffset].shardCount
-    val e = end.asInstanceOf[KvOffset].shardCount
-    if (e == 0) Array.empty
+    val s = start.asInstanceOf[KvOffset].version
+    val e = end.asInstanceOf[KvOffset].version
+    if (e == 0L || s >= e) Array.empty
     else {
-      // the OFFSET is the manifest position (s until e); rowkey ranges
-      // and zone maps then drop newly-appeared shards that could not
-      // hold a matching row — rows in them could never survive the
-      // per-record filter, so skipping the file read is observationally
-      // identical. Surviving shards carry their clip ranges, so gap
-      // records inside a kept shard skip cell parsing too (same
-      // machinery as the batch scan).
-      val slice = KvStore.readMeta(dir).shards.slice(s, e)
+      // initial catch-up = the whole state at `e`; afterwards the pure
+      // append delta of (s, e]. Both plan from immutable manifests, so
+      // a Spark retry of this batch reads identical shard sets.
+      val shards =
+        if (s == 0L) KvStore.readMetaAsOf(dir, Some(e)).shards
+        else KvStore.deltaShards(dir, s, Some(e))
       val dt = declared.find(_.name == rowkeyName).map(_.dataType)
       val ranges = dt.map(KeyRanges.fromFilters(filters, rowkeyName, _))
         .getOrElse(KeyRanges.Full)
-      val inRange = slice.filter(sh =>
+      // static pushed filters drop shards that cannot hold a matching
+      // row — rows in them could never survive the per-record filter,
+      // so skipping the file read is observationally identical
+      val inRange = shards.filter(sh =>
         KeyRanges.intersectsShard(ranges, sh.minKey, sh.maxKey))
       KvZoneMaps.prune(inRange, filters, declared)
         .map { sh =>

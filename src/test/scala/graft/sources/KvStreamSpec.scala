@@ -103,6 +103,36 @@ class KvStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a mid-stream compaction neither duplicates nor drops rows (log-replay offsets)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-stream-compact").toString
+    def append(range: Range): Unit =
+      range.map(k => (k.toLong, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode("append").save()
+
+    append(1 to 10)   // v1
+    append(11 to 20)  // v2
+    val q = spark.readStream.format("graft-kv")
+      .option("catalog", cat).option("path", dir).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kv_stream_compact_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kv_stream_compact_out").count() == 20)
+      // compaction bumps the version and renumbers manifest POSITIONS —
+      // under positional offsets the merged shard would re-serve rows
+      // 1..20 as "new"; under log-replay offsets its commit adds nothing
+      assert(graft.kv.KvCompactor.compact(dir, 1L << 30, retainInputs = true) > 0) // v3
+      append(21 to 30) // v4
+      q.processAllAvailable()
+      val keys = spark.table("kv_stream_compact_out").select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(keys == (1L to 30L),
+        s"expected exactly 1..30 once each, got ${keys.length} rows")
+    } finally q.stop()
+  }
+
   test("streaming reads prune appended shards by rowkey range (multi-range)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-kv-streamrr").toString
