@@ -510,7 +510,64 @@ object Dedup {
       ORDER BY lang"""),
     doc = "dedup → quality gate → language token budget (composite)")
 
+  /** EXACT SUBSTRING-level dedup (the "duplicate 50-token span" family
+    * from dedup literature, scaled to the corpus's short documents with
+    * k = 8 tokens): every k-token window of every document is keyed by
+    * md5 of its joined text, windows whose digest occurs more than once
+    * ACROSS THE CORPUS (counting multiplicity, so within-document
+    * repeats count too) are "duplicated spans", and each document
+    * reports its duplicated-window fraction — the signal a curation
+    * pipeline thresholds on to drop boilerplate-heavy documents.
+    *
+    * Scale shape: one shuffle keyed by the fixed-width 128-bit digest
+    * (not the raw gram text — at 100 TB the digest bounds shuffle bytes
+    * per window at 32 hex chars regardless of token length), one join
+    * back on the same key (AQE reuses the groupBy's partitioning), one
+    * per-doc aggregate. No window over the whole corpus, no driver
+    * collect; everything before the first shuffle is per-row
+    * codegen'd array work. */
+  val q111SubstringDedup: Q = {
+    val k = 8
+    Q(
+      "q111_substring_dedup",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        val grams = toks
+          .select(col("doc_id"), explode(Text.shinglesOf(col("toks"), k)).as("gram"))
+          .select(col("doc_id"), md5(col("gram").cast("binary")).as("g"))
+        val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1)
+        grams.join(hot, Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_grams"),
+            count(col("cnt")).as("n_dup"),
+            round(count(col("cnt")).cast("double") / count(lit(1)).cast("double"), 6)
+              .as("dup_fraction"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, md5(array_to_string(t[i:i+${k - 1}], ' ')) AS g
+          FROM toks, generate_series(1, len(t) - ${k - 1}) AS gs(i)),
+        hot AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g HAVING count(*) > 1)
+        SELECT gr.doc_id,
+               count(*) AS n_grams,
+               count(h.cnt) AS n_dup,
+               round(CAST(count(h.cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+        FROM grams gr LEFT JOIN hot h ON gr.g = h.g
+        GROUP BY gr.doc_id
+        ORDER BY gr.doc_id"""),
+      doc = "exact substring (k-token window) dedup: per-doc duplicated-span fraction")
+  }
+
   def defs: Seq[Q] = Seq(q40DedupExact, q41DedupSurvivors, q42NgramJaccard,
     q43MinhashLsh, q44Simhash, q45DedupClusters, q46MinhashMd5,
-    q47SimhashMd5, q80TrainingPipeline)
+    q47SimhashMd5, q80TrainingPipeline, q111SubstringDedup)
 }

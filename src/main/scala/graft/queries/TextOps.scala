@@ -238,7 +238,77 @@ object TextOps {
       ORDER BY doc_id"""),
     doc = "normalization + char-class quality counts")
 
+  /** Corpus-trained bigram language-model scoring — the classic
+    * perplexity-filter proxy (CCNet/KenLM-style) with a model small
+    * enough to train in the same job: Laplace-smoothed bigram
+    * probabilities p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) are estimated
+    * from the WHOLE corpus in one pass, then every document is scored
+    * by its mean negative log-likelihood per bigram. High avg_nll =
+    * improbable token transitions = the documents a quality filter
+    * drops.
+    *
+    * Scale shape: the two count tables are bounded by observed-vocab
+    * sizes, not corpus size — they partial-aggregate map-side and
+    * (at real scale) broadcast back; the vocabulary size V is a single
+    * scalar crossed in via a 1-row broadcast (same idiom as q104).
+    * The corpus itself is scanned once and never collected. Double
+    * summation is rounded to 6 dp after the per-doc mean so both
+    * engines' reduction orders agree. */
+  val q112BigramLm: Q = Q(
+    "q112_bigram_lm",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
+      val bi = toks
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+                        element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cbi = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbi"))
+      val cleft = bi.groupBy(col("w1")).agg(count(lit(1)).as("cleft"))
+      val vocab = toks.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      bi.join(cbi, Seq("w1", "w2"))
+        .join(cleft, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          log((col("cbi") + 1).cast("double") / (col("cleft") + col("v")).cast("double"))
+            .as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             round(-sum(col("lp")) / count(lit(1)), 6).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS t
+        FROM documents),
+      bi AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, generate_series(1, len(t) - 1) AS gs(i)),
+      cbi AS (SELECT w1, w2, count(*) AS cbi FROM bi GROUP BY w1, w2),
+      cleft AS (SELECT w1, count(*) AS cleft FROM bi GROUP BY w1),
+      vocab AS (SELECT count(DISTINCT w) AS v
+                FROM (SELECT unnest(t) AS w FROM toks)),
+      scored AS (
+        SELECT b.doc_id,
+               ln(CAST(c.cbi + 1 AS DOUBLE) / CAST(l.cleft + v.v AS DOUBLE)) AS lp
+        FROM bi b
+        JOIN cbi c ON b.w1 = c.w1 AND b.w2 = c.w2
+        JOIN cleft l ON b.w1 = l.w1
+        CROSS JOIN vocab v)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(-sum(lp) / count(*), 6) AS avg_nll
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id"""),
+    doc = "corpus-trained bigram LM: per-doc mean NLL (perplexity-filter proxy)")
+
   def defs: Seq[Q] = Seq(q30TokenStats, q31QualityScore, q32TokenFreq,
     q33Fingerprint, q34LangId, q35BpeTokens, q36TextNormalize,
-    q38StratifiedSample)
+    q38StratifiedSample, q112BigramLm)
 }

@@ -102,7 +102,8 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
 
     override def toBatch: BatchWrite =
       new KvBatchWrite(catalog, dir, info.schema(), truncateFirst, chunkBytes,
-        bloomColumns, bloomBits)
+        bloomColumns, bloomBits,
+        info.options().getLong("expectedVersion", -1L))
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!truncateFirst,
         "graft-kv streaming sink supports append output mode only")
@@ -116,7 +117,8 @@ case class KvCommit(shards: Seq[KvShardMeta]) extends WriterCommitMessage
 
 class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
                    truncateFirst: Boolean, chunkBytes: Long,
-                   bloomColumns: String = "", bloomBits: Int = 1 << 20)
+                   bloomColumns: String = "", bloomBits: Int = 1 << 20,
+                   expectedVersion: Long = -1L)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -130,6 +132,16 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
       val prev: KvTableMeta =
         if (new File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir)
         else KvTableMeta(Nil)
+      // optimistic truncate (`expectedVersion` option): a rewrite job
+      // (zorder) that read the table at version V must not clobber
+      // commits that landed while it ran — abort and let the caller
+      // retry against the new state instead of silently dropping them
+      if (expectedVersion >= 0 && prev.version != expectedVersion) {
+        abort(messages)
+        throw new IllegalStateException(
+          s"concurrent modification: table at version ${prev.version}, " +
+            s"rewrite expected $expectedVersion — rerun against current state")
+      }
       // lineage for incremental reads: these rows first appear in the
       // version this commit is about to create (prev.version + 1)
       val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
