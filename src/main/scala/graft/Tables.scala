@@ -16,16 +16,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses to
-    * read natively; read nanos as long and truncate to micros (identical
-    * to DuckDB's CAST(ts_ns AS TIMESTAMP) truncation). */
+  /** events.parquet has shipped with two physical types for `ts` across
+    * driver testdata generations: TIMESTAMP(NANOS) (which Spark 4 only
+    * reads via nanosAsLong → long) and plain timestamp[us] (which Spark 4
+    * reads as TIMESTAMP_NTZ). Branch on the decoded schema so both work;
+    * either way normalize to session TimestampType at micro precision
+    * (identical to DuckDB's CAST(ts AS TIMESTAMP)). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    // integer div (not `/`, which is double division and loses ulps at
-    // epoch-nanos magnitude) → identical to DuckDB's ns→us truncation
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val tsNorm = raw.schema("ts").dataType match {
+      // nanos-as-long: integer div (not `/`, which is double division and
+      // loses ulps at epoch-nanos magnitude) → DuckDB's ns→us truncation
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      case _ => col("ts").cast(TimestampType) // TIMESTAMP_NTZ (timestamp[us])
+    }
+    raw.withColumn("ts", tsNorm)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet raw layout (ts kept as nanos long — parquet NANOS is
-    * unreadable as TimestampType; converted after read, identically to
-    * graft.Tables.events). */
+  /** events.parquet raw layout with ts as nanos long — the shape driver
+    * testdata used when the parquet physical type was TIMESTAMP(NANOS)
+    * (unreadable as TimestampType; converted after read, identically to
+    * graft.Tables.events). Newer testdata ships timestamp[us]; see
+    * readStream, which sniffs the footer and branches. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -26,14 +28,23 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of events from a directory of parquet files. */
+  /** File-source stream of events from a directory of parquet files.
+    * Streaming file sources need a user-supplied schema, so sniff the
+    * physical ts type with a one-footer batch read, then normalize to
+    * session TimestampType either way (same rule as graft.Tables.events). */
   def readStream(s: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
+    val physical = s.read.parquet(dir).schema
+    val raw = s.readStream
+      .schema(physical)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsNorm = physical("ts").dataType match {
+      case LongType      => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      case _             => col("ts").cast(TimestampType) // TIMESTAMP_NTZ
+    }
+    raw.withColumn("ts", tsNorm)
   }
 
   /** Tumbling 1-hour windowed counts with a 10-minute watermark —

@@ -93,8 +93,14 @@ class EventsStreamSpec extends SparkSpec {
     // under that feed the inner interval join must emit EVERY batch match
     val dir = Files.createTempDirectory("graft-events-timechunks").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts stays long ns
-    val mid = raw.agg((min(col("ts")) + (max(col("ts")) - min(col("ts"))) / 2)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // ts is long ns in old testdata, timestamp[us]/NTZ in new — midpoint
+    // split on a comparable long key either way
+    val tsKey = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val mid = raw.agg((min(tsKey) + (max(tsKey) - min(tsKey)) / 2)
         .cast("long").as("m"))
       .collect()(0).getLong(0)
     // FileStreamSource orders files by modification time — pin mtimes
@@ -109,8 +115,8 @@ class EventsStreamSpec extends SparkSpec {
       java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$dir/$name"))
       assert(new java.io.File(s"$dir/$name").setLastModified(mtimeMs))
     }
-    chunk(raw.filter(col("ts") <= mid), "part-0.parquet", 1000000L)
-    chunk(raw.filter(col("ts") > mid), "part-1.parquet", 2000000L)
+    chunk(raw.filter(tsKey <= mid), "part-0.parquet", 1000000L)
+    chunk(raw.filter(tsKey > mid), "part-1.parquet", 2000000L)
 
     val out = runToMemory(
       EventsStream.attributionJoin(EventsStream.readStream(spark, dir)),
