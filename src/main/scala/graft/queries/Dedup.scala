@@ -554,8 +554,11 @@ object Dedup {
                       ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS t
           FROM documents),
         grams AS (
+          -- unnest(range(...)) instead of a lateral generate_series: this
+          -- DuckDB build rejects column params in lateral table functions
           SELECT doc_id, md5(array_to_string(t[i:i+${k - 1}], ' ')) AS g
-          FROM toks, generate_series(1, len(t) - ${k - 1}) AS gs(i)),
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 1} + 1)) AS i
+                FROM toks)),
         hot AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g HAVING count(*) > 1)
         SELECT gr.doc_id,
                count(*) AS n_grams,

@@ -288,8 +288,10 @@ object TextOps {
                     ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS t
         FROM documents),
       bi AS (
+        -- unnest(range(...)) instead of a lateral generate_series: this
+        -- DuckDB build rejects column params in lateral table functions
         SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-        FROM toks, generate_series(1, len(t) - 1) AS gs(i)),
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
       cbi AS (SELECT w1, w2, count(*) AS cbi FROM bi GROUP BY w1, w2),
       cleft AS (SELECT w1, count(*) AS cleft FROM bi GROUP BY w1),
       vocab AS (SELECT count(DISTINCT w) AS v
