@@ -111,7 +111,10 @@ object Bench {
       .getOrElse(sys.error(s"child exited $exit without a result line"))
     val root = new ObjectMapper().readTree(jsonLine)
     val qs = root.get("queries")
-    val results = qs.fieldNames.asScala.toSeq.map(n => n -> qs.get(n).asDouble)
+    val results = qs.fieldNames.asScala.toSeq.map { n =>
+      val node = qs.get(n)
+      n -> (if (node.isNull) Double.NaN else node.asDouble)
+    }
     val failed = root.get("failed").elements.asScala.map(_.asText).toSeq
     (results, failed)
   }
@@ -158,8 +161,10 @@ object Bench {
         attempts += 1
       }
       if (times.isEmpty) failed += name
-      // -1.0 = sentinel: a crashing query must never look like a fast one
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      // NaN → emitted as JSON null: a crashing query must never look like
+      // a fast one, and null can't be misread as a timing by per-query
+      // tooling the way a -1.0 sentinel could
+      name -> (if (times.isEmpty) Double.NaN else times.min)
     }
     queries.Dedup.releaseShingles() // free the dedup pass's persisted blocks
     queries.Curation.releaseTokenCounts()
@@ -169,9 +174,10 @@ object Bench {
 
   private def resultJson(results: Seq[(String, Double)], failed: Seq[String],
                          skipped: Seq[String], fallback: Seq[String] = Nil): String = {
-    val qs = results.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + (if (v.isNaN) "null" else v.toString) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v) if !v.isNaN && v >= 0 => v }.sum
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":${arr(failed)},"skipped_oracle_twins":${arr(skipped)},"single_jvm_fallback":${arr(fallback)}}"""
   }

@@ -40,11 +40,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every corpus table as a temp view for spark.sql queries. */
+  /** Register every corpus table as a temp view for spark.sql queries.
+    * Registration is per-table fault-isolated: one table's loader
+    * throwing (e.g. a driver-side schema regeneration the reader doesn't
+    * handle yet) must not take down queries that never touch that table.
+    * A failed table is simply not registered — queries that do use it
+    * fail with TABLE_OR_VIEW_NOT_FOUND naming it, instead of every
+    * registerAll caller dying at analysis time. */
   def registerAll(s: SparkSession, d: String): Unit = {
+    def reg(name: String)(df: => DataFrame): Unit =
+      try df.createOrReplaceTempView(name)
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] registerAll: table '$name' failed to load from $d " +
+              s"(queries over it will fail; others are unaffected): ${e.getMessage}")
+      }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings")
-      .foreach(n => load(s, d, n).createOrReplaceTempView(n))
-    events(s, d).createOrReplaceTempView("events")
+      .foreach(n => reg(n)(load(s, d, n)))
+    reg("events")(events(s, d))
   }
 }
