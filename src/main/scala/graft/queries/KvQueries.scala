@@ -882,25 +882,34 @@ object KvQueries {
     * The DuckDB oracle recomputes the same delta from parquet by the
     * slice predicate, so the hash also proves the window boundary is
     * exact (nothing from v1 leaks in, nothing from v2/v3 is lost). */
+  /** Build (once per sfDir per host) the three-append lineitem table —
+    * manifest versions 1/2/3 carry disjoint rowkey slices. Shared by the
+    * incremental batch gate (q110) and the CDC→streaming handoff gate
+    * (q113). */
+  private def incLineitemDir(s: SparkSession, d: String): String = {
+    val dir = graft.kv.KvStore.cacheDir(s"inc-lineitem-${cacheKey(d)}")
+    if (!new File(s"$dir/_kvmeta.json").exists()) {
+      val li = Tables.lineitem(s, d)
+        .withColumn("lk", col("l_orderkey") * 100 + col("l_linenumber"))
+        .select("lk", "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      Seq(
+        col("lk") < 200000L,                          // append #1 → version 1
+        col("lk") >= 200000L && col("lk") < 400000L,  // append #2 → version 2
+        col("lk") >= 400000L                          // append #3 → version 3
+      ).foreach { slice =>
+        li.filter(slice).repartitionByRange(4, col("lk"))
+          .write.format("graft-kv")
+          .option("catalog", incCatalogJson).option("path", dir)
+          .mode("append").save()
+      }
+    }
+    dir
+  }
+
   val q110IncrementalRead: Q = Q(
     "q110_incremental_read",
     (s, d) => {
-      val dir = graft.kv.KvStore.cacheDir(s"inc-lineitem-${cacheKey(d)}")
-      if (!new File(s"$dir/_kvmeta.json").exists()) {
-        val li = Tables.lineitem(s, d)
-          .withColumn("lk", col("l_orderkey") * 100 + col("l_linenumber"))
-          .select("lk", "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
-        Seq(
-          col("lk") < 200000L,                          // append #1 → version 1
-          col("lk") >= 200000L && col("lk") < 400000L,  // append #2 → version 2
-          col("lk") >= 400000L                          // append #3 → version 3
-        ).foreach { slice =>
-          li.filter(slice).repartitionByRange(4, col("lk"))
-            .write.format("graft-kv")
-            .option("catalog", incCatalogJson).option("path", dir)
-            .mode("append").save()
-        }
-      }
+      val dir = incLineitemDir(s, d)
       s.read.format("graft-kv")
         .option("catalog", incCatalogJson).option("path", dir)
         .option("sinceVersion", 1).load()
@@ -919,6 +928,53 @@ object KvQueries {
       ORDER BY l_returnflag"""),
     doc = "incremental append-CDC read: sinceVersion plans only the delta commits' shards")
 
+  /** CDC → streaming handoff gate: a batch consumer backfills the
+    * snapshot at its checkpoint (`asOfVersion = 1`), hands the SAME
+    * manifest version to a streaming tail (`sinceVersion = 1`, drained
+    * with AvailableNow), and the union must reconstruct the full table
+    * EXACTLY ONCE — the oracle aggregates all of lineitem with no
+    * predicate, so a duplicated row (stream re-serving the snapshot) or
+    * a dropped one (seed skipping a commit) flips the hash. This is the
+    * composition a 100 TB ingest actually runs: bulk backfill by batch,
+    * then a resumable streaming tail from the backfill's version, both
+    * keyed on the one manifest-version axis (no second bookkeeping
+    * system to drift). The memory sink is gate-scale plumbing only; a
+    * real pipeline's tail writes straight to a table sink. */
+  val q113CdcStreamHandoff: Q = Q(
+    "q113_cdc_stream_handoff",
+    (s, d) => {
+      val dir = incLineitemDir(s, d)
+      val backfill = s.read.format("graft-kv")
+        .option("catalog", incCatalogJson).option("path", dir)
+        .option("asOfVersion", 1).load()
+      // fixed sink name: a repeated run (bench repeats) REPLACES the
+      // memory table instead of accumulating one per invocation; queries
+      // run sequentially per session so the name never collides live
+      val qn = "cdc_handoff_tail"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-handoff").toString
+      val q = s.readStream.format("graft-kv")
+        .option("catalog", incCatalogJson).option("path", dir)
+        .option("sinceVersion", 1).load()
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      backfill.unionByName(s.table(qn))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+             dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n,
+             ${sqlDsum("l_quantity")} AS sum_qty,
+             ${sqlDsum("l_extendedprice")} AS sum_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    doc = "batch backfill at asOfVersion=V + streaming tail seeded sinceVersion=V reconstruct the table exactly once")
+
   private val incCatalogJson =
     """{
       |  "table": {"namespace": "default", "name": "lineitem_inc"},
@@ -936,5 +992,5 @@ object KvQueries {
     q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
     q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras, q97KvPrefixSeek,
     q100KvMultiRange, q101KvBloomPoint, q102SqlCatalog, q107KvBloomJoin,
-    q108SpjJoin, q109TimeTravel, q110IncrementalRead)
+    q108SpjJoin, q109TimeTravel, q110IncrementalRead, q113CdcStreamHandoff)
 }

@@ -38,7 +38,8 @@ case class KvOffset(version: Long) extends Offset {
 
 class KvMicroBatchStream(dir: String, rowkeyName: String,
                          prunedSchema: StructType, declared: StructType,
-                         filters: Array[Filter], columnar: Boolean = true)
+                         filters: Array[Filter], columnar: Boolean = true,
+                         startVersion: Long = 0L)
     extends MicroBatchStream {
 
   /** Missing manifest = table not yet written → version 0 (the file
@@ -50,7 +51,21 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
 
   override def latestOffset(): Offset = KvOffset(currentVersion())
 
-  override def initialOffset(): Offset = KvOffset(0L)
+  /** `sinceVersion` composes CDC with streaming: the stream's initial
+    * offset is the caller's batch checkpoint, so the first micro-batch
+    * is the append delta `(sinceVersion, latest]` instead of the full
+    * snapshot — a batch backfill + streaming tail hand off exactly-once
+    * on the shared manifest-version axis. startVersion 0 (the default)
+    * keeps the snapshot-first semantics. A start version AHEAD of the
+    * live table is a checkpoint from some other table or a typo; fail
+    * loudly instead of silently producing an empty stream forever. */
+  override def initialOffset(): Offset = {
+    val cur = currentVersion()
+    require(startVersion <= cur,
+      s"sinceVersion $startVersion is ahead of the table's current manifest " +
+        s"version $cur ($dir) — not a commit this table has ever produced")
+    KvOffset(startVersion)
+  }
 
   override def deserializeOffset(json: String): Offset = {
     if (json.contains("shardCount")) throw new IllegalStateException(

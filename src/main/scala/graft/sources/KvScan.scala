@@ -256,9 +256,12 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // version would feed the user current+future data labeled as history
     require(asOf.isEmpty,
       "asOfVersion is a batch-read option; a streaming read tails the live table")
-    require(since.isEmpty,
-      "sinceVersion is a batch-read option; a streaming read has its own offsets")
-    new KvMicroBatchStream(dir, rowkeyName, prunedSchema, declared, filters, columnar)
+    // sinceVersion composes: it seeds the stream's INITIAL offset, so a
+    // batch CDC consumer can hand its manifest-version checkpoint to a
+    // streaming tail and resume exactly-once (first micro-batch = the
+    // append delta after that version, not the full snapshot)
+    new KvMicroBatchStream(dir, rowkeyName, prunedSchema, declared, filters,
+      columnar, startVersion = since.getOrElse(0L))
   }
 
   override def description(): String = {

@@ -76,16 +76,37 @@ class KvIncrementalSpec extends SparkSpec {
     assert(agg.collect().head.getLong(0) == 100L)
   }
 
-  test("streaming reads reject sinceVersion") {
+  test("a stream seeded with sinceVersion starts at the CDC checkpoint, not the snapshot") {
     val dir = Files.createTempDirectory("graft-inc-stream").toString
-    append(dir, 0, 10)
-    val e = intercept[Exception] {
-      spark.readStream.format("graft-kv").option("catalog", cat)
-        .option("path", dir).option("sinceVersion", 1).load()
-        .writeStream.format("noop")
-        .option("checkpointLocation", Files.createTempDirectory("graft-inc-ck").toString)
-        .start().processAllAvailable()
-    }
-    assert(e.getMessage != null)
+    append(dir, 0, 10)   // v1 — "backfilled" by a batch consumer
+    append(dir, 10, 30)  // v2 — also backfilled; batch checkpoint = 2
+    append(dir, 30, 40)  // v3 — the tail the stream must pick up
+    val q = spark.readStream.format("graft-kv").option("catalog", cat)
+      .option("path", dir).option("sinceVersion", 2).load()
+      .writeStream.format("memory").queryName("inc_stream_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-inc-ck").toString)
+      .start()
+    q.processAllAvailable()
+    // stream must continue past the seed exactly as a 0-seeded stream would
+    append(dir, 40, 45)  // v4, appended mid-stream
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("inc_stream_out").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == (30L until 45L),
+      "first micro-batch must be the (2, latest] delta, then live appends")
+  }
+
+  test("a stream seeded ahead of the live table fails loudly") {
+    val dir = Files.createTempDirectory("graft-inc-stream-bad").toString
+    append(dir, 0, 10)   // v1
+    val q = spark.readStream.format("graft-kv").option("catalog", cat)
+      .option("path", dir).option("sinceVersion", 99).load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", Files.createTempDirectory("graft-inc-ck2").toString)
+      .start()
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(e.getMessage.contains("ahead of the table"),
+      s"expected the ahead-of-table guard, got: ${e.getMessage}")
+    q.stop()
   }
 }
