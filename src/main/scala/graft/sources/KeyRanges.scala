@@ -191,6 +191,17 @@ object KeyRanges {
     cand >= 0 && cmpHi(ranges(cand)._2, Some(minKey)) >= 0
   }
 
+  /** The planned keys when EVERY range is a single point (`=` / `IN`
+    * lookups); None as soon as any range spans more than one key — a
+    * span can hash to any bucket, so point-only is the exact condition
+    * under which bucket pruning is sound. */
+  def pointKeys(ranges: Seq[Range]): Option[Seq[Array[Byte]]] = {
+    val pts = ranges.collect {
+      case (Some(l), Some(h)) if BytesCodec.compareKeys(l, h) == 0 => l
+    }
+    if (pts.length == ranges.length) Some(pts) else None
+  }
+
   /** The subset of ranges intersecting the shard (contiguous in the
     * sorted set) — what the shard's reader cursor walks. */
   def clipToShard(ranges: Seq[Range], minKey: Array[Byte],

@@ -302,6 +302,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   // investigation asks
   private var shardsTotal = 0L
   private var prunedByKeyRange = 0L
+  private var prunedByBucket = 0L
   private var prunedByZoneMap = 0L
   private var rangesPlanned = 1L
 
@@ -362,19 +363,35 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     val ranges = rowkeyRanges()
     val inKeyRange = meta.shards.filter(s =>
       KeyRanges.intersectsShard(ranges, s.minKey, s.maxKey))
-    // zone maps: value-column predicates prune shards whose recorded
-    // min/max exclude the literal — the non-rowkey pruning axis
-    val surviving = KvZoneMaps.prune(inKeyRange, allFilters, declared)
-    shardsTotal = meta.shards.length
-    prunedByKeyRange = (meta.shards.length - inKeyRange.length).toLong
-    prunedByZoneMap = (inKeyRange.length - surviving.length).toLong
-    rangesPlanned = ranges.length.toLong
     // keyed wrappers only when EVERY manifest shard is bucket-tagged —
     // the exact condition outputPartitioning() reported KeyGrouped for
     // (judged on the FULL shard set, matching that report; Spark
     // requires every partition to expose a key or none)
     val keyed = buckets > 0 &&
       full.shards.forall(s => s.bucket >= 0 && s.bucket < buckets)
+    // bucket pruning: a hash-bucketed layout scatters keys, so every
+    // shard's [minKey, maxKey] spans most of the keyspace and range
+    // pruning keeps nearly all of them — but a POINT lookup (`=`/`IN`;
+    // every planned range is a single key) can only live in the buckets
+    // those keys hash to, and the writer's invariant (one shard ⊆ one
+    // bucket) makes the shard tag exact. A 1024-bucket fact table point
+    // lookup plans 1/1024 of the shards instead of all of them. Sound
+    // only when all ranges are points — a span hashes anywhere.
+    val bucketPruned =
+      if (keyed) KeyRanges.pointKeys(ranges) match {
+        case Some(pts) =>
+          val wanted = pts.map(KvBuckets.ofKey(_, buckets)).toSet
+          inKeyRange.filter(s => wanted.contains(s.bucket))
+        case None => inKeyRange
+      } else inKeyRange
+    // zone maps: value-column predicates prune shards whose recorded
+    // min/max exclude the literal — the non-rowkey pruning axis
+    val surviving = KvZoneMaps.prune(bucketPruned, allFilters, declared)
+    shardsTotal = meta.shards.length
+    prunedByKeyRange = (meta.shards.length - inKeyRange.length).toLong
+    prunedByBucket = (inKeyRange.length - bucketPruned.length).toLong
+    prunedByZoneMap = (bucketPruned.length - surviving.length).toLong
+    rangesPlanned = ranges.length.toLong
     surviving.map { s =>
       // each shard carries only the ranges that touch it — the reader's
       // cursor walks a short local list, not the global set
@@ -391,6 +408,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
   override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
     KvScanMetrics.taskMetric("kvShardsTotal", shardsTotal),
     KvScanMetrics.taskMetric("kvShardsPrunedKeyRange", prunedByKeyRange),
+    KvScanMetrics.taskMetric("kvShardsPrunedBucket", prunedByBucket),
     KvScanMetrics.taskMetric("kvShardsPrunedZoneMap", prunedByZoneMap),
     KvScanMetrics.taskMetric("kvKeyRangesPlanned", rangesPlanned))
 
@@ -421,6 +439,11 @@ object KvScanMetrics {
     override def name(): String = "kvShardsPrunedZoneMap"
     override def description(): String = "shards pruned by zone maps"
   }
+  class ShardsPrunedBucketMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "kvShardsPrunedBucket"
+    override def description(): String = "shards pruned by point-lookup bucket hash"
+  }
   class RecordsReadMetric
       extends org.apache.spark.sql.connector.metric.CustomSumMetric {
     override def name(): String = "kvRecordsRead"
@@ -443,6 +466,7 @@ object KvScanMetrics {
   }
   val supported: Array[CustomMetric] = Array(
     new ShardsTotalMetric, new ShardsPrunedKeyRangeMetric,
+    new ShardsPrunedBucketMetric,
     new ShardsPrunedZoneMapMetric, new RecordsReadMetric, new BytesReadMetric,
     new KeyRangesPlannedMetric, new ShardsSkippedBloomMetric)
   def taskMetric(metricName: String, v: Long): CustomTaskMetric =

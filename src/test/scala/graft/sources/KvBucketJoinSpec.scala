@@ -66,6 +66,48 @@ class KvBucketJoinSpec extends SparkSpec {
     assert(row.getDouble(1) == (42 % 7).toDouble && row.getDouble(2) == (42 % 11).toDouble)
   }
 
+  test("point lookups prune to the key's bucket; spans never bucket-prune") {
+    pairReady
+    import graft.kv.BytesCodec
+    val dir = s"$wh/default/fact_a"
+    val shards = KvStore.readMeta(dir).shards
+    // bucket pruning runs AFTER key-range pruning, so it counts only the
+    // range-surviving shards whose tag differs from the key's bucket
+    def covers(s: graft.kv.KvShardMeta, id: Long): Boolean = {
+      val k = BytesCodec.encodeKey(LongType, id)
+      BytesCodec.compareKeys(s.minKey, k) <= 0 && BytesCodec.compareKeys(k, s.maxKey) <= 0
+    }
+    val target = KvBuckets.ofValue(LongType, 123L, 8)
+    val exp1 = shards.count(s => covers(s, 123L) && s.bucket != target)
+    assert(exp1 > 0, "vacuity guard: need range-surviving shards in other buckets")
+
+    val one = sql("SELECT id, qty FROM bkt.default.fact_a WHERE id = 123")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(123L))
+    val m1 = one.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(m1("kvShardsPrunedBucket").value == exp1,
+      s"a point lookup must plan only the key's bucket " +
+        s"(pruned ${m1("kvShardsPrunedBucket").value}, expected $exp1)")
+
+    // IN plans the union of the keys' buckets — and stays correct
+    val keys = Seq(123L, 456L, 789L)
+    val in = sql(s"SELECT id FROM bkt.default.fact_a WHERE id IN (${keys.mkString(",")})")
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == keys)
+    val wanted = keys.map(KvBuckets.ofValue(LongType, _, 8)).toSet
+    val exp2 = shards.count(s => keys.exists(covers(s, _)) && !wanted.contains(s.bucket))
+    val m2 = in.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(m2("kvShardsPrunedBucket").value == exp2,
+      s"IN must plan only the union of the keys' buckets " +
+        s"(pruned ${m2("kvShardsPrunedBucket").value}, expected $exp2)")
+
+    // a RANGE predicate spans keys that hash anywhere — bucket pruning
+    // must stand down entirely (soundness, not a missed optimization)
+    val rng = sql("SELECT id FROM bkt.default.fact_a WHERE id >= 990 AND id < 1000")
+    assert(rng.collect().length == 10)
+    val m3 = rng.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(m3("kvShardsPrunedBucket").value == 0L,
+      "a key span must never be bucket-pruned")
+  }
+
   test("join against an UNBUCKETED table falls back to a shuffle, correctly") {
     pairReady
     sql("CREATE TABLE bkt.default.plain (id BIGINT, tag STRING) TBLPROPERTIES ('rowkey'='id')")
