@@ -263,9 +263,14 @@ class KvTable(val catalog: KvCatalog, val dir: String,
     // whose shards entered the table after that manifest version (see
     // KvShardMeta.firstVersion); composes with asOfVersion for a
     // bounded (since, asOf] window.
+    // `maxVersionsPerTrigger` (optional, streaming only): admission
+    // control — cap each micro-batch at N manifest versions so a stream
+    // starting far behind (or at the snapshot) catches up in bounded
+    // batches instead of planning the whole backlog as one.
     val asOf = Option(options.get("asOfVersion")).map(_.toLong).orElse(pinnedAsOf)
     val since = Option(options.get("sinceVersion")).map(_.toLong)
-    new KvScanBuilder(catalog, dir, options.getBoolean("columnar", true), asOf, since)
+    new KvScanBuilder(catalog, dir, options.getBoolean("columnar", true), asOf, since,
+      options.getLong("maxVersionsPerTrigger", 0L))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

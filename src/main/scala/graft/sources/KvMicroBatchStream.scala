@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.kv.KvStore
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -39,8 +39,9 @@ case class KvOffset(version: Long) extends Offset {
 class KvMicroBatchStream(dir: String, rowkeyName: String,
                          prunedSchema: StructType, declared: StructType,
                          filters: Array[Filter], columnar: Boolean = true,
-                         startVersion: Long = 0L)
-    extends MicroBatchStream {
+                         startVersion: Long = 0L,
+                         maxVersionsPerTrigger: Long = 0L)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Missing manifest = table not yet written → version 0 (the file
     * source tolerates an initially empty directory the same way). */
@@ -50,6 +51,27 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
     else 0L
 
   override def latestOffset(): Offset = KvOffset(currentVersion())
+
+  /** Admission control: `maxVersionsPerTrigger` caps each micro-batch
+    * at N manifest versions. Without it, a stream starting far behind
+    * the live table (or at the snapshot) plans its entire backlog as
+    * ONE micro-batch — at 100 TB that is an unbounded unit of retry.
+    * The version axis is the right granule: commits are the source's
+    * append quanta, so N versions ≈ N writer epochs of data, and
+    * catch-up progresses checkpoint-by-checkpoint with bounded state.
+    * 0 (the default) = unlimited, the plain MicroBatchStream behavior.
+    * The engine-supplied ReadLimit is ignored in favor of the option —
+    * the same stance as maxFilesPerTrigger in the file source. */
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = currentVersion()
+    val s = start.asInstanceOf[KvOffset].version
+    KvOffset(
+      if (maxVersionsPerTrigger > 0) math.min(cur, s + maxVersionsPerTrigger)
+      else cur)
+  }
 
   /** `sinceVersion` composes CDC with streaming: the stream's initial
     * offset is the caller's batch checkpoint, so the first micro-batch

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types._
   *      `HbasePartitionReader.scala:147`).
   */
 class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
-                    asOf: Option[Long] = None, since: Option[Long] = None)
+                    asOf: Option[Long] = None, since: Option[Long] = None,
+                    maxVersionsPerTrigger: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
@@ -114,7 +115,7 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
       new KvAggScan(dir, catalog.rowkey, declared, pushed, groupCols, specs, asOf,
         since)
     case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit,
-      reverse, columnar, asOf, catalog.buckets, since)
+      reverse, columnar, asOf, catalog.buckets, since, maxVersionsPerTrigger)
   }
 }
 
@@ -180,7 +181,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
              declared: StructType, filters: Array[Filter], limit: Int,
              reverse: Boolean = false, columnar: Boolean = true,
              asOf: Option[Long] = None, buckets: Int = 0,
-             since: Option[Long] = None)
+             since: Option[Long] = None, maxVersionsPerTrigger: Long = 0L)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportOrdering with SupportsReportPartitioning {
@@ -261,7 +262,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // streaming tail and resume exactly-once (first micro-batch = the
     // append delta after that version, not the full snapshot)
     new KvMicroBatchStream(dir, rowkeyName, prunedSchema, declared, filters,
-      columnar, startVersion = since.getOrElse(0L))
+      columnar, startVersion = since.getOrElse(0L),
+      maxVersionsPerTrigger = maxVersionsPerTrigger)
   }
 
   override def description(): String = {

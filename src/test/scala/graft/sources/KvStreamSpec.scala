@@ -158,4 +158,34 @@ class KvStreamSpec extends SparkSpec {
       assert(keys.toSeq == Seq(5L, 105L))
     } finally q.stop()
   }
+
+  test("maxVersionsPerTrigger catches up in bounded micro-batches, losing nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-admctl").toString
+    def write(range: Range, mode: String): Unit =
+      range.map(k => (k.toLong, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+    // a 6-version backlog BEFORE the stream starts
+    write(1 to 10, "overwrite")
+    (1 to 5).foreach(i => write(i * 10 + 1 to i * 10 + 10, "append"))
+
+    val q = spark.readStream.format("graft-kv")
+      .option("catalog", cat).option("path", dir)
+      .option("maxVersionsPerTrigger", 2).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kv_admctl_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kv_admctl_out").select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq == (1L to 60L),
+        "rate-limited catch-up must still deliver every row exactly once")
+      // the backlog must have drained in ceil(6/2) = 3 bounded batches,
+      // not one monolith (batch ids in the progress log)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"6 versions at maxVersionsPerTrigger=2 must take >= 3 micro-batches, " +
+          s"got ${batches.length}")
+    } finally q.stop()
+  }
 }
