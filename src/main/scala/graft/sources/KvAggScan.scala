@@ -122,15 +122,17 @@ object KvAggSpec {
 
 class KvAggScan(dir: String, rowkeyName: String, declared: StructType,
                 filters: Array[Filter], groupCols: Seq[String], specs: Seq[KvAggSpec],
-                asOf: Option[Long] = None, since: Option[Long] = None)
+                asOf: Option[Long] = None, since: Option[Long] = None,
+                buckets: Int = 0)
     extends Scan with Batch {
 
-  // the base scan owns shard selection (ranges, zone maps, asOf, since),
-  // so pushed aggregates — including the manifest stats fast path, which
-  // reads per-PARTITION shard meta — see exactly the incremental subset
+  // the base scan owns shard selection (ranges, zone maps, asOf, since,
+  // point-lookup bucket pruning), so pushed aggregates — including the
+  // manifest stats fast path, which reads per-PARTITION shard meta —
+  // see exactly the incremental subset
   private val base =
     new KvScan(dir, rowkeyName, declared, declared, filters, -1, asOf = asOf,
-      since = since)
+      buckets = buckets, since = since)
 
   override def readSchema(): StructType = KvAggSpec.outputSchema(groupCols, specs, declared)
   override def toBatch: Batch = this
@@ -154,7 +156,7 @@ case class KvAggReaderFactory(dir: String, declaredJson: String, rowkeyName: Str
                               specs: Seq[KvAggSpec])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[KvInputPartition]
+    val part = KvInputPartition.unwrap(p) // base scan keys bucketed shards
     val declared = DataType.fromJson(declaredJson).asInstanceOf[StructType]
     // a bloom-skipped shard contributes no rows, hence no partials
     if (!KvBloomPrune.canMatch(dir, part.shard, filters, declared))

@@ -113,7 +113,7 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
   override def build(): Scan = aggSpecs match {
     case Some((groupCols, specs)) =>
       new KvAggScan(dir, catalog.rowkey, declared, pushed, groupCols, specs, asOf,
-        since)
+        since, catalog.buckets)
     case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit,
       reverse, columnar, asOf, catalog.buckets, since, maxVersionsPerTrigger)
   }

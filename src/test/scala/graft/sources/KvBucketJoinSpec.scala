@@ -99,6 +99,18 @@ class KvBucketJoinSpec extends SparkSpec {
       s"IN must plan only the union of the keys' buckets " +
         s"(pruned ${m2("kvShardsPrunedBucket").value}, expected $exp2)")
 
+    // pushed aggregates ride the same base-scan shard selection, so a
+    // point-lookup count prunes identically
+    val agg = sql("SELECT count(*) AS n FROM bkt.default.fact_a WHERE id = 123")
+    assert(agg.collect().head.getLong(0) == 1L)
+    val aggLeaf = agg.queryExecution.executedPlan.collectLeaves().head
+    // (the stats fast path may answer from a LocalTableScan with no
+    // custom metrics; when the real agg scan ran, it must have pruned)
+    aggLeaf.metrics.get("kvShardsPrunedBucket").foreach { m =>
+      assert(m.value == exp1,
+        "pushed-agg point lookup must bucket-prune like the row scan")
+    }
+
     // a RANGE predicate spans keys that hash anywhere — bucket pruning
     // must stand down entirely (soundness, not a missed optimization)
     val rng = sql("SELECT id FROM bkt.default.fact_a WHERE id >= 990 AND id < 1000")
