@@ -351,4 +351,59 @@ class KvFuzzSpec extends SparkSpec {
       assert(cnt == 0, s"version $v must not see keys appended after it")
     }
   }
+
+  test("fuzz: bucket pruning never changes point-lookup results") {
+    // bucket pruning silently DROPS shards at plan time — the scariest
+    // way to be wrong is returning fewer rows than exist. Random point
+    // sets (present, absent, mixed, huge IN lists) over a bucketed table
+    // must return exactly what Spark computes on the original frame,
+    // and what the same predicates return through an UNBUCKETED copy.
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val bcat =
+      """{"table":{"name":"bfuzz"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"long"}},
+        | "buckets": 16}""".stripMargin
+    val pcat =
+      """{"table":{"name":"pfuzz"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "v":{"cf":"f","col":"v","type":"long"}}}""".stripMargin
+    // sparse adversarial keys: negatives, extremes, dense run, gaps
+    val keys = (Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue - 1, Long.MaxValue) ++
+      (0 until 400).map(_ => rnd.nextLong()) ++
+      (1000L until 1100L)).distinct
+    val df = keys.map(k => (k, k * 3)).toDF("k", "v")
+    val bdir = Files.createTempDirectory("graft-bfuzz").toString
+    val pdir = Files.createTempDirectory("graft-pfuzz").toString
+    df.repartition(4).write.format("graft-kv")
+      .option("catalog", bcat).option("path", bdir).mode("overwrite").save()
+    df.repartition(4).write.format("graft-kv")
+      .option("catalog", pcat).option("path", pdir).mode("overwrite").save()
+    def readB = spark.read.format("graft-kv")
+      .option("catalog", bcat).option("path", bdir).load()
+    def readP = spark.read.format("graft-kv")
+      .option("catalog", pcat).option("path", pdir).load()
+    val keyArr = keys.toArray
+    for (_ <- 1 to 12) {
+      val probe: Seq[Long] = (0 until 1 + rnd.nextInt(40)).map { _ =>
+        if (rnd.nextBoolean()) keyArr(rnd.nextInt(keyArr.length)) // present
+        else rnd.nextLong()                                       // likely absent
+      }.distinct
+      val expect = keys.filter(probe.contains).map(k => (k, k * 3)).toSet
+      def got(r: DataFrame) = r.filter(col("k").isin(probe: _*))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val b = got(readB)
+      assert(b == expect,
+        s"bucketed point lookup lost/invented rows: got ${b.size}, expected ${expect.size}")
+      assert(got(readP) == expect, "unbucketed twin disagrees (harness bug)")
+    }
+    // and a mixed predicate (points OR a span) must not bucket-prune away
+    // the span's rows
+    val span = readB.filter(col("k").isin(1000L, 1050L) ||
+      (col("k") >= 1060L && col("k") <= 1070L))
+    assert(span.collect().map(_.getLong(0)).sorted.toSeq ==
+      (Seq(1000L, 1050L) ++ (1060L to 1070L)).sorted)
+  }
 }
