@@ -60,17 +60,26 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
     * append quanta, so N versions ≈ N writer epochs of data, and
     * catch-up progresses checkpoint-by-checkpoint with bounded state.
     * 0 (the default) = unlimited, the plain MicroBatchStream behavior.
-    * The engine-supplied ReadLimit is ignored in favor of the option —
-    * the same stance as maxFilesPerTrigger in the file source. */
+    *
+    * The option rides the ReadLimit channel as maxRows ("rows" = our
+    * versions): MicroBatchExecution passes getDefaultReadLimit back
+    * into latestOffset each batch, while Trigger.AvailableNow's
+    * wrapper asks with allAvailable() to capture where "available now"
+    * ENDS — that call must NOT be capped, or the drain would stop
+    * after one rate-limited step instead of reaching the captured end
+    * (the wrapper then re-applies the per-batch limit on every step). */
   override def getDefaultReadLimit: ReadLimit =
-    ReadLimit.allAvailable()
+    if (maxVersionsPerTrigger > 0) ReadLimit.maxRows(maxVersionsPerTrigger)
+    else ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = currentVersion()
     val s = start.asInstanceOf[KvOffset].version
-    KvOffset(
-      if (maxVersionsPerTrigger > 0) math.min(cur, s + maxVersionsPerTrigger)
-      else cur)
+    limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        KvOffset(math.min(cur, s + r.maxRows()))
+      case _ => KvOffset(cur) // allAvailable (incl. AvailableNow capture)
+    }
   }
 
   /** `sinceVersion` composes CDC with streaming: the stream's initial

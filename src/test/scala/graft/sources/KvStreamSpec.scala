@@ -188,4 +188,28 @@ class KvStreamSpec extends SparkSpec {
           s"got ${batches.length}")
     } finally q.stop()
   }
+
+  test("AvailableNow + maxVersionsPerTrigger drains the backlog in bounded batches, then stops") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-admnow").toString
+    def write(range: Range, mode: String): Unit =
+      range.map(k => (k.toLong, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+    write(1 to 10, "overwrite")
+    (1 to 4).foreach(i => write(i * 10 + 1 to i * 10 + 10, "append")) // 5 versions
+
+    val q = spark.readStream.format("graft-kv")
+      .option("catalog", cat).option("path", dir)
+      .option("maxVersionsPerTrigger", 2).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kv_admnow_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow must TERMINATE on its own despite the rate limit
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(spark.table("kv_admnow_out").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 50L),
+      "rate-limited AvailableNow drain must deliver the full backlog exactly once")
+  }
 }
