@@ -331,6 +331,44 @@ object Stress {
       "storage-partitioned join disagrees with the shuffled join")
     System.err.println(f"[stress] spj_join spj=$spjSec%.2fs shuffled=$shufSec%.2fs (x${shufSec / spjSec}%.2f)")
 
+    // Point-lookup bucket-pruning A/B on the same 32-bucket fact table:
+    // an IN over a handful of order keys (the canonical "fetch these
+    // records" access) planned (A) with bucket pruning — only shards
+    // tagged with the keys' buckets — vs (B) with the
+    // `bucketPointPrune=false` escape hatch, which falls back to range
+    // pruning alone (near-useless on a hash layout: every bucket's
+    // shards span the keyspace). Same rows both ways, by construction;
+    // the metric delta is the shards a 100 TB point read skips.
+    def pointKeysSample(): Seq[Long] =
+      spark.read.table("stress_spj.default.order_lines")
+        .select("ok").limit(500).collect().map(_.getLong(0)).toSeq
+        .grouped(37).map(_.head).take(12).toSeq
+    val pk = pointKeysSample()
+    def timePoint(prune: Boolean): (Double, Set[Long], Long, Long) = {
+      def once(): (Double, Set[Long], Long, Long) = {
+        val t0 = System.nanoTime()
+        val df = spark.read.option("bucketPointPrune", prune.toString)
+          .table("stress_spj.default.order_lines")
+          .filter(col("ok").isin(pk: _*))
+        val rows = df.collect().map(_.getLong(0)).toSet
+        val m = df.queryExecution.executedPlan.collectLeaves().head.metrics
+        ((System.nanoTime() - t0) / 1e9, rows,
+          m.get("kvShardsPrunedBucket").map(_.value).getOrElse(0L),
+          m.get("kvShardsTotal").map(_.value).getOrElse(0L))
+      }
+      val (a, _, _, _) = once(); val (b, rows, pruned, total) = once()
+      (math.min(a, b), rows, pruned, total)
+    }
+    val (ptPruneSec, ptRowsA, ptPruned, ptTotal) = timePoint(prune = true)
+    val (ptBaseSec, ptRowsB, ptPrunedOff, _) = timePoint(prune = false)
+    require(ptRowsA == ptRowsB && ptRowsA.nonEmpty,
+      s"bucket-pruned point lookup disagrees (${ptRowsA.size} vs ${ptRowsB.size})")
+    require(ptPruned > 0, "bucket pruning planned nothing out — probe is vacuous")
+    require(ptPrunedOff == 0L, "escape hatch did not disable bucket pruning")
+    System.err.println(f"[stress] point_lookup bucketPruned=$ptPruneSec%.2fs " +
+      f"unpruned=$ptBaseSec%.2fs (x${ptBaseSec / ptPruneSec}%.2f, " +
+      f"skipped $ptPruned of $ptTotal shards)")
+
     val qs = results.map { case (k, (fst, std)) =>
       f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
     }.mkString("{", ",", "}")
@@ -344,7 +382,9 @@ object Stress {
       f""""packing_ab":{"distributed_sec":$packDistSec%.2f,"per_lang_window_sec":$packLangSec%.2f,"speedup":${packLangSec / packDistSec}%.2f}"""
     val spjJson =
       f""""spj_ab":{"spj_sec":$spjSec%.2f,"shuffled_sec":$shufSec%.2f,"speedup":${shufSec / spjSec}%.2f}"""
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,$pairsJson,$semOut,$packJson,$abJson,$spjJson,"peak_heap_mb":$peakHeapMb}""")
+    val pointJson =
+      f""""point_lookup_ab":{"pruned_sec":$ptPruneSec%.2f,"unpruned_sec":$ptBaseSec%.2f,"speedup":${ptBaseSec / ptPruneSec}%.2f,"shards_skipped":$ptPruned,"shards_total":$ptTotal}"""
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,$pairsJson,$semOut,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

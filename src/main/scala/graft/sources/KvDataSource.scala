@@ -269,8 +269,12 @@ class KvTable(val catalog: KvCatalog, val dir: String,
     // batches instead of planning the whole backlog as one.
     val asOf = Option(options.get("asOfVersion")).map(_.toLong).orElse(pinnedAsOf)
     val since = Option(options.get("sinceVersion")).map(_.toLong)
+    // `bucketPointPrune` (default true): escape hatch that disables
+    // point-lookup bucket pruning (debug / A-B measurement), mirroring
+    // `columnar=false`.
     new KvScanBuilder(catalog, dir, options.getBoolean("columnar", true), asOf, since,
-      options.getLong("maxVersionsPerTrigger", 0L))
+      options.getLong("maxVersionsPerTrigger", 0L),
+      options.getBoolean("bucketPointPrune", true))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   */
 class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
                     asOf: Option[Long] = None, since: Option[Long] = None,
-                    maxVersionsPerTrigger: Long = 0L)
+                    maxVersionsPerTrigger: Long = 0L, bucketPrune: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
@@ -115,7 +115,8 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
       new KvAggScan(dir, catalog.rowkey, declared, pushed, groupCols, specs, asOf,
         since, catalog.buckets)
     case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit,
-      reverse, columnar, asOf, catalog.buckets, since, maxVersionsPerTrigger)
+      reverse, columnar, asOf, catalog.buckets, since, maxVersionsPerTrigger,
+      bucketPrune)
   }
 }
 
@@ -181,7 +182,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
              declared: StructType, filters: Array[Filter], limit: Int,
              reverse: Boolean = false, columnar: Boolean = true,
              asOf: Option[Long] = None, buckets: Int = 0,
-             since: Option[Long] = None, maxVersionsPerTrigger: Long = 0L)
+             since: Option[Long] = None, maxVersionsPerTrigger: Long = 0L,
+             bucketPrune: Boolean = true)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportOrdering with SupportsReportPartitioning {
@@ -380,7 +382,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // lookup plans 1/1024 of the shards instead of all of them. Sound
     // only when all ranges are points — a span hashes anywhere.
     val bucketPruned =
-      if (keyed) KeyRanges.pointKeys(ranges) match {
+      if (keyed && bucketPrune) KeyRanges.pointKeys(ranges) match {
         case Some(pts) =>
           val wanted = pts.map(KvBuckets.ofKey(_, buckets)).toSet
           inKeyRange.filter(s => wanted.contains(s.bucket))
