@@ -38,7 +38,16 @@ object Tables {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Normalized to array<float>: the ANN expressions (CosineSimilarity,
+    * Int8Dot, LshBuckets) bind to FloatType elements, and a driver-side
+    * regeneration switching precision (the events-ts lesson) must not
+    * break them. Catalyst's SimplifyCasts removes the no-op cast while
+    * the physical type already matches. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "embeddings")
+    import org.apache.spark.sql.functions.col
+    raw.withColumn("embedding", col("embedding").cast("array<float>"))
+  }
 
   /** Register every corpus table as a temp view for spark.sql queries.
     * Registration is per-table fault-isolated: one table's loader
@@ -57,8 +66,9 @@ object Tables {
               s"(queries over it will fail; others are unaffected): ${e.getMessage}")
       }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents", "embeddings")
+        "lineitem", "documents")
       .foreach(n => reg(n)(load(s, d, n)))
+    reg("embeddings")(embeddings(s, d))
     reg("events")(events(s, d))
   }
 }
