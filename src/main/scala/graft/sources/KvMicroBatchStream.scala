@@ -40,7 +40,8 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
                          prunedSchema: StructType, declared: StructType,
                          filters: Array[Filter], columnar: Boolean = true,
                          startVersion: Long = 0L,
-                         maxVersionsPerTrigger: Long = 0L)
+                         maxVersionsPerTrigger: Long = 0L,
+                         buckets: Int = 0)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Missing manifest = table not yet written → version 0 (the file
@@ -127,7 +128,20 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
       // so skipping the file read is observationally identical
       val inRange = shards.filter(sh =>
         KeyRanges.intersectsShard(ranges, sh.minKey, sh.maxKey))
-      KvZoneMaps.prune(inRange, filters, declared)
+      // bucket pruning, per micro-batch: a stream tailing specific keys
+      // (`=`/`IN` — every planned range is a point) skips validly-tagged
+      // shards in other buckets, same as the batch scan. The per-shard
+      // rule (drop only a shard whose OWN tag is valid and non-matching)
+      // is sound regardless of other shards' tagging state.
+      val bucketPruned =
+        if (buckets > 0) KeyRanges.pointKeys(ranges) match {
+          case Some(pts) =>
+            val wanted = pts.map(graft.kv.KvBuckets.ofKey(_, buckets)).toSet
+            inRange.filter(sh => sh.bucket < 0 || sh.bucket >= buckets ||
+              wanted.contains(sh.bucket))
+          case None => inRange
+        } else inRange
+      KvZoneMaps.prune(bucketPruned, filters, declared)
         .map { sh =>
           val local = KeyRanges.clipToShard(ranges, sh.minKey, sh.maxKey)
             .map { case (lo, hi) => (lo.map(KvStore.toHex), hi.map(KvStore.toHex)) }

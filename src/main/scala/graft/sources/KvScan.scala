@@ -265,7 +265,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // append delta after that version, not the full snapshot)
     new KvMicroBatchStream(dir, rowkeyName, prunedSchema, declared, filters,
       columnar, startVersion = since.getOrElse(0L),
-      maxVersionsPerTrigger = maxVersionsPerTrigger)
+      maxVersionsPerTrigger = maxVersionsPerTrigger,
+      buckets = if (bucketPrune) buckets else 0)
   }
 
   override def description(): String = {

@@ -120,6 +120,29 @@ class KvBucketJoinSpec extends SparkSpec {
       "a key span must never be bucket-pruned")
   }
 
+  test("a point-filtered STREAM over a bucketed table prunes and stays exact") {
+    pairReady
+    import org.apache.spark.sql.functions.col
+    // tail fact_a's table dir through the path API with its catalog json
+    val catJson =
+      """{"table":{"name":"fact_a"},"rowkey":"id",
+        |"buckets": 8,
+        |"columns":{"id":{"cf":"rowkey","col":"id","type":"long"},
+        |           "qty":{"cf":"c","col":"qty","type":"double"}}}""".stripMargin
+    val dir = s"$wh/default/fact_a"
+    val q = spark.readStream.format("graft-kv")
+      .option("catalog", catJson).option("path", dir).load()
+      .filter(col("id").isin(123L, 456L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bkt_stream_points").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bkt_stream_points").select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(123L, 456L),
+        "point-filtered stream must deliver exactly the filtered keys")
+    } finally q.stop()
+  }
+
   test("join against an UNBUCKETED table falls back to a shuffle, correctly") {
     pairReady
     sql("CREATE TABLE bkt.default.plain (id BIGINT, tag STRING) TBLPROPERTIES ('rowkey'='id')")
