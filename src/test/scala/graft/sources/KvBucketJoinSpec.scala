@@ -176,6 +176,13 @@ class KvBucketJoinSpec extends SparkSpec {
     df.collect()
     assert(!df.queryExecution.executedPlan.toString().contains("Exchange"),
       "join must stay exchange-free after compaction")
+    // point lookups keep bucket-pruning (and exactness) over the MERGED
+    // shards — compaction preserves the tag the pruning keys on
+    val pt = sql("SELECT id FROM bkt.default.fact_a WHERE id IN (1005, 1025)")
+    assert(pt.collect().map(_.getLong(0)).sorted.toSeq == Seq(1005L, 1025L))
+    val m = pt.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(m("kvShardsPrunedBucket").value > 0,
+      "bucket pruning must still engage on compacted shards")
   }
 
   test("DELETE preserves bucket tags; the SPJ plan survives") {

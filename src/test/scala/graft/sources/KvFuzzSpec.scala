@@ -406,4 +406,35 @@ class KvFuzzSpec extends SparkSpec {
     assert(span.collect().map(_.getLong(0)).sorted.toSeq ==
       (Seq(1000L, 1050L) ++ (1060L to 1070L)).sorted)
   }
+
+  test("fuzz: bucket pruning on STRING rowkeys (UTF8 key encoding) stays exact") {
+    // the bucket hash runs over the order-preserving key ENCODING; string
+    // keys exercise the variable-length path with adversarial unicode
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val scat =
+      """{"table":{"name":"sbfuzz"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"string"},
+        |            "v":{"cf":"f","col":"v","type":"long"}},
+        | "buckets": 8}""".stripMargin
+    val keys = ((0 until 300).map(_ => randomString(rnd)).filter(_.nonEmpty) ++
+      Seq("a", " x", "�", "日本語キー", "🎯🎯")).distinct
+    val dir = Files.createTempDirectory("graft-sbfuzz").toString
+    keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+      .repartition(4).write.format("graft-kv")
+      .option("catalog", scat).option("path", dir).mode("overwrite").save()
+    val expectByKey = keys.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+    val read = spark.read.format("graft-kv")
+      .option("catalog", scat).option("path", dir).load()
+    for (_ <- 1 to 8) {
+      val probe = ((0 until 1 + rnd.nextInt(10))
+        .map(_ => keys(rnd.nextInt(keys.length))) ++
+        Seq(randomString(rnd) + "∉")).distinct // plus a guaranteed-absent key
+      val got = read.filter(col("k").isin(probe: _*))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val expect = probe.flatMap(k => expectByKey.get(k).map(k -> _)).toSet
+      assert(got == expect,
+        s"string-rowkey bucket lookup mismatch: got ${got.size}, expected ${expect.size}")
+    }
+  }
 }
