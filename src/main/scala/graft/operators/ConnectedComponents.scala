@@ -39,7 +39,17 @@ object ConnectedComponents {
     * loop works on O(|pairs|) rows regardless of corpus size — at 100 TB
     * near-dup rates of a few percent, that is orders of magnitude
     * smaller than the vertex set. Singletons join back in one final
-    * projection. */
+    * projection.
+    *
+    * Propagation is FRONTIER-based: only vertices whose label changed
+    * last round re-broadcast it (round 1: everyone). A neighbor whose
+    * label did not change was already heard in the round it last did,
+    * so restricting the edge join to the frontier loses nothing — and
+    * near-dup graphs are mostly tiny dense clusters that converge in a
+    * round or two, so the frontier (and with it the per-round edge
+    * join) collapses after round 1 instead of re-scanning every edge
+    * against every label to fixpoint. Empty frontier IS the fixpoint
+    * witness — no separate convergence aggregate. */
   def label(vertices: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
             maxRounds: Int = 50): DataFrame = {
     // localCheckpoint (not persist): TRUNCATES lineage, so each round's
@@ -47,37 +57,46 @@ object ConnectedComponents {
     // nesting the pair-generation DAG once per round — without it the
     // logical plan (and Catalyst analysis time) grows exponentially
     // with round count. Reliable-checkpoint is the drop-in for
-    // executor-loss tolerance on a real cluster.
+    // executor-loss tolerance on a real cluster. (Dataset.localCheckpoint
+    // is EAGER: blocks exist when the call returns.)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as(idCol)).distinct()
       .withColumn("cluster_id", col(idCol)).localCheckpoint()
-    // labels only ever DECREASE (min-propagation), so the label sum is a
-    // strictly decreasing convergence witness: one agg action per round
-    // materializes the new labeling AND detects the fixpoint — no
-    // per-round diff join. Decimal sum → no overflow at any id scale.
-    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0))
-    var prevSum = labelSum(labels)
-    var converged = prevSum.isEmpty // no pairs → nothing to propagate
+    var frontier = labels // round 1: every touched vertex broadcasts
+    var changed = -1L
     var round = 0
-    while (!converged && round < maxRounds) {
-      val neighborLabels = edges.join(labels, edges("dst") === labels(idCol))
+    while (changed != 0L && round < maxRounds) {
+      // labels the frontier pushes to its neighbors, folded to one
+      // candidate per vertex (bounded by the frontier's neighborhood,
+      // NOT the full edge set once the frontier shrinks)
+      val updates = edges.join(frontier, edges("dst") === frontier(idCol))
         .select(edges("src").as(idCol), col("cluster_id"))
-      val next = labels.select(col(idCol), col("cluster_id")).union(neighborLabels)
-        .groupBy(col(idCol)).agg(min(col("cluster_id")).as("cluster_id"))
+        .groupBy(col(idCol)).agg(min(col("cluster_id")).as("cand"))
         .localCheckpoint()
-      val nextSum = labelSum(next) // action: materializes next's checkpoint
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      checkpointRdd(labels).foreach(_.unpersist(false)) // free superseded round
+      val next = labels.join(updates, Seq(idCol), "left")
+        .select(col(idCol),
+          when(col("cand") < col("cluster_id"), col("cand"))
+            .otherwise(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      val newFrontier = labels.join(updates, Seq(idCol))
+        .filter(col("cand") < col("cluster_id"))
+        .select(col(idCol), col("cand").as("cluster_id"))
+        .localCheckpoint()
+      changed = newFrontier.count() // cheap: counts materialized blocks
+      checkpointRdd(updates).foreach(_.unpersist(false))
+      if (!(frontier eq labels)) // round 1 aliases them; free once
+        checkpointRdd(frontier).foreach(_.unpersist(false))
+      checkpointRdd(labels).foreach(_.unpersist(false))
       labels = next
+      frontier = newFrontier
       round += 1
     }
     checkpointRdd(edges).foreach(_.unpersist(false))
-    require(converged, s"connected components did not converge in $maxRounds rounds")
+    checkpointRdd(frontier).foreach(_.unpersist(false))
+    require(changed == 0L,
+      s"connected components did not converge in $maxRounds rounds")
     // singletons (never in a pair) label themselves
     vertices.select(col(idCol))
       .join(labels, Seq(idCol), "left")
