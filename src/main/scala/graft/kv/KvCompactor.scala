@@ -58,7 +58,8 @@ object KvCompactor {
     // outputs stay range-tight, then greedily group ADJACENT
     // (key-ordered) shards under the size bound.
     val toMerge: Seq[Seq[KvShardMeta]] =
-      before.groupBy(_.bucket).toSeq.sortBy(_._1).flatMap { case (_, bucketShards) =>
+      before.groupBy(s => (s.bucket, s.bucketMod)).toSeq.sortBy(_._1)
+        .flatMap { case (_, bucketShards) =>
         val ordered = bucketShards.sortWith((a, b) => {
           val c = BytesCodec.compareKeys(a.minKey, b.minKey)
           if (c != 0) c < 0 else BytesCodec.compareKeys(a.maxKey, b.maxKey) < 0
@@ -248,6 +249,7 @@ object KvCompactor {
         // as new as the oldest rows in it, so an incremental read can
         // never re-serve compacted-away history as fresh
         withBloom.copy(stats = mergedStats, bucket = group.head.bucket,
+          bucketMod = group.head.bucketMod,
           firstVersion = group.map(_.firstVersion).min)
       }
     } finally {

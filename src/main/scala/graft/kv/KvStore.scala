@@ -57,13 +57,24 @@ final case class KvCell(cf: String, qualifier: String, value: Array[Byte])
   * manifests ≡ "at or before the beginning". This is the planning key
   * for incremental reads (`option("sinceVersion", v)` plans only
   * shards with firstVersion > v). */
+/** `bucketMod` = the bucket-count MODULUS the writer hashed with when it
+  * tagged `bucket` (0 in pre-feature manifests ≡ unknown). The tag alone
+  * is not self-describing: after a catalog edit raises `buckets` 8→16,
+  * every old tag still passes a `0 <= b < 16` validity gate, so a point
+  * lookup pruning by `hash(key) mod 16` would silently drop shards that
+  * hold the key under mod 8. Every consumer of the tag (point-lookup
+  * bucket pruning, storage-partitioned-join reporting, the streaming
+  * per-shard prune) therefore requires `bucketMod == catalog.buckets`
+  * and otherwise falls back to range pruning — a stale or absent
+  * modulus degrades performance, never results. */
 final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKeyHex: String,
                              hosts: Seq[String] = Nil,
                              stats: Map[String, (String, String)] = Map.empty,
                              crc32cHex: String = "",
                              bloom: String = "",
                              bucket: Int = -1,
-                             firstVersion: Long = 0) {
+                             firstVersion: Long = 0,
+                             bucketMod: Int = 0) {
   def minKey: Array[Byte] = KvStore.fromHex(minKeyHex)
   def maxKey: Array[Byte] = KvStore.fromHex(maxKeyHex)
 }
@@ -181,7 +192,8 @@ object KvStore {
       KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
         s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts, stats,
         s.path("crc32c").asText(""), s.path("bloom").asText(""),
-        s.path("bucket").asInt(-1), s.path("firstVersion").asLong(0))
+        s.path("bucket").asInt(-1), s.path("firstVersion").asLong(0),
+        s.path("bucketMod").asInt(0))
     }.toSeq
     val epochs = root.path("committedEpochs").elements().asScala.map(_.asText()).toSeq
     KvTableMeta(shards, epochs, root.path("version").asLong(0),
@@ -275,6 +287,7 @@ object KvStore {
       if (s.crc32cHex.nonEmpty) o.put("crc32c", s.crc32cHex)
       if (s.bloom.nonEmpty) o.put("bloom", s.bloom)
       if (s.bucket >= 0) o.put("bucket", s.bucket)
+      if (s.bucketMod > 0) o.put("bucketMod", s.bucketMod)
       if (s.firstVersion > 0) o.put("firstVersion", s.firstVersion)
     }
     if (meta.committedEpochs.nonEmpty) {

@@ -123,16 +123,18 @@ object KvAggSpec {
 class KvAggScan(dir: String, rowkeyName: String, declared: StructType,
                 filters: Array[Filter], groupCols: Seq[String], specs: Seq[KvAggSpec],
                 asOf: Option[Long] = None, since: Option[Long] = None,
-                buckets: Int = 0)
+                buckets: Int = 0, bucketPrune: Boolean = true)
     extends Scan with Batch {
 
   // the base scan owns shard selection (ranges, zone maps, asOf, since,
-  // point-lookup bucket pruning), so pushed aggregates — including the
-  // manifest stats fast path, which reads per-PARTITION shard meta —
-  // see exactly the incremental subset
+  // point-lookup bucket pruning — including the bucketPrune escape
+  // hatch, threaded through so the A/B knob is symmetric across both
+  // scan shapes), so pushed aggregates — including the manifest stats
+  // fast path, which reads per-PARTITION shard meta — see exactly the
+  // incremental subset
   private val base =
     new KvScan(dir, rowkeyName, declared, declared, filters, -1, asOf = asOf,
-      buckets = buckets, since = since)
+      buckets = buckets, since = since, bucketPrune = bucketPrune)
 
   override def readSchema(): StructType = KvAggSpec.outputSchema(groupCols, specs, declared)
   override def toBatch: Batch = this

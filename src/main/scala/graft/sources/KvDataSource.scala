@@ -218,7 +218,8 @@ class KvTable(val catalog: KvCatalog, val dir: String,
           // key subset — a rewrite never moves a key between buckets)
           replacements(shard.file) =
             out.map(_.copy(stats = tracker.result(), hosts = shard.hosts,
-              bucket = shard.bucket, firstVersion = shard.firstVersion)).toSeq
+              bucket = shard.bucket, bucketMod = shard.bucketMod,
+              firstVersion = shard.firstVersion)).toSeq
       }
     }
     if (replacements.isEmpty) return true

@@ -131,14 +131,16 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
       // bucket pruning, per micro-batch: a stream tailing specific keys
       // (`=`/`IN` — every planned range is a point) skips validly-tagged
       // shards in other buckets, same as the batch scan. The per-shard
-      // rule (drop only a shard whose OWN tag is valid and non-matching)
-      // is sound regardless of other shards' tagging state.
+      // rule (drop only a shard whose OWN tag is valid, hashed under the
+      // CATALOG'S modulus, and non-matching) is sound regardless of
+      // other shards' tagging state — a shard tagged under a different
+      // bucket count (sh.bucketMod != buckets) is always kept.
       val bucketPruned =
         if (buckets > 0) KeyRanges.pointKeys(ranges) match {
           case Some(pts) =>
             val wanted = pts.map(graft.kv.KvBuckets.ofKey(_, buckets)).toSet
             inRange.filter(sh => sh.bucket < 0 || sh.bucket >= buckets ||
-              wanted.contains(sh.bucket))
+              sh.bucketMod != buckets || wanted.contains(sh.bucket))
           case None => inRange
         } else inRange
       KvZoneMaps.prune(bucketPruned, filters, declared)

@@ -113,7 +113,7 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
   override def build(): Scan = aggSpecs match {
     case Some((groupCols, specs)) =>
       new KvAggScan(dir, catalog.rowkey, declared, pushed, groupCols, specs, asOf,
-        since, catalog.buckets)
+        since, catalog.buckets, bucketPrune)
     case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit,
       reverse, columnar, asOf, catalog.buckets, since, maxVersionsPerTrigger,
       bucketPrune)
@@ -331,8 +331,14 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     import org.apache.spark.sql.connector.expressions.Expressions
     lazy val shards = try KvStore.readMetaAsOf(dir, asOf).shards
       catch { case _: Exception => Nil }
+    // `bucketMod == buckets` on every shard: a tag hashed under a
+    // DIFFERENT modulus (catalog bucket count later edited) would make
+    // the reported bucket(buckets, rowkey) partitioning a lie — keys
+    // would sit in the wrong reported bucket and a zero-exchange join
+    // would silently mismatch rows. Mismatch ⇒ UnknownPartitioning.
     if (buckets > 0 && prunedSchema.fieldNames.contains(rowkeyName) &&
-        shards.nonEmpty && shards.forall(s => s.bucket >= 0 && s.bucket < buckets)) {
+        shards.nonEmpty &&
+        shards.forall(s => s.bucket >= 0 && s.bucket < buckets && s.bucketMod == buckets)) {
       val distinct = shards.map(_.bucket).distinct.length
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(Expressions.bucket(buckets, rowkeyName)), distinct)
@@ -373,7 +379,7 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // (judged on the FULL shard set, matching that report; Spark
     // requires every partition to expose a key or none)
     val keyed = buckets > 0 &&
-      full.shards.forall(s => s.bucket >= 0 && s.bucket < buckets)
+      full.shards.forall(s => s.bucket >= 0 && s.bucket < buckets && s.bucketMod == buckets)
     // bucket pruning: a hash-bucketed layout scatters keys, so every
     // shard's [minKey, maxKey] spans most of the keyspace and range
     // pruning keeps nearly all of them — but a POINT lookup (`=`/`IN`;
@@ -381,12 +387,19 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // those keys hash to, and the writer's invariant (one shard ⊆ one
     // bucket) makes the shard tag exact. A 1024-bucket fact table point
     // lookup plans 1/1024 of the shards instead of all of them. Sound
-    // only when all ranges are points — a span hashes anywhere.
+    // only when all ranges are points — a span hashes anywhere. The
+    // rule is PER SHARD (drop a shard only when its OWN tag is valid,
+    // hashed under the CATALOG'S modulus, and non-matching), so it
+    // needs no all-tagged gate and is sound on mixed manifests — a
+    // shard whose recorded bucketMod differs from catalog.buckets is
+    // always kept (its tag says nothing about where today's hash of
+    // the key lands).
     val bucketPruned =
-      if (keyed && bucketPrune) KeyRanges.pointKeys(ranges) match {
+      if (buckets > 0 && bucketPrune) KeyRanges.pointKeys(ranges) match {
         case Some(pts) =>
           val wanted = pts.map(KvBuckets.ofKey(_, buckets)).toSet
-          inKeyRange.filter(s => wanted.contains(s.bucket))
+          inKeyRange.filter(s => s.bucket < 0 || s.bucket >= buckets ||
+            s.bucketMod != buckets || wanted.contains(s.bucket))
         case None => inKeyRange
       } else inKeyRange
     // zone maps: value-column predicates prune shards whose recorded

@@ -442,7 +442,8 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
             emittedFiles += sc2
             m.copy(bloom = sc2)
           } else m
-        emittedShards += withBloom.copy(stats = stats, bucket = acc.bucketId)
+        emittedShards += withBloom.copy(stats = stats, bucket = acc.bucketId,
+          bucketMod = if (acc.bucketId >= 0) buckets else 0)
       }
       acc.reset()
     }

@@ -198,6 +198,79 @@ class KvBucketJoinSpec extends SparkSpec {
     assert(df.count() == 450)
   }
 
+  // path-API catalog over fact_a's dir with a chosen bucket count — the
+  // drift scenario is a catalog edit the table files never saw
+  private def pathCatalog(buckets: Int): String =
+    s"""{"table":{"name":"fact_a"},"rowkey":"id",
+       |"buckets": $buckets,
+       |"columns":{"id":{"cf":"rowkey","col":"id","type":"long"},
+       |           "qty":{"cf":"c","col":"qty","type":"double"}}}""".stripMargin
+
+  test("a catalog bucket-count edit never drops point-lookup rows (modulus gate)") {
+    pairReady
+    val dir = s"$wh/default/fact_a"
+    // a key whose bucket DIFFERS between the write-time modulus (8) and
+    // the edited catalog's (16): without the bucketMod gate, pruning by
+    // hash(key) mod 16 would drop the shard that holds it under mod 8
+    val key = (0L until 1000L).find(k =>
+      KvBuckets.ofValue(LongType, k, 8) != KvBuckets.ofValue(LongType, k, 16)).get
+    def read(buckets: Int) = spark.read.format("graft-kv")
+      .option("catalog", pathCatalog(buckets)).option("path", dir).load()
+
+    val drifted = read(16).where(s"id = $key")
+    assert(drifted.collect().map(_.getLong(0)).toSeq == Seq(key),
+      s"point lookup of $key must survive a catalog bucket edit 8->16")
+    val m = drifted.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(m("kvShardsPrunedBucket").value == 0L,
+      "a modulus mismatch must disable bucket pruning, not misapply it")
+
+    // matching modulus on the same path-API catalog still prunes
+    val matched = read(8).where(s"id = $key")
+    assert(matched.collect().map(_.getLong(0)).toSeq == Seq(key))
+    val m8 = matched.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(m8("kvShardsPrunedBucket").value > 0L,
+      "vacuity guard: the matching-modulus read must still bucket-prune")
+
+    // the streaming per-shard prune honors the same gate
+    import org.apache.spark.sql.functions.col
+    val q = spark.readStream.format("graft-kv")
+      .option("catalog", pathCatalog(16)).option("path", dir).load()
+      .filter(col("id") === key)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bkt_drift_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bkt_drift_stream").select("id")
+        .collect().map(_.getLong(0)).toSeq == Seq(key),
+        "a drifted-catalog stream must deliver the key, not silently drop it")
+    } finally q.stop()
+  }
+
+  test("bucketPointPrune=false disables pruning on the pushed-aggregate path too") {
+    pairReady
+    val dir = s"$wh/default/fact_a"
+    def agg(hatch: Boolean) = {
+      val df = spark.read.format("graft-kv")
+        .option("catalog", pathCatalog(8)).option("path", dir)
+        .option("bucketPointPrune", hatch.toString).load()
+        .where("id = 123").agg(org.apache.spark.sql.functions.sum("qty"))
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head.metrics
+    }
+    // AQE buries the BatchScan inside query-stage leaves whose metrics
+    // maps are empty; plain plans expose the scan's driver metrics
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val on = agg(hatch = true)
+      assert(on.contains("kvShardsPrunedBucket") && on("kvShardsPrunedBucket").value > 0L,
+        "vacuity guard: hatch-on pushed agg must bucket-prune")
+      val off = agg(hatch = false)
+      assert(off("kvShardsPrunedBucket").value == 0L,
+        "the escape hatch must be honored on the pushed-aggregate scan shape")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("bucket function evaluates through SQL and matches KvBuckets") {
     ready
     val viaSql = spark.sql("SELECT bkt.bucket(8, CAST(123456 AS BIGINT))")
