@@ -951,15 +951,27 @@ object KvQueries {
       // memory table instead of accumulating one per invocation; queries
       // run sequentially per session so the name never collides live
       val qn = "cdc_handoff_tail"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-handoff").toString
-      val q = s.readStream.format("graft-kv")
-        .option("catalog", incCatalogJson).option("path", dir)
-        .option("sinceVersion", 1).load()
-        .writeStream.format("memory").queryName(qn)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // checkpoint rides beside the cached table (not a fresh temp dir
+      // per invocation — bench repeats would accumulate them) and is
+      // deleted after the drain: the memory sink does not persist, so a
+      // RETAINED checkpoint would make a rerun plan zero new offsets
+      // and lose the delta rows
+      val ckpt = s"$dir-ckpt-handoff"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(ckpt)) // stale leftover from a crashed run
+      try {
+        val q = s.readStream.format("graft-kv")
+          .option("catalog", incCatalogJson).option("path", dir)
+          .option("sinceVersion", 1).load()
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally rmrf(new java.io.File(ckpt))
       backfill.unionByName(s.table(qn))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),

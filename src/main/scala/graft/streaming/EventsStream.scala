@@ -34,7 +34,12 @@ object EventsStream {
     * session TimestampType either way (same rule as graft.Tables.events). */
   def readStream(s: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = s.read.parquet(dir).schema
+    // an initially-empty directory has no footer to sniff — fall back to
+    // rawSchema (the nanos-as-long shape) so a stream can start AHEAD of
+    // the first file landing, the way file sources normally tolerate
+    val physical =
+      try s.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
     val raw = s.readStream
       .schema(physical)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

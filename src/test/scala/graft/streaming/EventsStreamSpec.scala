@@ -150,4 +150,26 @@ class EventsStreamSpec extends SparkSpec {
     assert(finalPerUser.except(batch).count() == 0)
     assert(batch.except(finalPerUser).count() == 0)
   }
+
+  test("readStream starts on an initially-empty directory and picks up the first file") {
+    val empty = Files.createTempDirectory("graft-events-empty").toString
+    // schema sniff has no footer to read — must fall back, not throw
+    val df = EventsStream.readStream(spark, empty)
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val q = df.writeStream.outputMode("append").format("memory")
+      .queryName("events_empty_start").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("events_empty_start").count() == 0)
+      // first file lands AFTER the stream started (nanos-long shape,
+      // matching the rawSchema fallback)
+      val src = new java.io.File(chunkDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        java.nio.file.Paths.get(s"$empty/${src.getName}"))
+      q.processAllAvailable()
+      assert(spark.table("events_empty_start").count() > 0,
+        "rows must flow once the first file lands")
+    } finally q.stop()
+  }
 }
