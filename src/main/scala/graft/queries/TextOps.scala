@@ -249,11 +249,18 @@ object TextOps {
     *
     * Scale shape: the two count tables are bounded by observed-vocab
     * sizes, not corpus size — they partial-aggregate map-side and
-    * (at real scale) broadcast back; the vocabulary size V is a single
-    * scalar crossed in via a 1-row broadcast (same idiom as q104).
-    * The corpus itself is scanned once and never collected. Double
-    * summation is rounded to 6 dp after the per-doc mean so both
-    * engines' reduction orders agree. */
+    * broadcast back (OperatorSpec pins the plan: both joins resolve to
+    * BroadcastHashJoin, so the per-bigram corpus stream never shuffles);
+    * the vocabulary size V is a single scalar crossed in via a 1-row
+    * broadcast (same idiom as q104). If a web-scale bigram table ever
+    * outgrew the broadcast threshold, the fallback is a shuffle hash
+    * join keyed on (w1,w2)/(w1) — the corpus side then shuffles once
+    * per join, and the hot-head keys ("the", "of") want the
+    * [[graft.operators.SkewJoin]] salting helper on the cleft join;
+    * AQE's skew-join split handles moderate skew unaided. The corpus
+    * itself is scanned once and never collected. Double summation is
+    * rounded to 6 dp after the per-doc mean so both engines' reduction
+    * orders agree. */
   val q112BigramLm: Q = Q(
     "q112_bigram_lm",
     (s, d) => {
@@ -270,8 +277,12 @@ object TextOps {
       val cleft = bi.groupBy(col("w1")).agg(count(lit(1)).as("cleft"))
       val vocab = toks.select(explode(col("t")).as("w"))
         .agg(countDistinct(col("w")).as("v"))
-      bi.join(cbi, Seq("w1", "w2"))
-        .join(cleft, Seq("w1"))
+      // explicit broadcasts: without the hint AQE reuses the count
+      // tables' aggregation shuffles and SMJ-joins — which re-shuffles
+      // the per-bigram corpus stream once per join; the hint keeps the
+      // corpus pipeline shuffle-free end to end
+      bi.join(broadcast(cbi), Seq("w1", "w2"))
+        .join(broadcast(cleft), Seq("w1"))
         .crossJoin(broadcast(vocab))
         .select(col("doc_id"),
           log((col("cbi") + 1).cast("double") / (col("cleft") + col("v")).cast("double"))

@@ -43,15 +43,18 @@ class KvDataSource extends TableProvider with DataSourceRegister {
     if (p.startsWith("file:")) java.net.URI.create(p).getPath else p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    catalogOf(options).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val cat = catalogOf(options)
+    KvEventTime.withEventTime(cat.schema, KvEventTime.parse(options, cat.schema))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     // inferSchema sees a CaseInsensitiveStringMap; normalize here too so
     // option("Catalog", …) doesn't pass inference then fail table creation
     val opts = new CaseInsensitiveStringMap(properties)
-    new KvTable(catalogOf(opts), pathOf(opts))
+    val cat = catalogOf(opts)
+    new KvTable(cat, pathOf(opts), eventTime = KvEventTime.parse(opts, cat.schema))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -66,7 +69,8 @@ class KvDataSource extends TableProvider with DataSourceRegister {
   * machinery as the `asOfVersion` read option, which still wins if
   * given explicitly. */
 class KvTable(val catalog: KvCatalog, val dir: String,
-              val pinnedAsOf: Option[Long] = None)
+              val pinnedAsOf: Option[Long] = None,
+              val eventTime: Option[KvEventTime] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -87,7 +91,8 @@ class KvTable(val catalog: KvCatalog, val dir: String,
     () => new KvRowLevelOperation(catalog, dir, info.command())
 
   override def name(): String = catalog.qualifiedName
-  override def schema(): StructType = catalog.schema
+  override def schema(): StructType =
+    KvEventTime.withEventTime(catalog.schema, eventTime)
 
   /** Surface the engine-level table facts to `SHOW TBLPROPERTIES` /
     * `DESCRIBE TABLE EXTENDED`: the rowkey binding and (when bucketed)
@@ -273,9 +278,20 @@ class KvTable(val catalog: KvCatalog, val dir: String,
     // `bucketPointPrune` (default true): escape hatch that disables
     // point-lookup bucket pruning (debug / A-B measurement), mirroring
     // `columnar=false`.
+    // `eventTimeColumn` / `eventTimeUnit` (optional): the event-time
+    // contract for streaming reads — a timestamp column validates as-is;
+    // an epoch long column surfaces a derived `_event_time` TIMESTAMP
+    // column the user watermarks ([[KvEventTime]]). Re-parsed here (not
+    // only at getTable) because scan options can differ per read.
+    // `maxBytesPerTrigger` (optional, streaming only): byte-denominated
+    // admission control from manifest shard sizes; composes with
+    // `maxVersionsPerTrigger` — whichever cap bites first bounds the
+    // micro-batch.
+    val ev = KvEventTime.parse(options, catalog.schema).orElse(eventTime)
     new KvScanBuilder(catalog, dir, options.getBoolean("columnar", true), asOf, since,
       options.getLong("maxVersionsPerTrigger", 0L),
-      options.getBoolean("bucketPointPrune", true))
+      options.getBoolean("bucketPointPrune", true), ev,
+      options.getLong("maxBytesPerTrigger", 0L))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

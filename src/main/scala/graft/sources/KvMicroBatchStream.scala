@@ -41,7 +41,9 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
                          filters: Array[Filter], columnar: Boolean = true,
                          startVersion: Long = 0L,
                          maxVersionsPerTrigger: Long = 0L,
-                         buckets: Int = 0)
+                         maxBytesPerTrigger: Long = 0L,
+                         buckets: Int = 0,
+                         eventTime: Option[KvEventTime] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Missing manifest = table not yet written → version 0 (the file
@@ -69,18 +71,59 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
     * ENDS — that call must NOT be capped, or the drain would stop
     * after one rate-limited step instead of reaching the captured end
     * (the wrapper then re-applies the per-batch limit on every step). */
-  override def getDefaultReadLimit: ReadLimit =
-    if (maxVersionsPerTrigger > 0) ReadLimit.maxRows(maxVersionsPerTrigger)
-    else ReadLimit.allAvailable()
+  /** `maxBytesPerTrigger` is the companion byte-denominated cap:
+    * version counts are uneven when commit sizes vary (one bulk load ≫
+    * a thousand trickle epochs), so the robust admission axis is the
+    * actual shard bytes each version added. Accounting comes from the
+    * manifest chain — version w's cost is the on-disk size of the
+    * shards it introduced (`firstVersion == w`), the same replay
+    * [[KvStore.deltaShards]] plans from. At least one version is always
+    * admitted (an oversized single commit must still make progress).
+    * Both caps together compose via Spark's CompositeReadLimit — the
+    * batch stops at whichever cap bites first. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      if (maxVersionsPerTrigger > 0) Some(ReadLimit.maxRows(maxVersionsPerTrigger)) else None,
+      if (maxBytesPerTrigger > 0) Some(ReadLimit.maxBytes(maxBytesPerTrigger)) else None
+    ).flatten
+    limits match {
+      case Nil      => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Newest version ≤ `cur` whose cumulative added-shard bytes from
+    * `s` stay within `maxBytes` (always ≥ one version of progress). */
+  private def capByBytes(s: Long, cur: Long, maxBytes: Long): Long = {
+    var w = s + 1
+    var admitted = s
+    var bytes = 0L
+    while (w <= cur) {
+      val vb = KvStore.deltaShards(dir, w - 1, Some(w))
+        .map(sh => new java.io.File(s"$dir/${sh.file}").length()).sum
+      if (admitted > s && bytes + vb > maxBytes) return admitted
+      bytes += vb
+      admitted = w
+      w += 1
+    }
+    admitted
+  }
+
+  private def applyLimit(s: Long, cur: Long, limit: ReadLimit): Long = limit match {
+    case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      math.min(cur, s + r.maxRows())
+    case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      capByBytes(s, cur, b.maxBytes())
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.map(applyLimit(s, cur, _)).min
+    case _ => cur // allAvailable (incl. AvailableNow capture)
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = currentVersion()
     val s = start.asInstanceOf[KvOffset].version
-    limit match {
-      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        KvOffset(math.min(cur, s + r.maxRows()))
-      case _ => KvOffset(cur) // allAvailable (incl. AvailableNow capture)
-    }
+    KvOffset(applyLimit(s, cur, limit))
   }
 
   /** `sinceVersion` composes CDC with streaming: the stream's initial
@@ -154,7 +197,8 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvPartitionReaderFactory(dir, prunedSchema.json, declared.json,
-      rowkeyName, filters, -1, reverse = false, columnar = columnar)
+      rowkeyName, filters, -1, reverse = false, columnar = columnar,
+      eventTimeEnc = KvEventTime.encode(eventTime))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

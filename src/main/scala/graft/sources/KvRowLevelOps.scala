@@ -98,11 +98,20 @@ object KvMetadataColumns {
 
   /** Prune `required` against the declared schema, passing the `_shard`
     * pseudo-field through (shared by the regular and group scans). */
-  def prune(declared: StructType, required: StructType): StructType = {
+  def prune(declared: StructType, required: StructType): StructType =
+    prune(declared, required, None)
+
+  /** As above, additionally passing the derived `_event_time` column
+    * through when an event-time contract ([[KvEventTime]]) is active. */
+  def prune(declared: StructType, required: StructType,
+            eventTime: Option[KvEventTime]): StructType = {
     val byName = declared.fields.map(f => f.name -> f).toMap
     StructType(required.fieldNames.flatMap {
       case ShardCol => Some(org.apache.spark.sql.types.StructField(
         ShardCol, org.apache.spark.sql.types.StringType, nullable = false))
+      case KvEventTime.EventTimeCol if eventTime.isDefined =>
+        Some(org.apache.spark.sql.types.StructField(KvEventTime.EventTimeCol,
+          org.apache.spark.sql.types.TimestampType, eventTime.get.nullable))
       case n => byName.get(n)
     })
   }

@@ -24,7 +24,9 @@ import org.apache.spark.sql.types._
   */
 class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
                     asOf: Option[Long] = None, since: Option[Long] = None,
-                    maxVersionsPerTrigger: Long = 0L, bucketPrune: Boolean = true)
+                    maxVersionsPerTrigger: Long = 0L, bucketPrune: Boolean = true,
+                    eventTime: Option[KvEventTime] = None,
+                    maxBytesPerTrigger: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
@@ -33,7 +35,9 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
     with SupportsPushDownAggregates {
 
   private val declared = catalog.schema
-  private var prunedSchema: StructType = declared
+  // the read schema starts as declared + the derived event-time column
+  // (when the contract asks for one); pruning may drop either
+  private var prunedSchema: StructType = KvEventTime.withEventTime(declared, eventTime)
   private var pushed: Array[Filter] = Array.empty
   private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
@@ -104,8 +108,8 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
   override def pruneColumns(required: StructType): Unit =
     // keep the DECLARED field (with cf/qual metadata) per required name,
     // as the reference does (`HbaseScanBuilder.scala:54-59`); `_shard`
-    // passes through as a reader-synthesized pseudo-column
-    prunedSchema = KvMetadataColumns.prune(declared, required)
+    // and `_event_time` pass through as reader-synthesized pseudo-columns
+    prunedSchema = KvMetadataColumns.prune(declared, required, eventTime)
 
   override def pushLimit(l: Int): Boolean =
     if (aggSpecs.nonEmpty) false else { limit = l; true }
@@ -116,7 +120,7 @@ class KvScanBuilder(catalog: KvCatalog, dir: String, columnar: Boolean = true,
         since, catalog.buckets, bucketPrune)
     case None => new KvScan(dir, catalog.rowkey, prunedSchema, declared, pushed, limit,
       reverse, columnar, asOf, catalog.buckets, since, maxVersionsPerTrigger,
-      bucketPrune)
+      bucketPrune, eventTime, maxBytesPerTrigger)
   }
 }
 
@@ -183,7 +187,9 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
              reverse: Boolean = false, columnar: Boolean = true,
              asOf: Option[Long] = None, buckets: Int = 0,
              since: Option[Long] = None, maxVersionsPerTrigger: Long = 0L,
-             bucketPrune: Boolean = true)
+             bucketPrune: Boolean = true,
+             eventTime: Option[KvEventTime] = None,
+             maxBytesPerTrigger: Long = 0L)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportOrdering with SupportsReportPartitioning {
@@ -266,7 +272,9 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     new KvMicroBatchStream(dir, rowkeyName, prunedSchema, declared, filters,
       columnar, startVersion = since.getOrElse(0L),
       maxVersionsPerTrigger = maxVersionsPerTrigger,
-      buckets = if (bucketPrune) buckets else 0)
+      maxBytesPerTrigger = maxBytesPerTrigger,
+      buckets = if (bucketPrune) buckets else 0,
+      eventTime = eventTime)
   }
 
   override def description(): String = {
@@ -279,7 +287,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // description (spark.sql.maxMetadataStringLength) and the filter
     // list is the unbounded part
     val col = columnar && !reverse && KvColumnarReader.eligible(prunedSchema) &&
-      !prunedSchema.fieldNames.contains(KvMetadataColumns.ShardCol)
+      !prunedSchema.fieldNames.contains(KvMetadataColumns.ShardCol) &&
+      !prunedSchema.fieldNames.contains(KvEventTime.EventTimeCol)
     // Ranges counts the DISJOINT planned rowkey ranges (static filters
     // only; runtime filters may tighten later) — 0 = provably empty
     val nr = rowkeyRanges().length
@@ -432,7 +441,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvPartitionReaderFactory(dir, prunedSchema.json, declared.json,
-      rowkeyName, allFilters, limit, reverse, columnar)
+      rowkeyName, allFilters, limit, reverse, columnar,
+      KvEventTime.encode(eventTime))
 }
 
 /** Driver-side scan metrics: manifest shard count and how many shards
@@ -501,17 +511,20 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
                                     declaredJson: String, rowkeyName: String,
                                     filters: Array[Filter], limit: Int,
                                     reverse: Boolean = false,
-                                    columnar: Boolean = true)
+                                    columnar: Boolean = true,
+                                    eventTimeEnc: String = "")
     extends PartitionReaderFactory {
   // parsed once per (driver/executor) factory instance, not per partition
   @transient private lazy val pruned =
     DataType.fromJson(prunedJson).asInstanceOf[StructType]
   @transient private lazy val declared =
     DataType.fromJson(declaredJson).asInstanceOf[StructType]
+  @transient private lazy val eventTime = KvEventTime.decode(eventTimeEnc)
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar && !reverse && KvColumnarReader.eligible(pruned) &&
-      !pruned.fieldNames.contains(KvMetadataColumns.ShardCol)
+      !pruned.fieldNames.contains(KvMetadataColumns.ShardCol) &&
+      !pruned.fieldNames.contains(KvEventTime.EventTimeCol)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = KvInputPartition.unwrap(p)
@@ -522,7 +535,7 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
     if (!KvBloomPrune.canMatch(dir, part.shard, filters ++ part.runtime, declared))
       new KvBloomSkippedReader[InternalRow]
     else new KvPartitionReader(dir, part, pruned, declared,
-      rowkeyName, filters, limit, reverse)
+      rowkeyName, filters, limit, reverse, eventTime)
   }
 
   override def createColumnarReader(p: InputPartition)
@@ -648,20 +661,32 @@ final class KvRecordDecoder(declared: StructType, neededNames: Set[String]) {
 class KvPartitionReader(dir: String, part: KvInputPartition,
                         pruned: StructType, declared: StructType,
                         rowkeyName: String, filters: Array[Filter], limit: Int,
-                        reverse: Boolean = false)
+                        reverse: Boolean = false,
+                        eventTime: Option[KvEventTime] = None)
     extends PartitionReader[InternalRow] {
 
+  // `_event_time` = derived pseudo-column: decoded from its SOURCE long
+  // column and rescaled to epoch micros (Spark's internal timestamp) at
+  // projection — no datetime machinery in the record loop
+  private val needsEvent =
+    eventTime.isDefined && pruned.fieldNames.contains(KvEventTime.EventTimeCol)
   // columns needed = pruned ∪ filter references (`_shard` is synthesized
-  // per partition, not decoded)
+  // per partition, not decoded; `_event_time` decodes via its source)
   private val decoder = new KvRecordDecoder(declared,
-    pruned.fieldNames.toSet ++ filters.flatMap(_.references))
+    pruned.fieldNames.toSet - KvEventTime.EventTimeCol ++
+      (if (needsEvent) Set(eventTime.get.sourceCol) else Set.empty[String]) ++
+      filters.flatMap(_.references))
   private val reader = new KvStore.ShardReader(dir, part.shard,
     wanted = decoder.wantedCell, ranges = part.decodedRanges)
   private val shardName =
     org.apache.spark.unsafe.types.UTF8String.fromString(part.shard.file)
-  // pruned position k ← needed position prunedFromNeeded(k); -1 = _shard
+  private val eventSrcIdx =
+    if (needsEvent) decoder.idxByName(eventTime.get.sourceCol) else -1
+  // pruned position k ← needed position prunedFromNeeded(k);
+  // -1 = _shard, -2 = _event_time
   private val prunedFromNeeded: Array[Int] = pruned.fieldNames.map {
     case KvMetadataColumns.ShardCol => -1
+    case KvEventTime.EventTimeCol if needsEvent => -2
     case n => decoder.idxByName(n)
   }
   private val pred = FilterEval.compile(filters, decoder.idxByName, decoder.dtByName,
@@ -676,7 +701,14 @@ class KvPartitionReader(dir: String, part: KvInputPartition,
     var k = 0
     while (k < values.length) {
       val i = prunedFromNeeded(k)
-      values(k) = if (i < 0) shardName else decoder.scratch(i)
+      values(k) =
+        if (i == -1) shardName
+        else if (i == -2) {
+          val raw = decoder.scratch(eventSrcIdx)
+          if (raw == null) null
+          else java.lang.Long.valueOf(
+            eventTime.get.toMicros(raw.asInstanceOf[java.lang.Long]))
+        } else decoder.scratch(i)
       k += 1
     }
     values

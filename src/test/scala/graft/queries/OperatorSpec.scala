@@ -392,4 +392,17 @@ class OperatorSpec extends SparkSpec {
         "every dup flag needs an in-cell smaller-id witness")
     } finally out.unpersist()
   }
+
+  test("q112 plan broadcasts both count tables (corpus bigrams never shuffle for the joins)") {
+    val df = TextOps.q112BigramLm.fn(spark, d)
+    df.collect() // finalize the AQE plan — the broadcast decision is runtime
+    val plan = df.queryExecution.executedPlan.toString()
+    // the cbi (w1,w2) and cleft (w1) joins must both resolve to
+    // broadcasts: the big side is the per-bigram corpus stream, and a
+    // shuffle there would move the whole corpus twice
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBhj >= 2, s"both count-table joins must broadcast, got $nBhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join expected at gate scale:\n$plan")
+  }
 }

@@ -271,6 +271,54 @@ class KvBucketJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("a runtime IN-set (DPP) bucket-prunes shards, not just ranges") {
+    pairReady
+    import graft.kv.BytesCodec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = s"$wh/default/fact_a"
+    val shards = KvStore.readMeta(dir).shards
+    val keys = Seq(123L, 456L)
+    def covers(s: graft.kv.KvShardMeta, id: Long): Boolean = {
+      val k = BytesCodec.encodeKey(LongType, id)
+      BytesCodec.compareKeys(s.minKey, k) <= 0 && BytesCodec.compareKeys(k, s.maxKey) <= 0
+    }
+    val wanted = keys.map(KvBuckets.ofValue(LongType, _, 8)).toSet
+    // hash-bucketed shards span most of the keyspace, so range pruning
+    // alone must leave wrong-bucket shards for bucket pruning to drop
+    val inRange = shards.filter(s => keys.exists(covers(s, _)))
+    val expectedSurvivors = inRange.count(s => wanted.contains(s.bucket))
+    assert(inRange.length > expectedSurvivors,
+      "vacuity guard: need range-surviving shards in other buckets")
+
+    // build side known only at runtime — Spark injects a dynamic
+    // pruning IN-set through SupportsRuntimeFiltering
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val build = spark.range(0, 1000).toDF("bid")
+      .filter(col("bid").isin(keys: _*))
+    val fact = spark.read.format("graft-kv")
+      .option("catalog", pathCatalog(8)).option("path", dir).load()
+    val joined = fact.join(broadcast(build), col("id") === col("bid"))
+      .select(col("id"), col("qty"))
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq == keys)
+
+    def findScan(p: SparkPlan): Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case s: QueryStageExec => findScan(s.plan)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+    val scanExec = findScan(joined.queryExecution.executedPlan).get
+    assert(scanExec.runtimeFilters.nonEmpty,
+      s"expected a runtime filter on the KV scan:\n${joined.queryExecution.executedPlan}")
+    val scan = scanExec.scan.asInstanceOf[KvScan]
+    assert(scan.planInputPartitions().length == expectedSurvivors,
+      "the runtime IN-set must prune by bucket tag, not only by key range")
+    assert(scanExec.metrics("kvShardsPrunedBucket").value > 0L,
+      "bucket pruning under a runtime filter must surface in the scan metrics")
+  }
+
   test("bucket function evaluates through SQL and matches KvBuckets") {
     ready
     val viaSql = spark.sql("SELECT bkt.bucket(8, CAST(123456 AS BIGINT))")

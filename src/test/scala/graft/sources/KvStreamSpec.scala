@@ -212,4 +212,113 @@ class KvStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == (1L to 50L),
       "rate-limited AvailableNow drain must deliver the full backlog exactly once")
   }
+
+  test("maxBytesPerTrigger bounds catch-up by commit size, losing nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-admbytes").toString
+    def write(range: Range, mode: String): Unit =
+      range.map(k => (k.toLong, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+    // uneven backlog: one bulk commit then trickle commits — the case
+    // where a version-count cap admits wildly different byte volumes
+    write(1 to 200, "overwrite")
+    (1 to 4).foreach(i => write(200 + i * 10 + 1 to 200 + i * 10 + 10, "append"))
+    val shardBytes = graft.kv.KvStore.readMeta(dir).shards
+      .map(s => new java.io.File(s"$dir/${s.file}").length())
+    // cap below the bulk commit's size: it must still be admitted
+    // (progress guarantee) but ALONE in its micro-batch
+    val cap = shardBytes.max - 1
+
+    val q = spark.readStream.format("graft-kv")
+      .option("catalog", cat).option("path", dir)
+      .option("maxBytesPerTrigger", cap).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kv_admbytes_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kv_admbytes_out").select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq ==
+        ((1L to 200L) ++ (211L to 220L) ++ (221L to 230L) ++
+         (231L to 240L) ++ (241L to 250L)),
+        "byte-capped catch-up must still deliver every row exactly once")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"an oversized bulk commit must not drag the trickle commits into " +
+          s"one monolithic batch, got ${batches.length}")
+      assert(batches.head.numInputRows == 200,
+        s"the bulk commit must be admitted alone (progress guarantee), " +
+          s"got ${batches.head.numInputRows} rows in the first batch")
+    } finally q.stop()
+  }
+
+  private val evCat =
+    """{"table":{"name":"evstream"},"rowkey":"k",
+      | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+      |            "et":{"cf":"f","col":"et","type":"long"}}}""".stripMargin
+
+  test("eventTimeColumn surfaces _event_time; batch values match timestamp_millis") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-evbatch").toString
+    Seq((1L, 1000L), (2L, 2000L)).toDF("k", "et").coalesce(1)
+      .write.format("graft-kv").option("catalog", evCat).option("path", dir)
+      .mode("overwrite").save()
+    val df = spark.read.format("graft-kv")
+      .option("catalog", evCat).option("path", dir)
+      .option("eventTimeColumn", "et").option("eventTimeUnit", "millis").load()
+    assert(df.schema("_event_time").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val diff = df.select(col("k"),
+        (col("_event_time") === timestamp_millis(col("et"))).as("ok"))
+      .collect()
+    assert(diff.length == 2 && diff.forall(_.getBoolean(1)),
+      "_event_time must equal timestamp_millis(et) row for row")
+
+    // contract violations fail loudly at load, not silently downstream
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-kv").option("catalog", evCat).option("path", dir)
+        .option("eventTimeColumn", "nope").load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-kv").option("catalog", cat).option("path", dir)
+        .option("eventTimeColumn", "v").load() // string column
+    }
+  }
+
+  test("a watermarked KV stream drops rows later than the watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-evlate").toString
+    def write(rows: Seq[(Long, Long)], mode: String): Unit =
+      rows.toDF("k", "et").coalesce(1)
+        .write.format("graft-kv").option("catalog", evCat).option("path", dir)
+        .mode(mode).save()
+
+    // window [0s,10s): three on-time rows
+    write(Seq((1L, 1000L), (2L, 2000L), (3L, 3000L)), "overwrite")
+    val windowed = spark.readStream.format("graft-kv")
+      .option("catalog", evCat).option("path", dir)
+      .option("eventTimeColumn", "et").option("eventTimeUnit", "millis").load()
+      .withWatermark("_event_time", "10 seconds")
+      .groupBy(window(col("_event_time"), "10 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("w_start"), col("n"))
+    val q = windowed.writeStream.outputMode("append")
+      .format("memory").queryName("kv_ev_windows").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past the first window: 30s - 10s = 20s > 10s
+      write(Seq((11L, 30000L)), "append")
+      q.processAllAvailable()
+      // a LATE row for the closed [0,10) window plus a fresh row; the
+      // late row must be dropped, not re-open or re-emit the window
+      write(Seq((21L, 5000L), (22L, 35000L)), "append")
+      q.processAllAvailable()
+      val out = spark.table("kv_ev_windows")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out.get(0L).contains(3L),
+        s"window [0,10s) must emit exactly the 3 on-time rows, got $out")
+      assert(out.size == 1,
+        s"no other window is past the watermark yet, got $out")
+    } finally q.stop()
+  }
 }
