@@ -49,21 +49,35 @@ object ConnectedComponents {
     * round or two, so the frontier (and with it the per-round edge
     * join) collapses after round 1 instead of re-scanning every edge
     * against every label to fixpoint. Empty frontier IS the fixpoint
-    * witness — no separate convergence aggregate. */
+    * witness — no separate convergence aggregate.
+    *
+    * `reliable = false` (default): `localCheckpoint` — blocks live on
+    * executors; fastest, but an executor loss mid-computation kills the
+    * job (acceptable for the re-runnable batch step this is). On a
+    * long-running 1000-executor cluster pass `reliable = true`: rounds
+    * checkpoint through `Dataset.checkpoint` to the REQUIRED
+    * `SparkContext.setCheckpointDir` location (HDFS/object store), so
+    * the loop survives executor loss; checkpoint files are reclaimed by
+    * the dir's lifecycle (or `spark.cleaner.referenceTracking
+    * .cleanCheckpoints`), block unpersists degrade to no-ops. */
   def label(vertices: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
-            maxRounds: Int = 50): DataFrame = {
-    // localCheckpoint (not persist): TRUNCATES lineage, so each round's
+            maxRounds: Int = 50, reliable: Boolean = false): DataFrame = {
+    if (reliable) require(
+      vertices.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable = true needs SparkContext.setCheckpointDir (an HDFS/object-store " +
+        "path every executor can reach)")
+    // checkpoint (either flavor) TRUNCATES lineage, so each round's
     // plan is a constant-size tree over materialized blocks instead of
     // nesting the pair-generation DAG once per round — without it the
     // logical plan (and Catalyst analysis time) grows exponentially
-    // with round count. Reliable-checkpoint is the drop-in for
-    // executor-loss tolerance on a real cluster. (Dataset.localCheckpoint
-    // is EAGER: blocks exist when the call returns.)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as(idCol)).distinct()
-      .withColumn("cluster_id", col(idCol)).localCheckpoint()
+    // with round count. (Both flavors are EAGER here: blocks/files
+    // exist when the call returns.)
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = ckpt(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as(idCol)).distinct()
+      .withColumn("cluster_id", col(idCol)))
     var frontier = labels // round 1: every touched vertex broadcasts
     var changed = -1L
     var round = 0
@@ -71,19 +85,16 @@ object ConnectedComponents {
       // labels the frontier pushes to its neighbors, folded to one
       // candidate per vertex (bounded by the frontier's neighborhood,
       // NOT the full edge set once the frontier shrinks)
-      val updates = edges.join(frontier, edges("dst") === frontier(idCol))
+      val updates = ckpt(edges.join(frontier, edges("dst") === frontier(idCol))
         .select(edges("src").as(idCol), col("cluster_id"))
-        .groupBy(col(idCol)).agg(min(col("cluster_id")).as("cand"))
-        .localCheckpoint()
-      val next = labels.join(updates, Seq(idCol), "left")
+        .groupBy(col(idCol)).agg(min(col("cluster_id")).as("cand")))
+      val next = ckpt(labels.join(updates, Seq(idCol), "left")
         .select(col(idCol),
           when(col("cand") < col("cluster_id"), col("cand"))
-            .otherwise(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      val newFrontier = labels.join(updates, Seq(idCol))
+            .otherwise(col("cluster_id")).as("cluster_id")))
+      val newFrontier = ckpt(labels.join(updates, Seq(idCol))
         .filter(col("cand") < col("cluster_id"))
-        .select(col(idCol), col("cand").as("cluster_id"))
-        .localCheckpoint()
+        .select(col(idCol), col("cand").as("cluster_id")))
       changed = newFrontier.count() // cheap: counts materialized blocks
       checkpointRdd(updates).foreach(_.unpersist(false))
       if (!(frontier eq labels)) // round 1 aliases them; free once

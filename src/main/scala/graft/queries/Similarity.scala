@@ -31,6 +31,25 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Guard on the two brute-force exactness anchors (q50 O(n·q), q51
+    * O(n²)): they exist to pin the sub-quadratic production paths
+    * (q52–q55) to exact answers at GATE scale, and are scale-killers if
+    * ever pointed at a production corpus. Above `graft.exactAnchorMaxRows`
+    * (default 100k — 50× any gate fixture, far below any real corpus)
+    * they refuse to run unless `graft.allowExactAnchors=true` explicitly
+    * acknowledges the cost. */
+  private def fenceExactAnchor(s: SparkSession, emb: DataFrame, name: String): DataFrame = {
+    if (!s.conf.get("graft.allowExactAnchors", "false").toBoolean) {
+      val maxRows = s.conf.get("graft.exactAnchorMaxRows", "100000").toLong
+      val n = emb.count() // parquet metadata count — no data scan
+      require(n <= maxRows,
+        s"$name is a brute-force exactness anchor fenced at $maxRows rows " +
+          s"(corpus has $n); run the sub-quadratic twin (q52-q55) instead, or " +
+          "set graft.allowExactAnchors=true to force")
+    }
+    emb
+  }
+
   /** Brute-force exact top-5 cosine neighbors for query vectors
     * vec_id < 20. The tiny query side is broadcast; ranking is a window
     * over (query, score desc). */
@@ -38,7 +57,7 @@ object Similarity {
     "q50_cosine_topk",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
-      val emb = Tables.embeddings(s, d)
+      val emb = fenceExactAnchor(s, Tables.embeddings(s, d), "q50_cosine_topk")
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -76,7 +95,7 @@ object Similarity {
     "q51_cosine_near_dup",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
-      val e = Tables.embeddings(s, d)
+      val e = fenceExactAnchor(s, Tables.embeddings(s, d), "q51_cosine_near_dup")
         .select(col("vec_id"), col("embedding"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -137,6 +137,33 @@ class OperatorSpec extends SparkSpec {
     assert(got == expected, "label propagation must agree with union-find")
   }
 
+  test("reliable-checkpoint mode labels identically to localCheckpoint mode") {
+    import graft.operators.ConnectedComponents
+    val pairs = Dedup.q42NgramJaccard.fn(spark, d).select("id_a", "id_b")
+    val docs = Tables.documents(spark, d).select("doc_id")
+    val local = ConnectedComponents.label(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reliable mode refuses to run without a checkpoint dir
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.label(docs, pairs, reliable = true)
+    }
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    try {
+      val rel = ConnectedComponents.label(docs, pairs, reliable = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rel == local, "both checkpoint strategies must produce one labeling")
+    } finally {
+      // leave no checkpoint-dir state behind for other suites
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(ckptDir.toFile)
+    }
+  }
+
   test("language ID predicts a declared language and is deterministic") {
     val out = TextOps.q34LangId.fn(spark, d).collect()
     assert(out.length == Tables.documents(spark, d).count())
@@ -391,6 +418,28 @@ class OperatorSpec extends SparkSpec {
       assert(witnessed.count() == dups.count(),
         "every dup flag needs an in-cell smaller-id witness")
     } finally out.unpersist()
+  }
+
+  test("q50/q51 exact anchors refuse to run above the row fence unless forced") {
+    val restore = spark.conf.getOption("graft.exactAnchorMaxRows")
+    try {
+      spark.conf.set("graft.exactAnchorMaxRows", "100") // fixture has 500
+      intercept[IllegalArgumentException] {
+        Similarity.q50CosineTopK.fn(spark, d)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.q51CosineNearDup.fn(spark, d)
+      }
+      // the explicit acknowledgment overrides the fence
+      spark.conf.set("graft.allowExactAnchors", "true")
+      assert(Similarity.q50CosineTopK.fn(spark, d).limit(1).count() == 1)
+    } finally {
+      spark.conf.unset("graft.allowExactAnchors")
+      restore match {
+        case Some(v) => spark.conf.set("graft.exactAnchorMaxRows", v)
+        case None => spark.conf.unset("graft.exactAnchorMaxRows")
+      }
+    }
   }
 
   test("q112 plan broadcasts both count tables (corpus bigrams never shuffle for the joins)") {
