@@ -79,13 +79,34 @@ object Bench {
     val (results, failed) = (perBatch.flatMap(_._1), perBatch.flatMap(_._2))
     val json = resultJson(results, failed, skipped = oracleOnly.toSeq.sorted,
       fallback = fallbackBatches.toSeq)
-    println(json)
-    // the driver's bench artifact stores only a tail of stdout, which
-    // has truncated early per-query timings out of the audit trail —
-    // persist the complete map alongside the repo as well
+    // the driver's bench artifact keeps only a BOUNDED TAIL of stdout
+    // (~2000 chars): the full-name full-precision line (~3200 chars for
+    // ~100 queries) gets truncated mid-map and the round artifact
+    // records `parsed: null`. Print a COMPACT line instead — q-number
+    // keys ("q45" for "q45_dedup_clusters"; the number prefix is unique
+    // by construction) and 2-decimal seconds (~1300 chars) — so the
+    // immutable BENCH_rNN.json carries a complete parseable map. The
+    // full-fidelity line persists in BENCH_LOCAL.json (committed per
+    // round as BENCH_rNN_full.json via tools/snapshot_bench.py).
+    println(compactJson(results, failed))
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json: ${e.getMessage}") }
+  }
+
+  private def compactJson(results: Seq[(String, Double)], failed: Seq[String]): String = {
+    def short(n: String): String = n.split("_").head
+    // q-number prefixes are unique today; if a future name collides,
+    // fall back to full names for the colliding entries rather than
+    // silently merging two timings under one key
+    val counts = results.groupBy(r => short(r._1)).map { case (k, v) => k -> v.size }
+    def key(n: String): String = if (counts(short(n)) == 1) short(n) else n
+    val qs = results.sortBy(_._1)
+      .map { case (k, v) => "\"" + key(k) + "\":" + (if (v.isNaN) "null" else f"$v%.2f") }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if !v.isNaN && v >= 0 => v }.sum
+    val failedArr = failed.map(n => "\"" + key(n) + "\"").mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":$failedArr,"full_map":"BENCH_LOCAL.json"}"""
   }
 
   /** Fork one fresh JVM for `batch`, parse its JSON line. */

@@ -44,6 +44,17 @@ object Stress {
     "q72_kv_canonical", "q81_kv_compacted",      // + maintenance loop
     "q82_kv_streamed")                           // + multi-epoch streaming ingest
 
+  /** The 100× tier runs only the expensive dedup/ANN family (the
+    * queries whose scaling actually decides the 100 TB story) — the
+    * cheap KV/curation probes are ~linear by construction and already
+    * measured to 30×; re-running them at 100× would triple the tier's
+    * wall-clock for no new signal. q103 (semantic dedup) rides the
+    * dedicated recall-checked section below, not this list. */
+  private val heavyProbes = Seq(
+    "q42_ngram_jaccard", "q45_dedup_clusters",
+    "q111_substring_dedup", "q112_bigram_lm",
+    "q53_ivf_ann")
+
   /** Every table generate() replicates, in order. The list is written
     * into the replica's _done sentinel and compared on startup, so
     * adding a table here automatically invalidates older replicas. */
@@ -52,6 +63,11 @@ object Stress {
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
+    // `runMain graft.Stress 100 heavy`: reduced heavy-family tier —
+    // one steady repeat (the probes run minutes each; min-of-two would
+    // double a ~20-minute tier to shave noise that is irrelevant at
+    // this magnitude) and none of the A/B sections
+    val heavy = args.drop(1).headOption.contains("heavy")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the copies count is part of the replica path: a rerun with a
     // different scale can never silently reuse the old replica, and the
@@ -87,7 +103,8 @@ object Stress {
       val used = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1 << 20)
       if (used > peakHeapMb) peakHeapMb = used
     }
-    val results = probes.map { name =>
+    var q45Frontiers: Seq[Long] = Nil
+    val results = (if (heavy) heavyProbes else probes).map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -96,15 +113,68 @@ object Stress {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once() // includes one-time KV ingest / compact / persist
-      val steady = math.min(once(), once())
+      val steady = if (heavy) once() else math.min(once(), once())
       System.err.println(f"[stress] $name first=$first%.1fs steady=$steady%.1fs")
-      // the shingle relation serves only the dedup probes — release it
-      // before the ANN/KV probes so their timings and the heap metric
-      // don't carry dedup cache pressure
-      if (name == "q45_dedup_clusters") queries.Dedup.releaseShingles()
+      if (name == "q45_dedup_clusters") {
+        // the STEADY run's rounds — lastFrontierSizes holds the most
+        // recent label() invocation
+        q45Frontiers = operators.ConnectedComponents.lastFrontierSizes
+        System.err.println(s"[stress] q45 frontier sizes per round: ${q45Frontiers.mkString(", ")}")
+        // the shingle relation serves only the dedup probes — release it
+        // before the ANN/KV probes so their timings and the heap metric
+        // don't carry dedup cache pressure
+        queries.Dedup.releaseShingles()
+      }
       name -> (first, steady)
     }
     queries.Dedup.releaseShingles()
+
+    // SemDeDup at scale (q103, adaptive k ≈ √n keeps cell population
+    // bounded as the corpus grows). The epsilon-twin replicas give real
+    // ground truth here too: copy i>0 of base vector v has a SMALLER-id
+    // twin (copy 0, vec_id = v) at cosine ≈ 1 ≫ τ=0.35, so every
+    // higher-copy vector must come back is_dup=true unless its twin
+    // pair straddles a nearest-centroid boundary (rare: the ±0.001·i
+    // first-component nudge moves almost no vector across a boundary).
+    val semFn = SparkEntry.queries("q103_semantic_dedup")
+    def semOnce(): (Double, DataFrame) = {
+      val t0 = System.nanoTime()
+      val df = semFn(spark, out)
+      df.queryExecution.toRdd.count()
+      sampleHeap()
+      ((System.nanoTime() - t0) / 1e9, df)
+    }
+    val (semFirst, _) = semOnce()
+    val (semSteady, semDf0) = semOnce()
+    val semDf = semDf0.persist()
+    val semRows = semDf.count()
+    val semJson = if (copies > 1) {
+      val hi = semDf.filter(col("vec_id") >= 1000000L)
+      val hiN = hi.count()
+      val hiDup = hi.filter(col("is_dup")).count()
+      val twinRecall = hiDup.toDouble / hiN
+      System.err.println(f"[stress] semantic_dedup twin_dup_recall=$twinRecall%.4f ($hiDup of $hiN higher-copy vectors marked dup)")
+      require(twinRecall >= 0.9,
+        f"SemDeDup twin-dup recall $twinRecall%.4f < 0.9 against replica ground truth")
+      f""","twin_dup_recall":$twinRecall%.4f,"higher_copy_n":$hiN,"higher_copy_dup":$hiDup"""
+    } else ""
+    semDf.unpersist(blocking = true)
+    System.err.println(f"[stress] semantic_dedup first=$semFirst%.1fs steady=$semSteady%.1fs rows=$semRows")
+    val semOut =
+      f""""semantic_dedup":{"first_sec":$semFirst%.2f,"steady_sec":$semSteady%.2f,"rows":$semRows$semJson}"""
+
+    if (heavy) {
+      // the reduced tier's artifact: heavy-family timings, q45's
+      // per-round frontier collapse, and the recall-checked SemDeDup —
+      // everything the 100 TB extrapolation rests on, nothing else
+      val qs = results.map { case (k, (fst, std)) =>
+        f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
+      }.mkString("{", ",", "}")
+      val frontier = q45Frontiers.mkString("[", ",", "]")
+      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","queries":$qs,"q45_frontier_sizes":$frontier,$semOut,"peak_heap_mb":$peakHeapMb}""")
+      spark.stop()
+      return
+    }
 
     // near-dup PAIR enumeration at scale (q55's documented scale knob):
     // bucket width grows with the corpus. A STATIC plane count is the
@@ -159,38 +229,6 @@ object Stress {
     } else ""
     pairsDf.unpersist(blocking = true)
     System.err.println(f"[stress] near_dup_pairs planes=$planes first=$pFirst%.1fs steady=$pSteady%.1fs pairs=$nPairs")
-
-    // SemDeDup at scale (q103, adaptive k ≈ √n keeps cell population
-    // bounded as the corpus grows). The epsilon-twin replicas give real
-    // ground truth here too: copy i>0 of base vector v has a SMALLER-id
-    // twin (copy 0, vec_id = v) at cosine ≈ 1 ≫ τ=0.35, so every
-    // higher-copy vector must come back is_dup=true unless its twin
-    // pair straddles a nearest-centroid boundary (rare: the ±0.001·i
-    // first-component nudge moves almost no vector across a boundary).
-    val semFn = SparkEntry.queries("q103_semantic_dedup")
-    def semOnce(): (Double, DataFrame) = {
-      val t0 = System.nanoTime()
-      val df = semFn(spark, out)
-      df.queryExecution.toRdd.count()
-      sampleHeap()
-      ((System.nanoTime() - t0) / 1e9, df)
-    }
-    val (semFirst, _) = semOnce()
-    val (semSteady, semDf0) = semOnce()
-    val semDf = semDf0.persist()
-    val semRows = semDf.count()
-    val semJson = if (copies > 1) {
-      val hi = semDf.filter(col("vec_id") >= 1000000L)
-      val hiN = hi.count()
-      val hiDup = hi.filter(col("is_dup")).count()
-      val twinRecall = hiDup.toDouble / hiN
-      System.err.println(f"[stress] semantic_dedup twin_dup_recall=$twinRecall%.4f ($hiDup of $hiN higher-copy vectors marked dup)")
-      require(twinRecall >= 0.9,
-        f"SemDeDup twin-dup recall $twinRecall%.4f < 0.9 against replica ground truth")
-      f""","twin_dup_recall":$twinRecall%.4f,"higher_copy_n":$hiN,"higher_copy_dup":$hiDup"""
-    } else ""
-    semDf.unpersist(blocking = true)
-    System.err.println(f"[stress] semantic_dedup first=$semFirst%.1fs steady=$semSteady%.1fs rows=$semRows")
 
     // Sequence-packing A/B (q105): the distributed prefix sum
     // (bucket subtotals → broadcast offsets → parallel local cumsums)
@@ -376,15 +414,14 @@ object Stress {
       f""""kv_columnar_ab":{"columnar_sec":$colSec%.2f,"row_sec":$rowSec%.2f,"speedup":${rowSec / colSec}%.2f}"""
     val pairsJson =
       f""""near_dup_pairs":{"planes":$planes,"first_sec":$pFirst%.2f,"steady_sec":$pSteady%.2f,"pairs":$nPairs$recallJson}"""
-    val semOut =
-      f""""semantic_dedup":{"first_sec":$semFirst%.2f,"steady_sec":$semSteady%.2f,"rows":$semRows$semJson}"""
     val packJson =
       f""""packing_ab":{"distributed_sec":$packDistSec%.2f,"per_lang_window_sec":$packLangSec%.2f,"speedup":${packLangSec / packDistSec}%.2f}"""
     val spjJson =
       f""""spj_ab":{"spj_sec":$spjSec%.2f,"shuffled_sec":$shufSec%.2f,"speedup":${shufSec / spjSec}%.2f}"""
     val pointJson =
       f""""point_lookup_ab":{"pruned_sec":$ptPruneSec%.2f,"unpruned_sec":$ptBaseSec%.2f,"speedup":${ptBaseSec / ptPruneSec}%.2f,"shards_skipped":$ptPruned,"shards_total":$ptTotal}"""
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,$pairsJson,$semOut,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
+    val frontierJson = q45Frontiers.mkString("[", ",", "]")
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,"q45_frontier_sizes":$frontierJson,$pairsJson,$semOut,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Per-round frontier sizes of the most recent [[label]] run (round 1
+    * first). Diagnostic only — the stress harness logs these to show
+    * the frontier COLLAPSING at scale (the whole point of
+    * frontier-based propagation: round 1 touches every labeled vertex,
+    * later rounds only the still-changing neighborhoods). Last
+    * completed run wins under concurrent callers; never read it for
+    * correctness decisions. */
+  @volatile var lastFrontierSizes: Seq[Long] = Nil
+
   /** The materialized RDD behind a localCheckpoint'd frame, for freeing
     * its blocks once the next round supersedes it (Dataset.unpersist
     * only reaches cacheManager entries, not checkpoint storage). */
@@ -81,6 +90,7 @@ object ConnectedComponents {
     var frontier = labels // round 1: every touched vertex broadcasts
     var changed = -1L
     var round = 0
+    val frontierLog = scala.collection.mutable.ArrayBuffer[Long]()
     while (changed != 0L && round < maxRounds) {
       // labels the frontier pushes to its neighbors, folded to one
       // candidate per vertex (bounded by the frontier's neighborhood,
@@ -96,6 +106,7 @@ object ConnectedComponents {
         .filter(col("cand") < col("cluster_id"))
         .select(col(idCol), col("cand").as("cluster_id")))
       changed = newFrontier.count() // cheap: counts materialized blocks
+      frontierLog += changed
       checkpointRdd(updates).foreach(_.unpersist(false))
       if (!(frontier eq labels)) // round 1 aliases them; free once
         checkpointRdd(frontier).foreach(_.unpersist(false))
@@ -106,6 +117,7 @@ object ConnectedComponents {
     }
     checkpointRdd(edges).foreach(_.unpersist(false))
     checkpointRdd(frontier).foreach(_.unpersist(false))
+    lastFrontierSizes = frontierLog.toSeq
     require(changed == 0L,
       s"connected components did not converge in $maxRounds rounds")
     // singletons (never in a pair) label themselves
