@@ -74,9 +74,17 @@ object Stress {
     // KV table caches (keyed by corpus path) roll over with it
     val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", s"/tmp/graft-stress-x$copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partition count scales with DATA, thread count with the box: on a
+    // cluster you size spark.sql.shuffle.partitions to the shuffle
+    // volume and let AQE coalesce — pinning it to the core count is
+    // only right near the 1× tier. Default keeps historical tiers
+    // comparable (32 at every committed 1×/10×/30× artifact); the env
+    // override is recorded in the output JSON so no tier can silently
+    // mix sizings.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -171,7 +179,7 @@ object Stress {
         f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
       }.mkString("{", ",", "}")
       val frontier = q45Frontiers.mkString("[", ",", "]")
-      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","queries":$qs,"q45_frontier_sizes":$frontier,$semOut,"peak_heap_mb":$peakHeapMb}""")
+      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,$semOut,"peak_heap_mb":$peakHeapMb}""")
       spark.stop()
       return
     }
@@ -421,7 +429,7 @@ object Stress {
     val pointJson =
       f""""point_lookup_ab":{"pruned_sec":$ptPruneSec%.2f,"unpruned_sec":$ptBaseSec%.2f,"speedup":${ptBaseSec / ptPruneSec}%.2f,"shards_skipped":$ptPruned,"shards_total":$ptTotal}"""
     val frontierJson = q45Frontiers.mkString("[", ",", "]")
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","queries":$qs,"q45_frontier_sizes":$frontierJson,$pairsJson,$semOut,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,$pairsJson,$semOut,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

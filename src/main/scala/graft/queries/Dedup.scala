@@ -150,7 +150,6 @@ object Dedup {
       val ranked = sh.join(freq, "sh")
         .withColumn("rn", row_number().over(docW.orderBy(col("df"), col("sh"))))
         .withColumn("sz", count(lit(1)).over(docW))
-      val sizes = ranked.filter(col("rn") === 1).select(col("doc_id"), col("sz"))
       val prefix = ranked
         .filter(col("rn") <= col("sz") - ceil(col("sz") * 0.8) + 1)
         .select(col("doc_id"), col("sh"), col("sz"))
@@ -160,17 +159,39 @@ object Dedup {
             col("a.sz") * 5 >= col("b.sz") * 4 && col("b.sz") * 5 >= col("a.sz") * 4)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-      val inter = cands
-        .join(sh.as("pa"), col("id_a") === col("pa.doc_id"))
-        .join(sh.as("pb"), col("id_b") === col("pb.doc_id") && col("pa.sh") === col("pb.sh"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-        .select(col("id_a"), col("id_b"), col("inter"),
-                (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
-        .filter(col("inter") * 5 >= col("un") * 4)
+      verifyJaccard(sh, cands)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: (id_a, id_b) →
+    * (id_a, id_b, inter, un) filtered to J ≥ 4/5 (integer arithmetic).
+    *
+    * Via per-doc shingle SETS, not a double explode-join: joining cands
+    * back through the exploded shingle relation costs
+    * O(|cands| · shingles-per-doc) shuffled rows — the 100× stress tier
+    * measured that stage at 109 of q42's 123 s (an ~80M-row SMJ over 32
+    * partitions). Folding each doc's (already-distinct) shingles into
+    * one array row makes verification two hash joins of O(|cands|)
+    * rows plus a per-pair array_intersect (hash-set build, linear in
+    * |a|+|b|); union sizes ride along as size(array). Result set
+    * identical — only the join geometry changes. Shared by q42/q45
+    * (AllPairs candidates), q43 (LSH candidates) and q46 (md5 twin). */
+  private def verifyJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("sz"))
+    cands
+      .join(docSets.select(col("doc_id").as("id_a"),
+        col("shs").as("sh_a"), col("sz").as("sz_a")), "id_a")
+      .join(docSets.select(col("doc_id").as("id_b"),
+        col("shs").as("sh_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        // cast: size() is int; the relation's public schema (and the
+        // BIGINT the oracle's count(*) produces) is long
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (col("sz_a") + col("sz_b")).cast("long").as("sz_sum"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sz_sum") - col("inter")).as("un"))
+      .filter(col("inter") * 5 >= col("un") * 4)
   }
 
   /** Near-dup CLUSTERING: connected components over the q42 pair
@@ -254,19 +275,7 @@ object Dedup {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
           .distinct()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val inter = cands
-          .join(sh.as("pa"), col("id_a") === col("pa.doc_id"))
-          .join(sh.as("pb"), col("id_b") === col("pb.doc_id") && col("pa.sh") === col("pb.sh"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-          .select(col("id_a"), col("id_b"), col("inter"),
-                  (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
-          .filter(col("inter") * 5 >= col("un") * 4)
-          .orderBy(col("id_a"), col("id_b"))
+        verifyJaccard(sh, cands).orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""
       WITH $nearDupCtes,
@@ -338,19 +347,7 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     // exact-Jaccard verification of candidates only
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(sh.as("pa"), col("id_a") === col("pa.doc_id"))
-      .join(sh.as("pb"), col("id_b") === col("pb.doc_id") && col("pa.sh") === col("pb.sh"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"), col("inter"),
-              (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
-      .filter(col("inter") * 5 >= col("un") * 4)
-      .orderBy(col("id_a"), col("id_b"))
+    verifyJaccard(sh, cands).orderBy(col("id_a"), col("id_b"))
   }
 
   /** SimHash-64 signatures + hamming-≤3 near-dup pairs. Signature =
