@@ -158,17 +158,25 @@ object KvCompactor {
     * most one scan-lifetime ago). Archived manifests (`_kvmeta.v*.json`,
     * the snapshot-read history) expire on the same clock. Returns the
     * number of files removed (shards + archived manifests). */
-  def vacuum(tableDir: String, graceMs: Long): Int = {
+  def vacuum(tableDir: String, graceMs: Long): Int =
+    vacuumAt(tableDir, System.currentTimeMillis() - graceMs)
+
+  /** [[vacuum]] with the cutoff instant injected — the grace boundary
+    * is INCLUSIVE (a file whose mtime equals the cutoff is reclaimed):
+    * retain-mode compaction bumps input mtimes to "now" before its
+    * manifest swap, so a compact-then-vacuum(graceMs=0) maintenance
+    * pass can land in the SAME millisecond as the bump; an exclusive
+    * compare would then silently reclaim nothing. */
+  private[kv] def vacuumAt(tableDir: String, cutoff: Long): Int = {
     KvStore.withTableLock(tableDir) {
       val live = KvStore.readMeta(tableDir).shards.map(_.file).toSet
-      val cutoff = System.currentTimeMillis() - graceMs
       // archived manifests expire on the same grace clock as the shard
       // files their snapshot reads depend on — past it, neither remains
       val all = Option(new File(tableDir).listFiles()).getOrElse(Array.empty)
       val stale = all
         .filter(f => (f.getName.endsWith(".kv") && !live(f.getName) ||
             f.getName.startsWith("_kvmeta.v") && f.getName.endsWith(".json")) &&
-          f.lastModified() < cutoff)
+          f.lastModified() <= cutoff)
       stale.foreach(_.delete())
       // bloom sidecars ride their base shard's lifecycle: once the base
       // file is gone (this pass or an earlier one), the sidecar follows

@@ -88,6 +88,33 @@ class KvCompactorSpec extends SparkSpec {
     assert(readBack(dir).count() == 100L, "live shards must survive vacuum")
   }
 
+  test("vacuum cutoff is inclusive: a same-millisecond compact+vacuum(0) still reclaims") {
+    // retain-mode compaction bumps input mtimes to "now" before its
+    // manifest swap; a vacuum(graceMs=0) issued in the SAME millisecond
+    // then computes cutoff == mtime. With an exclusive compare this
+    // reclaimed nothing (the r12 full-suite flake); the boundary must
+    // be inclusive. vacuumAt pins the cutoff exactly, deterministically.
+    val dir = Files.createTempDirectory("graft-kv-vacuum-edge").toString
+    import spark.implicits._
+    def w(ks: Seq[Long], mode: String) =
+      ks.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .option("chunkBytes", "2048").mode(mode).save()
+    w(1L to 200L by 2L, "overwrite")
+    w(2L to 200L by 2L, "append")
+    val before = KvStore.readMeta(dir).shards.map(_.file)
+    assert(KvCompactor.compact(dir, 64L << 20, retainInputs = true) >= 1)
+    val live = KvStore.readMeta(dir).shards.map(_.file).toSet
+    val stale = before.filterNot(live)
+    assert(stale.nonEmpty, "retain-mode compaction should leave superseded inputs")
+    // cutoff exactly == every stale file's (just-bumped) mtime
+    val bumped = stale.map(f => new java.io.File(s"$dir/$f").lastModified()).max
+    assert(KvCompactor.vacuumAt(dir, bumped) >= stale.length,
+      "a cutoff equal to the bump instant must reclaim the superseded inputs")
+    stale.foreach(f => assert(!new java.io.File(s"$dir/$f").exists(), s"stale $f survived"))
+    assert(readBack(dir).count() == 200L, "live shards must survive the boundary vacuum")
+  }
+
   test("single-shard and empty groupings are a no-op") {
     val dir = Files.createTempDirectory("graft-kv-compact-noop").toString
     import spark.implicits._
