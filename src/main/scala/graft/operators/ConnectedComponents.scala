@@ -71,6 +71,41 @@ object ConnectedComponents {
     * .cleanCheckpoints`), block unpersists degrade to no-ops. */
   def label(vertices: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
             maxRounds: Int = 50, reliable: Boolean = false): DataFrame = {
+    val out = propagate(vertices, pairs, idCol, maxRounds, reliable)
+    require(out.isDefined,
+      s"connected components did not converge in $maxRounds rounds " +
+        "(long-diameter graph? labelAuto escalates to star contraction)")
+    out.get
+  }
+
+  /** Whether the most recent [[labelAuto]] call escalated to star
+    * contraction. Diagnostic only, same caveats as [[lastFrontierSizes]]. */
+  @volatile var lastEscalated: Boolean = false
+
+  /** Production entry point: frontier min-label propagation (optimal for
+    * the tiny dense clusters near-dup graphs are made of — 2-4 rounds,
+    * per-round work bounded by the shrinking frontier), escalating to
+    * [[labelAlternating]] (O(log² n) rounds regardless of diameter) when
+    * the graph proves long-diameter instead of failing. A frontier still
+    * alive after `escalateAfter` rounds means chain-like structure, where
+    * per-round propagation advances labels only one hop — the O(diameter)
+    * trap. The wasted work on escalation is bounded: `escalateAfter`
+    * frontier rounds over touched vertices only. Both algorithms emit the
+    * identical labeling (component-minimum id), so escalation can never
+    * change results, only running time. */
+  def labelAuto(vertices: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                escalateAfter: Int = 8, reliable: Boolean = false): DataFrame =
+    propagate(vertices, pairs, idCol, escalateAfter, reliable) match {
+      case Some(done) => lastEscalated = false; done
+      case None =>
+        lastEscalated = true
+        labelAlternating(vertices, pairs, idCol, reliable = reliable)
+    }
+
+  /** [[label]]'s loop; None = not converged within `maxRounds` (all
+    * per-round blocks released either way). */
+  private def propagate(vertices: DataFrame, pairs: DataFrame, idCol: String,
+                        maxRounds: Int, reliable: Boolean): Option[DataFrame] = {
     if (reliable) require(
       vertices.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable = true needs SparkContext.setCheckpointDir (an HDFS/object-store " +
@@ -116,14 +151,17 @@ object ConnectedComponents {
       round += 1
     }
     checkpointRdd(edges).foreach(_.unpersist(false))
-    checkpointRdd(frontier).foreach(_.unpersist(false))
+    if (!(frontier eq labels))
+      checkpointRdd(frontier).foreach(_.unpersist(false))
     lastFrontierSizes = frontierLog.toSeq
-    require(changed == 0L,
-      s"connected components did not converge in $maxRounds rounds")
+    if (changed != 0L) { // labels won't be returned — release its blocks too
+      checkpointRdd(labels).foreach(_.unpersist(false))
+      return None
+    }
     // singletons (never in a pair) label themselves
-    vertices.select(col(idCol))
+    Some(vertices.select(col(idCol))
       .join(labels, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id")))
   }
 
   /** Star-contraction connected components (alternating large-star /

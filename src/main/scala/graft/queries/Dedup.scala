@@ -206,8 +206,11 @@ object Dedup {
     "q45_dedup_clusters",
     (s, d) => {
       val pairs = jaccardPairs(s, d).select(col("id_a"), col("id_b"))
+      // labelAuto: frontier propagation (2-4 rounds on near-dup
+      // clusters), auto-escalating to star contraction if the pair
+      // graph ever proves long-diameter — never a convergence failure
       graft.operators.ConnectedComponents
-        .label(Tables.documents(s, d).select(col("doc_id")), pairs)
+        .labelAuto(Tables.documents(s, d).select(col("doc_id")), pairs)
         .orderBy(col("doc_id"))
     },
     Some(s"""

@@ -99,6 +99,33 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("labelAuto stays on frontier propagation for dense clusters, escalates on a chain") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      import spark.implicits._
+      // dense near-dup clusters: converges in 2-3 frontier rounds
+      val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val verts = spark.range(0L, 15L).toDF("doc_id")
+      val fast = ConnectedComponents.labelAuto(verts, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!ConnectedComponents.lastEscalated,
+        "a diameter-2 graph must not escalate to star contraction")
+      assert(fast(3L) == 1L && fast(11L) == 10L && fast(7L) == 7L)
+      // chain: diameter exceeds the escalation budget — same call must
+      // hand off to star contraction and still label to the minimum
+      val len = 256L
+      val chain = spark.range(0L, len - 1)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val chainVerts = spark.range(0L, len).toDF("doc_id")
+      val labeled = ConnectedComponents.labelAuto(chainVerts, chain, escalateAfter = 4)
+      assert(labeled.filter(col("cluster_id") =!= 0L).count() == 0,
+        "escalated labeling must still reach the component minimum")
+      assert(ConnectedComponents.lastEscalated,
+        "a 255-hop chain must escalate past a 4-round frontier budget")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("label() records per-round frontier sizes ending at the fixpoint witness") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
