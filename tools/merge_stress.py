@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Merge N heavy-tier stress passes into one committed artifact.
+
+The 100x tier runs minutes per probe on a shared-host VM whose
+throughput swings pass-to-pass far beyond the documented 15-30% noise
+(observed: identical deterministic probes 1.2-4x apart between two
+back-to-back passes). A single pass is therefore not a measurement;
+the committed artifact takes the per-query MIN across passes (the
+standard floor-of-noise estimator the 1x/10x/30x tiers get from their
+min-of-two repeats) and keeps every pass's raw steady time alongside
+so the variance itself stays visible.
+
+Usage: python3 tools/merge_stress.py OUT PASS1.json PASS2.json [...]
+"""
+import json
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 4:
+        print(__doc__, file=sys.stderr)
+        return 2
+    out, passes = sys.argv[1], [json.load(open(p)) for p in sys.argv[2:]]
+    base = passes[0]
+    for p in passes[1:]:
+        if (p["copies"], p["base"], p.get("mode")) != (
+                base["copies"], base["base"], base.get("mode")):
+            print("refusing to merge passes of different tiers", file=sys.stderr)
+            return 1
+    merged = {
+        "metric": "stress", "mode": base.get("mode"), "copies": base["copies"],
+        "base": base["base"], "passes": len(passes),
+        "shuffle_partitions_per_pass": [p.get("shuffle_partitions") for p in passes],
+        "queries": {}, "q45_frontier_sizes": base.get("q45_frontier_sizes"),
+        "peak_heap_mb_per_pass": [p.get("peak_heap_mb") for p in passes],
+    }
+    for q in base["queries"]:
+        firsts = [p["queries"][q]["first_sec"] for p in passes]
+        steadies = [p["queries"][q]["steady_sec"] for p in passes]
+        merged["queries"][q] = {
+            "first_sec": min(firsts), "steady_sec": min(steadies),
+            "steady_per_pass": steadies,
+        }
+    sem = [p["semantic_dedup"] for p in passes]
+    merged["semantic_dedup"] = dict(
+        min(sem, key=lambda s: s["steady_sec"]),
+        steady_per_pass=[s["steady_sec"] for s in sem])
+    json.dump(merged, open(out, "w"), indent=1)
+    print(f"wrote {out}: {len(passes)} passes, "
+          + ", ".join(f"{q}={v['steady_sec']}" for q, v in merged["queries"].items()))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
