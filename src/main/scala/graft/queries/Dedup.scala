@@ -45,17 +45,34 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  /** Release every persisted shingle relation. The cache exists so one
-    * Verify/Bench pass reuses the relation across the q42/q43/q45
-    * branches instead of re-persisting per call — but a session-lifetime
-    * MEMORY_AND_DISK pin is the wrong default at 100 TB, where the
-    * shingle relation exceeds cluster memory. Drivers call this once
-    * their dedup pass is done (Verify/Bench do); the next query simply
-    * re-persists. Blocking so callers can assert the blocks are gone. */
-  def releaseShingles(): Unit =
+  /** Persisted VERIFIED-PAIRS relation per (session, corpus dir) — the
+    * far side of the shingle cache: where shingles are the big
+    * intermediate (O(corpus tokens)), the verified pair set is the tiny
+    * result (near-dup rate × docs — ~25k rows even at the 100× stress
+    * tier) that q42 presents and q45's clustering consumes. Without
+    * this, q45 re-runs the entire candidate-generation + verification
+    * pipeline q42 just ran; with it, clustering starts from a few
+    * thousand materialized rows. Same LRU-of-1 structural bound and
+    * release lifecycle as [[shingleCache]]. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Release every persisted dedup relation (shingles + verified
+    * pairs). The caches exist so one Verify/Bench pass reuses the
+    * relations across the q42/q43/q45 branches instead of re-persisting
+    * per call — but a session-lifetime MEMORY_AND_DISK pin is the wrong
+    * default at 100 TB, where the shingle relation exceeds cluster
+    * memory. Drivers call this once their dedup pass is done
+    * (Verify/Bench do); the next query simply re-persists. Blocking so
+    * callers can assert the blocks are gone. */
+  def releaseShingles(): Unit = {
     shingleCache.keys.toSeq.foreach { k =>
       shingleCache.remove(k).foreach(_.unpersist(blocking = true))
     }
+    pairsCache.keys.toSeq.foreach { k =>
+      pairsCache.remove(k).foreach(_.unpersist(blocking = true))
+    }
+  }
 
   /** Shared oracle CTE chain: shingles → sizes → intersection counts →
     * Jaccard-filtered pairs (J ≥ 4/5 in integer arithmetic). Reused by
@@ -142,7 +159,16 @@ object Dedup {
     * the presentation ORDER BY; q45's clustering consumes this directly
     * so it never pays a global sort that the first shuffle would
     * destroy anyway. */
-  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, d), {
+      pairsCache.keys.toSeq.filter(k => k._1 == s && k._2 != d).foreach { k =>
+        pairsCache.remove(k).foreach(_.unpersist(blocking = true))
+      }
+      jaccardPairsUncached(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def jaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
       val sh = shinglesOf(s, d)
       val docW = Window.partitionBy(col("doc_id"))
       val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
