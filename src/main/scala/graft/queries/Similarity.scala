@@ -582,6 +582,133 @@ object Similarity {
       ORDER BY c.vec_id"""),
     doc = "SemDeDup: cluster-local cosine dedup with keep-first representatives")
 
+  /** Hierarchical (two-level) SemDeDup — q103's documented 100 TB scale
+    * path made real. q103's flat quantizer costs n·k cosine evaluations
+    * with k≈√n, i.e. Θ(n^1.5) assignment; here assignment goes through a
+    * coarse level first: c≈√k coarse centroids route each vector to a
+    * coarse cell, then only that cell's fine centroids compete — n·c +
+    * n·(k/c) ≈ n·2·√k ≈ Θ(n^1.25) evaluations, the standard IVF-style
+    * refinement. Everything stays deterministic and oracle-replayable:
+    *  - fine centroids = q103's md5-ordered first k sample;
+    *  - coarse centroids = the first c of the SAME ordering (a prefix of
+    *    the fine sample — no second sampling rule to replay);
+    *  - every argmax breaks ties by smallest centroid id, exactly like
+    *    q103 (max_by over (cos, -id) ↔ row_number ORDER BY cos DESC, id).
+    * Routing is greedy, so a vector near a coarse boundary may land in a
+    * different fine cell than flat assignment would give it — q114 is
+    * its own contract (hierarchical cells), hash-checked end to end
+    * against DuckDB replaying the identical two-level rule; the dedup
+    * stage and output shape are q103's unchanged. The two centroid
+    * tables (k and c rows) are the only broadcasts; the corpus shuffles
+    * once per argmax group-by and once on cell id — never collected. */
+  val q114SemanticDedupHier: Q = Q(
+    "q114_semantic_dedup_hier",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val k = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      val c = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
+      val tau = 0.35
+      import org.apache.spark.sql.expressions.Window
+      val wc = Window.orderBy(col("h"), col("vec_id"))
+      val cent = emb
+        .select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),
+          col("embedding").as("cemb"))
+        .orderBy(col("h"), col("vec_id")).limit(k.toInt)
+        .withColumn("cid", row_number().over(wc).cast("int"))
+        .select(col("cid"), col("cemb"))
+      val coarse = cent.filter(col("cid") <= c)
+        .select(col("cid").as("gid"), col("cemb").as("gemb"))
+      // fine→coarse routing table: k·c work on k rows — negligible, and
+      // broadcast back for the per-coarse-cell fine competition
+      val centRouted = cent.crossJoin(broadcast(coarse))
+        .select(col("cid"), col("cemb"), col("gid"),
+          call_function("cosine_sim", col("cemb"), col("gemb")).as("cos"))
+        .groupBy(col("cid"))
+        .agg(first(col("cemb")).as("cemb"),
+          max_by(col("gid"), struct(col("cos"), (lit(0) - col("gid")).as("ng")))
+            .as("gid"))
+        .select(col("gid"), col("cid"), col("cemb"))
+      // stage 1: vector → nearest coarse centroid (n·c evaluations)
+      val routed = emb.crossJoin(broadcast(coarse))
+        .select(col("vec_id"), col("embedding"), col("gid"),
+          call_function("cosine_sim", col("embedding"), col("gemb")).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("gid"), struct(col("cos"), (lit(0) - col("gid")).as("ng")))
+            .as("gid"))
+      // stage 2: only the routed coarse cell's fine centroids compete
+      // (join on gid against the broadcast k-row routing table)
+      val cells = routed.join(broadcast(centRouted), "gid")
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          call_function("cosine_sim", col("embedding"), col("cemb")).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("cid"), struct(col("cos"), (lit(0) - col("cid")).as("nc")))
+            .as("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val dups = cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(expr("cosine_sim(a.embedding, b.embedding)") >= tau)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      cells.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH dbl AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      params AS (
+        SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM dbl),
+      params2 AS (
+        SELECT k, GREATEST(4, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS c
+        FROM params),
+      cent AS (
+        SELECT emb AS cemb,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
+        FROM dbl
+        QUALIFY cid <= (SELECT k FROM params2)),
+      coarse AS (
+        SELECT cid AS gid, cemb AS gemb FROM cent
+        WHERE cid <= (SELECT c FROM params2)),
+      centg AS (
+        SELECT cid, cemb, gid FROM (
+          SELECT f.cid, f.cemb, g.gid,
+                 row_number() OVER (PARTITION BY f.cid ORDER BY
+                   list_dot_product(f.cemb, g.gemb) /
+                   (sqrt(list_dot_product(f.cemb, f.cemb)) *
+                    sqrt(list_dot_product(g.gemb, g.gemb))) DESC, g.gid) AS r
+          FROM cent f CROSS JOIN coarse g) WHERE r = 1),
+      vg AS (
+        SELECT vec_id, emb, gid FROM (
+          SELECT e.vec_id, e.emb, g.gid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.emb, g.gemb) /
+                   (sqrt(list_dot_product(e.emb, e.emb)) *
+                    sqrt(list_dot_product(g.gemb, g.gemb))) DESC, g.gid) AS r
+          FROM dbl e CROSS JOIN coarse g) WHERE r = 1),
+      cells AS (
+        SELECT vec_id, emb, cid AS cell FROM (
+          SELECT v.vec_id, v.emb, f.cid,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.emb, f.cemb) /
+                   (sqrt(list_dot_product(v.emb, v.emb)) *
+                    sqrt(list_dot_product(f.cemb, f.cemb))) DESC, f.cid) AS r
+          FROM vg v JOIN centg f ON f.gid = v.gid) WHERE r = 1),
+      dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb) /
+              (sqrt(list_dot_product(a.emb, a.emb)) *
+               sqrt(list_dot_product(b.emb, b.emb))) >= 0.35)
+      SELECT c.vec_id, c.cell, (d.vec_id IS NOT NULL) AS is_dup
+      FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
+      ORDER BY c.vec_id"""),
+    doc = "hierarchical SemDeDup: two-level quantizer assignment, cluster-local dedup")
+
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
-    q54QuantizedTopK, q55LshNearDup, q103SemanticDedup)
+    q54QuantizedTopK, q55LshNearDup, q103SemanticDedup, q114SemanticDedupHier)
 }

@@ -420,6 +420,41 @@ class OperatorSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q114 hierarchical dedup: flat invariants hold; planted exact twins always flagged") {
+    graft.functions.CosineSimilarity.register(spark)
+    // the within-cell dedup invariants are assignment-agnostic — they
+    // must hold under two-level routing exactly as under q103's flat one
+    val out = Similarity.q114SemanticDedupHier.fn(spark, d).cache()
+    try {
+      val emb = graft.Tables.embeddings(spark, d)
+      val withVec = out.join(emb, Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("is_dup"), col("embedding"))
+      val survivors = withVec.filter(!col("is_dup"))
+      val closePairs = survivors.as("a").join(survivors.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(expr("cosine_sim(a.embedding, b.embedding)") >= 0.35)
+        .count()
+      assert(closePairs == 0, "survivor set must be τ-separated within each cell")
+      val dups = withVec.filter(col("is_dup"))
+      val witnessed = dups.as("dp").join(withVec.as("w"),
+          col("w.cell") === col("dp.cell") && col("w.vec_id") < col("dp.vec_id") &&
+          expr("cosine_sim(w.embedding, dp.embedding)") >= 0.35, "left_semi")
+      assert(witnessed.count() == dups.count(),
+        "every dup flag needs an in-cell smaller-id witness")
+    } finally out.unpersist()
+    // greedy two-level routing is deterministic per VECTOR VALUE, so an
+    // exact twin always lands in its original's cell and must be flagged
+    // (cos = 1 ≥ τ, twin id is larger by construction)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hier-twins").toString
+    val base = graft.Tables.embeddings(spark, d)
+    val twins = base.limit(50).withColumn("vec_id", col("vec_id") + 1000000L)
+    base.unionByName(twins).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out2 = Similarity.q114SemanticDedupHier.fn(spark, tmp)
+    val flagged = out2.filter(col("vec_id") >= 1000000L && col("is_dup")).count()
+    assert(flagged == 50,
+      s"all 50 planted exact twins must be flagged dup, got $flagged")
+  }
+
   test("q50/q51 exact anchors refuse to run above the row fence unless forced") {
     val restore = spark.conf.getOption("graft.exactAnchorMaxRows")
     try {
