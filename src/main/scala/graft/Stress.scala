@@ -137,39 +137,45 @@ object Stress {
     }
     queries.Dedup.releaseShingles()
 
-    // SemDeDup at scale (q103, adaptive k ≈ √n keeps cell population
-    // bounded as the corpus grows). The epsilon-twin replicas give real
-    // ground truth here too: copy i>0 of base vector v has a SMALLER-id
-    // twin (copy 0, vec_id = v) at cosine ≈ 1 ≫ τ=0.35, so every
-    // higher-copy vector must come back is_dup=true unless its twin
-    // pair straddles a nearest-centroid boundary (rare: the ±0.001·i
-    // first-component nudge moves almost no vector across a boundary).
-    val semFn = SparkEntry.queries("q103_semantic_dedup")
-    def semOnce(): (Double, DataFrame) = {
-      val t0 = System.nanoTime()
-      val df = semFn(spark, out)
-      df.queryExecution.toRdd.count()
-      sampleHeap()
-      ((System.nanoTime() - t0) / 1e9, df)
+    // SemDeDup at scale — BOTH formulations, recall-checked against the
+    // replica's ground truth: q103 (flat quantizer, k ≈ √n balancing
+    // its two Θ(n^1.5) terms) and q114 (two-level router + bounded
+    // ~256-vector cells: linear dedup join, Θ(n^1.25) assignment). The
+    // epsilon-twin replicas give real ground truth: copy i>0 of base
+    // vector v has a SMALLER-id twin (copy 0, vec_id = v) at cosine ≈ 1
+    // ≫ τ=0.35, so every higher-copy vector must come back is_dup=true
+    // unless its twin pair straddles a cell boundary (rare for the flat
+    // quantizer; the bounded-cell variant trades a little more boundary
+    // exposure for its linear join — this probe MEASURES that trade).
+    def semSection(key: String, qname: String, minRecall: Double): String = {
+      val semFn = SparkEntry.queries(qname)
+      def semOnce(): (Double, DataFrame) = {
+        val t0 = System.nanoTime()
+        val df = semFn(spark, out)
+        df.queryExecution.toRdd.count()
+        sampleHeap()
+        ((System.nanoTime() - t0) / 1e9, df)
+      }
+      val (semFirst, _) = semOnce()
+      val (semSteady, semDf0) = semOnce()
+      val semDf = semDf0.persist()
+      val semRows = semDf.count()
+      val semJson = if (copies > 1) {
+        val hi = semDf.filter(col("vec_id") >= 1000000L)
+        val hiN = hi.count()
+        val hiDup = hi.filter(col("is_dup")).count()
+        val twinRecall = hiDup.toDouble / hiN
+        System.err.println(f"[stress] $key twin_dup_recall=$twinRecall%.4f ($hiDup of $hiN higher-copy vectors marked dup)")
+        require(twinRecall >= minRecall,
+          f"$key twin-dup recall $twinRecall%.4f < $minRecall against replica ground truth")
+        f""","twin_dup_recall":$twinRecall%.4f,"higher_copy_n":$hiN,"higher_copy_dup":$hiDup"""
+      } else ""
+      semDf.unpersist(blocking = true)
+      System.err.println(f"[stress] $key first=$semFirst%.1fs steady=$semSteady%.1fs rows=$semRows")
+      f""""$key":{"first_sec":$semFirst%.2f,"steady_sec":$semSteady%.2f,"rows":$semRows$semJson}"""
     }
-    val (semFirst, _) = semOnce()
-    val (semSteady, semDf0) = semOnce()
-    val semDf = semDf0.persist()
-    val semRows = semDf.count()
-    val semJson = if (copies > 1) {
-      val hi = semDf.filter(col("vec_id") >= 1000000L)
-      val hiN = hi.count()
-      val hiDup = hi.filter(col("is_dup")).count()
-      val twinRecall = hiDup.toDouble / hiN
-      System.err.println(f"[stress] semantic_dedup twin_dup_recall=$twinRecall%.4f ($hiDup of $hiN higher-copy vectors marked dup)")
-      require(twinRecall >= 0.9,
-        f"SemDeDup twin-dup recall $twinRecall%.4f < 0.9 against replica ground truth")
-      f""","twin_dup_recall":$twinRecall%.4f,"higher_copy_n":$hiN,"higher_copy_dup":$hiDup"""
-    } else ""
-    semDf.unpersist(blocking = true)
-    System.err.println(f"[stress] semantic_dedup first=$semFirst%.1fs steady=$semSteady%.1fs rows=$semRows")
-    val semOut =
-      f""""semantic_dedup":{"first_sec":$semFirst%.2f,"steady_sec":$semSteady%.2f,"rows":$semRows$semJson}"""
+    val semOut = semSection("semantic_dedup", "q103_semantic_dedup", 0.9) + "," +
+      semSection("semantic_dedup_hier", "q114_semantic_dedup_hier", 0.85)
 
     if (heavy) {
       // the reduced tier's artifact: heavy-family timings, q45's

@@ -583,23 +583,34 @@ object Similarity {
     doc = "SemDeDup: cluster-local cosine dedup with keep-first representatives")
 
   /** Hierarchical (two-level) SemDeDup — q103's documented 100 TB scale
-    * path made real. q103's flat quantizer costs n·k cosine evaluations
-    * with k≈√n, i.e. Θ(n^1.5) assignment; here assignment goes through a
-    * coarse level first: c≈√k coarse centroids route each vector to a
-    * coarse cell, then only that cell's fine centroids compete — n·c +
-    * n·(k/c) ≈ n·2·√k ≈ Θ(n^1.25) evaluations, the standard IVF-style
-    * refinement. Everything stays deterministic and oracle-replayable:
+    * path made real. q103 balances its two Θ(n^1.5) terms with k≈√n:
+    * flat assignment costs n·k evaluations and the within-cell dedup
+    * join n·(n/2k) pairs, so √n is the best a FLAT quantizer can do —
+    * and a head-to-head at the 100× tier (2 M vectors) measured a
+    * two-level router with the same k as a wash, because the shared
+    * within-cell join dominated both. The hierarchy's real payoff is
+    * that it makes BOUNDED CELLS affordable: k = n/B (B ≈ 256 vectors
+    * per cell — the published web-scale SemDeDup shape, where cluster
+    * count grows with the corpus and cluster size does not) turns the
+    * dedup join linear (n·B/2 pairs), while coarse routing keeps
+    * assignment at n·(c + k/c) ≈ n·2√k ≈ Θ(n^1.25) evaluations instead
+    * of the flat n·k ≈ Θ(n²/B) that k = n/B would otherwise cost.
+    * Everything stays deterministic and oracle-replayable:
     *  - fine centroids = q103's md5-ordered first k sample;
     *  - coarse centroids = the first c of the SAME ordering (a prefix of
     *    the fine sample — no second sampling rule to replay);
     *  - every argmax breaks ties by smallest centroid id, exactly like
     *    q103 (max_by over (cos, -id) ↔ row_number ORDER BY cos DESC, id).
     * Routing is greedy, so a vector near a coarse boundary may land in a
-    * different fine cell than flat assignment would give it — q114 is
-    * its own contract (hierarchical cells), hash-checked end to end
+    * different fine cell than flat assignment would give it, and smaller
+    * cells trade a little cross-cell recall for the linear join (the
+    * stress tier's twin-recall check quantifies it) — q114 is its own
+    * contract (hierarchical bounded cells), hash-checked end to end
     * against DuckDB replaying the identical two-level rule; the dedup
     * stage and output shape are q103's unchanged. The two centroid
-    * tables (k and c rows) are the only broadcasts; the corpus shuffles
+    * tables (k and c rows) are the only broadcasts — MBs at gate scale;
+    * past ~10⁸ centroids drop the fine-table broadcast hint and let the
+    * gid join shuffle (it is already keyed on gid). The corpus shuffles
     * once per argmax group-by and once on cell id — never collected. */
   val q114SemanticDedupHier: Q = Q(
     "q114_semantic_dedup_hier",
@@ -607,7 +618,9 @@ object Similarity {
       graft.functions.CosineSimilarity.register(s)
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
-      val k = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      // bounded cells: cluster COUNT grows with the corpus, cluster
+      // SIZE does not — the within-cell join stays ~n·B/2 pairs forever
+      val k = math.max(16L, math.ceil(n / 256.0).toLong)
       val c = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
       val tau = 0.35
       import org.apache.spark.sql.expressions.Window
@@ -662,7 +675,7 @@ object Similarity {
       WITH dbl AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       params AS (
-        SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM dbl),
+        SELECT GREATEST(16, CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k FROM dbl),
       params2 AS (
         SELECT k, GREATEST(4, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS c
         FROM params),

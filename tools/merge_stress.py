@@ -34,17 +34,23 @@ def main() -> int:
         "queries": {}, "q45_frontier_sizes": base.get("q45_frontier_sizes"),
         "peak_heap_mb_per_pass": [p.get("peak_heap_mb") for p in passes],
     }
-    for q in base["queries"]:
-        firsts = [p["queries"][q]["first_sec"] for p in passes]
-        steadies = [p["queries"][q]["steady_sec"] for p in passes]
+    # union of query keys: a probe added to the tier mid-round appears in
+    # later passes only — min over the passes that ran it, None elsewhere
+    all_queries = [q for p in passes for q in p["queries"]]
+    for q in dict.fromkeys(all_queries):
+        firsts = [p["queries"][q]["first_sec"] for p in passes if q in p["queries"]]
+        steadies = [p["queries"].get(q, {}).get("steady_sec") for p in passes]
         merged["queries"][q] = {
-            "first_sec": min(firsts), "steady_sec": min(steadies),
+            "first_sec": min(firsts),
+            "steady_sec": min(s for s in steadies if s is not None),
             "steady_per_pass": steadies,
         }
-    sem = [p["semantic_dedup"] for p in passes]
-    merged["semantic_dedup"] = dict(
-        min(sem, key=lambda s: s["steady_sec"]),
-        steady_per_pass=[s["steady_sec"] for s in sem])
+    for key in ("semantic_dedup", "semantic_dedup_hier"):
+        sem = [p[key] for p in passes if key in p]
+        if sem:
+            merged[key] = dict(
+                min(sem, key=lambda s: s["steady_sec"]),
+                steady_per_pass=[p.get(key, {}).get("steady_sec") for p in passes])
     json.dump(merged, open(out, "w"), indent=1)
     print(f"wrote {out}: {len(passes)} passes, "
           + ", ".join(f"{q}={v['steady_sec']}" for q, v in merged["queries"].items()))
