@@ -152,6 +152,81 @@ class KvRowLevelOpsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_updc")
   }
 
+  test("model fuzz: random UPDATE/DELETE/MERGE + maintenance track an in-memory model") {
+    // Deterministic sequence of row-level mutations applied BOTH to the
+    // KV table (through Spark SQL → group-based copy-on-write) and to a
+    // plain in-memory map, with compact+vacuum interleaved — the
+    // directed specs above pin individual semantics; this pins their
+    // COMPOSITION (predicate pushability mix, rewrites over rewritten
+    // shards, maintenance between mutations) against an oracle that
+    // cannot share a bug with the engine.
+    val rnd = new scala.util.Random(20260814L)
+    val dir = freshTable("graft_fuzzrl", rows = 600L, shards = 6)
+    try {
+      val model = scala.collection.mutable.Map[Long, (String, Long)]()
+      (1L to 600L).foreach(k => model(k) = (if (k <= 300) "a" else "b", k * 10))
+
+      def randPred(): (String, (Long, (String, Long)) => Boolean) =
+        rnd.nextInt(4) match {
+          case 0 =>
+            val lo = rnd.nextInt(650) + 1L; val hi = lo + rnd.nextInt(80)
+            (s"k BETWEEN $lo AND $hi", (k, _) => k >= lo && k <= hi)
+          case 1 =>
+            val g = Seq("a", "b", "m")(rnd.nextInt(3))
+            (s"grp = '$g'", (_, gv) => gv._1 == g)
+          case 2 => // unpushable: exercises the full-scan rewrite path
+            val m = rnd.nextInt(9) + 2
+            (s"k % $m = 0", (k, _) => k % m == 0)
+          case 3 =>
+            val t = rnd.nextInt(8000).toLong
+            (s"v > $t", (_, gv) => gv._2 > t)
+        }
+
+      def check(tag: String): Unit = {
+        val got = table("graft_fuzzrl").select("k", "grp", "v").collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+        assert(got == model.toMap,
+          s"$tag: table diverged from model (" +
+            s"extra=${(got.keySet -- model.keySet).toSeq.sorted.take(5)}, " +
+            s"missing=${(model.keySet -- got.keySet).toSeq.sorted.take(5)}, " +
+            s"changed=${got.keySet.intersect(model.keySet).filter(k => got(k) != model(k)).toSeq.sorted.take(5)})")
+      }
+
+      (1 to 24).foreach { i =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val (sql, p) = randPred()
+            val delta = rnd.nextInt(5) + 1L
+            spark.sql(s"UPDATE graft_fuzzrl SET v = v + $delta WHERE $sql")
+            model.keys.toSeq.foreach { k =>
+              val gv = model(k); if (p(k, gv)) model(k) = (gv._1, gv._2 + delta)
+            }
+          case 1 =>
+            val (sql, p) = randPred()
+            spark.sql(s"DELETE FROM graft_fuzzrl WHERE $sql")
+            model.keys.toSeq.filter(k => p(k, model(k))).foreach(model.remove)
+          case 2 => // upsert a random key band from a source view
+            import spark.implicits._
+            val lo = rnd.nextInt(700) + 1L; val n = rnd.nextInt(25) + 1
+            (lo until lo + n).map(k => (k, k * 100 + i))
+              .toDF("k", "nv").createOrReplaceTempView("fuzz_src")
+            spark.sql(s"""
+              MERGE INTO graft_fuzzrl t USING fuzz_src s ON t.k = s.k
+              WHEN MATCHED THEN UPDATE SET v = s.nv, grp = 'm'
+              WHEN NOT MATCHED THEN INSERT (k, grp, v) VALUES (s.k, 'm', s.nv)""")
+            (lo until lo + n).foreach(k => model(k) = ("m", k * 100 + i))
+        }
+        if (i % 7 == 0) {
+          graft.kv.KvCompactor.compact(dir, targetBytes = 64L << 20, retainInputs = true)
+          graft.kv.KvCompactor.vacuum(dir, graceMs = 0L)
+          check(s"after maintenance at op $i")
+        } else if (i % 5 == 0) check(s"after op $i")
+      }
+      check("final")
+      assert(graft.kv.KvStore.verifyTable(dir) > 0, "fsck after the fuzz run")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_fuzzrl")
+  }
+
   test("UPDATE that matches no group is a no-op (no version churn)") {
     val dir = freshTable("graft_updn", rows = 50L, shards = 2)
     try {
