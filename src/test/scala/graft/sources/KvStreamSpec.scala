@@ -257,6 +257,36 @@ class KvStreamSpec extends SparkSpec {
       | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
       |            "et":{"cf":"f","col":"et","type":"long"}}}""".stripMargin
 
+  test("a stream whose window was compacted away fails at planning with the retention error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-stream-gone").toString
+    def append(range: Range): Unit =
+      range.map(k => (k.toLong, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode("append").save()
+    append(1 to 10)  // v1
+    append(11 to 20) // v2
+    // retain=false compaction deletes the inputs immediately — v2's
+    // added shard file is gone, but the archived manifest still lists it
+    assert(graft.kv.KvCompactor.compact(dir, 1L << 30, retainInputs = false) > 0) // v3
+    // a checkpoint from before the compaction now asks for (1, cur]:
+    // the delta includes v2's reclaimed shard — the batch must fail at
+    // PLANNING with the retention contract error, not FileNotFoundException
+    val q = spark.readStream.format("graft-kv")
+      .option("catalog", cat).option("path", dir)
+      .option("sinceVersion", "1").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kv_stream_gone_out").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    val msg = Option(e.getCause).map(_.toString).getOrElse(e.toString)
+    assert(msg.contains("truncated or vacuumed") || e.toString.contains("truncated or vacuumed"),
+      s"expected the retention planning error, got: $e")
+    q.stop()
+  }
+
   test("eventTimeColumn surfaces _event_time; batch values match timestamp_millis") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-kv-evbatch").toString
