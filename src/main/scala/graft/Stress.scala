@@ -48,8 +48,9 @@ object Stress {
     * queries whose scaling actually decides the 100 TB story) — the
     * cheap KV/curation probes are ~linear by construction and already
     * measured to 30×; re-running them at 100× would triple the tier's
-    * wall-clock for no new signal. q103 (semantic dedup) rides the
-    * dedicated recall-checked section below, not this list. */
+    * wall-clock for no new signal. q103/q114 (flat and hierarchical
+    * semantic dedup) ride the dedicated recall-checked sections below,
+    * not this list. */
   private val heavyProbes = Seq(
     "q42_ngram_jaccard", "q45_dedup_clusters",
     "q111_substring_dedup", "q112_bigram_lm",
