@@ -113,6 +113,7 @@ object Stress {
       if (used > peakHeapMb) peakHeapMb = used
     }
     var q45Frontiers: Seq[Long] = Nil
+    var q45Escalated = false
     val results = (if (heavy) heavyProbes else probes).map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -126,8 +127,11 @@ object Stress {
       System.err.println(f"[stress] $name first=$first%.1fs steady=$steady%.1fs")
       if (name == "q45_dedup_clusters") {
         // the STEADY run's rounds — lastFrontierSizes holds the most
-        // recent label() invocation
+        // recent propagation loop (q45 rides labelAuto: if it ever
+        // ESCALATED to star contraction, the log is the truncated
+        // pre-escalation frontier, so the artifact must say so)
         q45Frontiers = operators.ConnectedComponents.lastFrontierSizes
+        q45Escalated = operators.ConnectedComponents.lastEscalated
         System.err.println(s"[stress] q45 frontier sizes per round: ${q45Frontiers.mkString(", ")}")
         // the shingle relation serves only the dedup probes — release it
         // before the ANN/KV probes so their timings and the heap metric
@@ -186,7 +190,7 @@ object Stress {
         f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
       }.mkString("{", ",", "}")
       val frontier = q45Frontiers.mkString("[", ",", "]")
-      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,$semOut,"peak_heap_mb":$peakHeapMb}""")
+      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,"q45_escalated":$q45Escalated,$semOut,"peak_heap_mb":$peakHeapMb}""")
       spark.stop()
       return
     }
@@ -436,7 +440,7 @@ object Stress {
     val pointJson =
       f""""point_lookup_ab":{"pruned_sec":$ptPruneSec%.2f,"unpruned_sec":$ptBaseSec%.2f,"speedup":${ptBaseSec / ptPruneSec}%.2f,"shards_skipped":$ptPruned,"shards_total":$ptTotal}"""
     val frontierJson = q45Frontiers.mkString("[", ",", "]")
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,$pairsJson,$semOut,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,"q45_escalated":$q45Escalated,$pairsJson,$semOut,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

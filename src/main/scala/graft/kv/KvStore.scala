@@ -117,6 +117,21 @@ object KvStore {
 
   def metaPath(tableDir: String): String = s"$tableDir/_kvmeta.json"
 
+  /** Planning-time retention guard shared by pinned/incremental batch
+    * reads and streaming micro-batches: a historical window may plan
+    * shard files that maintenance has since replaced and reclaimed —
+    * verify existence here so the caller fails with the clear contract
+    * error (`window` names the read; `remedy` the fix) instead of a raw
+    * FileNotFoundException inside a task. */
+  def requireShardFiles(tableDir: String, shards: Seq[KvShardMeta],
+                        window: String, remedy: String = ""): Unit = {
+    val gone = shards.filterNot(s => new File(s"$tableDir/${s.file}").exists())
+    if (gone.nonEmpty) throw new IllegalArgumentException(
+      s"$window is unavailable: ${gone.length} of its shard files " +
+        s"(e.g. ${gone.head.file}) were truncated or vacuumed" +
+        (if (remedy.nonEmpty) s" — $remedy" else ""))
+  }
+
   // ---- cross-process manifest mutation lock ----
 
   private val jvmLocks =

@@ -168,11 +168,8 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
       // since (a stream restarting from a checkpoint older than the
       // table's retention) — fail the batch at planning with the clear
       // contract error, not a FileNotFoundException mid-task
-      val gone = shards.filterNot(sh => new java.io.File(s"$dir/${sh.file}").exists())
-      if (gone.nonEmpty) throw new IllegalArgumentException(
-        s"streaming micro-batch ($s, $e] of $dir is unavailable: ${gone.length} of its " +
-          s"shard files (e.g. ${gone.head.file}) were truncated or vacuumed — the " +
-          "checkpoint predates the table's retention; restart with a fresh checkpoint")
+      KvStore.requireShardFiles(dir, shards, s"streaming micro-batch ($s, $e] of $dir",
+        remedy = "the checkpoint predates the table's retention; restart with a fresh checkpoint")
       val dt = declared.find(_.name == rowkeyName).map(_.dataType)
       val ranges = dt.map(KeyRanges.fromFilters(filters, rowkeyName, _))
         .getOrElse(KeyRanges.Full)

@@ -372,14 +372,10 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // the grace period deletes lazily) — verify here so the user gets
     // the clear "version unavailable" planning error instead of a raw
     // FileNotFoundException mid-task
-    if (asOf.isDefined || since.isDefined) {
-      val gone = meta.shards.filterNot(s => new java.io.File(s"$dir/${s.file}").exists())
-      val window = asOf.map(v => s"table version $v")
-        .getOrElse(s"the incremental window since version ${since.get}")
-      if (gone.nonEmpty) throw new IllegalArgumentException(
-        s"$window is unavailable: ${gone.length} of its " +
-          s"shard files (e.g. ${gone.head.file}) were truncated or vacuumed")
-    }
+    if (asOf.isDefined || since.isDefined)
+      KvStore.requireShardFiles(dir, meta.shards,
+        asOf.map(v => s"table version $v")
+          .getOrElse(s"the incremental window since version ${since.get}"))
     val ranges = rowkeyRanges()
     val inKeyRange = meta.shards.filter(s =>
       KeyRanges.intersectsShard(ranges, s.minKey, s.maxKey))

@@ -48,8 +48,13 @@ def main() -> int:
     for key in ("semantic_dedup", "semantic_dedup_hier"):
         sem = [p[key] for p in passes if key in p]
         if sem:
+            # same estimator as the queries map: each timing field is the
+            # min across passes independently (recall/rows are
+            # deterministic per code version — any pass's copy is fine)
             merged[key] = dict(
                 min(sem, key=lambda s: s["steady_sec"]),
+                first_sec=min(s["first_sec"] for s in sem),
+                steady_sec=min(s["steady_sec"] for s in sem),
                 steady_per_pass=[p.get(key, {}).get("steady_sec") for p in passes])
     json.dump(merged, open(out, "w"), indent=1)
     print(f"wrote {out}: {len(passes)} passes, "
