@@ -118,4 +118,30 @@ class PlanSpec extends SparkSpec {
     assert(!p97.linesIterator.exists(l => l.trim.matches("""\(\d+\) Filter""")),
       s"q97 must not re-filter above the scan:\n$p97")
   }
+
+  test("q114: both quantizer levels join as broadcasts — the corpus never SMJ-shuffles for assignment") {
+    graft.functions.CosineSimilarity.register(spark)
+    val p = plan(Similarity.q114SemanticDedupHier.fn(spark, d))
+    // coarse routing is a broadcast nested loop (crossJoin of the c-row
+    // table); the fine competition joins the broadcast routing table on
+    // gid — if either ever degrades to a SortMergeJoin, assignment
+    // starts shuffling the corpus per level and the Θ(n^1.25) claim dies
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"coarse routing must broadcast the centroid table:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("gid"),
+      s"fine competition must broadcast-join on gid:\n$p")
+    // no SHUFFLED join may key on gid: the cell-keyed dedup self-join
+    // and the tiny final left-outer may SMJ in the static plan (AQE
+    // broadcasts the latter at runtime), but an SMJ keyed on gid would
+    // mean assignment shuffles the corpus per level. Walk the formatted
+    // detail blocks: keys lines belong to the header above them.
+    var inSmj = false
+    var smjOnGid = false
+    p.linesIterator.foreach { l =>
+      val t = l.trim
+      if (t.matches("""\(\d+\) \w.*""")) inSmj = t.contains("SortMergeJoin")
+      else if (inSmj && t.contains("keys") && t.contains("gid")) smjOnGid = true
+    }
+    assert(!smjOnGid, s"no sort-merge join may key on gid:\n$p")
+  }
 }
