@@ -31,7 +31,13 @@ def main() -> int:
         "metric": "stress", "mode": base.get("mode"), "copies": base["copies"],
         "base": base["base"], "passes": len(passes),
         "shuffle_partitions_per_pass": [p.get("shuffle_partitions") for p in passes],
-        "queries": {}, "q45_frontier_sizes": base.get("q45_frontier_sizes"),
+        "queries": {},
+        # run metadata (frontier log, escalation marker) from the NEWEST
+        # pass that defines it — older passes may predate the field
+        "q45_frontier_sizes": next((p["q45_frontier_sizes"] for p in reversed(passes)
+                                    if "q45_frontier_sizes" in p), None),
+        "q45_escalated": next((p["q45_escalated"] for p in reversed(passes)
+                               if "q45_escalated" in p), None),
         "peak_heap_mb_per_pass": [p.get("peak_heap_mb") for p in passes],
     }
     # union of query keys: a probe added to the tier mid-round appears in
