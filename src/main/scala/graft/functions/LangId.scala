@@ -44,7 +44,17 @@ object LangId {
           .when(a.getField("l") < b.getField("l"), -1)
           .when(a.getField("l") > b.getField("l"), 1)
           .otherwise(0)), 1)
-    df.withColumn("pred_lang",
-      when(best.getField("s") === 0L, lit("und")).otherwise(best.getField("l")))
+    // Bind the winner struct ONCE: pred_lang references `best` twice
+    // (the s=0 test and the l extraction), and inlining it into a single
+    // projection would evaluate the whole scoring array_sort twice per
+    // row — at gate scale q34's heaviest cost (measured ~2× the per-row
+    // work). CollapseProject refuses to merge the two projections
+    // because the inner alias is non-cheap and referenced twice, so the
+    // sort runs once and the two field reads hit the bound struct.
+    df.withColumn("lang_best", best)
+      .withColumn("pred_lang",
+        when(col("lang_best").getField("s") === 0L, lit("und"))
+          .otherwise(col("lang_best").getField("l")))
+      .drop("lang_best")
   }
 }

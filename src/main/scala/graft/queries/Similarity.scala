@@ -216,108 +216,195 @@ object Similarity {
       doc = "multi-table LSH (random hyperplane) ANN")
   }
 
+  /** Deterministic md5-ordered centroid sample — the shared quantizer
+    * seed of q53/q103/q114: the k corpus vectors smallest by
+    * (md5(vec_id) hex, vec_id), numbered cid = 1..k in that order.
+    * Pseudo-random spread, independent of partitioning/parallelism, and
+    * replayable by an external SQL engine
+    * (`row_number() OVER (ORDER BY md5(vec_id), vec_id)`) — which is
+    * what makes the ANN/SemDeDup full-pipeline oracles possible; an
+    * iterative k-means fit would make cell boundaries depend on cluster
+    * layout. cid numbering is zipWithIndex over the already-sorted
+    * sample (round 13): the top-k gather is the only single-task step —
+    * no second global-window sort pass over the k rows. The gather
+    * itself bounds k in practice (~10⁶ centroids / tens of MB on the
+    * driver-side TakeOrdered path); past that, sample per-partition and
+    * merge, which no gate-scale corpus needs. */
+  private[graft] def md5CentroidSample(s: SparkSession, emb: DataFrame,
+                                       k: Long): DataFrame = {
+    import s.implicits._
+    val sampled = emb
+      .select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),
+        col("embedding").as("cemb"))
+      .orderBy(col("h"), col("vec_id")).limit(k.toInt)
+      .select(col("cemb")).as[Array[Float]]
+    s.createDataset(sampled.rdd.zipWithIndex
+        .map { case (v, i) => ((i + 1).toInt, v) })
+      .toDF("cid", "cemb")
+  }
+
+  /** Two-level max-cosine assignment: vector → nearest coarse centroid
+    * (n·c evaluations) → nearest FINE centroid within that coarse cell
+    * (n·k/c expected). Every argmax breaks ties by smallest centroid id
+    * (max_by over (cos, -id) ≡ row_number ORDER BY cos DESC, id — the
+    * rule every oracle replays). Shared by q53's IVF index build and
+    * q114's hierarchical SemDeDup. `cent` must be (cid, cemb) with cid
+    * densely numbered so the first c rows form the coarse level.
+    * Returns (vec_id, embedding, cell). */
+  private def hierAssign(emb: DataFrame, cent: DataFrame, c: Long): DataFrame = {
+    val coarse = cent.filter(col("cid") <= c)
+      .select(col("cid").as("gid"), col("cemb").as("gemb"))
+    // fine→coarse routing table: k·c work on k rows — negligible, and
+    // broadcast back for the per-coarse-cell fine competition
+    val centRouted = cent.crossJoin(broadcast(coarse))
+      .select(col("cid"), col("cemb"), col("gid"),
+        call_function("cosine_sim", col("cemb"), col("gemb")).as("cos"))
+      .groupBy(col("cid"))
+      .agg(first(col("cemb")).as("cemb"),
+        max_by(col("gid"), struct(col("cos"), (lit(0) - col("gid")).as("ng")))
+          .as("gid"))
+      .select(col("gid"), col("cid"), col("cemb"))
+    // stage 1: vector → nearest coarse centroid (n·c evaluations)
+    val routed = emb.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("gid"),
+        call_function("cosine_sim", col("embedding"), col("gemb")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("gid"), struct(col("cos"), (lit(0) - col("gid")).as("ng")))
+          .as("gid"))
+    // stage 2: only the routed coarse cell's fine centroids compete
+    // (join on gid against the broadcast k-row routing table)
+    routed.join(broadcast(centRouted), "gid")
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        call_function("cosine_sim", col("embedding"), col("cemb")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("cid"), struct(col("cos"), (lit(0) - col("cid")).as("nc")))
+          .as("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into cells
     * around a coarse quantizer; each query probes its nProbe best cells
     * and rescores only those candidates with exact cosine — the other
-    * standard scale path next to LSH (q52): each query touches only
-    * ~nProbe/k of the corpus.
+    * standard scale path next to LSH (q52).
     *
-    * The quantizer here is a DETERMINISTIC sample (the k corpus vectors
-    * smallest by md5(vec_id) hex order — pseudo-random spread,
-    * independent of partitioning/parallelism, and replayable by an
-    * external SQL engine, which is what makes q53's full-pipeline
-    * oracle possible; an iterative k-means fit would make cell
-    * boundaries depend on cluster layout). Assignment uses max COSINE
-    * to the centroid — same metric as rescoring, so no hidden norm
-    * assumptions — through the codegen'd cosine_sim against
-    * constant-folded centroid literals (one corpus scan total). Only
-    * the k=16 centroids and the 20 bounded query vectors are
-    * collected. Recall vs brute force asserted in ScalaTest.
+    * nlist is ADAPTIVE with BOUNDED CELLS (round 13 — replaces the
+    * fixed k=16 literal whose cells grew as n/16, degrading every probe
+    * toward a partitioned scan): k = max(16, ⌈n/256⌉), so cell
+    * population stays ~256 vectors as the corpus grows and a query's
+    * probe cost is nProbe·256 rescores FOREVER — flat, not linear, in
+    * corpus size. Assignment pays for that cell count the way q114
+    * does: a coarse router of c = ⌈√k⌉ centroids (a PREFIX of the same
+    * md5-ordered sample — no second sampling rule) keeps index build at
+    * n·(c + k/c) ≈ Θ(n^1.25) cosine evaluations instead of the flat
+    * n·k = Θ(n²/256); greedy routing can place a boundary vector in a
+    * different cell than flat argmax would (the recall sweep in
+    * OperatorSpec quantifies the trade and stays monotone in nProbe).
+    * Assignment is broadcast-crossJoin + map-side-combined argmax —
+    * NOT k literal arrays in one codegen'd expression, which would blow
+    * the JVM method limit at adaptive k.
     *
-    * Probe sets are NESTED in `nProbe` (the nProbe best cells by
-    * centroid cosine), so candidate sets grow monotonically and
-    * recall@5 vs brute force is non-decreasing — OperatorSpec sweeps
-    * 1/4/16 and asserts it. */
-  def ivfAnn(s: SparkSession, d: String, nProbe: Int): DataFrame = {
-    {
-      graft.functions.CosineSimilarity.register(s)
-      val emb = Tables.embeddings(s, d)
-      val k = 16
-      def cosLocal(a: Array[Float], b: Array[Float]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < math.min(a.length, b.length)) {
-          val x = a(i).toDouble; val y = b(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        dot / (math.sqrt(na) * math.sqrt(nb))
-      }
-      // deterministic coarse quantizer: k vectors by md5 order of vec_id
-      // (md5, not xxhash64, so an external SQL engine can reproduce the
-      // centroid sample and with it the whole IVF pipeline)
-      val centroids: Array[Array[Float]] = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(k).select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).toArray)
-      val centroidLits = centroids.map(c => array(c.map(lit).toIndexedSeq: _*))
-      val cosArr = array(centroidLits.map(cl =>
-        call_function("cosine_sim", col("embedding"), cl)).toIndexedSeq: _*)
-      // cell = 1-based index of the max-cosine centroid (first on ties)
-      val assigned = emb
-        .withColumn("cell", array_position(cosArr, array_max(cosArr)).cast("int"))
-        .select(col("vec_id"), col("embedding"), col("cell"))
-      // bounded query set → driver-side probe-cell computation
-      val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-      val probeRows = queries.toIndexedSeq.flatMap { case (qid, v) =>
-        centroids.zipWithIndex
-          .map { case (c, ci) => (-cosLocal(v, c), ci + 1) } // 1-based cells
-          .sorted.take(nProbe)
-          .map { case (_, cell) => (qid, cell) }
-      }
-      val qEmbRows = queries.toIndexedSeq.map { case (qid, v) => (qid, v.toSeq) }
-      import s.implicits._
-      val probes = probeRows.toDF("q_id", "cell")
-      val qEmb = qEmbRows.toDF("q_id", "q_emb")
-        .withColumn("q_emb", col("q_emb").cast("array<float>"))
-      val cands = assigned.join(broadcast(probes), Seq("cell"))
-        .join(broadcast(qEmb), Seq("q_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-      val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
-        expr("cosine_sim(q_emb, embedding)").as("cos"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
-        .orderBy(col("q_id"), col("rk"))
-    }
+    * The index is split from the probe ([[ivfIndex]] / [[ivfProbe]])
+    * because that is the real usage shape — build once, probe per
+    * query — and it lets the stress harness measure the two costs
+    * separately: build grows Θ(n^1.25), probe stays flat. */
+  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = Tables.embeddings(s, d)
+    // Bounded scalar collect: corpus count → deterministic nlist.
+    val n = emb.count()
+    val k = math.max(16L, math.ceil(n / 256.0).toLong)
+    val c = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val cent = md5CentroidSample(s, emb, k)
+    (cent, hierAssign(emb, cent, c))
   }
 
-  /** q53's oracle replays the ENTIRE IVF pipeline in SQL: the
-    * md5-ordered centroid sample, max-cosine cell assignment (first
-    * centroid on exact-double ties, ≡ Spark's array_position-of-max),
-    * per-query top-nProbe probe cells, and exact cosine rescoring —
-    * every cosine is the same left-to-right double fold on both
-    * engines, so even this "approximate" index is hash-checked. */
+  /** Probe side: rank ALL k fine cells per query by centroid cosine
+    * (queries are bounded — |q|·k evaluations, distributed), take the
+    * top nProbe, then rescore only those cells' members with exact
+    * cosine. Probe sets are NESTED in nProbe, so candidate sets grow
+    * monotonically and recall@5 vs brute force is non-decreasing —
+    * OperatorSpec sweeps 1/4/k and asserts it. */
+  def ivfProbe(s: SparkSession, cent: DataFrame, assigned: DataFrame,
+               queries: DataFrame, nProbe: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cid"))
+    val probes = cent.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("cid"),
+        call_function("cosine_sim", col("q_emb"), col("cemb")).as("cos"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nProbe)
+      .select(col("q_id"), col("cid").as("cell"))
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(queries), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
+      expr("cosine_sim(q_emb, embedding)").as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def ivfAnn(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+    val (cent, assigned) = ivfIndex(s, d)
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    ivfProbe(s, cent, assigned, queries, nProbe)
+  }
+
+  /** q53's oracle replays the ENTIRE adaptive IVF pipeline in SQL: the
+    * nlist/coarse arithmetic from the corpus count, the md5-ordered
+    * centroid sample, the two-level max-cosine assignment (smallest
+    * centroid id on exact-double ties at every level), per-query
+    * top-nProbe probe cells over all fine centroids, and exact cosine
+    * rescoring — every cosine is the same left-to-right double fold on
+    * both engines, so even this "approximate" index is hash-checked. */
   val q53IvfAnn: Q = Q(
     "q53_ivf_ann",
     (s, d) => ivfAnn(s, d, nProbe = 4),
     Some("""
       WITH dbl AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      params AS (
+        SELECT GREATEST(16, CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k FROM dbl),
+      params2 AS (
+        SELECT k, GREATEST(4, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS c
+        FROM params),
       cent AS (
-        SELECT vec_id AS cvid, emb AS cemb,
+        SELECT emb AS cemb,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
         FROM dbl
-        QUALIFY cid <= 16),
-      asgn AS (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.emb, c.cemb) /
-                 (sqrt(list_dot_product(e.emb, e.emb)) *
-                  sqrt(list_dot_product(c.cemb, c.cemb))) DESC, c.cid) AS r
-        FROM dbl e CROSS JOIN cent c),
-      cells AS (SELECT vec_id, cid AS cell FROM asgn WHERE r = 1),
+        QUALIFY cid <= (SELECT k FROM params2)),
+      coarse AS (
+        SELECT cid AS gid, cemb AS gemb FROM cent
+        WHERE cid <= (SELECT c FROM params2)),
+      centg AS (
+        SELECT cid, cemb, gid FROM (
+          SELECT f.cid, f.cemb, g.gid,
+                 row_number() OVER (PARTITION BY f.cid ORDER BY
+                   list_dot_product(f.cemb, g.gemb) /
+                   (sqrt(list_dot_product(f.cemb, f.cemb)) *
+                    sqrt(list_dot_product(g.gemb, g.gemb))) DESC, g.gid) AS r
+          FROM cent f CROSS JOIN coarse g) WHERE r = 1),
+      vg AS (
+        SELECT vec_id, emb, gid FROM (
+          SELECT e.vec_id, e.emb, g.gid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.emb, g.gemb) /
+                   (sqrt(list_dot_product(e.emb, e.emb)) *
+                    sqrt(list_dot_product(g.gemb, g.gemb))) DESC, g.gid) AS r
+          FROM dbl e CROSS JOIN coarse g) WHERE r = 1),
+      cells AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT v.vec_id, f.cid,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.emb, f.cemb) /
+                   (sqrt(list_dot_product(v.emb, v.emb)) *
+                    sqrt(list_dot_product(f.cemb, f.cemb))) DESC, f.cid) AS r
+          FROM vg v JOIN centg f ON f.gid = v.gid) WHERE r = 1),
       probes AS (
         SELECT q.vec_id AS q_id, c.cid AS cell
         FROM dbl q CROSS JOIN cent c
@@ -345,7 +432,8 @@ object Similarity {
       SELECT q_id, rk, n_id, round(cos, 6) AS cos_r
       FROM ranked WHERE rk <= 5
       ORDER BY q_id, rk"""),
-    doc = "IVF ANN (deterministic coarse quantizer + nProbe cosine rescoring)")
+    doc = "IVF ANN (adaptive bounded-cell quantizer + nProbe cosine rescoring)")
+
 
   /** Int8-quantized top-k: per-vector max-abs scaling to int8 (4× less
     * storage/bandwidth than float32 — at 100 TB the quantized corpus is
@@ -527,16 +615,7 @@ object Similarity {
       val n = emb.count()
       val k = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
       val tau = 0.35
-      // Distributed top-k (TakeOrdered) selects the md5-ordered sample;
-      // cid numbering is a window over the tiny k-row table only.
-      import org.apache.spark.sql.expressions.Window
-      val wc = Window.orderBy(col("h"), col("vec_id"))
-      val cent = emb
-        .select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),
-          col("embedding").as("cemb"))
-        .orderBy(col("h"), col("vec_id")).limit(k.toInt)
-        .withColumn("cid", row_number().over(wc).cast("int"))
-        .select(col("cid"), col("cemb"))
+      val cent = md5CentroidSample(s, emb, k)
       val cells = emb.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("embedding"), col("cid"),
           call_function("cosine_sim", col("embedding"), col("cemb")).as("cos"))
@@ -608,10 +687,14 @@ object Similarity {
     * contract (hierarchical bounded cells), hash-checked end to end
     * against DuckDB replaying the identical two-level rule; the dedup
     * stage and output shape are q103's unchanged. The two centroid
-    * tables (k and c rows) are the only broadcasts — MBs at gate scale;
-    * past ~10⁸ centroids drop the fine-table broadcast hint and let the
-    * gid join shuffle (it is already keyed on gid). The corpus shuffles
-    * once per argmax group-by and once on cell id — never collected. */
+    * tables (k and c rows) are the only broadcasts — MBs at gate scale.
+    * At ~300 bytes per 64-dim float centroid row the fine table reaches
+    * Spark's practical broadcast ceiling (~1 GB) near 10⁶–10⁷
+    * centroids, i.e. corpora of ~10⁹ vectors at B=256: past that, drop
+    * the fine-table broadcast hint and let the gid join shuffle (it is
+    * already keyed on gid; the corpus side shuffles on gid either way).
+    * The corpus shuffles once per argmax group-by and once on cell id —
+    * never collected. */
   val q114SemanticDedupHier: Q = Q(
     "q114_semantic_dedup_hier",
     (s, d) => {
@@ -623,44 +706,8 @@ object Similarity {
       val k = math.max(16L, math.ceil(n / 256.0).toLong)
       val c = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
       val tau = 0.35
-      import org.apache.spark.sql.expressions.Window
-      val wc = Window.orderBy(col("h"), col("vec_id"))
-      val cent = emb
-        .select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),
-          col("embedding").as("cemb"))
-        .orderBy(col("h"), col("vec_id")).limit(k.toInt)
-        .withColumn("cid", row_number().over(wc).cast("int"))
-        .select(col("cid"), col("cemb"))
-      val coarse = cent.filter(col("cid") <= c)
-        .select(col("cid").as("gid"), col("cemb").as("gemb"))
-      // fine→coarse routing table: k·c work on k rows — negligible, and
-      // broadcast back for the per-coarse-cell fine competition
-      val centRouted = cent.crossJoin(broadcast(coarse))
-        .select(col("cid"), col("cemb"), col("gid"),
-          call_function("cosine_sim", col("cemb"), col("gemb")).as("cos"))
-        .groupBy(col("cid"))
-        .agg(first(col("cemb")).as("cemb"),
-          max_by(col("gid"), struct(col("cos"), (lit(0) - col("gid")).as("ng")))
-            .as("gid"))
-        .select(col("gid"), col("cid"), col("cemb"))
-      // stage 1: vector → nearest coarse centroid (n·c evaluations)
-      val routed = emb.crossJoin(broadcast(coarse))
-        .select(col("vec_id"), col("embedding"), col("gid"),
-          call_function("cosine_sim", col("embedding"), col("gemb")).as("cos"))
-        .groupBy(col("vec_id"))
-        .agg(first(col("embedding")).as("embedding"),
-          max_by(col("gid"), struct(col("cos"), (lit(0) - col("gid")).as("ng")))
-            .as("gid"))
-      // stage 2: only the routed coarse cell's fine centroids compete
-      // (join on gid against the broadcast k-row routing table)
-      val cells = routed.join(broadcast(centRouted), "gid")
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          call_function("cosine_sim", col("embedding"), col("cemb")).as("cos"))
-        .groupBy(col("vec_id"))
-        .agg(first(col("embedding")).as("embedding"),
-          max_by(col("cid"), struct(col("cos"), (lit(0) - col("cid")).as("nc")))
-            .as("cell"))
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      val cent = md5CentroidSample(s, emb, k)
+      val cells = hierAssign(emb, cent, c)
       val dups = cells.as("a").join(cells.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .filter(expr("cosine_sim(a.embedding, b.embedding)") >= tau)

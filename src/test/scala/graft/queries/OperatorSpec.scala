@@ -76,10 +76,15 @@ class OperatorSpec extends SparkSpec {
 
   test("IVF ANN recall@5: printed, monotone in nProbe") {
     val brute = bruteTop5
-    val sweep = Seq(1, 4, 16).map(p => p -> recallAt5(Similarity.ivfAnn(spark, d, p), brute))
+    // nlist from the same adaptive rule as ivfIndex (k = max(16,
+    // ⌈n/256⌉) — 16 at gate scale), so the sweep's last point always
+    // probes EVERY cell regardless of corpus size
+    val n = graft.Tables.embeddings(spark, d).count()
+    val k = math.max(16L, math.ceil(n / 256.0).toLong).toInt
+    val sweep = Seq(1, 4, k).map(p => p -> recallAt5(Similarity.ivfAnn(spark, d, p), brute))
     info(sweep.map { case (p, r) => f"recall@5[nProbe=$p]=$r%.3f" }.mkString("IVF ", ", ", ""))
     assert(sweep.find(_._1 == 4).get._2 >= 0.2, "IVF recall@5 at nProbe=4 suspiciously low")
-    // probing all 16 of 16 cells = exhaustive search → recall 1.0 exactly
+    // probing all k of k cells = exhaustive search → recall 1.0 exactly
     assert(sweep.last._2 == 1.0, "nProbe=k must equal brute force")
     sweep.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
       assert(r1 <= r2 + 1e-9, s"recall fell from $r1 (nProbe=$p1) to $r2 (nProbe=$p2)")

@@ -144,4 +144,45 @@ class PlanSpec extends SparkSpec {
     }
     assert(!smjOnGid, s"no sort-merge join may key on gid:\n$p")
   }
+
+  /** Shared walk: true iff some SortMergeJoin's keys mention `key` —
+    * the formatted detail blocks attribute keys lines to the header
+    * operator above them. */
+  private def smjKeyedOn(p: String, key: String): Boolean = {
+    var inSmj = false
+    var hit = false
+    p.linesIterator.foreach { l =>
+      val t = l.trim
+      if (t.matches("""\(\d+\) \w.*""")) inSmj = t.contains("SortMergeJoin")
+      else if (inSmj && t.contains("keys") && t.contains(key)) hit = true
+    }
+    hit
+  }
+
+  test("q53: adaptive IVF assignment joins broadcast — the corpus never SMJ-shuffles on gid or cell") {
+    graft.functions.CosineSimilarity.register(spark)
+    val p = plan(Similarity.ivfAnn(spark, d, nProbe = 4))
+    // coarse routing crossJoins the broadcast c-row table; the fine
+    // competition and the probe→candidate join are broadcast hash
+    // joins. An SMJ keyed on gid would mean the index build shuffles
+    // the corpus per quantizer level; one keyed on cell would mean the
+    // probe shuffles the corpus per query batch — either kills the
+    // Θ(n^1.25)-build / flat-probe claim.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"coarse routing must broadcast the centroid table:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"fine competition and probe joins must broadcast:\n$p")
+    assert(!smjKeyedOn(p, "gid"), s"no sort-merge join may key on gid:\n$p")
+    assert(!smjKeyedOn(p, "cell"), s"no sort-merge join may key on cell:\n$p")
+  }
+
+  test("q34: the language scoring array is bound once, not evaluated per field read") {
+    val p = plan(TextOps.q34LangId.fn(spark, d))
+    val n = "array_sort".r.findAllMatchIn(p).size
+    // pred_lang reads two fields of the argmax winner; binding the
+    // scored array_sort to one projected struct keeps the per-row sort
+    // to a single evaluation (round 13 — the r12 plan evaluated it
+    // twice, roughly doubling q34's per-row work)
+    assert(n == 1, s"array_sort must appear exactly once in the plan (found $n):\n$p")
+  }
 }
