@@ -31,6 +31,23 @@ object Bench {
     * timed suite. */
   val oracleOnly: Set[String] = Set("q46_minhash_md5", "q47_simhash_md5")
 
+  /** Queries whose steady timings are warm reads of session-persisted
+    * relations (dedup shingles / verified pairs, packing token counts).
+    * The bench protocol amortizes those builds across the family — the
+    * way a real pipeline does — but the headline number must not pass
+    * for a cold query: each of these ALSO gets a dedicated cache-cold
+    * run (caches released first, one-time build included) committed
+    * next to the steady min as `cold_first_sec`, and the artifact names
+    * the warm readers in `cached_relations` (round 13; r12's numbers
+    * required cross-referencing the stress artifacts to decompose). */
+  val cachedRelations: Set[String] = Set(
+    "q42_ngram_jaccard", "q43_minhash_lsh", "q45_dedup_clusters",
+    "q105_sequence_packing", "q106_pack_manifest")
+  /** Cold-measured set: the cache riders plus q111 as a control — it
+    * builds its own digest windows (no shared relation), so its cold ≈
+    * steady row documents which dedup numbers amortize and which don't. */
+  val coldMeasured: Set[String] = cachedRelations + "q111_substring_dedup"
+
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
   private def repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
@@ -53,8 +70,8 @@ object Bench {
   def main(args: Array[String]): Unit =
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
       case Some(csv) => // child: time the named queries, print one JSON line
-        val (results, failed) = runQueries(csv.split(",").filter(_.nonEmpty).toSeq)
-        println(resultJson(results, failed, skipped = Nil))
+        val (results, failed, colds) = runQueries(csv.split(",").filter(_.nonEmpty).toSeq)
+        println(resultJson(results, failed, skipped = Nil, colds = colds))
       case None => parent()
     }
 
@@ -76,9 +93,10 @@ object Bench {
           runQueries(batch)
       }
     }
-    val (results, failed) = (perBatch.flatMap(_._1), perBatch.flatMap(_._2))
+    val (results, failed, colds) =
+      (perBatch.flatMap(_._1), perBatch.flatMap(_._2), perBatch.flatMap(_._3))
     val json = resultJson(results, failed, skipped = oracleOnly.toSeq.sorted,
-      fallback = fallbackBatches.toSeq)
+      fallback = fallbackBatches.toSeq, colds = colds)
     // the driver's bench artifact keeps only a BOUNDED TAIL of stdout
     // (~2000 chars): the full-name full-precision line (~3200 chars for
     // ~100 queries) gets truncated mid-map and the round artifact
@@ -88,13 +106,14 @@ object Bench {
     // immutable BENCH_rNN.json carries a complete parseable map. The
     // full-fidelity line persists in BENCH_LOCAL.json (committed per
     // round as BENCH_rNN_full.json via tools/snapshot_bench.py).
-    println(compactJson(results, failed))
+    println(compactJson(results, failed, colds))
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json: ${e.getMessage}") }
   }
 
-  private def compactJson(results: Seq[(String, Double)], failed: Seq[String]): String = {
+  private def compactJson(results: Seq[(String, Double)], failed: Seq[String],
+                          colds: Seq[(String, Double)]): String = {
     def short(n: String): String = n.split("_").head
     // q-number prefixes are unique today; if a future name collides,
     // fall back to full names for the colliding entries rather than
@@ -106,11 +125,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if !v.isNaN && v >= 0 => v }.sum
     val failedArr = failed.map(n => "\"" + key(n) + "\"").mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":$failedArr,"full_map":"BENCH_LOCAL.json"}"""
+    val coldMap = colds.sortBy(_._1)
+      .map { case (k, v) => "\"" + key(k) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":$failedArr,"cold_first_sec":$coldMap,"full_map":"BENCH_LOCAL.json"}"""
   }
 
   /** Fork one fresh JVM for `batch`, parse its JSON line. */
-  private def runChild(batch: Seq[String]): (Seq[(String, Double)], Seq[String]) = {
+  private def runChild(batch: Seq[String])
+      : (Seq[(String, Double)], Seq[String], Seq[(String, Double)]) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     // inherit module opens / memory / -D flags; a child without the
     // --add-opens list cannot even build a SparkSession on JDK 17+
@@ -137,12 +159,16 @@ object Bench {
       n -> (if (node.isNull) Double.NaN else node.asDouble)
     }
     val failed = root.get("failed").elements.asScala.map(_.asText).toSeq
-    (results, failed)
+    val colds = Option(root.get("cold_first_sec")).toSeq.flatMap { node =>
+      node.fieldNames.asScala.toSeq.map(n => n -> node.get(n).asDouble)
+    }
+    (results, failed, colds)
   }
 
   /** Time `names` in THIS JVM (min over `repeats`); the original
     * single-JVM loop, now per-batch. */
-  private def runQueries(names: Seq[String]): (Seq[(String, Double)], Seq[String]) = {
+  private def runQueries(names: Seq[String])
+      : (Seq[(String, Double)], Seq[String], Seq[(String, Double)]) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -162,8 +188,21 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n: ${e.getMessage}") }
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
+    val colds = scala.collection.mutable.ListBuffer[(String, Double)]()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // cache-cold datapoint first: release the shared relations, pay
+      // the one-time build inside the measurement, THEN let the normal
+      // repeat loop measure the warm steady floor
+      if (coldMeasured(name)) {
+        queries.Dedup.releaseShingles()
+        queries.Curation.releaseTokenCounts()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count()
+              colds += name -> (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name cold run failed: ${e.getMessage}") }
+      }
       val times = scala.collection.mutable.ListBuffer[Double]()
       var attempts = 0
       // base repeats for everyone; sub-second queries keep going (up to
@@ -190,16 +229,19 @@ object Bench {
     queries.Dedup.releaseShingles() // free the dedup pass's persisted blocks
     queries.Curation.releaseTokenCounts()
     spark.stop()
-    (results, failed.toSeq)
+    (results, failed.toSeq, colds.toSeq)
   }
 
   private def resultJson(results: Seq[(String, Double)], failed: Seq[String],
-                         skipped: Seq[String], fallback: Seq[String] = Nil): String = {
+                         skipped: Seq[String], fallback: Seq[String] = Nil,
+                         colds: Seq[(String, Double)] = Nil): String = {
     val qs = results.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + (if (v.isNaN) "null" else v.toString) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if !v.isNaN && v >= 0 => v }.sum
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":${arr(failed)},"skipped_oracle_twins":${arr(skipped)},"single_jvm_fallback":${arr(fallback)}}"""
+    val coldMap = colds.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v.toString }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":${arr(failed)},"cold_first_sec":$coldMap,"cached_relations":${arr(cachedRelations.toSeq.sorted)},"skipped_oracle_twins":${arr(skipped)},"single_jvm_fallback":${arr(fallback)}}"""
   }
 }
