@@ -182,6 +182,116 @@ object Stress {
     val semOut = semSection("semantic_dedup", "q103_semantic_dedup", 0.9) + "," +
       semSection("semantic_dedup_hier", "q114_semantic_dedup_hier", 0.85)
 
+    // Code revision per pass: merge_stress.py refuses to min-merge
+    // passes from different code versions (the r12 artifact mixed
+    // pre- and post-pairs-cache passes and its per-field min silently
+    // compared different engines).
+    val revision =
+      try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD"),
+        new File(".")).!!.trim
+      catch { case _: Exception => "unknown" }
+
+    // IVF build/probe split — the claim the adaptive quantizer makes is
+    // ASYMMETRIC: index build grows Θ(n^1.25) (coarse routing), while a
+    // query's probe cost is nProbe · ~256 rescores REGARDLESS of corpus
+    // size. The q53 row above times the fused pipeline (build + probe);
+    // this section persists the index once and times probes alone, so
+    // the tiers show probe_sec flat while build_sec grows.
+    val ivfJson = {
+      val t0 = System.nanoTime()
+      val (cent, assigned) = queries.Similarity.ivfIndex(spark, out)
+      val centP = cent.persist()
+      val asgP = assigned.persist()
+      val nlist = centP.count()
+      val nVecs = asgP.count()
+      sampleHeap()
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val qEmb = Tables.embeddings(spark, out).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def probeOnce(): Double = {
+        val t = System.nanoTime()
+        queries.Similarity.ivfProbe(spark, centP, asgP, qEmb, nProbe = 4)
+          .queryExecution.toRdd.count()
+        sampleHeap()
+        (System.nanoTime() - t) / 1e9
+      }
+      val pFirst = probeOnce()
+      val pSteady = math.min(probeOnce(), probeOnce())
+      asgP.unpersist(blocking = true)
+      centP.unpersist(blocking = true)
+      System.err.println(f"[stress] ivf_split nlist=$nlist build=$buildSec%.1fs " +
+        f"probe_first=$pFirst%.2fs probe=$pSteady%.2fs")
+      f""""ivf_split":{"nlist":$nlist,"vectors":$nVecs,"build_sec":$buildSec%.2f,"probe_first_sec":$pFirst%.2f,"probe_sec":$pSteady%.2f}"""
+    }
+
+    // CDC catch-up at scale — the q113 composition measured: a KV table
+    // written as 4 append versions (v1 = backfill snapshot, v2-v4 = the
+    // tail), then a streaming tail from sinceVersion=1 drained with
+    // AvailableNow under a 64 MB byte-denominated admission cap, so
+    // catch-up runs as BOUNDED micro-batches (the unit of retry stays
+    // fixed as the backlog grows — the 100 TB requirement) and the
+    // rows/sec across tiers is the catch-up throughput curve. The table
+    // build is cached across passes (build_sec = 0 on reuse); the drain
+    // re-runs every pass from a fresh checkpoint. Exactly-once is
+    // asserted at scale: drained rows must equal the tail's row count.
+    val cdcJson = {
+      val cdcDir = s"$out/_kv_cdc_catchup"
+      val cdcCat =
+        """{"table":{"name":"cdc_catchup"},"rowkey":"lk",
+          | "columns":{"lk":{"cf":"rowkey","col":"lk","type":"long"},
+          |            "l_quantity":{"cf":"m","col":"qt","type":"double"},
+          |            "l_returnflag":{"cf":"m","col":"rf","type":"string"}}}""".stripMargin
+      val li = spark.read.parquet(s"$out/lineitem.parquet")
+        .select((col("l_orderkey") * 100 + col("l_linenumber")).as("lk"),
+          col("l_quantity"), col("l_returnflag"), col("l_orderkey"))
+      val built = !new File(s"$cdcDir/_kvmeta.json").exists()
+      var buildSec = 0.0
+      if (built) {
+        val t0 = System.nanoTime()
+        (0 until 4).foreach { sl =>
+          li.filter(col("l_orderkey") % 4 === sl).drop("l_orderkey")
+            .repartitionByRange(32, col("lk"))
+            .write.format("graft-kv").option("catalog", cdcCat)
+            .option("path", cdcDir).mode("append").save()
+        }
+        buildSec = (System.nanoTime() - t0) / 1e9
+      }
+      val tailRows = li.filter(col("l_orderkey") % 4 =!= 0).count()
+      val ckpt = s"$cdcDir-ckpt"
+      def rmrf(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new File(ckpt))
+      val t1 = System.nanoTime()
+      val q = spark.readStream.format("graft-kv")
+        .option("catalog", cdcCat).option("path", cdcDir)
+        .option("sinceVersion", 1)
+        .option("maxBytesPerTrigger", (64L << 20).toString)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val drainSec = (System.nanoTime() - t1) / 1e9
+      sampleHeap()
+      val progresses = q.recentProgress
+      val drained = progresses.map(_.numInputRows).sum
+      val nBatches = progresses.count(_.numInputRows > 0)
+      q.stop()
+      rmrf(new File(ckpt))
+      // recentProgress keeps the last 100 updates; at 64 MB per batch
+      // the tiers stay well under that — if a future tier overflows it,
+      // the count is partial and the assert must not fire spuriously
+      if (progresses.length < 100)
+        require(drained == tailRows,
+          s"CDC tail drained $drained rows, expected $tailRows (exactly-once violated)")
+      System.err.println(f"[stress] cdc_catchup built=$built build=$buildSec%.1fs " +
+        f"drain=$drainSec%.1fs rows=$tailRows batches=$nBatches (${tailRows / drainSec}%.0f rows/s)")
+      f""""cdc_catchup":{"built":$built,"build_sec":$buildSec%.2f,"drain_sec":$drainSec%.2f,"tail_rows":$tailRows,"micro_batches":$nBatches,"rows_per_sec":${tailRows / drainSec}%.0f}"""
+    }
+
     if (heavy) {
       // the reduced tier's artifact: heavy-family timings, q45's
       // per-round frontier collapse, and the recall-checked SemDeDup —
@@ -190,7 +300,7 @@ object Stress {
         f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
       }.mkString("{", ",", "}")
       val frontier = q45Frontiers.mkString("[", ",", "]")
-      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,"q45_escalated":$q45Escalated,$semOut,"peak_heap_mb":$peakHeapMb}""")
+      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,"q45_escalated":$q45Escalated,$semOut,$ivfJson,$cdcJson,"peak_heap_mb":$peakHeapMb}""")
       spark.stop()
       return
     }
@@ -440,7 +550,7 @@ object Stress {
     val pointJson =
       f""""point_lookup_ab":{"pruned_sec":$ptPruneSec%.2f,"unpruned_sec":$ptBaseSec%.2f,"speedup":${ptBaseSec / ptPruneSec}%.2f,"shards_skipped":$ptPruned,"shards_total":$ptTotal}"""
     val frontierJson = q45Frontiers.mkString("[", ",", "]")
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,"q45_escalated":$q45Escalated,$pairsJson,$semOut,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,"q45_escalated":$q45Escalated,$pairsJson,$semOut,$ivfJson,$cdcJson,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

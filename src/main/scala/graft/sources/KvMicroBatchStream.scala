@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.kv.KvStore
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -44,7 +44,8 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
                          maxBytesPerTrigger: Long = 0L,
                          buckets: Int = 0,
                          eventTime: Option[KvEventTime] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   /** Missing manifest = table not yet written → version 0 (the file
     * source tolerates an initially empty directory the same way). */
@@ -53,7 +54,27 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
       KvStore.readMeta(dir).version
     else 0L
 
-  override def latestOffset(): Offset = KvOffset(currentVersion())
+  /** Trigger.AvailableNow support (round 13 — without it Spark falls
+    * back to a SINGLE Trigger.Once batch and IGNORES the admission
+    * caps, which is precisely the unbounded unit of retry
+    * `maxVersionsPerTrigger`/`maxBytesPerTrigger` exist to prevent).
+    * "Available now" is pinned to the manifest version captured HERE;
+    * the drain then proceeds as normal rate-limited micro-batches
+    * ([[latestOffset(start, limit)]] caps each step) until the pinned
+    * end, never past it — a writer appending mid-drain is the next
+    * run's work, exactly the file source's semantics. */
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(currentVersion())
+
+  /** The live head, clipped to the AvailableNow capture if one is set. */
+  private def headVersion(): Long = {
+    val cur = currentVersion()
+    availableNowEnd.fold(cur)(math.min(cur, _))
+  }
+
+  override def latestOffset(): Offset = KvOffset(headVersion())
 
   /** Admission control: `maxVersionsPerTrigger` caps each micro-batch
     * at N manifest versions. Without it, a stream starting far behind
@@ -121,7 +142,7 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = currentVersion()
+    val cur = headVersion()
     val s = start.asInstanceOf[KvOffset].version
     KvOffset(applyLimit(s, cur, limit))
   }

@@ -73,6 +73,43 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("star contraction's reliable-checkpoint mode labels identically to localCheckpoint mode") {
+    // same dual-mode contract as propagation (OperatorSpec pins label's):
+    // reliable=true must refuse without a checkpoint dir, and with one
+    // set must produce the identical labeling — per-round checkpoints
+    // change fault-tolerance, never semantics
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val len = 256L
+    val chain = spark.range(0L, len - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val verts = spark.range(0L, len).toDF("doc_id")
+    try {
+      val local = ConnectedComponents.labelAlternating(verts, chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        ConnectedComponents.labelAlternating(verts, chain, reliable = true)
+      }
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-alt-ckpt")
+      spark.sparkContext.setCheckpointDir(ckptDir.toString)
+      try {
+        val rel = ConnectedComponents.labelAlternating(verts, chain, reliable = true)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(rel == local, "both checkpoint strategies must produce one labeling")
+      } finally {
+        // unset (null → None) so other suites' no-dir refusal checks
+        // still see the shared session pristine
+        spark.sparkContext.setCheckpointDir(null)
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
+          f.delete(): Unit
+        }
+        rmrf(ckptDir.toFile)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("star contraction converges on a chain where propagation's round budget explodes") {
     // a single long path: diameter = length. Min-label propagation needs
     // one round PER HOP — the documented long-diameter failure mode —

@@ -160,7 +160,10 @@ class OperatorSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(rel == local, "both checkpoint strategies must produce one labeling")
     } finally {
-      // leave no checkpoint-dir state behind for other suites
+      // leave no checkpoint-dir state behind for other suites — unset
+      // the dir itself too (null → None), so their no-dir refusal
+      // checks see the shared session pristine
+      spark.sparkContext.setCheckpointDir(null)
       def rmrf(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
         f.delete(): Unit

@@ -211,6 +211,15 @@ class KvStreamSpec extends SparkSpec {
     assert(spark.table("kv_admnow_out").select("k")
       .collect().map(_.getLong(0)).sorted.toSeq == (1L to 50L),
       "rate-limited AvailableNow drain must deliver the full backlog exactly once")
+    // the drain must honor the admission cap: 5 versions at
+    // maxVersionsPerTrigger=2 → ceil(5/2) = 3 bounded micro-batches.
+    // One monolithic batch means the source fell back to Trigger.Once
+    // and IGNORED the cap (the pre-r13 behavior before the stream
+    // implemented SupportsTriggerAvailableNow) — the unbounded unit of
+    // retry the cap exists to prevent.
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"AvailableNow must drain in >= 3 rate-limited batches, got ${batches.length}")
   }
 
   test("maxBytesPerTrigger bounds catch-up by commit size, losing nothing") {
@@ -313,6 +322,68 @@ class KvStreamSpec extends SparkSpec {
       spark.read.format("graft-kv").option("catalog", cat).option("path", dir)
         .option("eventTimeColumn", "v").load() // string column
     }
+  }
+
+  test("two KV streams join on the derived event-time with bounded state cleanup") {
+    import spark.implicits._
+    val lCat =
+      """{"table":{"name":"ssj_imps"},"rowkey":"k",
+        | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
+        |            "u":{"cf":"f","col":"u","type":"long"},
+        |            "et":{"cf":"f","col":"et","type":"long"}}}""".stripMargin
+    val rCat = lCat.replace("ssj_imps", "ssj_clicks")
+    val lDir = Files.createTempDirectory("graft-kv-ssj-l").toString
+    val rDir = Files.createTempDirectory("graft-kv-ssj-r").toString
+    def write(dir: String, cat: String, rows: Seq[(Long, Long, Long)], mode: String): Unit =
+      rows.toDF("k", "u", "et").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+    def stream(dir: String, cat: String, p: String) =
+      spark.readStream.format("graft-kv")
+        .option("catalog", cat).option("path", dir)
+        .option("eventTimeColumn", "et").option("eventTimeUnit", "millis").load()
+        .withWatermark("_event_time", "10 seconds")
+        .select(col("k").as(s"${p}_k"), col("u").as(s"${p}_u"),
+          col("_event_time").as(s"${p}_t"))
+
+    // impression at t=1s for user 100; click at t=3s — attributable
+    // (click within [impression, impression + 10s])
+    write(lDir, lCat, Seq((1L, 100L, 1000L)), "overwrite")
+    write(rDir, rCat, Seq((11L, 100L, 3000L)), "overwrite")
+    val joined = stream(lDir, lCat, "l").join(stream(rDir, rCat, "r"),
+      expr("l_u = r_u AND r_t BETWEEN l_t AND l_t + interval 10 seconds"))
+      .select(col("l_k"), col("r_k"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("kv_ssj_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kv_ssj_out").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == Set((1L, 11L)), "the on-time attribution pair must join")
+
+      // advance BOTH watermarks to ~t=60s (watermark 50s): another
+      // attributable pair joins, and the t=1s impression's state is now
+      // evictable on the next maintenance batch
+      write(lDir, lCat, Seq((2L, 200L, 60000L)), "append")
+      write(rDir, rCat, Seq((12L, 200L, 61000L)), "append")
+      q.processAllAvailable()
+      assert(spark.table("kv_ssj_out").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == Set((1L, 11L), (2L, 12L)), "the second pair must join")
+
+      // a LATE click (t=3.5s, far below the ~50s watermark) for the
+      // evicted impression must produce NOTHING — if it joins, state
+      // cleanup never happened and join state grows without bound
+      write(rDir, rCat, Seq((13L, 100L, 3500L)), "append")
+      q.processAllAvailable()
+      assert(spark.table("kv_ssj_out").count() == 2,
+        "a click below the watermark must not join against evicted state")
+
+      // bounded state, asserted from the progress metrics: the join
+      // operator must retain FEWER rows than were ever ingested (4
+      // on-time rows entered state; the first pair's must be gone)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows < 4,
+        s"join state must shrink after watermark passes (retained $stateRows of 4 ever-added rows)")
+    } finally q.stop()
   }
 
   test("a watermarked KV stream drops rows later than the watermark") {

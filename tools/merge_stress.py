@@ -10,10 +10,43 @@ standard floor-of-noise estimator the 1x/10x/30x tiers get from their
 min-of-two repeats) and keeps every pass's raw steady time alongside
 so the variance itself stays visible.
 
+Merging is only meaningful across passes of the SAME code: a per-field
+min over different engine versions compares apples to oranges (the r12
+artifact mixed pre- and post-pairs-cache passes, making q42's merged
+steady_sec a warm-cache read ~40x below what the same field meant in
+the other passes). Every pass JSON therefore carries the git revision
+it ran at, and this tool REFUSES to merge passes whose revisions
+differ. Legacy passes without a revision field are refused too —
+re-run them at HEAD.
+
 Usage: python3 tools/merge_stress.py OUT PASS1.json PASS2.json [...]
 """
 import json
 import sys
+
+# dict-valued sections merged field-by-field: numeric timing fields take
+# the per-field min across passes; non-timing fields (rows, recall,
+# counts) come from the min-steady pass (deterministic per code version)
+SECTIONS = ("semantic_dedup", "semantic_dedup_hier", "ivf_split", "cdc_catchup")
+TIMING_FIELDS = ("first_sec", "steady_sec", "build_sec", "probe_first_sec",
+                 "probe_sec", "drain_sec")
+
+
+def merge_section(passes, key):
+    sem = [p[key] for p in passes if key in p]
+    if not sem:
+        return None
+    steady_key = next((f for f in ("steady_sec", "probe_sec", "drain_sec")
+                       if f in sem[0]), None)
+    base = dict(min(sem, key=lambda s: s[steady_key]) if steady_key else sem[0])
+    for f in TIMING_FIELDS:
+        vals = [s[f] for s in sem if f in s]
+        if vals:
+            base[f] = min(vals)
+    if steady_key:
+        base[steady_key + "_per_pass"] = [p.get(key, {}).get(steady_key)
+                                          for p in passes]
+    return base
 
 
 def main() -> int:
@@ -27,9 +60,14 @@ def main() -> int:
                 base["copies"], base["base"], base.get("mode")):
             print("refusing to merge passes of different tiers", file=sys.stderr)
             return 1
+    revisions = [p.get("revision") for p in passes]
+    if None in revisions or len(set(revisions)) != 1:
+        print(f"refusing to merge passes of mixed/unknown code revisions: "
+              f"{revisions} — re-run every pass at one revision", file=sys.stderr)
+        return 1
     merged = {
         "metric": "stress", "mode": base.get("mode"), "copies": base["copies"],
-        "base": base["base"], "passes": len(passes),
+        "base": base["base"], "revision": revisions[0], "passes": len(passes),
         "shuffle_partitions_per_pass": [p.get("shuffle_partitions") for p in passes],
         "queries": {},
         # run metadata (frontier log, escalation marker) from the NEWEST
@@ -39,6 +77,11 @@ def main() -> int:
         "q45_escalated": next((p["q45_escalated"] for p in reversed(passes)
                                if "q45_escalated" in p), None),
         "peak_heap_mb_per_pass": [p.get("peak_heap_mb") for p in passes],
+        "notes": ("per-field min across same-revision passes; steady_sec for the "
+                  "dedup family (q42/q45) reads session-persisted shingle/pair "
+                  "relations — within each pass, only the FIRST dedup probe's "
+                  "first_sec carries the one-time relation build; later family "
+                  "members' first runs start warm"),
     }
     # union of query keys: a probe added to the tier mid-round appears in
     # later passes only — min over the passes that ran it, None elsewhere
@@ -51,19 +94,12 @@ def main() -> int:
             "steady_sec": min(s for s in steadies if s is not None),
             "steady_per_pass": steadies,
         }
-    for key in ("semantic_dedup", "semantic_dedup_hier"):
-        sem = [p[key] for p in passes if key in p]
-        if sem:
-            # same estimator as the queries map: each timing field is the
-            # min across passes independently (recall/rows are
-            # deterministic per code version — any pass's copy is fine)
-            merged[key] = dict(
-                min(sem, key=lambda s: s["steady_sec"]),
-                first_sec=min(s["first_sec"] for s in sem),
-                steady_sec=min(s["steady_sec"] for s in sem),
-                steady_per_pass=[p.get(key, {}).get("steady_sec") for p in passes])
+    for key in SECTIONS:
+        sec = merge_section(passes, key)
+        if sec is not None:
+            merged[key] = sec
     json.dump(merged, open(out, "w"), indent=1)
-    print(f"wrote {out}: {len(passes)} passes, "
+    print(f"wrote {out}: {len(passes)} passes @ {revisions[0]}, "
           + ", ".join(f"{q}={v['steady_sec']}" for q, v in merged["queries"].items()))
     return 0
 
