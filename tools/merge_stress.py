@@ -43,6 +43,12 @@ def merge_section(passes, key):
         vals = [s[f] for s in sem if f in s]
         if vals:
             base[f] = min(vals)
+    # a one-time build cached across passes reports 0.0 on reuse passes;
+    # the honest build cost is the min over passes that actually BUILT
+    if "built" in base:
+        built_vals = [s["build_sec"] for s in sem if s.get("built")]
+        base["built"] = bool(built_vals)
+        base["build_sec"] = min(built_vals) if built_vals else 0.0
     if steady_key:
         base[steady_key + "_per_pass"] = [p.get(key, {}).get(steady_key)
                                           for p in passes]
