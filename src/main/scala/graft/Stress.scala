@@ -199,29 +199,51 @@ object Stress {
     // the tiers show probe_sec flat while build_sec grows.
     val ivfJson = {
       val t0 = System.nanoTime()
-      val (cent, assigned) = queries.Similarity.ivfIndex(spark, out)
-      val centP = cent.persist()
-      val asgP = assigned.persist()
-      val nlist = centP.count()
-      val nVecs = asgP.count()
+      val idx0 = queries.Similarity.ivfIndex(spark, out)
+      val idx = idx0.copy(centRouted = idx0.centRouted.persist(),
+        assigned = idx0.assigned.persist())
+      val nlist = idx.centRouted.count()
+      val nVecs = idx.assigned.count()
       sampleHeap()
       val buildSec = (System.nanoTime() - t0) / 1e9
       val qEmb = Tables.embeddings(spark, out).filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       def probeOnce(): Double = {
         val t = System.nanoTime()
-        queries.Similarity.ivfProbe(spark, centP, asgP, qEmb, nProbe = 4)
+        queries.Similarity.ivfProbe(spark, idx, qEmb, nProbe = 4)
           .queryExecution.toRdd.count()
         sampleHeap()
         (System.nanoTime() - t) / 1e9
       }
       val pFirst = probeOnce()
       val pSteady = math.min(probeOnce(), probeOnce())
-      asgP.unpersist(blocking = true)
-      centP.unpersist(blocking = true)
+      // recall vs EXACT ground truth at this tier: the query set is
+      // bounded (20 vectors), so brute force is one linear broadcast
+      // scan — affordable even at 100×. This pins the adaptive index's
+      // quality at scale, not just at the 500-vector gate; epsilon-twin
+      // replicas make the true top-5 dominated by near-identical twins,
+      // which a sound cell assignment must co-locate with the query.
+      import org.apache.spark.sql.expressions.Window
+      def top5(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+        .select(col("q_id"), col("n_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wx = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      val exact = top5(Tables.embeddings(spark, out)
+        .join(broadcast(qEmb), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          expr("cosine_sim(q_emb, embedding)").as("cos"))
+        .withColumn("rk", row_number().over(wx)).filter(col("rk") <= 5))
+      val got = top5(queries.Similarity.ivfProbe(spark, idx, qEmb, nProbe = 4))
+      val recall = if (exact.isEmpty) 1.0
+                   else got.intersect(exact).size.toDouble / exact.size
+      sampleHeap()
+      if (copies > 1) require(recall >= 0.6,
+        f"IVF recall@5 $recall%.4f < 0.6 vs exact ground truth at ${copies}x")
+      idx.assigned.unpersist(blocking = true)
+      idx.centRouted.unpersist(blocking = true)
       System.err.println(f"[stress] ivf_split nlist=$nlist build=$buildSec%.1fs " +
-        f"probe_first=$pFirst%.2fs probe=$pSteady%.2fs")
-      f""""ivf_split":{"nlist":$nlist,"vectors":$nVecs,"build_sec":$buildSec%.2f,"probe_first_sec":$pFirst%.2f,"probe_sec":$pSteady%.2f}"""
+        f"probe_first=$pFirst%.2fs probe=$pSteady%.2fs recall@5=$recall%.4f")
+      f""""ivf_split":{"nlist":$nlist,"vectors":$nVecs,"build_sec":$buildSec%.2f,"probe_first_sec":$pFirst%.2f,"probe_sec":$pSteady%.2f,"recall_at5":$recall%.4f}"""
     }
 
     // CDC catch-up at scale — the q113 composition measured: a KV table

@@ -243,20 +243,12 @@ object Similarity {
       .toDF("cid", "cemb")
   }
 
-  /** Two-level max-cosine assignment: vector → nearest coarse centroid
-    * (n·c evaluations) → nearest FINE centroid within that coarse cell
-    * (n·k/c expected). Every argmax breaks ties by smallest centroid id
-    * (max_by over (cos, -id) ≡ row_number ORDER BY cos DESC, id — the
-    * rule every oracle replays). Shared by q53's IVF index build and
-    * q114's hierarchical SemDeDup. `cent` must be (cid, cemb) with cid
-    * densely numbered so the first c rows form the coarse level.
-    * Returns (vec_id, embedding, cell). */
-  private def hierAssign(emb: DataFrame, cent: DataFrame, c: Long): DataFrame = {
-    val coarse = cent.filter(col("cid") <= c)
-      .select(col("cid").as("gid"), col("cemb").as("gemb"))
-    // fine→coarse routing table: k·c work on k rows — negligible, and
-    // broadcast back for the per-coarse-cell fine competition
-    val centRouted = cent.crossJoin(broadcast(coarse))
+  /** Fine→coarse routing table (gid, cid, cemb): each fine centroid
+    * attaches to its max-cosine coarse centroid, ties to the smallest
+    * gid — k·c work on k rows, negligible, broadcast back for the
+    * per-coarse-cell fine competition. */
+  private def routeCentroids(cent: DataFrame, coarse: DataFrame): DataFrame =
+    cent.crossJoin(broadcast(coarse))
       .select(col("cid"), col("cemb"), col("gid"),
         call_function("cosine_sim", col("cemb"), col("gemb")).as("cos"))
       .groupBy(col("cid"))
@@ -264,6 +256,15 @@ object Similarity {
         max_by(col("gid"), struct(col("cos"), (lit(0) - col("gid")).as("ng")))
           .as("gid"))
       .select(col("gid"), col("cid"), col("cemb"))
+
+  /** Two-level max-cosine assignment: vector → nearest coarse centroid
+    * (n·c evaluations) → nearest FINE centroid within that coarse cell
+    * (n·k/c expected). Every argmax breaks ties by smallest centroid id
+    * (max_by over (cos, -id) ≡ row_number ORDER BY cos DESC, id — the
+    * rule every oracle replays). Shared by q53's IVF index build and
+    * q114's hierarchical SemDeDup. Returns (vec_id, embedding, cell). */
+  private def assignRouted(emb: DataFrame, coarse: DataFrame,
+                           centRouted: DataFrame): DataFrame = {
     // stage 1: vector → nearest coarse centroid (n·c evaluations)
     val routed = emb.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("embedding"), col("gid"),
@@ -284,6 +285,21 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
+  /** `cent` must be (cid, cemb) with cid densely numbered so the first
+    * c rows form the coarse level (q114's entry point). */
+  private def hierAssign(emb: DataFrame, cent: DataFrame, c: Long): DataFrame = {
+    val coarse = cent.filter(col("cid") <= c)
+      .select(col("cid").as("gid"), col("cemb").as("gemb"))
+    assignRouted(emb, coarse, routeCentroids(cent, coarse))
+  }
+
+  /** A built IVF index: the coarse router (gid, gemb), the fine
+    * routing table (gid, cid, cemb), and the assigned corpus
+    * (vec_id, embedding, cell). Persist `centRouted` and `assigned`
+    * to amortize the build across probe batches. */
+  final case class IvfIndex(coarse: DataFrame, centRouted: DataFrame,
+                            assigned: DataFrame, nlist: Long)
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into cells
     * around a coarse quantizer; each query probes its nProbe best cells
     * and rescores only those candidates with exact cosine — the other
@@ -298,18 +314,15 @@ object Similarity {
     * does: a coarse router of c = ⌈√k⌉ centroids (a PREFIX of the same
     * md5-ordered sample — no second sampling rule) keeps index build at
     * n·(c + k/c) ≈ Θ(n^1.25) cosine evaluations instead of the flat
-    * n·k = Θ(n²/256); greedy routing can place a boundary vector in a
-    * different cell than flat argmax would (the recall sweep in
-    * OperatorSpec quantifies the trade and stays monotone in nProbe).
-    * Assignment is broadcast-crossJoin + map-side-combined argmax —
-    * NOT k literal arrays in one codegen'd expression, which would blow
-    * the JVM method limit at adaptive k.
+    * n·k = Θ(n²/256). Assignment is broadcast-crossJoin +
+    * map-side-combined argmax — NOT k literal arrays in one codegen'd
+    * expression, which would blow the JVM method limit at adaptive k.
     *
     * The index is split from the probe ([[ivfIndex]] / [[ivfProbe]])
     * because that is the real usage shape — build once, probe per
     * query — and it lets the stress harness measure the two costs
     * separately: build grows Θ(n^1.25), probe stays flat. */
-  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  def ivfIndex(s: SparkSession, d: String): IvfIndex = {
     graft.functions.CosineSimilarity.register(s)
     val emb = Tables.embeddings(s, d)
     // Bounded scalar collect: corpus count → deterministic nlist.
@@ -317,26 +330,46 @@ object Similarity {
     val k = math.max(16L, math.ceil(n / 256.0).toLong)
     val c = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
     val cent = md5CentroidSample(s, emb, k)
-    (cent, hierAssign(emb, cent, c))
+    val coarse = cent.filter(col("cid") <= c)
+      .select(col("cid").as("gid"), col("cemb").as("gemb"))
+    val centRouted = routeCentroids(cent, coarse)
+    IvfIndex(coarse, centRouted, assignRouted(emb, coarse, centRouted), k)
   }
 
-  /** Probe side: rank ALL k fine cells per query by centroid cosine
-    * (queries are bounded — |q|·k evaluations, distributed), take the
-    * top nProbe, then rescore only those cells' members with exact
-    * cosine. Probe sets are NESTED in nProbe, so candidate sets grow
-    * monotonically and recall@5 vs brute force is non-decreasing —
-    * OperatorSpec sweeps 1/4/k and asserts it. */
-  def ivfProbe(s: SparkSession, cent: DataFrame, assigned: DataFrame,
+  /** Probe side: rank fine cells per query in the SAME two-level order
+    * the assignment uses — coarse rank first (query → coarse centroids
+    * by cosine), then cosine among that coarse cell's fine centroids.
+    * Ranking by DIRECT query→fine cosine instead is the natural flat
+    * rule but mismatches greedy assignment: a near-identical neighbor
+    * is assigned to the best fine cell WITHIN its routed coarse cell,
+    * which need not be among the query's globally-closest fine
+    * centroids — measured at the 100× tier, the flat probe order
+    * dropped recall@5 to 0.35 while the route-consistent order keeps
+    * the epsilon-twin neighbors in the very first probed cell (the
+    * stress harness asserts recall ≥ 0.6 vs exact ground truth).
+    * The order is total over all k cells, so probe sets stay NESTED in
+    * nProbe: candidates grow monotonically, recall@5 is non-decreasing,
+    * and nProbe = nlist is exhaustive — OperatorSpec sweeps 1/4/k. */
+  def ivfProbe(s: SparkSession, idx: IvfIndex,
                queries: DataFrame, nProbe: Int): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cid"))
-    val probes = cent.crossJoin(broadcast(queries))
-      .select(col("q_id"), col("cid"),
+    // query → coarse ranking (|q|·c evaluations)
+    val wg = Window.partitionBy(col("q_id")).orderBy(col("gcos").desc, col("gid"))
+    val qg = queries.crossJoin(broadcast(idx.coarse))
+      .select(col("q_id"), col("q_emb"), col("gid"),
+        call_function("cosine_sim", col("q_emb"), col("gemb")).as("gcos"))
+      .withColumn("grk", row_number().over(wg))
+      .select(col("q_id"), col("q_emb"), col("gid"), col("grk"))
+    // all k fine cells per query, ordered (coarse rank, cosine, cid)
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("grk"), col("cos").desc, col("cid"))
+    val probes = idx.centRouted.join(broadcast(qg), "gid")
+      .select(col("q_id"), col("cid"), col("grk"),
         call_function("cosine_sim", col("q_emb"), col("cemb")).as("cos"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nProbe)
       .select(col("q_id"), col("cid").as("cell"))
-    val cands = assigned.join(broadcast(probes), Seq("cell"))
+    val cands = idx.assigned.join(broadcast(probes), Seq("cell"))
       .join(broadcast(queries), Seq("q_id"))
       .filter(col("vec_id") =!= col("q_id"))
     val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
@@ -349,17 +382,18 @@ object Similarity {
   }
 
   def ivfAnn(s: SparkSession, d: String, nProbe: Int): DataFrame = {
-    val (cent, assigned) = ivfIndex(s, d)
+    val idx = ivfIndex(s, d)
     val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    ivfProbe(s, cent, assigned, queries, nProbe)
+    ivfProbe(s, idx, queries, nProbe)
   }
 
   /** q53's oracle replays the ENTIRE adaptive IVF pipeline in SQL: the
     * nlist/coarse arithmetic from the corpus count, the md5-ordered
     * centroid sample, the two-level max-cosine assignment (smallest
     * centroid id on exact-double ties at every level), per-query
-    * top-nProbe probe cells over all fine centroids, and exact cosine
+    * top-nProbe probe cells in the assignment-consistent two-level
+    * order (coarse rank, then within-cell cosine), and exact cosine
     * rescoring — every cosine is the same left-to-right double fold on
     * both engines, so even this "approximate" index is hash-checked. */
   val q53IvfAnn: Q = Q(
@@ -405,14 +439,26 @@ object Similarity {
                    (sqrt(list_dot_product(v.emb, v.emb)) *
                     sqrt(list_dot_product(f.cemb, f.cemb))) DESC, f.cid) AS r
           FROM vg v JOIN centg f ON f.gid = v.gid) WHERE r = 1),
+      qg AS (
+        SELECT q_id, gid, grk FROM (
+          SELECT q.vec_id AS q_id, g.gid,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_dot_product(q.emb, g.gemb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(g.gemb, g.gemb))) DESC, g.gid) AS grk
+          FROM dbl q CROSS JOIN coarse g
+          WHERE q.vec_id < 20) t),
       probes AS (
-        SELECT q.vec_id AS q_id, c.cid AS cell
-        FROM dbl q CROSS JOIN cent c
-        WHERE q.vec_id < 20
-        QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
-          list_dot_product(q.emb, c.cemb) /
-          (sqrt(list_dot_product(q.emb, q.emb)) *
-           sqrt(list_dot_product(c.cemb, c.cemb))) DESC, c.cid) <= 4),
+        SELECT q_id, cell FROM (
+          SELECT qg.q_id, f.cid AS cell,
+                 row_number() OVER (PARTITION BY qg.q_id ORDER BY qg.grk,
+                   list_dot_product(qe.emb, f.cemb) /
+                   (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                    sqrt(list_dot_product(f.cemb, f.cemb))) DESC, f.cid) AS rk
+          FROM qg
+          JOIN centg f ON f.gid = qg.gid
+          JOIN dbl qe ON qe.vec_id = qg.q_id) t
+        WHERE rk <= 4),
       cands AS (
         SELECT p.q_id, a.vec_id AS n_id
         FROM probes p JOIN cells a ON a.cell = p.cell
