@@ -257,6 +257,20 @@ object Similarity {
           .as("gid"))
       .select(col("gid"), col("cid"), col("cemb"))
 
+  /** The fine-centroid table grows with the corpus at bounded cell
+    * size (k = n/256 → ~10⁹-vector corpora put k near 10⁶–10⁷ rows,
+    * GBs of 64-dim floats), so the stage-2 broadcast hint is applied
+    * only under `graft.centroidBroadcastMaxRows` (default 10⁶). Past
+    * it the gid-keyed equi-join simply shuffles — shuffle-safe by
+    * construction (the corpus side is keyed on gid either way), unlike
+    * the coarse crossJoins, whose c ≈ √k side stays broadcast-sized
+    * for any feasible corpus. */
+  private def maybeBroadcastCentroids(df: DataFrame, k: Long): DataFrame = {
+    val max = df.sparkSession.conf
+      .get("graft.centroidBroadcastMaxRows", "1000000").toLong
+    if (k <= max) broadcast(df) else df
+  }
+
   /** Two-level max-cosine assignment: vector → nearest coarse centroid
     * (n·c evaluations) → nearest FINE centroid within that coarse cell
     * (n·k/c expected). Every argmax breaks ties by smallest centroid id
@@ -264,7 +278,7 @@ object Similarity {
     * rule every oracle replays). Shared by q53's IVF index build and
     * q114's hierarchical SemDeDup. Returns (vec_id, embedding, cell). */
   private def assignRouted(emb: DataFrame, coarse: DataFrame,
-                           centRouted: DataFrame): DataFrame = {
+                           centRouted: DataFrame, k: Long): DataFrame = {
     // stage 1: vector → nearest coarse centroid (n·c evaluations)
     val routed = emb.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("embedding"), col("gid"),
@@ -274,8 +288,8 @@ object Similarity {
         max_by(col("gid"), struct(col("cos"), (lit(0) - col("gid")).as("ng")))
           .as("gid"))
     // stage 2: only the routed coarse cell's fine centroids compete
-    // (join on gid against the broadcast k-row routing table)
-    routed.join(broadcast(centRouted), "gid")
+    // (gid-keyed join against the routing table, broadcast when small)
+    routed.join(maybeBroadcastCentroids(centRouted, k), "gid")
       .select(col("vec_id"), col("embedding"), col("cid"),
         call_function("cosine_sim", col("embedding"), col("cemb")).as("cos"))
       .groupBy(col("vec_id"))
@@ -287,10 +301,11 @@ object Similarity {
 
   /** `cent` must be (cid, cemb) with cid densely numbered so the first
     * c rows form the coarse level (q114's entry point). */
-  private def hierAssign(emb: DataFrame, cent: DataFrame, c: Long): DataFrame = {
+  private def hierAssign(emb: DataFrame, cent: DataFrame, c: Long,
+                         k: Long): DataFrame = {
     val coarse = cent.filter(col("cid") <= c)
       .select(col("cid").as("gid"), col("cemb").as("gemb"))
-    assignRouted(emb, coarse, routeCentroids(cent, coarse))
+    assignRouted(emb, coarse, routeCentroids(cent, coarse), k)
   }
 
   /** A built IVF index: the coarse router (gid, gemb), the fine
@@ -333,7 +348,7 @@ object Similarity {
     val coarse = cent.filter(col("cid") <= c)
       .select(col("cid").as("gid"), col("cemb").as("gemb"))
     val centRouted = routeCentroids(cent, coarse)
-    IvfIndex(coarse, centRouted, assignRouted(emb, coarse, centRouted), k)
+    IvfIndex(coarse, centRouted, assignRouted(emb, coarse, centRouted, k), k)
   }
 
   /** Probe side: rank fine cells per query in the SAME two-level order
@@ -736,11 +751,13 @@ object Similarity {
     * tables (k and c rows) are the only broadcasts — MBs at gate scale.
     * At ~300 bytes per 64-dim float centroid row the fine table reaches
     * Spark's practical broadcast ceiling (~1 GB) near 10⁶–10⁷
-    * centroids, i.e. corpora of ~10⁹ vectors at B=256: past that, drop
-    * the fine-table broadcast hint and let the gid join shuffle (it is
-    * already keyed on gid; the corpus side shuffles on gid either way).
-    * The corpus shuffles once per argmax group-by and once on cell id —
-    * never collected. */
+    * centroids, i.e. corpora of ~10⁹ vectors at B=256 — past
+    * `graft.centroidBroadcastMaxRows` (default 10⁶) the hint is
+    * DROPPED automatically and the gid join shuffles (it is already
+    * keyed on gid; the corpus side shuffles on gid either way —
+    * [[maybeBroadcastCentroids]], plan-asserted both ways). The corpus
+    * shuffles once per argmax group-by and once on cell id — never
+    * collected. */
   val q114SemanticDedupHier: Q = Q(
     "q114_semantic_dedup_hier",
     (s, d) => {
@@ -753,7 +770,7 @@ object Similarity {
       val c = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
       val tau = 0.35
       val cent = md5CentroidSample(s, emb, k)
-      val cells = hierAssign(emb, cent, c)
+      val cells = hierAssign(emb, cent, c, k)
       val dups = cells.as("a").join(cells.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .filter(expr("cosine_sim(a.embedding, b.embedding)") >= tau)

@@ -176,6 +176,25 @@ class PlanSpec extends SparkSpec {
     assert(!smjKeyedOn(p, "cell"), s"no sort-merge join may key on cell:\n$p")
   }
 
+  test("q114: past the centroid ceiling the fine-table broadcast hint drops; results are identical") {
+    graft.functions.CosineSimilarity.register(spark)
+    val dflt = Similarity.q114SemanticDedupHier.fn(spark, d).collect().toSeq
+    spark.conf.set("graft.centroidBroadcastMaxRows", "0")
+    try {
+      val p = plan(Similarity.q114SemanticDedupHier.fn(spark, d))
+      // the gid-keyed fine competition must now plan WITHOUT a
+      // broadcast of the routing table — i.e. some shuffled join keys
+      // on gid (the shuffle-safe fallback the scaladoc promises) —
+      // while the c-row coarse crossJoins stay broadcast
+      assert(smjKeyedOn(p, "gid") || p.contains("ShuffledHashJoin"),
+        s"past the ceiling the fine competition must shuffle on gid:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"the coarse crossJoins must stay broadcast:\n$p")
+      val dropped = Similarity.q114SemanticDedupHier.fn(spark, d).collect().toSeq
+      assert(dropped == dflt, "hint choice must never change the labeling")
+    } finally spark.conf.unset("graft.centroidBroadcastMaxRows")
+  }
+
   test("q34: the language scoring array is bound once, not evaluated per field read") {
     val p = plan(TextOps.q34LangId.fn(spark, d))
     val n = "array_sort".r.findAllMatchIn(p).size
