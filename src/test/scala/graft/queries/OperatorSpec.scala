@@ -74,6 +74,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("md5 centroid sample is deterministic across input partitionings") {
+    // the zipWithIndex cid numbering (r13) must reproduce the oracle's
+    // row_number() OVER (ORDER BY md5, vec_id) regardless of how the
+    // input happens to be partitioned — the property every ANN/SemDeDup
+    // oracle replay rests on
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, d)
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Float])] =
+      Similarity.md5CentroidSample(spark, df, 16).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val one = sample(emb.repartition(1))
+    val seven = sample(emb.repartition(7, col("vec_id")))
+    val native = sample(emb)
+    assert(one == seven && seven == native,
+      "cid numbering must not depend on input partitioning")
+    assert(one.map(_._1) == (1 to 16), "cids must be dense 1..k")
+  }
+
   test("IVF ANN recall@5: printed, monotone in nProbe") {
     val brute = bruteTop5
     // nlist from the same adaptive rule as ivfIndex (k = max(16,
