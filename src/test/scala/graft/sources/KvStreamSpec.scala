@@ -222,6 +222,52 @@ class KvStreamSpec extends SparkSpec {
       s"AvailableNow must drain in >= 3 rate-limited batches, got ${batches.length}")
   }
 
+  test("AvailableNow resumes from its checkpoint: a second drain serves only new versions") {
+    // the incremental-batch production pattern: a scheduled job drains
+    // "everything available now" and exits; the next run must resume
+    // from the checkpoint and serve ONLY commits that arrived since —
+    // re-serving the old backlog would double-count every record in
+    // the downstream table
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-resume").toString
+    val outDir = Files.createTempDirectory("graft-kv-resume-out").toString
+    val outCat = cat.replace("\"stream\"", "\"stream_resumed\"")
+    val ckpt = Files.createTempDirectory("graft-kv-resume-ckpt").toString
+    def write(range: Range, mode: String): Unit =
+      range.map(k => (k.toLong, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+    // KV source → KV sink, the end-to-end incremental shape; the sink's
+    // idempotent epoch commits + the checkpoint's batch numbering make
+    // any re-served backlog visible as duplicate keys in the out table
+    def drain(): Seq[Long] = {
+      val q = spark.readStream.format("graft-kv")
+        .option("catalog", cat).option("path", dir)
+        .option("maxVersionsPerTrigger", 1).load()
+        .writeStream.outputMode("append")
+        .format("graft-kv")
+        .option("catalog", outCat).option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow drain must self-terminate")
+      q.stop()
+      spark.read.format("graft-kv").option("catalog", outCat).option("path", outDir)
+        .load().select("k").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    write(1 to 10, "overwrite")
+    (1 to 2).foreach(i => write(i * 10 + 1 to i * 10 + 10, "append")) // 3 versions
+    assert(drain() == (1L to 30L), "first drain serves the full backlog")
+    write(31 to 40, "append")
+    write(41 to 50, "append")
+    assert(drain() == (1L to 50L),
+      "the resumed drain must append ONLY the versions committed since " +
+        "the checkpoint — a re-served backlog would show duplicate keys")
+    // nothing new → an idle drain appends nothing (and still terminates)
+    assert(drain() == (1L to 50L),
+      "an up-to-date drain must plan zero new offsets")
+  }
+
   test("maxBytesPerTrigger bounds catch-up by commit size, losing nothing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-kv-admbytes").toString
