@@ -222,6 +222,39 @@ class KvStreamSpec extends SparkSpec {
       s"AvailableNow must drain in >= 3 rate-limited batches, got ${batches.length}")
   }
 
+  test("AvailableNow + maxBytesPerTrigger drains in byte-bounded batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-admnowbytes").toString
+    def write(range: Range, mode: String): Unit =
+      range.map(k => (k.toLong, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("catalog", cat).option("path", dir)
+        .mode(mode).save()
+    // one bulk commit + trickles; cap below the bulk's size so the
+    // composite AvailableNow+bytes path must admit the bulk ALONE
+    // (progress guarantee) and still finish the trickles
+    write(1 to 200, "overwrite")
+    (1 to 3).foreach(i => write(200 + i * 10 + 1 to 200 + i * 10 + 10, "append"))
+    val cap = graft.kv.KvStore.readMeta(dir).shards
+      .map(s => new java.io.File(s"$dir/${s.file}").length()).max - 1
+    val q = spark.readStream.format("graft-kv")
+      .option("catalog", cat).option("path", dir)
+      .option("maxBytesPerTrigger", cap).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kv_admnowbytes_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(spark.table("kv_admnowbytes_out").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((1L to 200L) ++ (211L to 220L) ++ (221L to 230L) ++ (231L to 240L)),
+      "byte-capped AvailableNow drain must deliver the full backlog exactly once")
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 2,
+      s"the oversized bulk must not drag the trickles into one batch, got ${batches.length}")
+    assert(batches.head.numInputRows == 200,
+      s"the bulk commit must be admitted alone, got ${batches.head.numInputRows}")
+  }
+
   test("AvailableNow resumes from its checkpoint: a second drain serves only new versions") {
     // the incremental-batch production pattern: a scheduled job drains
     // "everything available now" and exits; the next run must resume
