@@ -232,6 +232,10 @@ object Similarity {
     * merge, which no gate-scale corpus needs. */
   private[graft] def md5CentroidSample(s: SparkSession, emb: DataFrame,
                                        k: Long): DataFrame = {
+    // k rides through limit(Int); at B=256 an overflow would need a
+    // ~5×10¹¹-vector corpus — refuse loudly instead of truncating
+    require(k > 0 && k <= Int.MaxValue,
+      s"centroid sample size $k out of range; shard the corpus or raise B")
     import s.implicits._
     val sampled = emb
       .select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),
