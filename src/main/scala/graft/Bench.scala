@@ -67,13 +67,18 @@ object Bench {
     .max(repeats)
   private val MidThresholdSec = 2.5
 
-  def main(args: Array[String]): Unit =
+  def main(args: Array[String]): Unit = {
+    // every number below rides f"...%.2f" into JSON — under a
+    // comma-decimal default locale that emits invalid JSON, so pin the
+    // whole process (parent, forked children inherit via their own main)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
       case Some(csv) => // child: time the named queries, print one JSON line
         val (results, failed, colds) = runQueries(csv.split(",").filter(_.nonEmpty).toSeq)
         println(resultJson(results, failed, skipped = Nil, colds = colds))
       case None => parent()
     }
+  }
 
   private def parent(): Unit = {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(oracleOnly)

@@ -63,6 +63,9 @@ object Stress {
     Seq("documents", "embeddings", "lineitem", "orders", "events")
 
   def main(args: Array[String]): Unit = {
+    // the artifact JSON is built with f"...%.2f" interpolation — pin the
+    // locale so a comma-decimal default can't emit invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     // `runMain graft.Stress 100 heavy`: reduced heavy-family tier —
     // one steady repeat (the probes run minutes each; min-of-two would

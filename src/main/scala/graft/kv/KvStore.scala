@@ -197,7 +197,50 @@ object KvStore {
     * procedure's view into the retained version chain. */
   def readMetaFileForHistory(file: File): KvTableMeta = readMetaFile(file)
 
+  // ---- parsed-manifest cache ----
+  //
+  // Streaming admission control replays the manifest CHAIN: capByBytes
+  // walks one deltaShards window per candidate version per latestOffset
+  // call, and latestOffset fires per micro-batch — without a cache an
+  // AvailableNow drain parses O(versions²) manifest files (measured as
+  // q113's +0.24 s finalization cost in r13). Archived manifests
+  // (`_kvmeta.vN.json`) are immutable once written, and the live
+  // manifest only changes via [[writeMeta]]'s atomic move, so a parse
+  // memo validated by (mtime, size) is sound:
+  //  - every read STATs the path first — a vacuumed file is never
+  //    served from cache (the stat fails exactly like the parse would);
+  //  - same-JVM write-after-read is exact regardless of filesystem
+  //    timestamp granularity because writeMeta invalidates its key;
+  //  - a cross-JVM writer is visible through the moved file's fresh
+  //    (mtime, size), the same freshness contract parquet/Delta readers
+  //    rely on.
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (java.nio.file.attribute.FileTime, Long, KvTableMeta)]()
+  /** Far above any live table count in one JVM; a runaway test loop
+    * creating thousands of temp tables just clears and restarts. */
+  private val ManifestCacheMax = 4096
+
   private def readMetaFile(file: File): KvTableMeta = {
+    val key = file.getAbsolutePath
+    val attrs =
+      try Files.readAttributes(file.toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: java.io.IOException => null }
+    if (attrs != null) {
+      val hit = manifestCache.get(key)
+      if (hit != null && hit._1 == attrs.lastModifiedTime && hit._2 == attrs.size)
+        return hit._3
+    }
+    val meta = parseMetaFile(file)
+    if (attrs != null) {
+      if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
+      manifestCache.put(key, (attrs.lastModifiedTime, attrs.size, meta))
+    }
+    meta
+  }
+
+  private def parseMetaFile(file: File): KvTableMeta = {
     val root = mapper.readTree(file)
     val shards = root.path("shards").elements().asScala.map { s =>
       val hosts = s.path("hosts").elements().asScala.map(_.asText()).toSeq
@@ -328,6 +371,9 @@ object KvStore {
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // exact same-JVM read-after-write even on coarse-mtime filesystems:
+    // the next readMetaFile re-parses the moved file once and re-memoizes
+    manifestCache.remove(live.toFile.getAbsolutePath)
   }
 
   // ---- shard writer ----

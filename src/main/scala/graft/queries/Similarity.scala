@@ -224,27 +224,29 @@ object Similarity {
     * (`row_number() OVER (ORDER BY md5(vec_id), vec_id)`) — which is
     * what makes the ANN/SemDeDup full-pipeline oracles possible; an
     * iterative k-means fit would make cell boundaries depend on cluster
-    * layout. cid numbering is zipWithIndex over the already-sorted
-    * sample (round 13): the top-k gather is the only single-task step —
-    * no second global-window sort pass over the k rows. The gather
-    * itself bounds k in practice (~10⁶ centroids / tens of MB on the
-    * driver-side TakeOrdered path); past that, sample per-partition and
-    * merge, which no gate-scale corpus needs. */
+    * layout. cid numbering is a row_number window OVER THE
+    * ALREADY-LIMITED k-row table (round 14 — the zipWithIndex-over-
+    * TakeOrdered shortcut it replaces relied on the PHYSICAL plan
+    * preserving sort order in the RDD, an implementation detail a
+    * planner change could silently break; the window is the logical
+    * guarantee, and its single-partition sort over k rows costs the
+    * same single-task gather the top-k already pays). The gather bounds
+    * k in practice (~10⁶ centroids / tens of MB on the TakeOrdered
+    * path); past that, sample per-partition and merge, which no
+    * gate-scale corpus needs. */
   private[graft] def md5CentroidSample(s: SparkSession, emb: DataFrame,
                                        k: Long): DataFrame = {
     // k rides through limit(Int); at B=256 an overflow would need a
     // ~5×10¹¹-vector corpus — refuse loudly instead of truncating
     require(k > 0 && k <= Int.MaxValue,
       s"centroid sample size $k out of range; shard the corpus or raise B")
-    import s.implicits._
-    val sampled = emb
+    emb
       .select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),
         col("embedding").as("cemb"))
       .orderBy(col("h"), col("vec_id")).limit(k.toInt)
-      .select(col("cemb")).as[Array[Float]]
-    s.createDataset(sampled.rdd.zipWithIndex
-        .map { case (v, i) => ((i + 1).toInt, v) })
-      .toDF("cid", "cemb")
+      .select(row_number().over(
+          Window.orderBy(col("h"), col("vec_id"))).as("cid"),
+        col("cemb"))
   }
 
   /** Fine→coarse routing table (gid, cid, cemb): each fine centroid

@@ -114,6 +114,16 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
     }
   }
 
+  /** A committed version's added-shard byte total is immutable (its
+    * manifest is archived, its shard files never rewritten), so each
+    * version's cost is computed once per stream — latestOffset walks
+    * the same backlog window every micro-batch of a drain, and without
+    * the memo that walk re-planned and re-statted O(backlog) versions
+    * per batch ([[KvStore]]'s manifest cache removes the parse cost;
+    * this removes the rest). */
+  private val versionBytes =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+
   /** Newest version ≤ `cur` whose cumulative added-shard bytes from
     * `s` stay within `maxBytes` (always ≥ one version of progress). */
   private def capByBytes(s: Long, cur: Long, maxBytes: Long): Long = {
@@ -121,8 +131,9 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
     var admitted = s
     var bytes = 0L
     while (w <= cur) {
-      val vb = KvStore.deltaShards(dir, w - 1, Some(w))
-        .map(sh => new java.io.File(s"$dir/${sh.file}").length()).sum
+      val vb: Long = versionBytes.computeIfAbsent(w, v =>
+        KvStore.deltaShards(dir, v - 1, Some(v.toLong))
+          .map(sh => new java.io.File(s"$dir/${sh.file}").length()).sum)
       if (admitted > s && bytes + vb > maxBytes) return admitted
       bytes += vb
       admitted = w

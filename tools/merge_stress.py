@@ -5,10 +5,12 @@ The 100x tier runs minutes per probe on a shared-host VM whose
 throughput swings pass-to-pass far beyond the documented 15-30% noise
 (observed: identical deterministic probes 1.2-4x apart between two
 back-to-back passes). A single pass is therefore not a measurement;
-the committed artifact takes the per-query MIN across passes (the
-standard floor-of-noise estimator the 1x/10x/30x tiers get from their
-min-of-two repeats) and keeps every pass's raw steady time alongside
-so the variance itself stays visible.
+the committed artifact's HEADLINE steady_sec is the MEDIAN across
+passes (round 14 — the min headline understated q111's 2.1x per-pass
+spread), with steady_min_sec / steady_max_sec and every pass's raw
+steady time alongside so both the noise floor and the spread stay
+visible. first_sec keeps the min (it measures a one-time build, where
+the floor IS the quantity of interest).
 
 Merging is only meaningful across passes of the SAME code: a per-field
 min over different engine versions compares apples to oranges (the r12
@@ -24,12 +26,20 @@ Usage: python3 tools/merge_stress.py OUT PASS1.json PASS2.json [...]
 import json
 import sys
 
-# dict-valued sections merged field-by-field: numeric timing fields take
-# the per-field min across passes; non-timing fields (rows, recall,
-# counts) come from the min-steady pass (deterministic per code version)
-SECTIONS = ("semantic_dedup", "semantic_dedup_hier", "ivf_split", "cdc_catchup")
-TIMING_FIELDS = ("first_sec", "steady_sec", "build_sec", "probe_first_sec",
-                 "probe_sec", "drain_sec")
+# dict-valued sections merged field-by-field: steady-state timing fields
+# take the per-field median across passes (min/max kept alongside);
+# one-time-cost fields keep the min; non-timing fields (rows, recall,
+# counts) come from the median-steady pass (deterministic per code version)
+SECTIONS = ("semantic_dedup", "semantic_dedup_hier", "ivf_split",
+            "ivf_persist", "cdc_catchup", "ss_join")
+STEADY_FIELDS = ("steady_sec", "probe_sec", "cold_probe_sec", "drain_sec")
+ONETIME_FIELDS = ("first_sec", "build_sec", "probe_first_sec")
+
+
+def median(vals):
+    vs = sorted(vals)
+    n = len(vs)
+    return vs[n // 2] if n % 2 else round((vs[n // 2 - 1] + vs[n // 2]) / 2, 3)
 
 
 def merge_section(passes, key):
@@ -38,17 +48,26 @@ def merge_section(passes, key):
         return None
     steady_key = next((f for f in ("steady_sec", "probe_sec", "drain_sec")
                        if f in sem[0]), None)
-    base = dict(min(sem, key=lambda s: s[steady_key]) if steady_key else sem[0])
-    for f in TIMING_FIELDS:
+    base = dict(sorted(sem, key=lambda s: s[steady_key])[len(sem) // 2]
+                if steady_key else sem[0])
+    for f in STEADY_FIELDS:
+        vals = [s[f] for s in sem if f in s]
+        if vals:
+            base[f] = median(vals)
+            base[f + "_min"] = min(vals)
+            base[f + "_max"] = max(vals)
+    for f in ONETIME_FIELDS:
         vals = [s[f] for s in sem if f in s]
         if vals:
             base[f] = min(vals)
     # a one-time build cached across passes reports 0.0 on reuse passes;
-    # the honest build cost is the min over passes that actually BUILT
+    # the honest build cost is the min over passes that actually BUILT.
+    # If NO merged pass built, the real cost is UNKNOWN — carry null, not
+    # a fake 0.0 that silently drops the cost from the artifact.
     if "built" in base:
         built_vals = [s["build_sec"] for s in sem if s.get("built")]
         base["built"] = bool(built_vals)
-        base["build_sec"] = min(built_vals) if built_vals else 0.0
+        base["build_sec"] = min(built_vals) if built_vals else None
     if steady_key:
         base[steady_key + "_per_pass"] = [p.get(key, {}).get(steady_key)
                                           for p in passes]
@@ -83,21 +102,25 @@ def main() -> int:
         "q45_escalated": next((p["q45_escalated"] for p in reversed(passes)
                                if "q45_escalated" in p), None),
         "peak_heap_mb_per_pass": [p.get("peak_heap_mb") for p in passes],
-        "notes": ("per-field min across same-revision passes; steady_sec for the "
-                  "dedup family (q42/q45) reads session-persisted shingle/pair "
-                  "relations — within each pass, only the FIRST dedup probe's "
-                  "first_sec carries the one-time relation build; later family "
-                  "members' first runs start warm"),
+        "notes": ("steady_sec = per-field MEDIAN across same-revision passes "
+                  "(min/max alongside); first_sec/build_sec keep the min (one-"
+                  "time costs). steady_sec for the dedup family (q42/q45) reads "
+                  "session-persisted shingle/pair relations — within each pass, "
+                  "only the FIRST dedup probe's first_sec carries the one-time "
+                  "relation build; later family members' first runs start warm"),
     }
     # union of query keys: a probe added to the tier mid-round appears in
-    # later passes only — min over the passes that ran it, None elsewhere
+    # later passes only — merged over the passes that ran it, None elsewhere
     all_queries = [q for p in passes for q in p["queries"]]
     for q in dict.fromkeys(all_queries):
         firsts = [p["queries"][q]["first_sec"] for p in passes if q in p["queries"]]
         steadies = [p["queries"].get(q, {}).get("steady_sec") for p in passes]
+        ran = [s for s in steadies if s is not None]
         merged["queries"][q] = {
             "first_sec": min(firsts),
-            "steady_sec": min(s for s in steadies if s is not None),
+            "steady_sec": median(ran),
+            "steady_min_sec": min(ran),
+            "steady_max_sec": max(ran),
             "steady_per_pass": steadies,
         }
     for key in SECTIONS:
