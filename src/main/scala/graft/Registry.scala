@@ -23,6 +23,7 @@ object Registry {
       queries.TextOps.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++
+      queries.IvfStore.defs ++
       queries.Multimodal.defs ++
       queries.Curation.defs ++
       queries.KvQueries.defs

@@ -417,10 +417,10 @@ object Similarity {
     * order (coarse rank, then within-cell cosine), and exact cosine
     * rescoring — every cosine is the same left-to-right double fold on
     * both engines, so even this "approximate" index is hash-checked. */
-  val q53IvfAnn: Q = Q(
-    "q53_ivf_ann",
-    (s, d) => ivfAnn(s, d, nProbe = 4),
-    Some("""
+  /** Shared by q53 (in-session index) and q115 (persisted index): the
+    * two pipelines produce bit-identical results — the KV round-trip is
+    * lossless on float arrays — so one oracle pins both. */
+  private[queries] val ivfOracleSql: String = """
       WITH dbl AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       params AS (
@@ -498,7 +498,14 @@ object Similarity {
         FROM scored)
       SELECT q_id, rk, n_id, round(cos, 6) AS cos_r
       FROM ranked WHERE rk <= 5
-      ORDER BY q_id, rk"""),
+      ORDER BY q_id, rk"""
+
+  /** q53's oracle replays the ENTIRE adaptive IVF pipeline in SQL — see
+    * [[ivfOracleSql]]. */
+  val q53IvfAnn: Q = Q(
+    "q53_ivf_ann",
+    (s, d) => ivfAnn(s, d, nProbe = 4),
+    Some(ivfOracleSql),
     doc = "IVF ANN (adaptive bounded-cell quantizer + nProbe cosine rescoring)")
 
 
