@@ -200,6 +200,29 @@ object Stress {
     // size. The q53 row above times the fused pipeline (build + probe);
     // this section persists the index once and times probes alone, so
     // the tiers show probe_sec flat while build_sec grows.
+    val qEmbIvf = Tables.embeddings(spark, out).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // recall vs EXACT ground truth at this tier: the query set is
+    // bounded (20 vectors), so brute force is one linear broadcast
+    // scan — affordable even at 100×. This pins the adaptive index's
+    // quality at scale, not just at the 500-vector gate; epsilon-twin
+    // replicas make the true top-5 dominated by near-identical twins,
+    // which a sound cell assignment must co-locate with the query.
+    def top5Ivf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    lazy val exactTop5: Set[(Long, Long)] = {
+      import org.apache.spark.sql.expressions.Window
+      val wx = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      top5Ivf(Tables.embeddings(spark, out)
+        .join(broadcast(qEmbIvf), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          expr("cosine_sim(q_emb, embedding)").as("cos"))
+        .withColumn("rk", row_number().over(wx)).filter(col("rk") <= 5))
+    }
+    def recallOf(got: Set[(Long, Long)]): Double =
+      if (exactTop5.isEmpty) 1.0
+      else got.intersect(exactTop5).size.toDouble / exactTop5.size
     val ivfJson = {
       val t0 = System.nanoTime()
       val idx0 = queries.Similarity.ivfIndex(spark, out)
@@ -209,44 +232,65 @@ object Stress {
       val nVecs = idx.assigned.count()
       sampleHeap()
       val buildSec = (System.nanoTime() - t0) / 1e9
-      val qEmb = Tables.embeddings(spark, out).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // production probe width: flat cost by construction, widened at
+      // the nlist floor so tiny-corpus coverage doesn't collapse —
+      // which is what lets the recall assert run at EVERY tier (the old
+      // fixed nProbe=4 measured 0.38 at 1× and gated the assert off
+      // exactly there)
+      val nP = queries.Similarity.adaptiveNProbe(nlist, nVecs)
       def probeOnce(): Double = {
         val t = System.nanoTime()
-        queries.Similarity.ivfProbe(spark, idx, qEmb, nProbe = 4)
+        queries.Similarity.ivfProbe(spark, idx, qEmbIvf, nProbe = nP)
           .queryExecution.toRdd.count()
         sampleHeap()
         (System.nanoTime() - t) / 1e9
       }
       val pFirst = probeOnce()
       val pSteady = math.min(probeOnce(), probeOnce())
-      // recall vs EXACT ground truth at this tier: the query set is
-      // bounded (20 vectors), so brute force is one linear broadcast
-      // scan — affordable even at 100×. This pins the adaptive index's
-      // quality at scale, not just at the 500-vector gate; epsilon-twin
-      // replicas make the true top-5 dominated by near-identical twins,
-      // which a sound cell assignment must co-locate with the query.
-      import org.apache.spark.sql.expressions.Window
-      def top5(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
-        .select(col("q_id"), col("n_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val wx = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      val exact = top5(Tables.embeddings(spark, out)
-        .join(broadcast(qEmb), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          expr("cosine_sim(q_emb, embedding)").as("cos"))
-        .withColumn("rk", row_number().over(wx)).filter(col("rk") <= 5))
-      val got = top5(queries.Similarity.ivfProbe(spark, idx, qEmb, nProbe = 4))
-      val recall = if (exact.isEmpty) 1.0
-                   else got.intersect(exact).size.toDouble / exact.size
+      val recall = recallOf(top5Ivf(
+        queries.Similarity.ivfProbe(spark, idx, qEmbIvf, nProbe = nP)))
       sampleHeap()
-      if (copies > 1) require(recall >= 0.6,
+      require(recall >= 0.6,
         f"IVF recall@5 $recall%.4f < 0.6 vs exact ground truth at ${copies}x")
       idx.assigned.unpersist(blocking = true)
       idx.centRouted.unpersist(blocking = true)
-      System.err.println(f"[stress] ivf_split nlist=$nlist build=$buildSec%.1fs " +
+      System.err.println(f"[stress] ivf_split nlist=$nlist nProbe=$nP build=$buildSec%.1fs " +
         f"probe_first=$pFirst%.2fs probe=$pSteady%.2fs recall@5=$recall%.4f")
-      f""""ivf_split":{"nlist":$nlist,"vectors":$nVecs,"build_sec":$buildSec%.2f,"probe_first_sec":$pFirst%.2f,"probe_sec":$pSteady%.2f,"recall_at5":$recall%.4f}"""
+      f""""ivf_split":{"nlist":$nlist,"vectors":$nVecs,"n_probe":$nP,"build_sec":$buildSec%.2f,"probe_first_sec":$pFirst%.2f,"probe_sec":$pSteady%.2f,"recall_at5":$recall%.4f}"""
+    }
+
+    // Persisted-index probe: the ivf_split section above amortizes the
+    // build inside ONE session via .persist(); this section pays the
+    // build into graft-kv tables ONCE (cached across passes — `built`
+    // says whether this pass paid it) and then times what a FRESH
+    // session actually runs: IvfStore.load (meta + fingerprint stat +
+    // two KV scans, no corpus scan) plus the probe. The 100 TB claim is
+    // cold_probe ≈ steady probe — the index outlives its builder.
+    val ivfPersistJson = {
+      val metaF = new File(graft.kv.KvStore.cacheDir(
+        s"ivf-${new File(out).getName}-${Integer.toHexString(new File(out).getAbsolutePath.hashCode)}") + "/_ivfmeta.json")
+      val wasBuilt = !metaF.exists()
+      val tb = System.nanoTime()
+      if (wasBuilt) queries.IvfStore.build(spark, out)
+      val buildSec = if (wasBuilt) (System.nanoTime() - tb) / 1e9 else 0.0
+      def coldProbeOnce(): (Double, Set[(Long, Long)]) = {
+        val t = System.nanoTime()
+        val idx = queries.IvfStore.load(spark, out) // cold: plans from disk
+        val nP = queries.Similarity.adaptiveNProbe(idx.nlist,
+          Tables.embeddings(spark, out).count())
+        val df = queries.Similarity.ivfProbe(spark, idx, qEmbIvf, nProbe = nP)
+        df.queryExecution.toRdd.count()
+        sampleHeap()
+        ((System.nanoTime() - t) / 1e9, top5Ivf(df))
+      }
+      val (cFirst, got) = coldProbeOnce()
+      val cSteady = math.min(coldProbeOnce()._1, coldProbeOnce()._1)
+      val recall = recallOf(got)
+      require(recall >= 0.6,
+        f"persisted-IVF recall@5 $recall%.4f < 0.6 at ${copies}x")
+      System.err.println(f"[stress] ivf_persist built=$wasBuilt build=$buildSec%.1fs " +
+        f"cold_probe_first=$cFirst%.2fs cold_probe=$cSteady%.2fs recall@5=$recall%.4f")
+      f""""ivf_persist":{"built":$wasBuilt,"build_sec":$buildSec%.2f,"cold_probe_first_sec":$cFirst%.2f,"cold_probe_sec":$cSteady%.2f,"recall_at5":$recall%.4f}"""
     }
 
     // CDC catch-up at scale — the q113 composition measured: a KV table
@@ -260,7 +304,7 @@ object Stress {
     // re-runs every pass from a fresh checkpoint. Exactly-once is
     // asserted at scale: drained rows must equal the tail's row count.
     val cdcJson = {
-      val cdcDir = s"$out/_kv_cdc_catchup"
+      val cdcDir = s"$out/_kv_cdc_catchup2" // v2: byte-sized tail versions
       val cdcCat =
         """{"table":{"name":"cdc_catchup"},"rowkey":"lk",
           | "columns":{"lk":{"cf":"rowkey","col":"lk","type":"long"},
@@ -271,17 +315,42 @@ object Stress {
           col("l_quantity"), col("l_returnflag"), col("l_orderkey"))
       val built = !new File(s"$cdcDir/_kvmeta.json").exists()
       var buildSec = 0.0
+      val tailRows = li.filter(col("l_orderkey") % 4 =!= 0).count()
+      val byteCap = 64L << 20
       if (built) {
+        // v1 = the backfill snapshot (25% of rows); the tail is then
+        // committed as ~12 MB versions SIZED FROM the backfill's
+        // measured bytes/row, so at the big tiers the 64 MB admission
+        // cap genuinely packs/splits batches (≈5 versions per batch)
+        // instead of degenerating to the one-version progress guarantee
+        // on oversized commits (the pre-r14 3-version tail did exactly
+        // that at 30×/100×)
         val t0 = System.nanoTime()
-        (0 until 4).foreach { sl =>
-          li.filter(col("l_orderkey") % 4 === sl).drop("l_orderkey")
-            .repartitionByRange(32, col("lk"))
+        li.filter(col("l_orderkey") % 4 === 0).drop("l_orderkey")
+          .repartitionByRange(32, col("lk"))
+          .write.format("graft-kv").option("catalog", cdcCat)
+          .option("path", cdcDir).mode("append").save()
+        val m1 = graft.kv.KvStore.readMeta(cdcDir)
+        val backBytes = m1.shards
+          .map(sh => new File(s"$cdcDir/${sh.file}").length()).sum
+        val bytesPerRow = backBytes.toDouble / math.max(1L, m1.shards.map(_.rows).sum)
+        val nTail = math.min(96L, math.max(3L,
+          math.ceil(tailRows * bytesPerRow / (12 << 20)).toLong)).toInt
+        (0 until nTail).foreach { t =>
+          li.filter(col("l_orderkey") % 4 =!= 0)
+            .filter(pmod(xxhash64(col("lk")), lit(nTail)) === t)
+            .drop("l_orderkey")
+            .repartitionByRange(8, col("lk"))
             .write.format("graft-kv").option("catalog", cdcCat)
             .option("path", cdcDir).mode("append").save()
         }
         buildSec = (System.nanoTime() - t0) / 1e9
       }
-      val tailRows = li.filter(col("l_orderkey") % 4 =!= 0).count()
+      // reuse passes recover the tail-version count from the manifest
+      val tailVersions = graft.kv.KvStore.readMeta(cdcDir).version - 1
+      val tailBytes = graft.kv.KvStore.readMeta(cdcDir).shards
+        .filter(_.firstVersion >= 2)
+        .map(sh => new File(s"$cdcDir/${sh.file}").length()).sum
       val ckpt = s"$cdcDir-ckpt"
       def rmrf(f: File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
@@ -309,12 +378,119 @@ object Stress {
       // recentProgress keeps the last 100 updates; at 64 MB per batch
       // the tiers stay well under that — if a future tier overflows it,
       // the count is partial and the assert must not fire spuriously
-      if (progresses.length < 100)
+      if (progresses.length < 100) {
         require(drained == tailRows,
           s"CDC tail drained $drained rows, expected $tailRows (exactly-once violated)")
+        // when the backlog exceeds the cap severalfold, the byte cap
+        // must BOTH split the drain (more than one batch) and pack
+        // multiple small versions per batch (fewer batches than
+        // versions) — the two halves of byte-denominated admission
+        if (tailBytes > 2 * byteCap)
+          require(nBatches > 1 && nBatches < tailVersions,
+            s"byte cap did not shape the drain: $nBatches batches over " +
+              s"$tailVersions tail versions ($tailBytes bytes, cap $byteCap)")
+      }
       System.err.println(f"[stress] cdc_catchup built=$built build=$buildSec%.1fs " +
-        f"drain=$drainSec%.1fs rows=$tailRows batches=$nBatches (${tailRows / drainSec}%.0f rows/s)")
-      f""""cdc_catchup":{"built":$built,"build_sec":$buildSec%.2f,"drain_sec":$drainSec%.2f,"tail_rows":$tailRows,"micro_batches":$nBatches,"rows_per_sec":${tailRows / drainSec}%.0f}"""
+        f"drain=$drainSec%.1fs rows=$tailRows tail_versions=$tailVersions " +
+        f"tail_mb=${tailBytes / 1048576}%d batches=$nBatches (${tailRows / drainSec}%.0f rows/s)")
+      f""""cdc_catchup":{"built":$built,"build_sec":$buildSec%.2f,"drain_sec":$drainSec%.2f,"tail_rows":$tailRows,"tail_versions":$tailVersions,"tail_bytes":$tailBytes,"micro_batches":$nBatches,"rows_per_sec":${tailRows / drainSec}%.0f}"""
+    }
+
+    // Event-time stream-stream join at scale — KvStreamSpec's unit test
+    // composed two KV streams with watermark state cleanup; this section
+    // drains the SAME composition over the replica's events table as
+    // rate-limited AvailableNow micro-batches and asserts the two
+    // 100 TB-critical properties simultaneously:
+    //  - EXACT output: each side is written as 8 time-partitioned append
+    //    versions (slice spans ≫ watermark delay ≥ join window, so no
+    //    in-window pair can be evicted or late-dropped before its match
+    //    arrives) and the drained join-row count must equal a batch join
+    //    of the same tables — exactly-once across the whole drain;
+    //  - BOUNDED STATE: watermark eviction must hold peak join state
+    //    well under the total ingested rows, or a long catch-up
+    //    accumulates both streams in memory.
+    val ssJoinJson = {
+      val lDir = s"$out/_kv_ssj_left"
+      val rDir = s"$out/_kv_ssj_right"
+      val lCat =
+        """{"table":{"name":"ssj_left"},"rowkey":"event_id",
+          | "columns":{"event_id":{"cf":"rowkey","col":"event_id","type":"long"},
+          |            "u":{"cf":"f","col":"u","type":"long"},
+          |            "et":{"cf":"f","col":"et","type":"long"}}}""".stripMargin
+      val rCat = lCat.replace("ssj_left", "ssj_right")
+      val ev = Tables.events(spark, out)
+        .select(col("event_id"), col("user_id").as("u"),
+          unix_millis(col("ts")).as("et"))
+      val ssBuilt = !new File(s"$lDir/_kvmeta.json").exists()
+      var ssBuildSec = 0.0
+      if (ssBuilt) {
+        val t0 = System.nanoTime()
+        val r = ev.agg(min(col("et")), max(col("et"))).head
+        val (tMin, tMax) = (r.getLong(0), r.getLong(1))
+        val span = math.max(1L, (tMax - tMin) / 8 + 1)
+        val sliced = ev.withColumn("slice",
+          least(lit(7), ((col("et") - tMin) / span).cast("int"))).persist()
+        (0 until 8).foreach { i =>
+          def wr(df: DataFrame, cat: String, dir: String): Unit =
+            df.filter(col("slice") === i).drop("slice")
+              .repartitionByRange(8, col("event_id"))
+              .write.format("graft-kv").option("catalog", cat).option("path", dir)
+              .mode("append").save()
+          wr(sliced.filter(col("event_id") % 2 === 0), lCat, lDir)
+          wr(sliced.filter(col("event_id") % 2 === 1), rCat, rDir)
+        }
+        sliced.unpersist(blocking = true)
+        ssBuildSec = (System.nanoTime() - t0) / 1e9
+      }
+      // ground truth: the same interval join in batch over the same
+      // KV tables (equi on user + inclusive 1-hour window, as millis)
+      def side(cat: String, dir: String) = spark.read.format("graft-kv")
+        .option("catalog", cat).option("path", dir).load()
+      val truth = side(lCat, lDir).select(col("u").as("lu"), col("et").as("lt"))
+        .join(side(rCat, rDir).select(col("u").as("ru"), col("et").as("rt")),
+          expr("lu = ru AND rt BETWEEN lt AND lt + 3600000"))
+        .count()
+      val ckpt = s"$lDir-ckpt"
+      def rmrf2(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf2)
+        f.delete(): Unit
+      }
+      rmrf2(new File(ckpt))
+      def stream(cat: String, dir: String, p: String) =
+        spark.readStream.format("graft-kv")
+          .option("catalog", cat).option("path", dir)
+          .option("maxVersionsPerTrigger", 1)
+          .option("eventTimeColumn", "et").option("eventTimeUnit", "millis").load()
+          .withWatermark("_event_time", "2 hours")
+          .select(col("u").as(s"${p}u"), col("_event_time").as(s"${p}t"))
+      val t1 = System.nanoTime()
+      val q = stream(lCat, lDir, "l").join(stream(rCat, rDir, "r"),
+          expr("lu = ru AND rt BETWEEN lt AND lt + interval 1 hour"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ssDrainSec = (System.nanoTime() - t1) / 1e9
+      sampleHeap()
+      val progresses = q.recentProgress
+      val outRows = progresses.map(_.sink.numOutputRows).filter(_ > 0).sum
+      val inRows = progresses.map(_.numInputRows).sum
+      val maxState = progresses.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      val nB = progresses.count(_.numInputRows > 0)
+      q.stop()
+      rmrf2(new File(ckpt))
+      if (progresses.length < 100) {
+        require(outRows == truth,
+          s"stream-stream join drained $outRows rows, batch truth is $truth")
+        require(maxState < inRows / 4,
+          s"join state peaked at $maxState of $inRows ingested — watermark eviction is not bounding state")
+      }
+      System.err.println(f"[stress] ss_join built=$ssBuilt build=$ssBuildSec%.1fs " +
+        f"drain=$ssDrainSec%.1fs joined=$outRows truth=$truth batches=$nB " +
+        f"max_state=$maxState in_rows=$inRows")
+      f""""ss_join":{"built":$ssBuilt,"build_sec":$ssBuildSec%.2f,"drain_sec":$ssDrainSec%.2f,"joined_rows":$outRows,"truth_rows":$truth,"micro_batches":$nB,"max_state_rows":$maxState,"input_rows":$inRows}"""
     }
 
     if (heavy) {
@@ -325,7 +501,7 @@ object Stress {
         f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
       }.mkString("{", ",", "}")
       val frontier = q45Frontiers.mkString("[", ",", "]")
-      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,"q45_escalated":$q45Escalated,$semOut,$ivfJson,$cdcJson,"peak_heap_mb":$peakHeapMb}""")
+      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,"q45_escalated":$q45Escalated,$semOut,$ivfJson,$ivfPersistJson,$cdcJson,$ssJoinJson,"peak_heap_mb":$peakHeapMb}""")
       spark.stop()
       return
     }
@@ -575,7 +751,7 @@ object Stress {
     val pointJson =
       f""""point_lookup_ab":{"pruned_sec":$ptPruneSec%.2f,"unpruned_sec":$ptBaseSec%.2f,"speedup":${ptBaseSec / ptPruneSec}%.2f,"shards_skipped":$ptPruned,"shards_total":$ptTotal}"""
     val frontierJson = q45Frontiers.mkString("[", ",", "]")
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,"q45_escalated":$q45Escalated,$pairsJson,$semOut,$ivfJson,$cdcJson,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,"q45_escalated":$q45Escalated,$pairsJson,$semOut,$ivfJson,$ivfPersistJson,$cdcJson,$ssJoinJson,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

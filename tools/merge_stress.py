@@ -46,7 +46,8 @@ def merge_section(passes, key):
     sem = [p[key] for p in passes if key in p]
     if not sem:
         return None
-    steady_key = next((f for f in ("steady_sec", "probe_sec", "drain_sec")
+    steady_key = next((f for f in ("steady_sec", "probe_sec", "cold_probe_sec",
+                                   "drain_sec")
                        if f in sem[0]), None)
     base = dict(sorted(sem, key=lambda s: s[steady_key])[len(sem) // 2]
                 if steady_key else sem[0])
