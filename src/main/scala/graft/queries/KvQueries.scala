@@ -938,8 +938,13 @@ object KvQueries {
     * composition a 100 TB ingest actually runs: bulk backfill by batch,
     * then a resumable streaming tail from the backfill's version, both
     * keyed on the one manifest-version axis (no second bookkeeping
-    * system to drift). The memory sink is gate-scale plumbing only; a
-    * real pipeline's tail writes straight to a table sink. */
+    * system to drift). The tail writes to a KV TABLE sink — the real
+    * pipeline shape (round 14; the memory sink it replaces funneled the
+    * whole delta through a driver collect and then aggregated it as a
+    * single-partition LocalTableScan: ~0.65 s of driver funnel plus a
+    * serial agg at sf0.1, and unbounded driver memory at 100 TB —
+    * KV source → KV sink keeps the drain AND the union distributed
+    * end to end). */
   val q113CdcStreamHandoff: Q = Q(
     "q113_cdc_stream_handoff",
     (s, d) => {
@@ -947,32 +952,34 @@ object KvQueries {
       val backfill = s.read.format("graft-kv")
         .option("catalog", incCatalogJson).option("path", dir)
         .option("asOfVersion", 1).load()
-      // fixed sink name: a repeated run (bench repeats) REPLACES the
-      // memory table instead of accumulating one per invocation; queries
-      // run sequentially per session so the name never collides live
-      val qn = "cdc_handoff_tail"
-      // checkpoint rides beside the cached table (not a fresh temp dir
-      // per invocation — bench repeats would accumulate them) and is
-      // deleted after the drain: the memory sink does not persist, so a
-      // RETAINED checkpoint would make a rerun plan zero new offsets
-      // and lose the delta rows
+      // sink + checkpoint ride beside the cached table (not fresh temp
+      // dirs per invocation — bench repeats would accumulate them) and
+      // are recreated together per run: the pair is one unit — reusing
+      // the checkpoint against an emptied sink would plan zero new
+      // offsets and lose the delta rows
+      val sinkDir = s"$dir-tail-sink"
       val ckpt = s"$dir-ckpt-handoff"
+      val tailCatalog = incCatalogJson.replace("lineitem_inc", "lineitem_tail")
       def rmrf(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rmrf)
         f.delete(): Unit
       }
       rmrf(new java.io.File(ckpt)) // stale leftover from a crashed run
+      rmrf(new java.io.File(sinkDir))
       try {
         val q = s.readStream.format("graft-kv")
           .option("catalog", incCatalogJson).option("path", dir)
           .option("sinceVersion", 1).load()
-          .writeStream.format("memory").queryName(qn)
+          .writeStream.format("graft-kv")
+          .option("catalog", tailCatalog).option("path", sinkDir)
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       } finally rmrf(new java.io.File(ckpt))
-      backfill.unionByName(s.table(qn))
+      val tail = s.read.format("graft-kv")
+        .option("catalog", tailCatalog).option("path", sinkDir).load()
+      backfill.unionByName(tail)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
              dsum(col("l_extendedprice")).as("sum_price"))
