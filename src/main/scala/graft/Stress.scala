@@ -336,14 +336,18 @@ object Stress {
         val bytesPerRow = backBytes.toDouble / math.max(1L, m1.shards.map(_.rows).sum)
         val nTail = math.min(96L, math.max(3L,
           math.ceil(tailRows * bytesPerRow / (12 << 20)).toLong)).toInt
+        // slice once, cache, write per slice — 96 tail commits at 100×
+        // must not mean 96 full lineitem scans
+        val tailDf = li.filter(col("l_orderkey") % 4 =!= 0)
+          .withColumn("tslice", pmod(xxhash64(col("lk")), lit(nTail)))
+          .drop("l_orderkey").persist()
         (0 until nTail).foreach { t =>
-          li.filter(col("l_orderkey") % 4 =!= 0)
-            .filter(pmod(xxhash64(col("lk")), lit(nTail)) === t)
-            .drop("l_orderkey")
+          tailDf.filter(col("tslice") === t).drop("tslice")
             .repartitionByRange(8, col("lk"))
             .write.format("graft-kv").option("catalog", cdcCat)
             .option("path", cdcDir).mode("append").save()
         }
+        tailDf.unpersist(blocking = true)
         buildSec = (System.nanoTime() - t0) / 1e9
       }
       // reuse passes recover the tail-version count from the manifest

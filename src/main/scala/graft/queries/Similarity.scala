@@ -404,7 +404,9 @@ object Similarity {
 
   /** Production probe width: cover ~[[AdaptiveProbeTarget]] vectors'
     * worth of cells, never fewer than 4 cells. At the design point
-    * (cells ≈ 256 vectors) this is the constant nProbe = 4; on a SMALL
+    * (cells ≈ 256 vectors) this pins nProbe at 4–5 (4 exactly when
+    * cells hit 256; the ceil can add one since ⌈n/256⌉ rounds cells
+    * down — bounded, never growing with n); on a SMALL
     * corpus, where nlist floors at 16 and cells hold n/16 ≪ 256
     * vectors, it widens the probe so candidate coverage doesn't
     * collapse (measured: recall@5 0.38 at 2 000 vectors with the fixed

@@ -109,6 +109,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveNProbe: constant at the design point, widened at the nlist floor") {
+    import Similarity.adaptiveNProbe
+    // design point: ~256-vector cells → nProbe pinned at 4–5 (exactly 4
+    // when cells hit 256; k = ⌈n/256⌉ rounds cells DOWN, so the ceil can
+    // add one — bounded, never growing with n)
+    assert(adaptiveNProbe(nlist = 4000, n = 1024000) == 4)
+    val dp = adaptiveNProbe(nlist = 782, n = 200000)
+    assert(dp >= 4 && dp <= 5, s"design-point nProbe $dp outside [4, 5]")
+    // nlist floor on a tiny corpus: coverage widens instead of collapsing
+    assert(adaptiveNProbe(nlist = 16, n = 2000) > 4)
+    // never past exhaustive, never under the 4-cell minimum
+    assert(adaptiveNProbe(nlist = 16, n = 100) == 16)
+    assert(adaptiveNProbe(nlist = 100, n = 100000000) == 4)
+    // probe COST invariant: expected rescores nProbe·(n/nlist) stay
+    // ~max(1024, 4·cell) — flat in corpus size for bounded cells
+    Seq((16L, 2000L), (79L, 20000L), (235L, 60000L), (782L, 200000L))
+      .foreach { case (k, n) =>
+        val cost = adaptiveNProbe(k, n).toDouble * n / k
+        assert(cost <= 1024 + 4.0 * n / k,
+          s"probe cost $cost at (nlist=$k, n=$n) exceeds the flat bound")
+      }
+  }
+
   test("int8-quantized top-k keeps high recall vs exact float cosine (printed)") {
     val brute = bruteTop5
     val recall = recallAt5(Similarity.q54QuantizedTopK.fn(spark, d), brute)
