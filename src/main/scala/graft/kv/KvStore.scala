@@ -67,6 +67,13 @@ final case class KvCell(cf: String, qualifier: String, value: Array[Byte])
   * per-shard prune) therefore requires `bucketMod == catalog.buckets`
   * and otherwise falls back to range pruning — a stale or absent
   * modulus degrades performance, never results. */
+/** `addedVersion` (r14) = the manifest commit that CREATED this shard
+  * file (stamped by [[KvStore.writeMeta]]; 0 in pre-field manifests).
+  * Distinct from `firstVersion`: a compaction/DML output INHERITS its
+  * inputs' min firstVersion but is created at a later commit, so
+  * `addedVersion == firstVersion` identifies a GENUINE data add — the
+  * predicate the manifest-resident add-lineage (change-feed planning
+  * without archived manifests) filters on. */
 final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKeyHex: String,
                              hosts: Seq[String] = Nil,
                              stats: Map[String, (String, String)] = Map.empty,
@@ -74,7 +81,8 @@ final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKey
                              bloom: String = "",
                              bucket: Int = -1,
                              firstVersion: Long = 0,
-                             bucketMod: Int = 0) {
+                             bucketMod: Int = 0,
+                             addedVersion: Long = 0) {
   def minKey: Array[Byte] = KvStore.fromHex(minKeyHex)
   def maxKey: Array[Byte] = KvStore.fromHex(maxKeyHex)
 }
@@ -91,10 +99,30 @@ final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKey
   * [[KvStore.writeMeta]], 0 in pre-stamp manifests) — the lookup key for
   * SQL `TIMESTAMP AS OF` time travel: the archived manifest chain maps a
   * wall-clock instant to the newest version committed at or before it. */
+/** `retiredAdds` / `addsSince` (r14) — ADD LINEAGE IN THE LIVE MANIFEST,
+  * so change-feed planning ([[KvStore.deltaShards]]) does not depend on
+  * the bounded archived-manifest chain. Before this, a streaming
+  * consumer more than [[KvStore.MaxArchivedManifests]] (64) commits
+  * behind could never catch up: replaying its window needed archived
+  * manifests that commit-count retention had already dropped — a hard
+  * ceiling on backlog depth that a 100 TB table (thousands of commits)
+  * would hit routinely. Now every commit carries forward the shard
+  * entries that maintenance has REMOVED from the live set
+  * (`retiredAdds`, pruned to the [[KvStore.MaxAddLineage]] newest
+  * versions), and `addsSince` marks the oldest version whose adds are
+  * fully represented in `shards ++ retiredAdds`: any window starting at
+  * or after it plans from the ONE manifest at hand. Older windows fall
+  * back to the archived chain (and fail with the same clear
+  * "unavailable" error as before when that is gone). -1 = unknown
+  * lineage (pre-field manifests) — always chain-replay. Maintained
+  * entirely inside [[KvStore.writeMeta]] via a live-manifest diff;
+  * committers do not (and must not) set these fields themselves. */
 final case class KvTableMeta(shards: Seq[KvShardMeta],
                              committedEpochs: Seq[String] = Nil,
                              version: Long = 0,
-                             committedAtMs: Long = 0)
+                             committedAtMs: Long = 0,
+                             retiredAdds: Seq[KvShardMeta] = Nil,
+                             addsSince: Long = -1)
 
 object KvStore {
   /** Bump when the shard-file or manifest layout changes — cache dirs
@@ -240,47 +268,70 @@ object KvStore {
     meta
   }
 
+  private def parseShardNode(s: com.fasterxml.jackson.databind.JsonNode): KvShardMeta = {
+    val hosts = s.path("hosts").elements().asScala.map(_.asText()).toSeq
+    val stats = s.path("stats").fields().asScala.map { e =>
+      e.getKey -> (e.getValue.path("min").asText(), e.getValue.path("max").asText())
+    }.toMap
+    KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
+      s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts, stats,
+      s.path("crc32c").asText(""), s.path("bloom").asText(""),
+      s.path("bucket").asInt(-1), s.path("firstVersion").asLong(0),
+      s.path("bucketMod").asInt(0), s.path("addedVersion").asLong(0))
+  }
+
   private def parseMetaFile(file: File): KvTableMeta = {
     val root = mapper.readTree(file)
-    val shards = root.path("shards").elements().asScala.map { s =>
-      val hosts = s.path("hosts").elements().asScala.map(_.asText()).toSeq
-      val stats = s.path("stats").fields().asScala.map { e =>
-        e.getKey -> (e.getValue.path("min").asText(), e.getValue.path("max").asText())
-      }.toMap
-      KvShardMeta(s.path("file").asText(), s.path("rows").asLong(),
-        s.path("minKeyHex").asText(), s.path("maxKeyHex").asText(), hosts, stats,
-        s.path("crc32c").asText(""), s.path("bloom").asText(""),
-        s.path("bucket").asInt(-1), s.path("firstVersion").asLong(0),
-        s.path("bucketMod").asInt(0))
-    }.toSeq
+    val shards = root.path("shards").elements().asScala.map(parseShardNode).toSeq
+    val retired = root.path("retiredAdds").elements().asScala.map(parseShardNode).toSeq
     val epochs = root.path("committedEpochs").elements().asScala.map(_.asText()).toSeq
     KvTableMeta(shards, epochs, root.path("version").asLong(0),
-      root.path("committedAtMs").asLong(0))
+      root.path("committedAtMs").asLong(0), retired,
+      root.path("addsSince").asLong(-1))
   }
 
   /** Append-delta shard set for the window `(since, asOf-or-current]` —
-    * the planning core of incremental (`sinceVersion`) reads. Replays
-    * the manifest chain COMMIT BY COMMIT (the Delta/Iceberg
-    * change-feed discipline, not a state diff): version W's data adds
-    * are exactly its shards with `firstVersion == W`, which excludes
-    * every maintenance output (compaction / DML rewrites inherit their
-    * inputs' min firstVersion) — so a row appended once is served
-    * exactly once, even if a later compaction merged its shard with
-    * older data (a state-diff would either lose it or re-serve the old
-    * rows around it). Availability is bounded like time travel: the
-    * archived-manifest window and the vacuum grace clock on superseded
-    * shard files; a vacuumed window surfaces the clear "unavailable"
-    * planning error. */
+    * the planning core of incremental (`sinceVersion`) reads. Version
+    * W's data adds are exactly the shards CREATED at W whose rows first
+    * appeared at W (`addedVersion == firstVersion == W`) — which
+    * excludes every maintenance output (compaction / DML rewrites
+    * inherit their inputs' min firstVersion but carry their own later
+    * addedVersion) — so a row appended once is served exactly once,
+    * even if a later compaction merged its shard with older data (a
+    * state-diff would either lose it or re-serve the old rows around
+    * it).
+    *
+    * Planning source (r14): when the end manifest's add lineage covers
+    * the window (`since >= addsSince` — true for any window within the
+    * last [[MaxAddLineage]] commits on lineage-tracked tables), the
+    * delta is read from that ONE manifest: live shards plus
+    * `retiredAdds` (genuine adds that maintenance later removed from
+    * the live set), filtered to the window. No archived manifests —
+    * which removes the old hard ceiling where a consumer more than
+    * [[MaxArchivedManifests]] (64) commits behind could never catch up.
+    * Older windows (or pre-lineage manifests) fall back to the
+    * commit-by-commit archived-chain replay, failing with the clear
+    * "unavailable" error when history is gone. Availability of the
+    * shard FILES stays bounded by the vacuum grace clock either way; a
+    * vacuumed window surfaces the clean planning error via
+    * [[requireShardFiles]]. */
   def deltaShards(tableDir: String, since: Long, asOf: Option[Long]): Seq[KvShardMeta] = {
     val end = readMetaAsOf(tableDir, asOf)
-    val out = scala.collection.mutable.LinkedHashMap[String, KvShardMeta]()
-    var w = since + 1
-    while (w <= end.version) {
-      val m = if (w == end.version) end else readMetaAsOf(tableDir, Some(w))
-      m.shards.iterator.filter(_.firstVersion == w).foreach(s => out.put(s.file, s))
-      w += 1
+    if (end.addsSince >= 0 && since >= end.addsSince) {
+      (end.shards ++ end.retiredAdds).iterator
+        .filter(s => s.firstVersion > since && s.firstVersion <= end.version &&
+          s.addedVersion == s.firstVersion)
+        .toSeq.distinctBy(_.file).sortBy(s => (s.firstVersion, s.file))
+    } else {
+      val out = scala.collection.mutable.LinkedHashMap[String, KvShardMeta]()
+      var w = since + 1
+      while (w <= end.version) {
+        val m = if (w == end.version) end else readMetaAsOf(tableDir, Some(w))
+        m.shards.iterator.filter(_.firstVersion == w).foreach(s => out.put(s.file, s))
+        w += 1
+      }
+      out.values.toSeq
     }
-    out.values.toSeq
   }
 
   /** SQL `TIMESTAMP AS OF` resolution: the newest manifest version whose
@@ -310,6 +361,17 @@ object KvStore {
     * in-flight-scan or debugging window. */
   val MaxArchivedManifests = 64
 
+  /** Depth of the manifest-resident add lineage ([[KvTableMeta.retiredAdds]]
+    * / `addsSince`): change-feed windows starting within the last this-many
+    * commits plan from the live manifest alone. Bounds the carried
+    * retired-entry list (only entries maintenance removed AND whose
+    * version is still in window — a pure append table carries none), so
+    * a long-lived table's manifest cannot grow without bound. 4× the
+    * archived-manifest depth: catch-up tolerance is the axis 100 TB
+    * ingest actually stresses — a consumer a weekend behind is hundreds
+    * of commits behind — while time travel stays a debugging window. */
+  val MaxAddLineage = 256
+
   /** Atomic manifest write (temp + move) — the commit point of every
     * batch / streaming-epoch / compaction-swap commit. ALL callers are
     * read-modify-write sections under [[withTableLock]], and
@@ -326,9 +388,45 @@ object KvStore {
     * turns that into the clean "version unavailable" planning error. */
   def writeMeta(tableDir: String, meta: KvTableMeta,
                 archiveSuperseded: Boolean = true): Unit = {
+    val commitV = meta.version + 1
+    val livePath = Paths.get(metaPath(tableDir))
+    val prevOpt =
+      if (Files.exists(livePath)) Some(readMetaFile(livePath.toFile)) else None
+    // ---- add lineage (computed HERE, never by committers) ----
+    // addedVersion: a file absent from the superseded manifest was
+    // created by this commit; a carried-over file keeps its stamp (the
+    // prev manifest's value wins, so a committer copying stale entries
+    // cannot falsify lineage).
+    val prevByFile = prevOpt.map(_.shards.map(s => s.file -> s).toMap)
+      .getOrElse(Map.empty[String, KvShardMeta])
+    val normShards = meta.shards.map { s =>
+      val av = prevByFile.get(s.file).map(_.addedVersion).getOrElse(commitV)
+      if (s.addedVersion == av) s else s.copy(addedVersion = av)
+    }
+    // retiredAdds: genuine data adds (addedVersion == firstVersion > 0)
+    // that this commit removed from the live set join the carried list;
+    // truncate (archiveSuperseded = false) resets lineage — its deleted
+    // files must make an out-of-window catch-up fail loudly, not plan.
+    // addsSince bootstraps at prev.version for pre-lineage tables
+    // (history before that commit is only reachable via the chain) and
+    // advances so the carried list stays bounded at MaxAddLineage.
+    val (carriedRetired, baseSince) =
+      if (!archiveSuperseded) (Nil, commitV - 1)
+      else prevOpt match {
+        case Some(prev) =>
+          val kept = normShards.map(_.file).toSet
+          val newlyRetired = prev.shards.filter(s =>
+            !kept(s.file) && s.firstVersion > 0 && s.addedVersion == s.firstVersion)
+          (prev.retiredAdds ++ newlyRetired,
+            if (prev.addsSince < 0) prev.version else prev.addsSince)
+        case None => (Nil, 0L)
+      }
+    val addsSince = math.max(baseSince, commitV - MaxAddLineage)
+    val retired = carriedRetired.filter(_.firstVersion > addsSince)
+
     val node = mapper.createObjectNode()
-    val arr = node.putArray("shards")
-    meta.shards.foreach { s =>
+    def writeShard(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+                   s: KvShardMeta): Unit = {
       val o = arr.addObject()
       o.put("file", s.file); o.put("rows", s.rows)
       o.put("minKeyHex", s.minKeyHex); o.put("maxKeyHex", s.maxKeyHex)
@@ -347,7 +445,15 @@ object KvStore {
       if (s.bucket >= 0) o.put("bucket", s.bucket)
       if (s.bucketMod > 0) o.put("bucketMod", s.bucketMod)
       if (s.firstVersion > 0) o.put("firstVersion", s.firstVersion)
+      if (s.addedVersion > 0) o.put("addedVersion", s.addedVersion)
     }
+    val arr = node.putArray("shards")
+    normShards.foreach(writeShard(arr, _))
+    if (retired.nonEmpty) {
+      val rarr = node.putArray("retiredAdds")
+      retired.foreach(writeShard(rarr, _))
+    }
+    node.put("addsSince", addsSince)
     if (meta.committedEpochs.nonEmpty) {
       val e = node.putArray("committedEpochs")
       meta.committedEpochs.foreach(e.add)
@@ -357,7 +463,7 @@ object KvStore {
     // the archive copy happens before the move, so a crash in between
     // leaves the CURRENT manifest untouched (the archive is redundant,
     // never load-bearing for the live table)
-    val live = Paths.get(metaPath(tableDir))
+    val live = livePath
     if (Files.exists(live) && archiveSuperseded) {
       Files.copy(live, Paths.get(s"$tableDir/_kvmeta.v${meta.version}.json"),
         StandardCopyOption.REPLACE_EXISTING)

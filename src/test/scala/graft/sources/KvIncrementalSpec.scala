@@ -109,4 +109,67 @@ class KvIncrementalSpec extends SparkSpec {
       s"expected the ahead-of-table guard, got: ${e.getMessage}")
     q.stop()
   }
+
+  test("catch-up deeper than archived-manifest retention (add lineage, r14)") {
+    // 70 commits > MaxArchivedManifests (64): the archived chain for the
+    // window's oldest versions is GONE (v2..v6 manifests dropped), so the
+    // pre-lineage planner could never serve this window — the hard
+    // backlog ceiling a 100 TB consumer a weekend behind would hit. The
+    // live manifest's add lineage plans it from one parse.
+    val dir = Files.createTempDirectory("graft-inc-deep").toString
+    (0 until 70).foreach(i => append(dir, i * 10, i * 10 + 10)) // v1..v70
+    assert(KvStore.readMeta(dir).version == 70)
+    assert(!new java.io.File(s"$dir/_kvmeta.v2.json").exists(),
+      "precondition: the old archived chain must actually be gone")
+    // batch incremental read across the whole deep window
+    assert(readSince(dir, 1).select("k").collect().map(_.getLong(0)).sorted.toSeq
+      == (10L until 700L), "deep window must serve v2..v70 exactly once")
+    // and the same window as a rate-limited streaming drain
+    val q = spark.readStream.format("graft-kv").option("catalog", cat)
+      .option("path", dir).option("sinceVersion", 1)
+      .option("maxVersionsPerTrigger", 7).load()
+      .writeStream.format("memory").queryName("inc_deep_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-inc-deep-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    assert(spark.table("inc_deep_out").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == (10L until 700L),
+      "rate-limited deep drain must deliver the backlog exactly once")
+    assert(batches.length >= 9, s"69 versions / cap 7 must take >= 9 batches, got ${batches.length}")
+  }
+
+  test("deep window survives compaction: retired adds plan what archives no longer can") {
+    val dir = Files.createTempDirectory("graft-inc-deep-compact").toString
+    (0 until 70).foreach(i => append(dir, i * 10, i * 10 + 10)) // v1..v70
+    // merge everything: every delta shard leaves the LIVE set; their
+    // entries survive only as manifest-resident retired adds
+    assert(KvCompactor.compact(dir, 1L << 30, retainInputs = true) > 0) // v71
+    assert(!new java.io.File(s"$dir/_kvmeta.v2.json").exists())
+    assert(readSince(dir, 1).select("k").collect().map(_.getLong(0)).sorted.toSeq
+      == (10L until 700L),
+      "retired original shards must serve the window — the merged shard " +
+        "would re-serve v1's rows, a missing one would lose a commit")
+    assert(readSince(dir, 71).count() == 0, "the maintenance commit adds nothing")
+  }
+
+  test("truncate resets add lineage: an old checkpoint fails loudly, a new one plans") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-inc-trunc").toString
+    append(dir, 0, 10)  // v1
+    append(dir, 10, 20) // v2
+    Seq((1000L, 1L)).toDF("k", "v").write.format("graft-kv")
+      .option("catalog", cat).option("path", dir)
+      .mode("overwrite").save() // v3: truncate — old shards deleted NOW
+    // a consumer checkpointed before the truncate must get the clear
+    // contract error (its window's data is gone), never a silent empty
+    // or partial delta
+    val e = intercept[Exception] { readSince(dir, 1).collect() }
+    assert(e.getMessage.contains("unavailable"), e.getMessage)
+    // a checkpoint AT the truncate serves the fresh data
+    assert(readSince(dir, 2).select("k").collect().map(_.getLong(0)).toSeq
+      == Seq(1000L))
+  }
 }
