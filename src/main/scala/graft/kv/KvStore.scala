@@ -316,13 +316,24 @@ object KvStore {
     * vacuumed window surfaces the clean planning error via
     * [[requireShardFiles]]. */
   def deltaShards(tableDir: String, since: Long, asOf: Option[Long]): Seq[KvShardMeta] = {
-    val end = readMetaAsOf(tableDir, asOf)
-    if (end.addsSince >= 0 && since >= end.addsSince) {
-      (end.shards ++ end.retiredAdds).iterator
-        .filter(s => s.firstVersion > since && s.firstVersion <= end.version &&
+    // The lineage is consulted on the LIVE manifest even for a
+    // historical `asOf`: a genuine add with firstVersion <= asOf
+    // existed at asOf, and the lineage keeps every genuine add newer
+    // than addsSince, so live(+retired) and the asOf-manifest chain
+    // enumerate IDENTICAL shard sets for a covered window. This
+    // matters beyond speed — a capped catch-up asks for per-version
+    // windows (w-1, w] whose own archived manifests are long dropped;
+    // resolving them against manifest(w) would reintroduce the
+    // 64-commit ceiling through the back door.
+    val cur = readMeta(tableDir)
+    val endV = asOf.getOrElse(cur.version)
+    if (cur.addsSince >= 0 && since >= cur.addsSince && endV <= cur.version) {
+      (cur.shards ++ cur.retiredAdds).iterator
+        .filter(s => s.firstVersion > since && s.firstVersion <= endV &&
           s.addedVersion == s.firstVersion)
         .toSeq.distinctBy(_.file).sortBy(s => (s.firstVersion, s.file))
     } else {
+      val end = readMetaAsOf(tableDir, asOf)
       val out = scala.collection.mutable.LinkedHashMap[String, KvShardMeta]()
       var w = since + 1
       while (w <= end.version) {

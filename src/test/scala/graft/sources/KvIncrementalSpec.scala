@@ -139,6 +139,22 @@ class KvIncrementalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == (10L until 700L),
       "rate-limited deep drain must deliver the backlog exactly once")
     assert(batches.length >= 9, s"69 versions / cap 7 must take >= 9 batches, got ${batches.length}")
+    // the BYTE cap is the regression that escaped the version-cap test:
+    // its admission walk costs out each version as the window (w-1, w],
+    // which must resolve against the LIVE manifest's lineage — resolving
+    // against manifest(w) needs archives this table no longer has
+    val q2 = spark.readStream.format("graft-kv").option("catalog", cat)
+      .option("path", dir).option("sinceVersion", 1)
+      .option("maxBytesPerTrigger", 4096).load()
+      .writeStream.format("memory").queryName("inc_deep_bytes_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-inc-deep-ck2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(120000))
+    q2.stop()
+    assert(spark.table("inc_deep_bytes_out").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == (10L until 700L),
+      "byte-capped deep drain must deliver the backlog exactly once")
   }
 
   test("deep window survives compaction: retired adds plan what archives no longer can") {
