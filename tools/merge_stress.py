@@ -17,13 +17,17 @@ min over different engine versions compares apples to oranges (the r12
 artifact mixed pre- and post-pairs-cache passes, making q42's merged
 steady_sec a warm-cache read ~40x below what the same field meant in
 the other passes). Every pass JSON therefore carries the git revision
-it ran at, and this tool REFUSES to merge passes whose revisions
-differ. Legacy passes without a revision field are refused too —
+it ran at. Passes at DIFFERENT revisions merge only when git proves
+the revisions carry an IDENTICAL engine (`git diff --quiet rA rB --
+src/main` — i.e. only tests/docs/artifacts moved between them); the
+merged artifact then records every contributing revision. Anything
+else — including legacy passes without a revision field — is refused:
 re-run them at HEAD.
 
 Usage: python3 tools/merge_stress.py OUT PASS1.json PASS2.json [...]
 """
 import json
+import subprocess
 import sys
 
 # dict-valued sections merged field-by-field: steady-state timing fields
@@ -87,13 +91,26 @@ def main() -> int:
             print("refusing to merge passes of different tiers", file=sys.stderr)
             return 1
     revisions = [p.get("revision") for p in passes]
-    if None in revisions or len(set(revisions)) != 1:
-        print(f"refusing to merge passes of mixed/unknown code revisions: "
+    if None in revisions:
+        print(f"refusing to merge passes of unknown code revisions: "
               f"{revisions} — re-run every pass at one revision", file=sys.stderr)
         return 1
+    distinct = list(dict.fromkeys(revisions))
+    for a, b in zip(distinct, distinct[1:]):
+        # same-engine proof: only non-engine files may differ between
+        # the contributing revisions
+        same = subprocess.run(
+            ["git", "diff", "--quiet", a, b, "--", "src/main"],
+            capture_output=True).returncode
+        if same != 0:
+            print(f"refusing to merge passes of different ENGINES: revisions "
+                  f"{a} and {b} differ under src/main — re-run at one revision",
+                  file=sys.stderr)
+            return 1
     merged = {
         "metric": "stress", "mode": base.get("mode"), "copies": base["copies"],
-        "base": base["base"], "revision": revisions[0], "passes": len(passes),
+        "base": base["base"], "revision": revisions[0],
+        "revisions_per_pass": revisions, "passes": len(passes),
         "shuffle_partitions_per_pass": [p.get("shuffle_partitions") for p in passes],
         "queries": {},
         # run metadata (frontier log, escalation marker) from the NEWEST
