@@ -94,8 +94,15 @@ object IvfStore {
   }
 
   /** Build the index from the corpus and commit it: both KV tables, then
-    * the meta (the commit point). Returns the loaded index. */
-  def build(s: SparkSession, sfDir: String): IvfIndex = {
+    * the meta (the commit point). Returns the loaded index. The whole
+    * build runs under the KV layer's cross-process table lock on the
+    * index root — two concurrent builders would otherwise interleave
+    * their table overwrites and the surviving meta could point at one
+    * builder's centroids over the other's assignment. */
+  def build(s: SparkSession, sfDir: String): IvfIndex =
+    KvStore.withTableLock(indexRoot(sfDir)) { buildLocked(s, sfDir) }
+
+  private def buildLocked(s: SparkSession, sfDir: String): IvfIndex = {
     val root = indexRoot(sfDir)
     val fp = corpusFingerprint(sfDir)
     val idx = Similarity.ivfIndex(s, sfDir)
