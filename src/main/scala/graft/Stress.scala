@@ -246,7 +246,11 @@ object Stress {
         (System.nanoTime() - t) / 1e9
       }
       val pFirst = probeOnce()
-      val pSteady = math.min(probeOnce(), probeOnce())
+      // sub-second probes get the same deeper repeat floor Bench gives
+      // sub-second queries: min-of-2 caught multi-second JIT warm-in
+      // outliers at the 30× tier (1.8–3.8 s converging to ~0.6 over six
+      // repeats) and misread them as scale effects
+      val pSteady = Seq.fill(4)(probeOnce()).min
       val recall = recallOf(top5Ivf(
         queries.Similarity.ivfProbe(spark, idx, qEmbIvf, nProbe = nP)))
       sampleHeap()
@@ -284,7 +288,7 @@ object Stress {
         ((System.nanoTime() - t) / 1e9, top5Ivf(df))
       }
       val (cFirst, got) = coldProbeOnce()
-      val cSteady = math.min(coldProbeOnce()._1, coldProbeOnce()._1)
+      val cSteady = Seq.fill(4)(coldProbeOnce()._1).min
       val recall = recallOf(got)
       require(recall >= 0.6,
         f"persisted-IVF recall@5 $recall%.4f < 0.6 at ${copies}x")
