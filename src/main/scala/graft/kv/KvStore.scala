@@ -345,6 +345,23 @@ object KvStore {
     }
   }
 
+  /** Oldest version whose manifest is still on disk (the live one when
+    * no archives remain) — the floor below which snapshot reads cannot
+    * be pinned. Archives are dropped oldest-first by the commit-count
+    * retention and the vacuum grace clock, so the minimum existing
+    * archive is the practical floor; a vacuum-punched hole above it
+    * surfaces as the usual clean "unavailable" planning error. */
+  def oldestRetainedVersion(tableDir: String): Long = {
+    val archived = Option(new File(tableDir).listFiles()).toSeq.flatten
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("_kvmeta.v") && n.endsWith(".json"))
+          n.stripPrefix("_kvmeta.v").stripSuffix(".json").toLongOption
+        else None
+      }
+    if (archived.isEmpty) readMeta(tableDir).version else archived.min
+  }
+
   /** SQL `TIMESTAMP AS OF` resolution: the newest manifest version whose
     * commit stamp is at or before `tsMillis`, searched over the live
     * manifest plus the archived `_kvmeta.v*.json` chain. Time travel is

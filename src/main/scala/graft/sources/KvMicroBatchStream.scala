@@ -154,7 +154,21 @@ class KvMicroBatchStream(dir: String, rowkeyName: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = headVersion()
-    val s = start.asInstanceOf[KvOffset].version
+    val s0 = start.asInstanceOf[KvOffset].version
+    // A rate-limited stream starting from scratch (offset 0) pins its
+    // INITIAL SNAPSHOT at the capped end version — but for a long-lived
+    // table that version's archived manifest may be beyond the
+    // 64-commit retention, which made a brand-new capped consumer of an
+    // old table unable to start at all. The capping base is therefore
+    // lifted to the retention floor: the first batch becomes the state
+    // at the oldest version that still HAS a manifest (one atomic
+    // snapshot read either way — only its pin moves forward; the caps
+    // then meter the append tail from there exactly as before). Seeded
+    // (`sinceVersion`) streams are untouched: their windows plan from
+    // the add lineage and their seed is an explicit contract.
+    val s = if (s0 == 0L && cur > 0L)
+      math.max(s0, KvStore.oldestRetainedVersion(dir) - 1)
+    else s0
     KvOffset(applyLimit(s, cur, limit))
   }
 

@@ -155,6 +155,27 @@ class KvIncrementalSpec extends SparkSpec {
     assert(spark.table("inc_deep_bytes_out").select("k")
       .collect().map(_.getLong(0)).sorted.toSeq == (10L until 700L),
       "byte-capped deep drain must deliver the backlog exactly once")
+    // a BRAND-NEW capped consumer (offset 0, no sinceVersion): its first
+    // batch would pin the initial snapshot at a version whose archived
+    // manifest is dropped — the capping base lifts to the retention
+    // floor so it starts anyway and still serves every row exactly once
+    // (the lifted snapshot subsumes the pre-floor appends)
+    val q3 = spark.readStream.format("graft-kv").option("catalog", cat)
+      .option("path", dir)
+      .option("maxVersionsPerTrigger", 3).load()
+      .writeStream.format("memory").queryName("inc_deep_fresh_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-inc-deep-ck3").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q3.awaitTermination(120000))
+    val freshBatches = q3.recentProgress.filter(_.numInputRows > 0)
+    q3.stop()
+    assert(spark.table("inc_deep_fresh_out").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 700L),
+      "a fresh capped consumer of an old table must start at the retention " +
+        "floor and reconstruct the full table exactly once")
+    assert(freshBatches.length >= 2,
+      s"the post-floor tail must still drain rate-limited, got ${freshBatches.length} batches")
   }
 
   test("deep window survives compaction: retired adds plan what archives no longer can") {
