@@ -271,8 +271,10 @@ object Stress {
     // two KV scans, no corpus scan) plus the probe. The 100 TB claim is
     // cold_probe ≈ steady probe — the index outlives its builder.
     val ivfPersistJson = {
-      val metaF = new File(graft.kv.KvStore.cacheDir(
-        s"ivf-${new File(out).getName}-${Integer.toHexString(new File(out).getAbsolutePath.hashCode)}") + "/_ivfmeta.json")
+      // the REAL index path, not a re-derivation of IvfStore's keying —
+      // a cache-key change there must break loudly here, not silently
+      // corrupt built-detection
+      val metaF = queries.IvfStore.metaFile(queries.IvfStore.indexRoot(out))
       val wasBuilt = !metaF.exists()
       val tb = System.nanoTime()
       if (wasBuilt) queries.IvfStore.build(spark, out)
@@ -280,8 +282,10 @@ object Stress {
       def coldProbeOnce(): (Double, Set[(Long, Long)]) = {
         val t = System.nanoTime()
         val idx = queries.IvfStore.load(spark, out) // cold: plans from disk
-        val nP = queries.Similarity.adaptiveNProbe(idx.nlist,
-          Tables.embeddings(spark, out).count())
+        // n comes from the loaded meta — the measured cold probe must
+        // not smuggle in a per-repeat corpus scan for a number the
+        // index already persisted
+        val nP = queries.Similarity.adaptiveNProbe(idx.nlist, idx.nVectors)
         val df = queries.Similarity.ivfProbe(spark, idx, qEmbIvf, nProbe = nP)
         df.queryExecution.toRdd.count()
         sampleHeap()

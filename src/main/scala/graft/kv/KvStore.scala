@@ -418,8 +418,16 @@ object KvStore {
                 archiveSuperseded: Boolean = true): Unit = {
     val commitV = meta.version + 1
     val livePath = Paths.get(metaPath(tableDir))
+    // COMMIT path: parse the live manifest directly, bypassing the
+    // (mtime, size)-validated cache. A cross-process committer whose
+    // rewrite lands in the same timestamp granule at an identical byte
+    // size would otherwise feed a stale prevOpt into the lineage diff
+    // below, silently mis-stamping addedVersion/retiredAdds — stale-
+    // within-a-granule is acceptable freshness for READERS, never for
+    // the write that derives lineage. One extra parse per commit under
+    // the table lock is negligible.
     val prevOpt =
-      if (Files.exists(livePath)) Some(readMetaFile(livePath.toFile)) else None
+      if (Files.exists(livePath)) Some(parseMetaFile(livePath.toFile)) else None
     // ---- add lineage (computed HERE, never by committers) ----
     // addedVersion: a file absent from the superseded manifest was
     // created by this commit; a carried-over file keeps its stamp (the

@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent IVF ANN index — the q53 quantizer's Θ(n^1.25) build paid
-  * ONCE per corpus, not per session.
+  * ONCE per corpus, not per session, and extended INCREMENTALLY as the
+  * corpus appends.
   *
   * [[Similarity.ivfIndex]] / [[Similarity.ivfProbe]] split build from
   * probe, but the split stops at session scope: every new session (or
@@ -28,27 +29,54 @@ import org.apache.spark.sql.functions._
   *    copies could otherwise drift.
   *  - `assigned` (rowkey vec_id; embedding, cell): the assigned corpus.
   *
-  * plus `_ivfmeta.json` holding the quantizer arithmetic (n, k, c) and a
-  * CORPUS FINGERPRINT. The meta write is the commit point: a crash
-  * mid-build leaves stale tables but no meta, and the next ensure()
-  * rebuilds.
+  * plus `_ivfmeta.json` holding the quantizer arithmetic (n, k, c), a
+  * CORPUS FINGERPRINT, and the corpus FILE LISTING the fingerprint was
+  * computed from. The meta write is the commit point: a crash mid-build
+  * (or mid-update) leaves the pinned manifest versions untouched, and
+  * the next ensure() recovers.
   *
   * Staleness guard: the fingerprint is the corpus file listing —
-  * relative path, byte length and mtime of every data file (the same
-  * freshness contract snapshot-based table formats pin their manifests
-  * to). Checking it is O(#files) metadata stats, NEVER a data scan —
-  * the whole point of a persistent index is that probing must not touch
-  * the corpus-sized input. [[load]] REFUSES a mismatched corpus with a
-  * clear error; [[ensure]] rebuilds instead when
-  * `graft.ivfRebuildOnStale=true` (default: also refuse — silently
-  * rebuilding a 100 TB index on what may be a misconfigured path is
-  * worse than failing).
+  * relative path, byte length and mtime of every DATA file (underscore/
+  * dot-prefixed marker files like Spark's `_SUCCESS` are not corpus
+  * data and are excluded — an append commit rewrites `_SUCCESS`, which
+  * must not read as a data rewrite). Checking it is O(#files) metadata
+  * stats, NEVER a data scan. Because the listing itself is persisted, a
+  * mismatch is CLASSIFIED, not just detected:
+  *
+  *  - PURE APPEND — every file the index was built from is still
+  *    present byte-identical (path, length, mtime) and new files
+  *    exist. [[ensure]] applies an APPEND-INCREMENTAL update (default
+  *    `graft.ivfIncremental=true`): only the new files' vectors are
+  *    read and assigned against the FROZEN centroids, and the result is
+  *    append-committed to the `assigned` KV table — update cost is
+  *    Θ(delta·(c + k/c)) cosine evaluations, proportional to the delta,
+  *    never to the corpus. k/c/centroids do not change, so an
+  *    incrementally-extended index drifts from a fresh rebuild only in
+  *    quantization QUALITY, bounded by the appended fraction the meta
+  *    records (`appendedRows`/`n`, and by bytes vs `baseBytes`); past
+  *    `graft.ivfMaxAppendFrac` (default 0.25 by bytes) ensure() demands
+  *    a full rebuild instead.
+  *  - REWRITE — a built-from file changed or disappeared: assignments
+  *    already in the index may describe vectors that no longer exist,
+  *    so only a full rebuild is sound. Refused with a rebuild hint
+  *    (`graft.ivfRebuildOnStale=true` lets ensure() rebuild; the
+  *    default refuses — silently rebuilding a 100 TB index on what may
+  *    be a misconfigured path is worse than failing).
+  *
+  * The incremental contract assumes appended files carry NEW rowkeys
+  * (the definition of an append-only corpus); re-introducing an
+  * existing vec_id in an appended file is a logical rewrite the
+  * file-level guard cannot see, exactly as for any keyed table fed by
+  * an append-only log.
   *
   * Version pinning rides the KV store's own manifest-version machinery:
-  * a rebuild is an overwrite commit on both tables (version bump), so an
-  * in-flight reader pinned at the superseded version gets the KV
-  * layer's clean time-travel semantics, and `_ivfmeta.json` records the
-  * manifest version each table committed at build time.
+  * `_ivfmeta.json` records the manifest version of each table the index
+  * state corresponds to, and [[load]] pins both reads `asOfVersion`
+  * there — a loaded index can never mix two builds' states, and a
+  * crashed update (KV append committed, meta not) leaves readers pinned
+  * at the last consistent pair. ensure() detects that dangling commit
+  * (table version ahead of the meta's) and falls back to a full rebuild
+  * rather than risk double-appending the delta.
   */
 object IvfStore {
 
@@ -67,30 +95,85 @@ object IvfStore {
        |            "cell":{"cf":"i","col":"c","type":"int"}}}""".stripMargin
 
   /** Same corpus-dir cache keying as the KV query tables: basename plus
-    * a full-path hash, so same-named corpora never share an index. */
-  private def indexRoot(sfDir: String): String = {
+    * a full-path hash, so same-named corpora never share an index.
+    * Package-visible so the stress harness points at the REAL path
+    * instead of re-deriving the formula (which would silently break its
+    * built-detection if this keying ever changed). */
+  private[graft] def indexRoot(sfDir: String): String = {
     val abs = new File(sfDir).getAbsolutePath
     KvStore.cacheDir(
       s"ivf-${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}")
   }
 
-  private def metaFile(root: String) = new File(s"$root/_ivfmeta.json")
+  private[graft] def metaFile(root: String) = new File(s"$root/_ivfmeta.json")
 
-  /** Corpus freshness fingerprint: md5 over the sorted
-    * (relative path, length, mtime) listing of the embeddings input —
-    * file-level metadata only, no data read. Any rewrite, append,
-    * repartition or regeneration of the corpus changes it. */
-  private[queries] def corpusFingerprint(sfDir: String): String = {
+  /** The corpus DATA file listing: (relative-path, file) of every file
+    * under the embeddings input, skipping underscore/dot-prefixed
+    * markers (`_SUCCESS`, `.crc` — the same convention parquet readers
+    * use). Sorted, so listings and fingerprints are deterministic. */
+  private def corpusDataFiles(sfDir: String): Seq[(String, File)] = {
     val base = new File(s"$sfDir/embeddings.parquet")
     def walk(f: File): Seq[File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
-    val sig = walk(base)
-      .map(f => s"${base.toPath.relativize(f.toPath)}:${f.length()}:${f.lastModified()}")
-      .mkString("\n")
+    walk(base)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(f => (base.toPath.relativize(f.toPath).toString, f))
+  }
+
+  private def listingEntries(sfDir: String): Seq[String] =
+    corpusDataFiles(sfDir).map { case (rel, f) =>
+      s"$rel:${f.length()}:${f.lastModified()}"
+    }
+
+  /** Corpus freshness fingerprint: md5 over the sorted
+    * (relative path, length, mtime) data-file listing — file-level
+    * metadata only, no data read. Any rewrite, append, repartition or
+    * regeneration of the corpus changes it. */
+  private[queries] def corpusFingerprint(sfDir: String): String = md5Of(listingEntries(sfDir))
+
+  private def md5Of(entries: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** How the corpus moved relative to the listing a meta recorded. */
+  private[queries] sealed trait CorpusDelta
+  private[queries] case object CorpusFresh extends CorpusDelta
+  /** Every built-from file intact; `newFiles` appeared. Byte counts are
+    * from the listing stats (no scan): `newBytes` = appended since the
+    * LAST meta write, `totalBytes` = whole corpus now. */
+  private[queries] final case class CorpusAppend(
+      newFiles: Seq[File], newBytes: Long, totalBytes: Long) extends CorpusDelta
+  private[queries] final case class CorpusRewrite(
+      changed: Seq[String], removed: Seq[String]) extends CorpusDelta
+
+  private def classify(meta: com.fasterxml.jackson.databind.JsonNode,
+                       sfDir: String): CorpusDelta = {
+    val current = corpusDataFiles(sfDir)
+    val curEntries = current.map { case (rel, f) =>
+      s"$rel:${f.length()}:${f.lastModified()}"
+    }
+    if (md5Of(curEntries) == meta.path("fingerprint").asText()) return CorpusFresh
+    val storedNode = meta.path("files")
+    if (!storedNode.isArray)
+      // pre-listing meta (or hand-edited): cannot prove pure append —
+      // the only sound reading of an unclassifiable mismatch is rewrite
+      return CorpusRewrite(Seq("<index predates file-listing metadata>"), Nil)
+    import scala.jdk.CollectionConverters._
+    val stored = storedNode.elements().asScala.map(_.asText()).toSeq
+    def relOf(e: String) = e.substring(0, e.lastIndexOf(':', e.lastIndexOf(':') - 1))
+    val curByRel = curEntries.map(e => relOf(e) -> e).toMap
+    val changed = stored.filter(e => curByRel.get(relOf(e)).exists(_ != e)).map(relOf)
+    val removed = stored.filterNot(e => curByRel.contains(relOf(e))).map(relOf)
+    if (changed.nonEmpty || removed.nonEmpty) return CorpusRewrite(changed, removed)
+    val storedRels = stored.map(relOf).toSet
+    val newFiles = current.filterNot { case (rel, _) => storedRels(rel) }
+    // all stored files intact and fingerprint differs ⇒ new files exist
+    CorpusAppend(newFiles.map(_._2),
+      newBytes = newFiles.map(_._2.length()).sum,
+      totalBytes = current.map(_._2.length()).sum)
   }
 
   /** Build the index from the corpus and commit it: both KV tables, then
@@ -104,7 +187,7 @@ object IvfStore {
 
   private def buildLocked(s: SparkSession, sfDir: String): IvfIndex = {
     val root = indexRoot(sfDir)
-    val fp = corpusFingerprint(sfDir)
+    val files = listingEntries(sfDir)
     val idx = Similarity.ivfIndex(s, sfDir)
     val k = idx.nlist
     val c = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
@@ -126,26 +209,57 @@ object IvfStore {
       .option("catalog", assignedCatalog("ivf_assigned"))
       .option("path", s"$root/assigned")
       .mode("overwrite").save()
-    val n = Tables.embeddings(s, sfDir).count()
+    val n = idx.nVectors
     val node = mapper.createObjectNode()
     node.put("corpus", new File(sfDir).getAbsolutePath)
-    node.put("fingerprint", fp)
+    node.put("fingerprint", md5Of(files))
+    val farr = node.putArray("files")
+    files.foreach(farr.add)
     node.put("n", n); node.put("k", k); node.put("c", c)
+    node.put("baseN", n)
+    node.put("baseBytes", corpusDataFiles(sfDir).map(_._2.length()).sum)
+    node.put("appendedRows", 0L)
     node.put("centroidsVersion", KvStore.readMeta(s"$root/centroids").version)
     node.put("assignedVersion", KvStore.readMeta(s"$root/assigned").version)
+    writeMetaAtomic(root, node)
+    loadPinned(s, root, mapper.readTree(metaFile(root)))
+  }
+
+  private def writeMetaAtomic(root: String,
+                              node: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
     val tmp = new File(s"$root/_ivfmeta.json.tmp")
     java.nio.file.Files.write(tmp.toPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     java.nio.file.Files.move(tmp.toPath, metaFile(root).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    load(s, sfDir)
   }
+
+  private def staleError(root: String, sfDir: String, delta: CorpusDelta): Nothing =
+    delta match {
+      case CorpusRewrite(changed, removed) => throw new IllegalStateException(
+        s"persisted IVF index at $root was built against a different corpus state: " +
+          s"the corpus was REWRITTEN in place (${changed.size} changed, " +
+          s"${removed.size} removed data files" +
+          (changed ++ removed).take(3).mkString(": ", ", ", "") +
+          ") — assignments in the index may describe vectors that no longer " +
+          "exist, so a full rebuild is required: run IvfStore.build, or set " +
+          "graft.ivfRebuildOnStale=true to let ensure() rebuild automatically")
+      case CorpusAppend(newFiles, newBytes, totalBytes) => throw new IllegalStateException(
+        s"persisted IVF index at $root was built against a different corpus state: " +
+          f"the corpus GREW BY PURE APPEND (${newFiles.size} new data files, " +
+          f"${100.0 * newBytes / math.max(1L, totalBytes)}%.1f%% of corpus bytes) — " +
+          "ensure() applies an append-incremental update when " +
+          "graft.ivfIncremental=true (the default) and the appended fraction " +
+          "is within graft.ivfMaxAppendFrac; load() itself never mutates the index")
+      case CorpusFresh => throw new IllegalStateException("unreachable: fresh")
+    }
 
   /** Cold-load the persisted index: meta parse + fingerprint stat + two
     * KV table reads. NO corpus scan, NO assignment work — this is the
     * path a fresh session probes through. Refuses loudly when the
-    * corpus has changed since the build or no index exists. */
+    * corpus has changed since the build (saying HOW it changed — pure
+    * append vs rewrite) or no index exists; load never mutates. */
   def load(s: SparkSession, sfDir: String): IvfIndex = {
     val root = indexRoot(sfDir)
     val mf = metaFile(root)
@@ -153,17 +267,19 @@ object IvfStore {
       s"no persisted IVF index for $sfDir (expected ${mf.getPath}); " +
         "run IvfStore.build/ensure first")
     val meta = mapper.readTree(mf)
-    val fp = corpusFingerprint(sfDir)
-    if (fp != meta.path("fingerprint").asText()) throw new IllegalStateException(
-      s"persisted IVF index at $root was built against a different corpus " +
-        s"state (fingerprint ${meta.path("fingerprint").asText()} vs current $fp) — " +
-        "rebuild with IvfStore.build, or set graft.ivfRebuildOnStale=true " +
-        "to let ensure() rebuild automatically")
+    classify(meta, sfDir) match {
+      case CorpusFresh => loadPinned(s, root, meta)
+      case delta => staleError(root, sfDir, delta)
+    }
+  }
+
+  private def loadPinned(s: SparkSession, root: String,
+                         meta: com.fasterxml.jackson.databind.JsonNode): IvfIndex = {
     val k = meta.path("k").asLong()
     val c = meta.path("c").asLong()
     graft.functions.CosineSimilarity.register(s)
-    // pin both reads at the versions THIS build committed (the KV time-
-    // travel machinery): a loaded index can never silently mix two
+    // pin both reads at the versions THIS index state committed (the KV
+    // time-travel machinery): a loaded index can never silently mix two
     // builds' states — a concurrent rebuild's truncate-overwrite makes
     // a stale in-flight probe fail with the KV layer's clean
     // "version unavailable" planning error instead of serving rows
@@ -182,22 +298,108 @@ object IvfStore {
       .option("asOfVersion", meta.path("assignedVersion").asLong())
       .option("path", s"$root/assigned").load()
       .select(col("vec_id"), col("embedding"), col("cell"))
-    IvfIndex(coarse, centRouted, assigned, k)
+    IvfIndex(coarse, centRouted, assigned, k, meta.path("n").asLong())
   }
 
-  /** The build-once contract: load when fresh; build when absent; on a
-    * STALE index, refuse unless `graft.ivfRebuildOnStale=true`. */
-  def ensure(s: SparkSession, sfDir: String): IvfIndex = {
+  /** Append-incremental update (caller holds the table lock and has
+    * classified the corpus as [[CorpusAppend]]): read ONLY the appended
+    * files, assign them against the FROZEN centroids (pinned at the
+    * build's manifest version), append-commit to the `assigned` KV
+    * table, then advance the meta — fingerprint, listing, counts, and
+    * the new assigned version — atomically. Cost ∝ delta, not corpus:
+    * the only corpus-sized relations touched are the centroid tables
+    * (k rows) and the appended files themselves. */
+  private def incrementLocked(s: SparkSession, sfDir: String,
+                              app: CorpusAppend): IvfIndex = {
     val root = indexRoot(sfDir)
-    val mf = metaFile(root)
-    if (!mf.exists()) return build(s, sfDir)
-    val fresh = mapper.readTree(mf).path("fingerprint").asText() ==
-      corpusFingerprint(sfDir)
-    if (fresh) load(s, sfDir)
-    else if (s.conf.get("graft.ivfRebuildOnStale", "false").toBoolean)
-      build(s, sfDir)
-    else load(s, sfDir) // throws the descriptive staleness error
+    val meta = mapper.readTree(metaFile(root))
+    val assignedDir = s"$root/assigned"
+    // dangling-commit guard: a crashed prior update may have committed
+    // the KV append without advancing the meta; appending again would
+    // double-insert that delta at the NEW pinned version. The last
+    // consistent state is still served (reads pin the meta's versions),
+    // and the sound recovery is a full rebuild.
+    if (KvStore.readMeta(assignedDir).version != meta.path("assignedVersion").asLong() ||
+        KvStore.readMeta(s"$root/centroids").version != meta.path("centroidsVersion").asLong()) {
+      System.err.println(
+        s"[graft] IvfStore: dangling index commit detected at $root " +
+          "(KV table version ahead of _ivfmeta.json — a prior update crashed " +
+          "between its KV commit and its meta commit); falling back to a full rebuild")
+      return buildLocked(s, sfDir)
+    }
+    val k = meta.path("k").asLong()
+    val frozen = loadPinned(s, root, meta)
+    graft.functions.CosineSimilarity.register(s)
+    val delta = s.read.parquet(app.newFiles.map(_.getPath): _*)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val assignedDelta =
+      Similarity.assignRouted(delta, frozen.coarse, frozen.centRouted, k)
+    assignedDelta
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .repartitionByRange(4, col("vec_id"))
+      .write.format("graft-kv")
+      .option("catalog", assignedCatalog("ivf_assigned"))
+      .option("path", assignedDir)
+      .mode("append").save()
+    // bounded scalar: one count over the DELTA files only
+    val deltaRows = delta.count()
+    val files = listingEntries(sfDir)
+    val node = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    node.put("fingerprint", md5Of(files))
+    val farr = node.putArray("files")
+    files.foreach(farr.add)
+    node.put("n", meta.path("n").asLong() + deltaRows)
+    node.put("appendedRows", meta.path("appendedRows").asLong() + deltaRows)
+    node.put("assignedVersion", KvStore.readMeta(assignedDir).version)
+    writeMetaAtomic(root, node)
+    System.err.println(
+      s"[graft] IvfStore: appended $deltaRows vectors (${app.newFiles.size} files) " +
+        s"to the persisted index at $root against frozen k=$k centroids")
+    loadPinned(s, root, mapper.readTree(metaFile(root)))
   }
+
+  /** The build-once contract: load when fresh; build when absent;
+    * append-incrementally extend on a PURE APPEND within
+    * `graft.ivfMaxAppendFrac` (by bytes since the original build);
+    * otherwise — rewrite, or drift past the bound — refuse unless
+    * `graft.ivfRebuildOnStale=true`. */
+  def ensure(s: SparkSession, sfDir: String): IvfIndex =
+    KvStore.withTableLock(indexRoot(sfDir)) {
+      val root = indexRoot(sfDir)
+      val mf = metaFile(root)
+      def rebuildOk = s.conf.get("graft.ivfRebuildOnStale", "false").toBoolean
+      if (!mf.exists()) buildLocked(s, sfDir)
+      else {
+        val meta = mapper.readTree(mf)
+        classify(meta, sfDir) match {
+          case CorpusFresh => loadPinned(s, root, meta)
+          case app: CorpusAppend =>
+            val incremental =
+              s.conf.get("graft.ivfIncremental", "true").toBoolean
+            val maxFrac =
+              s.conf.get("graft.ivfMaxAppendFrac", "0.25").toDouble
+            // cumulative drift since the centroids were FIT, not since
+            // the last update — repeated small appends must not sneak
+            // past the quality bound the threshold exists to enforce
+            val baseBytes = meta.path("baseBytes").asLong()
+            val drift =
+              (app.totalBytes - baseBytes).toDouble / math.max(1L, app.totalBytes)
+            if (!incremental) staleError(root, sfDir, app)
+            else if (drift > maxFrac) {
+              if (rebuildOk) buildLocked(s, sfDir)
+              else throw new IllegalStateException(
+                f"persisted IVF index at $root: corpus grew by pure append but the " +
+                  f"cumulative appended fraction $drift%.3f (by bytes since the " +
+                  f"original build) exceeds graft.ivfMaxAppendFrac=$maxFrac%.2f — " +
+                  "the frozen centroids' drift bound is spent; a full rebuild is " +
+                  "required (set graft.ivfRebuildOnStale=true to let ensure() " +
+                  "rebuild automatically)")
+            } else incrementLocked(s, sfDir, app)
+          case rw: CorpusRewrite =>
+            if (rebuildOk) buildLocked(s, sfDir) else staleError(root, sfDir, rw)
+        }
+      }
+    }
 
   /** q115: the SAME adaptive IVF ANN as q53, probed through the
     * PERSISTED index — build-if-absent, then a cold load (meta +
@@ -216,5 +418,117 @@ object IvfStore {
     Some(Similarity.ivfOracleSql),
     doc = "IVF ANN through the persisted (graft-kv) index, cold-loaded")
 
-  def defs: Seq[Q] = Seq(q115IvfPersisted)
+  // ---- q116: append-incremental index maintenance, end to end ----
+
+  /** Staged split-corpus root for [[q116IvfIncremental]] (cache-keyed
+    * like [[indexRoot]]). Layout: `<root>/corpus/embeddings.parquet`
+    * (the staged corpus the index is built over) + `<root>/_staged.json`
+    * (records the SOURCE corpus fingerprint and the staging phase). */
+  private[graft] def stagedRoot(sfDir: String): String = {
+    val abs = new File(sfDir).getAbsolutePath
+    KvStore.cacheDir(
+      s"ivfinc-${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}")
+  }
+
+  private def rmrf(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
+    f.delete(): Unit
+  }
+
+  /** Stage the append scenario against the driver corpus, derive the
+    * index incrementally, and return it with the staged corpus dir:
+    *
+    *  1. write the first ⌊9n/10⌋ vectors (by vec_id order) of the
+    *     source embeddings as the staged corpus and BUILD the index on
+    *     it (centroids are fit on, and only on, this prefix);
+    *  2. append the remaining vectors as new parquet files in the same
+    *     directory — a pure file-level append, exactly what a corpus
+    *     ingest job produces;
+    *  3. ensure(): classifies the append, assigns ONLY the delta
+    *     against the frozen centroids, append-commits, advances meta.
+    *
+    * Idempotent and crash-safe: `_staged.json` is written only after
+    * the append lands, so a partial staging is wiped and redone; a
+    * completed staging short-circuits to a plain fresh load. Keyed on
+    * the SOURCE corpus fingerprint, so a driver-side regeneration of
+    * the testdata re-stages from scratch. */
+  private[queries] def ensureIncrementalStage(
+      s: SparkSession, sfDir: String): (IvfIndex, String) = {
+    val root = stagedRoot(sfDir)
+    val corpus = s"$root/corpus"
+    KvStore.withTableLock(root) {
+      val srcFp = corpusFingerprint(sfDir)
+      val marker = new File(s"$root/_staged.json")
+      val staged = marker.exists() && {
+        val m = mapper.readTree(marker)
+        m.path("sourceFingerprint").asText() == srcFp &&
+          m.path("phase").asText() == "appended"
+      }
+      if (!staged) {
+        rmrf(new File(corpus))
+        rmrf(new File(indexRoot(corpus)))
+        marker.delete()
+        val raw = Tables.load(s, sfDir, "embeddings")
+        val n = raw.count()
+        val n0 = n * 9 / 10
+        require(n0 > 0 && n0 < n, s"corpus too small to stage an append split: n=$n")
+        // the n0-th smallest vec_id bounds the initial prefix; vec_ids
+        // are unique (the corpus rowkey), so `vec_id <= thr` ≡ the
+        // first n0 rows in vec_id order — replayed by the oracle as
+        // row_number() OVER (ORDER BY vec_id) <= 9·cnt//10
+        val thr = raw.select(col("vec_id")).orderBy(col("vec_id"))
+          .limit(n0.toInt).agg(max(col("vec_id"))).head().getLong(0)
+        raw.filter(col("vec_id") <= thr).coalesce(1)
+          .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+        build(s, corpus)
+        raw.filter(col("vec_id") > thr).coalesce(1)
+          .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+        val node = mapper.createObjectNode()
+        node.put("sourceFingerprint", srcFp)
+        node.put("phase", "appended")
+        node.put("thresholdVecId", thr)
+        java.nio.file.Files.write(marker.toPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+      }
+    }
+    // outside the staging lock: ensure takes the index lock itself —
+    // first call after staging runs the incremental update, every call
+    // thereafter is a fresh pinned load
+    (ensure(s, corpus), corpus)
+  }
+
+  /** q116's oracle: the SAME full-pipeline IVF replay as q53/q115, with
+    * the centroid basis restricted to the pre-append prefix (first
+    * ⌊9n/10⌋ vectors by vec_id) — the frozen-centroid semantics of an
+    * append-incrementally maintained index. Assignment and rescoring
+    * run over the FULL corpus: appended vectors must be probe-visible. */
+  private val incOracleSql: String = Similarity.ivfOracleSqlFrom(
+    """
+      init AS (
+        SELECT vec_id, emb FROM (
+          SELECT vec_id, emb,
+                 row_number() OVER (ORDER BY vec_id) AS rn,
+                 count(*) OVER () AS cnt
+          FROM dbl) t
+        WHERE rn <= cnt * 9 // 10),""", "init")
+
+  /** q116: IVF ANN through an index that was BUILT on 90% of the corpus
+    * and append-incrementally EXTENDED with the rest — the maintenance
+    * path a 100 TB corpus actually exercises (re-assigning only the
+    * ingested delta instead of re-paying the Θ(n^1.25) build). The
+    * probe result is hash-checked against a DuckDB replay of the
+    * frozen-centroid pipeline, so build → append → incremental-assign →
+    * append-commit → pinned reload → probe is oracle-green end to end. */
+  val q116IvfIncremental: Q = Q(
+    "q116_ivf_incremental",
+    (s, d) => {
+      val (idx, _) = ensureIncrementalStage(s, d)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfProbe(s, idx, queries, nProbe = 4)
+    },
+    Some(incOracleSql),
+    doc = "IVF ANN through an append-incrementally maintained persisted index")
+
+  def defs: Seq[Q] = Seq(q115IvfPersisted, q116IvfIncremental)
 }

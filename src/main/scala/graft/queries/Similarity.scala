@@ -283,8 +283,8 @@ object Similarity {
     * (max_by over (cos, -id) ≡ row_number ORDER BY cos DESC, id — the
     * rule every oracle replays). Shared by q53's IVF index build and
     * q114's hierarchical SemDeDup. Returns (vec_id, embedding, cell). */
-  private def assignRouted(emb: DataFrame, coarse: DataFrame,
-                           centRouted: DataFrame, k: Long): DataFrame = {
+  private[queries] def assignRouted(emb: DataFrame, coarse: DataFrame,
+                                    centRouted: DataFrame, k: Long): DataFrame = {
     // stage 1: vector → nearest coarse centroid (n·c evaluations)
     val routed = emb.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("embedding"), col("gid"),
@@ -319,7 +319,8 @@ object Similarity {
     * (vec_id, embedding, cell). Persist `centRouted` and `assigned`
     * to amortize the build across probe batches. */
   final case class IvfIndex(coarse: DataFrame, centRouted: DataFrame,
-                            assigned: DataFrame, nlist: Long)
+                            assigned: DataFrame, nlist: Long,
+                            nVectors: Long)
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into cells
     * around a coarse quantizer; each query probes its nProbe best cells
@@ -354,7 +355,7 @@ object Similarity {
     val coarse = cent.filter(col("cid") <= c)
       .select(col("cid").as("gid"), col("cemb").as("gemb"))
     val centRouted = routeCentroids(cent, coarse)
-    IvfIndex(coarse, centRouted, assignRouted(emb, coarse, centRouted, k), k)
+    IvfIndex(coarse, centRouted, assignRouted(emb, coarse, centRouted, k), k, n)
   }
 
   /** Probe side: rank fine cells per query in the SAME two-level order
@@ -441,19 +442,27 @@ object Similarity {
     * both engines, so even this "approximate" index is hash-checked. */
   /** Shared by q53 (in-session index) and q115 (persisted index): the
     * two pipelines produce bit-identical results — the KV round-trip is
-    * lossless on float arrays — so one oracle pins both. */
-  private[queries] val ivfOracleSql: String = """
+    * lossless on float arrays — so one oracle pins both.
+    *
+    * Parameterized over the CENTROID BASIS (`basis` names the CTE the
+    * quantizer arithmetic and md5 sample draw from; `extraCtes` defines
+    * it): q53/q115 sample from the full corpus (`dbl`), while q116's
+    * append-incremental index samples from the pre-append prefix — the
+    * frozen-centroid semantics of incremental maintenance, replayed
+    * exactly. Assignment/probe/rescoring always run over the FULL
+    * corpus. */
+  private[queries] def ivfOracleSqlFrom(extraCtes: String, basis: String): String = s"""
       WITH dbl AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),$extraCtes
       params AS (
-        SELECT GREATEST(16, CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k FROM dbl),
+        SELECT GREATEST(16, CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k FROM $basis),
       params2 AS (
         SELECT k, GREATEST(4, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS c
         FROM params),
       cent AS (
         SELECT emb AS cemb,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
-        FROM dbl
+        FROM $basis
         QUALIFY cid <= (SELECT k FROM params2)),
       coarse AS (
         SELECT cid AS gid, cemb AS gemb FROM cent
@@ -521,6 +530,8 @@ object Similarity {
       SELECT q_id, rk, n_id, round(cos, 6) AS cos_r
       FROM ranked WHERE rk <= 5
       ORDER BY q_id, rk"""
+
+  private[queries] val ivfOracleSql: String = ivfOracleSqlFrom("", "dbl")
 
   /** q53's oracle replays the ENTIRE adaptive IVF pipeline in SQL — see
     * [[ivfOracleSql]]. */

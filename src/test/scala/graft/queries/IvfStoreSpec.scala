@@ -83,6 +83,123 @@ class IvfStoreSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ivfRebuildOnStale")
   }
 
+  /** A directory-shaped corpus copy (Spark layout) that file-level
+    * appends can extend — the shape a corpus ingest job produces. */
+  private def copyCorpusDir(): String = {
+    val dir = Files.createTempDirectory("ivf-inc").toString
+    Tables.load(spark, d, "embeddings").coalesce(1)
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** Append `nRows` NEW vectors (fresh vec_ids, existing embeddings) as
+    * a new parquet file — a pure file-level append. */
+  private def appendRows(corpus: String, idOffset: Long, nRows: Int): Unit =
+    Tables.load(spark, d, "embeddings").orderBy(col("vec_id")).limit(nRows)
+      .withColumn("vec_id", col("vec_id") + idOffset)
+      .coalesce(1).write.mode("append").parquet(s"$corpus/embeddings.parquet")
+
+  private def meta(corpus: String) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.readTree(IvfStore.metaFile(IvfStore.indexRoot(corpus)))
+  }
+
+  test("append-incremental update: frozen centroids, delta-only assignment, bumped pin") {
+    val corpus = copyCorpusDir()
+    val idx1 = IvfStore.ensure(spark, corpus)
+    val m1 = meta(corpus)
+    val n1 = idx1.nVectors
+    assert(n1 == Tables.embeddings(spark, corpus).count())
+    appendRows(corpus, idOffset = 100000, nRows = 30)
+    // load() is read-only: it must refuse the grown corpus, naming the
+    // append classification (not the rewrite one)
+    val e = intercept[IllegalStateException](IvfStore.load(spark, corpus))
+    assert(e.getMessage.contains("GREW BY PURE APPEND"), e.getMessage)
+    // ensure() takes the incremental path
+    val idx2 = IvfStore.ensure(spark, corpus)
+    val m2 = meta(corpus)
+    assert(m2.path("centroidsVersion").asLong() == m1.path("centroidsVersion").asLong(),
+      "incremental update must not touch the centroid table")
+    assert(m2.path("assignedVersion").asLong() == m1.path("assignedVersion").asLong() + 1,
+      "incremental update must be exactly one append commit on the assigned table")
+    assert(m2.path("k").asLong() == m1.path("k").asLong())
+    assert(m2.path("baseN").asLong() == m1.path("baseN").asLong())
+    assert(m2.path("appendedRows").asLong() == 30)
+    assert(idx2.nVectors == n1 + 30 && idx2.assigned.count() == n1 + 30)
+    // the delta's persisted cells must equal a direct frozen-centroid
+    // assignment of the same rows
+    val delta = Tables.embeddings(spark, corpus).filter(col("vec_id") >= 100000)
+      .select(col("vec_id"), col("embedding"))
+    val expected = Similarity
+      .assignRouted(delta, idx2.coarse, idx2.centRouted, idx2.nlist)
+      .select(col("vec_id"), col("cell"))
+    val got = idx2.assigned.filter(col("vec_id") >= 100000)
+      .select(col("vec_id"), col("cell"))
+    assert(got.except(expected).count() == 0 && expected.except(got).count() == 0,
+      "incrementally-assigned cells diverge from a direct frozen-centroid assignment")
+    // a second ensure() with no corpus change is a plain fresh load
+    val idx3 = IvfStore.ensure(spark, corpus)
+    assert(idx3.nVectors == n1 + 30)
+    assert(meta(corpus).path("assignedVersion").asLong() ==
+      m2.path("assignedVersion").asLong())
+  }
+
+  test("append past the drift bound refuses; rebuild-on-stale re-bases") {
+    val corpus = copyCorpusDir()
+    IvfStore.ensure(spark, corpus)
+    appendRows(corpus, idOffset = 200000, nRows = 30)
+    spark.conf.set("graft.ivfMaxAppendFrac", "0.000001")
+    try {
+      val e = intercept[IllegalStateException](IvfStore.ensure(spark, corpus))
+      assert(e.getMessage.contains("exceeds graft.ivfMaxAppendFrac"), e.getMessage)
+      // with incremental disabled the refusal is the plain append error
+      spark.conf.set("graft.ivfIncremental", "false")
+      val e2 = intercept[IllegalStateException](IvfStore.ensure(spark, corpus))
+      assert(e2.getMessage.contains("GREW BY PURE APPEND"), e2.getMessage)
+      spark.conf.unset("graft.ivfIncremental")
+      // opted in: full rebuild re-bases the drift accounting
+      spark.conf.set("graft.ivfRebuildOnStale", "true")
+      val idx = IvfStore.ensure(spark, corpus)
+      val m = meta(corpus)
+      assert(m.path("appendedRows").asLong() == 0)
+      assert(m.path("baseN").asLong() == idx.nVectors)
+    } finally {
+      spark.conf.unset("graft.ivfMaxAppendFrac")
+      spark.conf.unset("graft.ivfRebuildOnStale")
+      spark.conf.unset("graft.ivfIncremental")
+    }
+  }
+
+  test("dangling KV commit (crashed update) falls back to a full rebuild") {
+    val corpus = copyCorpusDir()
+    val idx1 = IvfStore.ensure(spark, corpus)
+    val root = IvfStore.indexRoot(corpus)
+    // simulate a crash between the KV append and the meta write: commit
+    // one stray row to the assigned table without advancing the meta
+    idx1.assigned.limit(1)
+      .withColumn("vec_id", col("vec_id") + 900000)
+      .write.format("graft-kv")
+      .option("catalog",
+        """{"table":{"name":"ivf_assigned"},"rowkey":"vec_id",
+          | "columns":{"vec_id":{"cf":"rowkey","col":"vec_id","type":"long"},
+          |            "embedding":{"cf":"i","col":"e","type":"array<float>"},
+          |            "cell":{"cf":"i","col":"c","type":"int"}}}""".stripMargin)
+      .option("path", s"$root/assigned").mode("append").save()
+    // a fresh-corpus load still serves the last CONSISTENT state: reads
+    // pin the meta's versions, so the stray commit is invisible
+    assert(IvfStore.ensure(spark, corpus).assigned
+      .filter(col("vec_id") >= 900000).count() == 0)
+    // the next incremental attempt detects the dangling commit and
+    // rebuilds instead of double-appending
+    appendRows(corpus, idOffset = 300000, nRows = 10)
+    val idx2 = IvfStore.ensure(spark, corpus)
+    val m = meta(corpus)
+    assert(m.path("appendedRows").asLong() == 0, "expected a full rebuild")
+    assert(idx2.assigned.filter(col("vec_id") >= 900000).count() == 0,
+      "the stray pre-crash row must not survive the rebuild")
+    assert(idx2.nVectors == idx1.nVectors + 10)
+  }
+
   test("coarse router is the cid-prefix of the persisted centroid table") {
     val idx = IvfStore.ensure(spark, d)
     val c = idx.coarse.count()

@@ -98,14 +98,17 @@ def main() -> int:
     distinct = list(dict.fromkeys(revisions))
     for a, b in zip(distinct, distinct[1:]):
         # same-engine proof: only non-engine files may differ between
-        # the contributing revisions
+        # the contributing revisions. "Engine" includes the build
+        # configuration — a build.sbt / plugin / JVM-flag change alters
+        # the produced engine even with src/main untouched.
         same = subprocess.run(
-            ["git", "diff", "--quiet", a, b, "--", "src/main"],
+            ["git", "diff", "--quiet", a, b, "--",
+             "src/main", "build.sbt", "project"],
             capture_output=True).returncode
         if same != 0:
             print(f"refusing to merge passes of different ENGINES: revisions "
-                  f"{a} and {b} differ under src/main — re-run at one revision",
-                  file=sys.stderr)
+                  f"{a} and {b} differ under src/main, build.sbt or project/ "
+                  f"— re-run at one revision", file=sys.stderr)
             return 1
     merged = {
         "metric": "stress", "mode": base.get("mode"), "copies": base["copies"],
