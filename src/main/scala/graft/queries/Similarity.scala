@@ -31,20 +31,23 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Guard on the two brute-force exactness anchors (q50 O(n·q), q51
-    * O(n²)): they exist to pin the sub-quadratic production paths
-    * (q52–q55) to exact answers at GATE scale, and are scale-killers if
+  /** Guard on the non-production exactness anchors (q50 O(n·q), q51
+    * O(n²), q103 Θ(n^1.5) flat SemDeDup): they exist to pin the
+    * scale-path twins to exact/reference answers at GATE scale, and are
+    * scale-killers — or, for q103, unbounded-cell straggler bait — if
     * ever pointed at a production corpus. Above `graft.exactAnchorMaxRows`
     * (default 100k — 50× any gate fixture, far below any real corpus)
     * they refuse to run unless `graft.allowExactAnchors=true` explicitly
-    * acknowledges the cost. */
-  private def fenceExactAnchor(s: SparkSession, emb: DataFrame, name: String): DataFrame = {
+    * acknowledges the cost. `twinHint` names the production path the
+    * error steers to. */
+  private[graft] def fenceExactAnchor(s: SparkSession, emb: DataFrame, name: String,
+                                      twinHint: String = "run the sub-quadratic twin (q52-q55) instead"): DataFrame = {
     if (!s.conf.get("graft.allowExactAnchors", "false").toBoolean) {
       val maxRows = s.conf.get("graft.exactAnchorMaxRows", "100000").toLong
       val n = emb.count() // parquet metadata count — no data scan
       require(n <= maxRows,
-        s"$name is a brute-force exactness anchor fenced at $maxRows rows " +
-          s"(corpus has $n); run the sub-quadratic twin (q52-q55) instead, or " +
+        s"$name is an exactness anchor fenced at $maxRows rows " +
+          s"(corpus has $n); $twinHint, or " +
           "set graft.allowExactAnchors=true to force")
     }
     emb
@@ -712,12 +715,23 @@ object Similarity {
     * broadcast crossJoin + map-side-combined argmax (NOT k literal
     * arrays in one codegen'd expression, which would blow past the JVM
     * method limit at k in the thousands): each input partition
-    * collapses its n·k candidate rows back to n before any shuffle. */
+    * collapses its n·k candidate rows back to n before any shuffle.
+    *
+    * FENCED ANCHOR (round 15): q103 is the exact flat SemDeDup
+    * formulation and the ground truth q114's hierarchy is judged
+    * against — it is NOT the production path. Its √n-sized cells make
+    * the within-cell join Θ(n^1.5) AND expose it to stragglers/host
+    * noise that q114's bounded ~256-vector cells absorb (measured at
+    * the 100× stress tier: q103 steady spanned 9.7–49.5 s across four
+    * same-code passes while q114 held 4.9–6.7 s). Like q50/q51 it
+    * refuses above `graft.exactAnchorMaxRows` unless explicitly
+    * opted in. */
   val q103SemanticDedup: Q = Q(
     "q103_semantic_dedup",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
-      val emb = Tables.embeddings(s, d)
+      val emb = fenceExactAnchor(s, Tables.embeddings(s, d), "q103_semantic_dedup",
+        "run the bounded-cell hierarchical production path (q114_semantic_dedup_hier) instead")
       // Bounded scalar collect: corpus count -> deterministic k.
       val n = emb.count()
       val k = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)

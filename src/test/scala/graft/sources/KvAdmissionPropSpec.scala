@@ -10,7 +10,10 @@ import org.scalacheck.{Gen, Prop, Test => PropTest}
   * layouts (version count, rows and value sizes per version) × random
   * cap combinations (maxVersionsPerTrigger on/off, maxBytesPerTrigger
   * on/off at sizes that sometimes bite and sometimes pack) ×
-  * `sinceVersion` × a checkpointed resume with a freshly-appended tail.
+  * `sinceVersion` × random RETENTION TRUNCATION before the stream
+  * starts (the r14 retention-floor lift: a fresh capped consumer of a
+  * table older than archive retention starts at the oldest retained
+  * manifest) × a checkpointed resume with a freshly-appended tail.
   * The pairwise interactions each have a dedicated KvStreamSpec test;
   * this closes the combination space with one model:
   *
@@ -34,7 +37,7 @@ class KvAdmissionPropSpec extends SparkSpec {
 
   private case class Layout(versions: List[(Int, Int)], // (rows, valSize)
                             versCap: Int, byteCapKb: Int,
-                            since: Int, tail: List[(Int, Int)])
+                            since: Int, truncate: Int, tail: List[(Int, Int)])
 
   private val verGen: Gen[(Int, Int)] = for {
     rows <- Gen.chooseNum(1, 30)
@@ -46,8 +49,16 @@ class KvAdmissionPropSpec extends SparkSpec {
     vc <- Gen.chooseNum(0, 3)
     bc <- Gen.oneOf(0, 1, 4, 16) // KB; 0 = off
     since <- Gen.oneOf(0, 1)
+    // retention truncation BEFORE the stream starts (round 15 — covers
+    // the r14 retention-floor lift): delete the archived manifests of
+    // versions 1..truncate, as commit-count retention / manifest vacuum
+    // would. A fresh capped consumer must then start at the retention
+    // floor (snapshot-at-floor subsumes the pre-floor appends) instead
+    // of pinning an unreachable archived version; seeded streams plan
+    // their windows from the add lineage and are untouched.
+    truncate <- Gen.oneOf(0, 0, 1, 2, 5)
     tail <- Gen.chooseNum(0, 2).flatMap(n => Gen.listOfN(n, verGen))
-  } yield Layout(vs, vc, bc, since, tail)
+  } yield Layout(vs, vc, bc, since, truncate, tail)
 
   private def parseVersion(json: String, dflt: Long): Long =
     Option(json).flatMap("\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(_))
@@ -88,11 +99,16 @@ class KvAdmissionPropSpec extends SparkSpec {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+        // the retention floor the stream saw: a fresh (offset-0) capped
+        // stream bases its first batch there — the model mirrors the
+        // lift exactly (it applies ONLY to the s == 0 start)
+        val floorBase = math.max(0L, KvStore.oldestRetainedVersion(dir) - 1)
         // per-batch caps, read back from the committed offsets
         q.recentProgress.filter(_.numInputRows > 0).foreach { pr =>
           val src = pr.sources.head
           val e = parseVersion(src.endOffset, -1L)
-          val s = parseVersion(src.startOffset, layout.since.toLong)
+          val sRaw = parseVersion(src.startOffset, layout.since.toLong)
+          val s = if (sRaw == 0L) floorBase else sRaw
           val nv = e - s
           if (layout.versCap > 0)
             assert(nv <= layout.versCap,
@@ -110,6 +126,14 @@ class KvAdmissionPropSpec extends SparkSpec {
           .select("k").collect().map(_.getLong(0)).sorted.toSeq
       }
       val committed = layout.versions.map { case (r, sz) => append(r, sz) }
+      // commit-count retention: archived manifests below the cut are
+      // gone before the stream ever starts (shard files stay — they are
+      // all LIVE-referenced, which is exactly why the snapshot-at-floor
+      // start loses nothing)
+      (1 to layout.truncate).foreach { v =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$dir/_kvmeta.v$v.json")): Unit
+      }
       val expected1 = committed.drop(layout.since).flatten.sorted
       val got1 = drain()
       assert(got1 == expected1,
