@@ -24,6 +24,7 @@ object Registry {
       queries.Dedup.defs ++
       queries.Similarity.defs ++
       queries.IvfStore.defs ++
+      queries.IvfKvStore.defs ++
       queries.Multimodal.defs ++
       queries.Curation.defs ++
       queries.KvQueries.defs

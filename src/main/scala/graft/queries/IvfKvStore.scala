@@ -1,0 +1,336 @@
+package graft.queries
+
+import java.io.File
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.{Q, Tables}
+import graft.kv.KvStore
+import graft.queries.Similarity.IvfIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [[IvfStore]] for corpora that live IN THE ENGINE — a versioned
+  * `graft-kv` table instead of a parquet directory. The index relations
+  * and probe path are identical; what changes is the staleness/delta
+  * machinery, which gets strictly better because the corpus carries its
+  * own manifest history:
+  *
+  *  - FRESHNESS is one version compare: the meta records the corpus
+  *    manifest version the index covers; `corpusVersion == live` is
+  *    fresh. No file listing, no mtime heuristics.
+  *  - APPEND vs REWRITE is decided from lineage, not stat calls: the
+  *    window (indexed, live] is a pure append iff every shard of the
+  *    indexed manifest is still present in the live manifest's
+  *    `shards ++ retiredAdds` — a DML rewrite/DELETE/overwrite drops
+  *    replaced files from both (only genuine adds are retired), while
+  *    appends and retain-mode compactions keep them. Re-compacting an
+  *    already-merged shard also drops it (merged outputs are not
+  *    genuine adds), which this check conservatively reads as a
+  *    rewrite — refusal, never a wrong incremental.
+  *  - The DELTA is enumerated by the engine itself: a
+  *    `sinceVersion`/`asOfVersion` incremental read plans exactly the
+  *    shards the window added from the manifest-resident add lineage
+  *    (sound under compaction), so the update reads delta rows and
+  *    nothing else — the composition the add-lineage work exists for.
+  *
+  * Same crash contract as [[IvfStore]]: `_ivfmeta.json` is the commit
+  * point, reads pin recorded versions, a dangling KV commit triggers a
+  * rebuild instead of a double-append. The drift bound is row-exact
+  * here (`appendedRows / n` vs `graft.ivfMaxAppendFrac`) because the
+  * manifest records row counts — no byte proxy needed. The append-only
+  * rowkey contract carries over: re-appending an EXISTING vec_id is a
+  * logical update the file-level lineage cannot see.
+  */
+object IvfKvStore {
+
+  private val mapper = new ObjectMapper()
+
+  /** Catalog of a KV-resident embeddings corpus (vec_id, embedding). */
+  private[queries] val corpusCatalog: String =
+    """{"table":{"name":"ivf_corpus"},"rowkey":"vec_id",
+      | "columns":{"vec_id":{"cf":"rowkey","col":"vec_id","type":"long"},
+      |            "embedding":{"cf":"i","col":"e","type":"array<float>"}}}""".stripMargin
+
+  private[graft] def indexRoot(corpusDir: String): String = {
+    val abs = new File(corpusDir).getAbsolutePath
+    KvStore.cacheDir(
+      s"ivfkv-${new File(corpusDir).getName}-${Integer.toHexString(abs.hashCode)}")
+  }
+
+  private def metaFile(root: String) = new File(s"$root/_ivfmeta.json")
+
+  private def readCorpus(s: SparkSession, corpusDir: String,
+                         asOf: Long, since: Option[Long]): DataFrame = {
+    var r = s.read.format("graft-kv")
+      .option("catalog", corpusCatalog)
+      .option("path", corpusDir)
+      .option("asOfVersion", asOf)
+    since.foreach(v => r = r.option("sinceVersion", v))
+    r.load().select(col("vec_id"), col("embedding"))
+  }
+
+  private[queries] sealed trait KvCorpusDelta
+  private[queries] case object KvFresh extends KvCorpusDelta
+  /** (indexedVersion, liveVersion] is append/compaction-only. */
+  private[queries] final case class KvAppend(v0: Long, cur: Long) extends KvCorpusDelta
+  private[queries] final case class KvRewrite(v0: Long, cur: Long,
+                                              reason: String) extends KvCorpusDelta
+
+  private def classify(corpusDir: String,
+                       meta: com.fasterxml.jackson.databind.JsonNode): KvCorpusDelta = {
+    val v0 = meta.path("corpusVersion").asLong()
+    val live = KvStore.readMeta(corpusDir)
+    if (live.version == v0) return KvFresh
+    if (live.version < v0)
+      return KvRewrite(v0, live.version,
+        "corpus manifest version moved BACKWARDS (table replaced?)")
+    val old =
+      try KvStore.readMetaAsOf(corpusDir, Some(v0))
+      catch {
+        case e: IllegalArgumentException =>
+          return KvRewrite(v0, live.version,
+            s"indexed manifest v$v0 is no longer retained (${e.getMessage})")
+      }
+    val liveFiles = (live.shards ++ live.retiredAdds).map(_.file).toSet
+    val gone = old.shards.filterNot(sh => liveFiles(sh.file))
+    if (gone.nonEmpty)
+      KvRewrite(v0, live.version,
+        s"${gone.length} indexed shard(s) were replaced, not appended past " +
+          s"(e.g. ${gone.head.file}) — a DML rewrite, overwrite, truncate, or " +
+          "re-compaction of merged shards")
+    else KvAppend(v0, live.version)
+  }
+
+  def build(s: SparkSession, corpusDir: String): IvfIndex =
+    KvStore.withTableLock(indexRoot(corpusDir)) { buildLocked(s, corpusDir) }
+
+  private def buildLocked(s: SparkSession, corpusDir: String): IvfIndex = {
+    val root = indexRoot(corpusDir)
+    val cur = KvStore.readMeta(corpusDir).version
+    val idx = Similarity.ivfIndexFrom(s, readCorpus(s, corpusDir, cur, None))
+    val k = idx.nlist
+    val c = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    idx.centRouted
+      .select(col("cid"), col("gid"), col("cemb"))
+      .repartitionByRange(4, col("cid"))
+      .write.format("graft-kv")
+      .option("catalog", IvfStore.centCatalog("ivf_centroids"))
+      .option("path", s"$root/centroids")
+      .mode("overwrite").save()
+    idx.assigned
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .repartitionByRange(32, col("vec_id"))
+      .write.format("graft-kv")
+      .option("catalog", IvfStore.assignedCatalog("ivf_assigned"))
+      .option("path", s"$root/assigned")
+      .mode("overwrite").save()
+    val node = mapper.createObjectNode()
+    node.put("corpus", new File(corpusDir).getAbsolutePath)
+    node.put("corpusVersion", cur)
+    node.put("n", idx.nVectors); node.put("k", k); node.put("c", c)
+    node.put("baseN", idx.nVectors)
+    node.put("appendedRows", 0L)
+    node.put("centroidsVersion", KvStore.readMeta(s"$root/centroids").version)
+    node.put("assignedVersion", KvStore.readMeta(s"$root/assigned").version)
+    IvfStore.writeMetaAtomic(root, node)
+    IvfStore.loadPinned(s, root, mapper.readTree(metaFile(root)))
+  }
+
+  private def staleError(root: String, delta: KvCorpusDelta): Nothing = delta match {
+    case KvRewrite(v0, cur, reason) => throw new IllegalStateException(
+      s"persisted IVF index at $root covers corpus manifest v$v0 but the live " +
+        s"table is v$cur and the window is NOT a pure append: $reason — " +
+        "assignments in the index may describe rows that changed, so a full " +
+        "rebuild is required (IvfKvStore.build, or graft.ivfRebuildOnStale=true)")
+    case KvAppend(v0, cur) => throw new IllegalStateException(
+      s"persisted IVF index at $root covers corpus manifest v$v0; the live " +
+        s"table is v$cur and the window is a PURE APPEND — ensure() applies an " +
+        "append-incremental update when graft.ivfIncremental=true (the " +
+        "default); load() itself never mutates the index")
+    case KvFresh => throw new IllegalStateException("unreachable: fresh")
+  }
+
+  /** Read-only pinned load; refuses any corpus movement, naming the
+    * classification. */
+  def load(s: SparkSession, corpusDir: String): IvfIndex = {
+    val root = indexRoot(corpusDir)
+    val mf = metaFile(root)
+    if (!mf.exists()) throw new IllegalStateException(
+      s"no persisted IVF index for KV corpus $corpusDir (expected ${mf.getPath}); " +
+        "run IvfKvStore.build/ensure first")
+    val meta = mapper.readTree(mf)
+    classify(corpusDir, meta) match {
+      case KvFresh => IvfStore.loadPinned(s, root, meta)
+      case delta => staleError(root, delta)
+    }
+  }
+
+  private def incrementLocked(s: SparkSession, corpusDir: String,
+                              app: KvAppend): IvfIndex = {
+    val root = indexRoot(corpusDir)
+    val meta = mapper.readTree(metaFile(root))
+    if (KvStore.readMeta(s"$root/assigned").version != meta.path("assignedVersion").asLong() ||
+        KvStore.readMeta(s"$root/centroids").version != meta.path("centroidsVersion").asLong()) {
+      System.err.println(
+        s"[graft] IvfKvStore: dangling index commit detected at $root; " +
+          "falling back to a full rebuild")
+      return buildLocked(s, corpusDir)
+    }
+    val k = meta.path("k").asLong()
+    val frozen = IvfStore.loadPinned(s, root, meta)
+    // the engine enumerates the delta: an incremental read of exactly
+    // the window (v0, cur], planned from the add lineage — sound under
+    // retain-mode compaction, loud (never partial) under vacuum
+    val delta = readCorpus(s, corpusDir, asOf = app.cur, since = Some(app.v0))
+    val deltaRows = delta.count()
+    if (deltaRows == 0L) {
+      // compaction-only window: the logical corpus is unchanged — just
+      // re-pin the covered version, no assignment, no index commit
+      val node = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      node.put("corpusVersion", app.cur)
+      IvfStore.writeMetaAtomic(root, node)
+      return IvfStore.loadPinned(s, root, mapper.readTree(metaFile(root)))
+    }
+    val assignedDelta =
+      Similarity.assignRouted(delta, frozen.coarse, frozen.centRouted, k)
+    assignedDelta
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .repartitionByRange(4, col("vec_id"))
+      .write.format("graft-kv")
+      .option("catalog", IvfStore.assignedCatalog("ivf_assigned"))
+      .option("path", s"$root/assigned")
+      .mode("append").save()
+    val node = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    node.put("corpusVersion", app.cur)
+    node.put("n", meta.path("n").asLong() + deltaRows)
+    node.put("appendedRows", meta.path("appendedRows").asLong() + deltaRows)
+    node.put("assignedVersion", KvStore.readMeta(s"$root/assigned").version)
+    IvfStore.writeMetaAtomic(root, node)
+    System.err.println(
+      s"[graft] IvfKvStore: appended $deltaRows vectors (manifest window " +
+        s"(${app.v0}, ${app.cur}]) to the persisted index at $root against " +
+        s"frozen k=$k centroids")
+    IvfStore.loadPinned(s, root, mapper.readTree(metaFile(root)))
+  }
+
+  /** Load when fresh; build when absent; append-incrementally extend a
+    * pure-append manifest window within `graft.ivfMaxAppendFrac` (by
+    * rows since the original build — exact here, the manifest counts
+    * rows); otherwise refuse unless `graft.ivfRebuildOnStale=true`. */
+  def ensure(s: SparkSession, corpusDir: String): IvfIndex =
+    KvStore.withTableLock(indexRoot(corpusDir)) {
+      val root = indexRoot(corpusDir)
+      val mf = metaFile(root)
+      def rebuildOk = s.conf.get("graft.ivfRebuildOnStale", "false").toBoolean
+      if (!mf.exists()) buildLocked(s, corpusDir)
+      else {
+        val meta = mapper.readTree(mf)
+        classify(corpusDir, meta) match {
+          case KvFresh => IvfStore.loadPinned(s, root, meta)
+          case app: KvAppend =>
+            val incremental = s.conf.get("graft.ivfIncremental", "true").toBoolean
+            val maxFrac = s.conf.get("graft.ivfMaxAppendFrac", "0.25").toDouble
+            // row-exact drift from the manifests: rows added since the
+            // centroids were fit, over the corpus now (no data scan —
+            // shard row counts come from the lineage-enumerated window)
+            val deltaRows = KvStore.deltaShards(corpusDir, app.v0, Some(app.cur))
+              .map(_.rows).sum
+            val total = meta.path("n").asLong() + deltaRows
+            val drift =
+              (meta.path("appendedRows").asLong() + deltaRows).toDouble /
+                math.max(1L, total)
+            if (!incremental) staleError(root, app)
+            else if (drift > maxFrac) {
+              if (rebuildOk) buildLocked(s, corpusDir)
+              else throw new IllegalStateException(
+                f"persisted IVF index at $root: manifest window (${app.v0}, " +
+                  f"${app.cur}] is a pure append but cumulative appended rows " +
+                  f"since the original build reach $drift%.3f of the corpus, " +
+                  f"past graft.ivfMaxAppendFrac=$maxFrac%.2f — the frozen " +
+                  "centroids' drift bound is spent; full rebuild required " +
+                  "(set graft.ivfRebuildOnStale=true to rebuild automatically)")
+            } else incrementLocked(s, corpusDir, app)
+          case rw: KvRewrite =>
+            if (rebuildOk) buildLocked(s, corpusDir) else staleError(root, rw)
+        }
+      }
+    }
+
+  // ---- q117: the whole composition, oracle-checked ----
+
+  private[graft] def stagedRoot(sfDir: String): String = {
+    val abs = new File(sfDir).getAbsolutePath
+    KvStore.cacheDir(
+      s"ivfkvinc-${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}")
+  }
+
+  /** Stage the driver corpus as a VERSIONED KV TABLE and exercise the
+    * manifest-native maintenance path: commit the first ⌊9n/10⌋ vectors
+    * (v1), build, append-commit the rest (v2), ensure() — which
+    * classifies the manifest window, enumerates the delta via the
+    * lineage-planned incremental read, and extends the index. Same
+    * idempotence contract as [[IvfStore.ensureIncrementalStage]]. */
+  private[queries] def ensureIncrementalStageKv(
+      s: SparkSession, sfDir: String): IvfIndex = {
+    val root = stagedRoot(sfDir)
+    val corpus = s"$root/corpus"
+    KvStore.withTableLock(root) {
+      val srcFp = IvfStore.corpusFingerprint(sfDir)
+      val marker = new File(s"$root/_staged.json")
+      val staged = marker.exists() && {
+        val m = mapper.readTree(marker)
+        m.path("sourceFingerprint").asText() == srcFp &&
+          m.path("phase").asText() == "appended"
+      }
+      if (!staged) {
+        IvfStore.rmrf(new File(corpus))
+        IvfStore.rmrf(new File(indexRoot(corpus)))
+        marker.delete()
+        val raw = Tables.embeddings(s, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val n = raw.count()
+        val n0 = n * 9 / 10
+        require(n0 > 0 && n0 < n, s"corpus too small to stage an append split: n=$n")
+        val thr = raw.select(col("vec_id")).orderBy(col("vec_id"))
+          .limit(n0.toInt).agg(max(col("vec_id"))).head().getLong(0)
+        def commit(df: DataFrame): Unit =
+          df.repartitionByRange(2, col("vec_id"))
+            .write.format("graft-kv")
+            .option("catalog", corpusCatalog)
+            .option("path", corpus)
+            .mode("append").save()
+        commit(raw.filter(col("vec_id") <= thr)) // v1
+        build(s, corpus)
+        commit(raw.filter(col("vec_id") > thr)) // v2 — the append window
+        val node = mapper.createObjectNode()
+        node.put("sourceFingerprint", srcFp)
+        node.put("phase", "appended")
+        node.put("thresholdVecId", thr)
+        java.nio.file.Files.write(marker.toPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+      }
+    }
+    ensure(s, corpus)
+  }
+
+  /** q117: q116's frozen-centroid semantics with the corpus LIVING IN
+    * THE ENGINE — the delta is not a file listing but a lineage-planned
+    * incremental read of the manifest window, i.e. the add-lineage/CDC
+    * machinery maintaining the ANN index. The KV float round-trip is
+    * lossless, so the result is bit-identical to q116's and the SAME
+    * DuckDB oracle (centroid basis = pre-append 90% prefix) hash-checks
+    * commit → build → append-commit → lineage-delta assign → probe. */
+  val q117IvfKvIncremental: Q = Q(
+    "q117_ivf_kv_incremental",
+    (s, d) => {
+      val idx = ensureIncrementalStageKv(s, d)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfProbe(s, idx, queries, nProbe = 4)
+    },
+    Some(IvfStore.incOracleSql),
+    doc = "IVF ANN maintained append-incrementally over a versioned graft-kv corpus")
+
+  def defs: Seq[Q] = Seq(q117IvfKvIncremental)
+}

@@ -82,13 +82,13 @@ object IvfStore {
 
   private val mapper = new ObjectMapper()
 
-  private def centCatalog(name: String) =
+  private[queries] def centCatalog(name: String) =
     s"""{"table":{"name":"$name"},"rowkey":"cid",
        | "columns":{"cid":{"cf":"rowkey","col":"cid","type":"int"},
        |            "gid":{"cf":"i","col":"g","type":"int"},
        |            "cemb":{"cf":"i","col":"e","type":"array<float>"}}}""".stripMargin
 
-  private def assignedCatalog(name: String) =
+  private[queries] def assignedCatalog(name: String) =
     s"""{"table":{"name":"$name"},"rowkey":"vec_id",
        | "columns":{"vec_id":{"cf":"rowkey","col":"vec_id","type":"long"},
        |            "embedding":{"cf":"i","col":"e","type":"array<float>"},
@@ -225,7 +225,7 @@ object IvfStore {
     loadPinned(s, root, mapper.readTree(metaFile(root)))
   }
 
-  private def writeMetaAtomic(root: String,
+  private[queries] def writeMetaAtomic(root: String,
                               node: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
     val tmp = new File(s"$root/_ivfmeta.json.tmp")
     java.nio.file.Files.write(tmp.toPath,
@@ -273,7 +273,7 @@ object IvfStore {
     }
   }
 
-  private def loadPinned(s: SparkSession, root: String,
+  private[queries] def loadPinned(s: SparkSession, root: String,
                          meta: com.fasterxml.jackson.databind.JsonNode): IvfIndex = {
     val k = meta.path("k").asLong()
     val c = meta.path("c").asLong()
@@ -430,7 +430,7 @@ object IvfStore {
       s"ivfinc-${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}")
   }
 
-  private def rmrf(f: File): Unit = {
+  private[queries] def rmrf(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
     f.delete(): Unit
   }
@@ -502,7 +502,7 @@ object IvfStore {
     * ⌊9n/10⌋ vectors by vec_id) — the frozen-centroid semantics of an
     * append-incrementally maintained index. Assignment and rescoring
     * run over the FULL corpus: appended vectors must be probe-visible. */
-  private val incOracleSql: String = Similarity.ivfOracleSqlFrom(
+  private[queries] val incOracleSql: String = Similarity.ivfOracleSqlFrom(
     """
       init AS (
         SELECT vec_id, emb FROM (

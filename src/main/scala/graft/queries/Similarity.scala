@@ -347,9 +347,14 @@ object Similarity {
     * because that is the real usage shape — build once, probe per
     * query — and it lets the stress harness measure the two costs
     * separately: build grows Θ(n^1.25), probe stays flat. */
-  def ivfIndex(s: SparkSession, d: String): IvfIndex = {
+  def ivfIndex(s: SparkSession, d: String): IvfIndex =
+    ivfIndexFrom(s, Tables.embeddings(s, d))
+
+  /** [[ivfIndex]] over an arbitrary (vec_id, embedding) relation — the
+    * entry point for corpora that are not parquet directories (e.g. a
+    * versioned graft-kv table pinned at a manifest version). */
+  private[queries] def ivfIndexFrom(s: SparkSession, emb: DataFrame): IvfIndex = {
     graft.functions.CosineSimilarity.register(s)
-    val emb = Tables.embeddings(s, d)
     // Bounded scalar collect: corpus count → deterministic nlist.
     val n = emb.count()
     val k = math.max(16L, math.ceil(n / 256.0).toLong)
