@@ -117,12 +117,26 @@ final case class KvShardMeta(file: String, rows: Long, minKeyHex: String, maxKey
   * lineage (pre-field manifests) — always chain-replay. Maintained
   * entirely inside [[KvStore.writeMeta]] via a live-manifest diff;
   * committers do not (and must not) set these fields themselves. */
+/** `lastRewriteVersion` (r15) = the newest commit that REPLACED live
+  * rows in place (row-level DELETE/UPDATE/MERGE, `replaceKeyRanges`,
+  * truncate-overwrite) — 0 if none known (pre-field manifests included).
+  * Maintained by [[KvStore.writeMeta]] from the committer's
+  * `rewriteCommit` flag; carried forward otherwise. Load-bearing for
+  * derived-state freshness (e.g. [[graft.queries.IvfKvStore]]): the add
+  * lineage alone CANNOT distinguish a DML rewrite from retain-mode
+  * compaction — both retire the replaced genuine adds into
+  * `retiredAdds` (the change-feed planner needs them there to agree
+  * with the archived-chain replay) — but only the DML changed logical
+  * content. A consumer that indexed the table at v0 must treat
+  * `lastRewriteVersion > v0` as "my snapshot's rows may have changed",
+  * no matter how the file sets shake out. */
 final case class KvTableMeta(shards: Seq[KvShardMeta],
                              committedEpochs: Seq[String] = Nil,
                              version: Long = 0,
                              committedAtMs: Long = 0,
                              retiredAdds: Seq[KvShardMeta] = Nil,
-                             addsSince: Long = -1)
+                             addsSince: Long = -1,
+                             lastRewriteVersion: Long = 0)
 
 object KvStore {
   /** Bump when the shard-file or manifest layout changes — cache dirs
@@ -287,7 +301,8 @@ object KvStore {
     val epochs = root.path("committedEpochs").elements().asScala.map(_.asText()).toSeq
     KvTableMeta(shards, epochs, root.path("version").asLong(0),
       root.path("committedAtMs").asLong(0), retired,
-      root.path("addsSince").asLong(-1))
+      root.path("addsSince").asLong(-1),
+      root.path("lastRewriteVersion").asLong(0))
   }
 
   /** Append-delta shard set for the window `(since, asOf-or-current]` —
@@ -413,9 +428,15 @@ object KvStore {
     * deletes the superseded shard files immediately, so an archived
     * pre-truncate manifest would plan an `asOfVersion` scan that dies
     * at task time with a raw FileNotFoundException. Not archiving it
-    * turns that into the clean "version unavailable" planning error. */
+    * turns that into the clean "version unavailable" planning error.
+    *
+    * `rewriteCommit = true` declares that this commit REPLACED live rows
+    * in place (row-level DML, `replaceKeyRanges`, truncate) — it stamps
+    * [[KvTableMeta.lastRewriteVersion]] to the committing version;
+    * append/compaction commits leave the watermark carried forward. */
   def writeMeta(tableDir: String, meta: KvTableMeta,
-                archiveSuperseded: Boolean = true): Unit = {
+                archiveSuperseded: Boolean = true,
+                rewriteCommit: Boolean = false): Unit = {
     val commitV = meta.version + 1
     val livePath = Paths.get(metaPath(tableDir))
     // COMMIT path: parse the live manifest directly, bypassing the
@@ -490,6 +511,14 @@ object KvStore {
       retired.foreach(writeShard(rarr, _))
     }
     node.put("addsSince", addsSince)
+    // rewrite watermark: stamped by the committing version on declared
+    // rewrites, carried from the superseded manifest otherwise (the
+    // passed meta's value is IGNORED — like the lineage fields, this is
+    // maintained here, never by committers copying state around)
+    val rewriteV =
+      if (rewriteCommit) commitV
+      else prevOpt.map(_.lastRewriteVersion).getOrElse(0L)
+    if (rewriteV > 0) node.put("lastRewriteVersion", rewriteV)
     if (meta.committedEpochs.nonEmpty) {
       val e = node.putArray("committedEpochs")
       meta.committedEpochs.foreach(e.add)

@@ -19,15 +19,21 @@ import org.apache.spark.sql.functions._
   *  - FRESHNESS is one version compare: the meta records the corpus
   *    manifest version the index covers; `corpusVersion == live` is
   *    fresh. No file listing, no mtime heuristics.
-  *  - APPEND vs REWRITE is decided from lineage, not stat calls: the
-  *    window (indexed, live] is a pure append iff every shard of the
-  *    indexed manifest is still present in the live manifest's
-  *    `shards ++ retiredAdds` — a DML rewrite/DELETE/overwrite drops
-  *    replaced files from both (only genuine adds are retired), while
-  *    appends and retain-mode compactions keep them. Re-compacting an
-  *    already-merged shard also drops it (merged outputs are not
-  *    genuine adds), which this check conservatively reads as a
-  *    rewrite — refusal, never a wrong incremental.
+  *  - APPEND vs REWRITE is decided from the manifest, not stat calls,
+  *    by TWO independent checks. (1) The rewrite watermark: row-level
+  *    DML and range replaces stamp [[graft.kv.KvTableMeta.lastRewriteVersion]],
+  *    so any rewrite inside (indexed, live] refuses outright — file
+  *    survival CANNOT catch this case, because DML-replaced genuine
+  *    adds land in `retiredAdds` (the change-feed planner needs them
+  *    there to agree with the archived-chain replay) and thus still
+  *    "survive" in `shards ++ retiredAdds`. (2) File survival: every
+  *    shard of the indexed manifest must still be present in the live
+  *    manifest's `shards ++ retiredAdds` — overwrites/truncates and
+  *    table replacement drop files; appends and retain-mode
+  *    compactions keep them. Re-compacting an already-merged shard
+  *    also drops it (merged outputs are not genuine adds), which this
+  *    check conservatively reads as a rewrite — refusal, never a
+  *    wrong incremental.
   *  - The DELTA is enumerated by the engine itself: a
   *    `sinceVersion`/`asOfVersion` incremental read plans exactly the
   *    shards the window added from the manifest-resident add lineage
@@ -85,6 +91,17 @@ object IvfKvStore {
     if (live.version < v0)
       return KvRewrite(v0, live.version,
         "corpus manifest version moved BACKWARDS (table replaced?)")
+    // Rewrite watermark FIRST: file survival alone cannot catch a
+    // row-level DML — the replaced genuine adds land in `retiredAdds`
+    // (the change-feed planner needs them there), so the old shard set
+    // still "survives" in shards ++ retiredAdds even though logical
+    // content changed. The manifest's lastRewriteVersion is the exact
+    // signal: any rewrite committed inside (v0, live] means indexed
+    // rows may have changed.
+    if (live.lastRewriteVersion > v0)
+      return KvRewrite(v0, live.version,
+        s"a row-level rewrite (DML / range replace) committed at " +
+          s"version ${live.lastRewriteVersion} inside the window")
     val old =
       try KvStore.readMetaAsOf(corpusDir, Some(v0))
       catch {

@@ -237,7 +237,8 @@ class KvReplaceGroupsWrite(catalog: KvCatalog, dir: String,
       val keep = current.shards.filterNot(s => replaced(s.file)) ++
         newShards.map(_.copy(firstVersion = inheritedFirst))
       KvStore.writeMeta(dir,
-        KvTableMeta(keep, current.committedEpochs, current.version))
+        KvTableMeta(keep, current.committedEpochs, current.version),
+        rewriteCommit = true)
     }
   }
 

@@ -153,7 +153,7 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
       // that plans fine and dies mid-task on missing files — skip it so
       // the pinned read fails at planning with "version unavailable"
       KvStore.writeMeta(dir, KvTableMeta(keep, epochs, prev.version),
-        archiveSuperseded = !truncateFirst)
+        archiveSuperseded = !truncateFirst, rewriteCommit = truncateFirst)
       if (truncateFirst) {
         val keepFiles = newShards.map(_.file).toSet
         prev.shards.filterNot(s => keepFiles(s.file)).foreach { s =>

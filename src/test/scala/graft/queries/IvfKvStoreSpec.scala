@@ -119,6 +119,35 @@ class IvfKvStoreSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ivfRebuildOnStale")
   }
 
+  test("a row-level DML delete is classified as a rewrite, not a pure append") {
+    // Regression: the replaced genuine adds land in retiredAdds (the
+    // change-feed planner needs them there), so the file-survival check
+    // alone read a DELETE window as a pure append with an EMPTY delta —
+    // ensure() silently re-pinned an index still serving deleted rows.
+    // The lastRewriteVersion watermark is the fix.
+    val (dir, n) = freshCorpus()
+    IvfKvStore.ensure(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS ivfkv_dml")
+    try {
+      spark.sql(s"""
+        CREATE TABLE ivfkv_dml USING `graft-kv`
+        OPTIONS (catalog '${IvfKvStore.corpusCatalog}', path '$dir')""")
+      spark.sql("DELETE FROM ivfkv_dml WHERE vec_id % 10 = 3")
+      val live = KvStore.readMeta(dir)
+      assert(live.lastRewriteVersion == live.version,
+        "row-level DML must stamp the rewrite watermark")
+      val e = intercept[IllegalStateException](IvfKvStore.ensure(spark, dir))
+      assert(e.getMessage.contains("row-level rewrite"), e.getMessage)
+      val e2 = intercept[IllegalStateException](IvfKvStore.load(spark, dir))
+      assert(e2.getMessage.contains("NOT a pure append"), e2.getMessage)
+      val survivors = spark.table("ivfkv_dml").count()
+      assert(survivors < n)
+      spark.conf.set("graft.ivfRebuildOnStale", "true")
+      try assert(IvfKvStore.ensure(spark, dir).nVectors == survivors)
+      finally spark.conf.unset("graft.ivfRebuildOnStale")
+    } finally spark.sql("DROP TABLE IF EXISTS ivfkv_dml")
+  }
+
   test("row-exact drift bound: appends past graft.ivfMaxAppendFrac refuse") {
     val (dir, _) = freshCorpus()
     IvfKvStore.ensure(spark, dir)

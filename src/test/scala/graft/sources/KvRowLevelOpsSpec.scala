@@ -66,6 +66,20 @@ class KvRowLevelOpsSpec extends SparkSpec {
       assert(pinned.filter(col("grp") === "z").count() == 0,
         "pre-update snapshot must not see updated rows")
       assert(pinned.count() == 800)
+
+      // rewrite watermark: stamped by the DML commit, CARRIED (not
+      // bumped) by a later plain append — derived-state consumers use
+      // `lastRewriteVersion > indexedVersion` as their staleness signal
+      assert(after.lastRewriteVersion == after.version,
+        "row-level rewrite must stamp lastRewriteVersion")
+      import spark.implicits._
+      Seq((9001L, "x", 1L)).toDF("k", "grp", "v")
+        .write.format("graft-kv").option("catalog", catJson("graft_upd"))
+        .option("path", dir).mode("append").save()
+      val appended = graft.kv.KvStore.readMeta(dir)
+      assert(appended.version == after.version + 1)
+      assert(appended.lastRewriteVersion == after.version,
+        "a plain append must carry the rewrite watermark, not advance it")
     } finally spark.sql("DROP TABLE IF EXISTS graft_upd")
   }
 
