@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.kv.BytesCodec
+import graft.kv.{BytesCodec, KvStore}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
@@ -207,4 +207,61 @@ object KeyRanges {
   def clipToShard(ranges: Seq[Range], minKey: Array[Byte],
                   maxKey: Array[Byte]): Seq[Range] =
     ranges.filter(r => cmpLo(r._1, Some(maxKey)) <= 0 && cmpHi(r._2, Some(minKey)) >= 0)
+
+  /** Is `key` inside any range? A point is a degenerate shard. */
+  def containsKey(ranges: Seq[Range], key: Array[Byte]): Boolean =
+    intersectsShard(ranges, key, key)
+
+  /** Is the shard's [minKey, maxKey] FULLY inside one range? (Ranges
+    * are disjoint, a shard is contiguous — so full coverage means a
+    * single range contains both ends.) The fast path that lets a range
+    * replace drop interior shards without reading them. */
+  def coversShard(ranges: Seq[Range], minKey: Array[Byte],
+                  maxKey: Array[Byte]): Boolean =
+    ranges.exists(r =>
+      cmpLo(r._1, Some(minKey)) <= 0 && cmpHi(r._2, Some(maxKey)) >= 0)
+
+  /** Serialize a BOUNDED normalized set as `lohex:hihex[,...]` — the
+    * wire form of the writer's `replaceKeyRanges` option (bounds are
+    * the order-preserving [[graft.kv.BytesCodec]] key encoding, both
+    * inclusive). Unbounded ranges are refused: a range replace must
+    * state exactly what it replaces. */
+  def serializeBounded(rs: Seq[Range]): String = {
+    val norm = normalize(rs)
+    require(norm.nonEmpty, "replaceKeyRanges: empty range set")
+    norm.map {
+      case (Some(l), Some(h)) => s"${KvStore.toHex(l)}:${KvStore.toHex(h)}"
+      case r => throw new IllegalArgumentException(
+        s"replaceKeyRanges requires bounded ranges, got ${describe(Seq(r))}")
+    }.mkString(",")
+  }
+
+  /** Typed convenience for [[serializeBounded]]: encode `(lo, hi)`
+    * value pairs (both inclusive) with the rowkey's declared type. */
+  def serializeTyped(dt: DataType, ranges: Seq[(Any, Any)]): String =
+    serializeBounded(ranges.map { case (lo, hi) =>
+      (Some(BytesCodec.encodeKey(dt, lo)): Bound,
+        Some(BytesCodec.encodeKey(dt, hi)): Bound)
+    })
+
+  /** Parse [[serializeBounded]]'s form back to a normalized set. */
+  def parseBounded(s: String): Seq[Range] = {
+    val rs = s.split(",").toSeq.map { part =>
+      part.split(":") match {
+        case Array(lo, hi) =>
+          (Some(KvStore.fromHex(lo)): Bound, Some(KvStore.fromHex(hi)): Bound)
+        case _ => throw new IllegalArgumentException(
+          s"replaceKeyRanges: malformed range '$part' (want lohex:hihex)")
+      }
+    }
+    val norm = normalize(rs)
+    require(norm.nonEmpty, s"replaceKeyRanges: no non-empty ranges in '$s'")
+    norm
+  }
+
+  private def describe(rs: Seq[Range]): String =
+    rs.map { case (l, h) =>
+      s"[${l.map(KvStore.toHex).getOrElse("-inf")}, " +
+        s"${h.map(KvStore.toHex).getOrElse("+inf")}]"
+    }.mkString(", ")
 }

@@ -51,6 +51,34 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
     truncateFirst = true; this
   }
 
+  /** `replaceKeyRanges=lohex:hihex[,...]` + `mode("overwrite")` — a
+    * RANGE-SCOPED atomic overwrite with Delta-`replaceWhere` exact
+    * semantics on the order-preserving encoded rowkey: one commit
+    * atomically deletes every row whose key falls inside the ranges
+    * and inserts the written rows. Every written row must itself fall
+    * inside the ranges (enforced per row at write time — a stray key
+    * fails the TASK loudly instead of silently leaking rows outside
+    * the replaced region). Physically: interior shards fully covered
+    * by a range drop wholesale (never read), boundary shards get
+    * their out-of-range rows carved into carry shards at commit (at
+    * most two boundary shards per range, independent of table size),
+    * everything else keeps its files. Mirrors the row-level-DML
+    * commit discipline: replaced files stay on disk on a restarted
+    * vacuum grace clock (pre-replace snapshots keep replaying),
+    * replacement rows never resurface as change-feed adds, and the
+    * commit stamps the manifest's `lastRewriteVersion` watermark so
+    * derived-state consumers (persisted ANN indexes) see the window
+    * as a rewrite. Pair with `expectedVersion` to fence concurrent
+    * commits between a caller's read and its replace. With no
+    * intersecting shard the commit is a plain append of new rows into
+    * the range (and stamps nothing). */
+  private def replaceRangesOpt: Option[String] =
+    Option(info.options().get("replaceKeyRanges")).map { s =>
+      // canonicalize early: malformed input fails at planning, and the
+      // executors/commit all parse one normalized form
+      KeyRanges.serializeBounded(KeyRanges.parseBounded(s))
+    }
+
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private def chunkBytes: Long = {
       val cb = info.options().getLong("chunkBytes", KvDataWriter.DefaultChunkBytes)
@@ -100,13 +128,21 @@ class KvWriteBuilder(catalog: KvCatalog, dir: String, info: LogicalWriteInfo)
     private def bloomColumns: String = info.options().getOrDefault("bloomColumns", "")
     private def bloomBits: Int = info.options().getInt("bloomBits", 1 << 20)
 
-    override def toBatch: BatchWrite =
-      new KvBatchWrite(catalog, dir, info.schema(), truncateFirst, chunkBytes,
+    override def toBatch: BatchWrite = {
+      val ranges = replaceRangesOpt
+      require(ranges.isEmpty || truncateFirst,
+        "replaceKeyRanges requires mode(\"overwrite\") — it IS an overwrite, " +
+          "scoped to the given rowkey ranges")
+      new KvBatchWrite(catalog, dir, info.schema(),
+        truncateFirst && ranges.isEmpty, chunkBytes,
         bloomColumns, bloomBits,
-        info.options().getLong("expectedVersion", -1L))
+        info.options().getLong("expectedVersion", -1L), ranges)
+    }
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!truncateFirst,
         "graft-kv streaming sink supports append output mode only")
+      require(replaceRangesOpt.isEmpty,
+        "replaceKeyRanges is a batch overwrite option; the streaming sink is append-only")
       new KvStreamingWrite(catalog, dir, info.schema(), chunkBytes, info.queryId(),
         bloomColumns, bloomBits)
     }
@@ -118,12 +154,14 @@ case class KvCommit(shards: Seq[KvShardMeta]) extends WriterCommitMessage
 class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
                    truncateFirst: Boolean, chunkBytes: Long,
                    bloomColumns: String = "", bloomBits: Int = 1 << 20,
-                   expectedVersion: Long = -1L)
+                   expectedVersion: Long = -1L,
+                   replaceRanges: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     KvDataWriterFactory(dir, schema.json, catalog.schema.json, catalog.rowkey,
-      chunkBytes, bloomColumns, bloomBits, catalog.buckets)
+      chunkBytes, bloomColumns, bloomBits, catalog.buckets,
+      replaceRanges.getOrElse(""))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     // lock: the read-modify-write must not interleave with a concurrent
@@ -132,8 +170,8 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
       val prev: KvTableMeta =
         if (new File(KvStore.metaPath(dir)).exists()) KvStore.readMeta(dir)
         else KvTableMeta(Nil)
-      // optimistic truncate (`expectedVersion` option): a rewrite job
-      // (zorder) that read the table at version V must not clobber
+      // optimistic truncate/replace (`expectedVersion` option): a
+      // rewrite job that read the table at version V must not clobber
       // commits that landed while it ran — abort and let the caller
       // retry against the new state instead of silently dropping them
       if (expectedVersion >= 0 && prev.version != expectedVersion) {
@@ -142,26 +180,118 @@ class KvBatchWrite(catalog: KvCatalog, dir: String, schema: StructType,
           s"concurrent modification: table at version ${prev.version}, " +
             s"rewrite expected $expectedVersion — rerun against current state")
       }
-      // lineage for incremental reads: these rows first appear in the
-      // version this commit is about to create (prev.version + 1)
       val newShards = messages.flatMap { case KvCommit(s) => s }.toSeq
-        .map(_.copy(firstVersion = prev.version + 1))
-      val keep = if (truncateFirst) newShards else prev.shards ++ newShards
-      val epochs = if (truncateFirst) Nil else prev.committedEpochs
-      // truncate deletes the superseded shard files below, so archiving
-      // the pre-truncate manifest would only set up an asOfVersion scan
-      // that plans fine and dies mid-task on missing files — skip it so
-      // the pinned read fails at planning with "version unavailable"
-      KvStore.writeMeta(dir, KvTableMeta(keep, epochs, prev.version),
-        archiveSuperseded = !truncateFirst, rewriteCommit = truncateFirst)
-      if (truncateFirst) {
-        val keepFiles = newShards.map(_.file).toSet
-        prev.shards.filterNot(s => keepFiles(s.file)).foreach { s =>
-          new File(s"$dir/${s.file}").delete()
-          if (s.bloom.nonEmpty) new File(s"$dir/${s.bloom}").delete()
-        }
+      replaceRanges match {
+        case Some(ser) => commitReplace(prev, ser, newShards)
+        case None =>
+          // lineage for incremental reads: these rows first appear in
+          // the version this commit is about to create (prev.version+1)
+          val stamped = newShards.map(_.copy(firstVersion = prev.version + 1))
+          val keep = if (truncateFirst) stamped else prev.shards ++ stamped
+          val epochs = if (truncateFirst) Nil else prev.committedEpochs
+          // truncate deletes the superseded shard files below, so
+          // archiving the pre-truncate manifest would only set up an
+          // asOfVersion scan that plans fine and dies mid-task on
+          // missing files — skip it so the pinned read fails at
+          // planning with "version unavailable"
+          KvStore.writeMeta(dir, KvTableMeta(keep, epochs, prev.version),
+            archiveSuperseded = !truncateFirst, rewriteCommit = truncateFirst)
+          if (truncateFirst) {
+            val keepFiles = stamped.map(_.file).toSet
+            prev.shards.filterNot(s => keepFiles(s.file)).foreach { s =>
+              new File(s"$dir/${s.file}").delete()
+              if (s.bloom.nonEmpty) new File(s"$dir/${s.bloom}").delete()
+            }
+          }
       }
     }
+
+  /** Range-scoped overwrite commit — PREDICATE-EXACT (Delta
+    * `replaceWhere`) semantics: atomically delete every row whose key
+    * falls inside the ranges and insert the written rows (which the
+    * task-side check already pinned inside the ranges). Interior
+    * shards (fully covered by a range) drop wholesale without being
+    * read; BOUNDARY shards — intersecting but not covered — have
+    * their out-of-range rows carved into fresh "carry" shards right
+    * here, the same driver-side ShardReader/ShardWriter maintenance
+    * path the compactor rides (at most two boundary shards per range,
+    * independent of table size). Commit discipline mirrors row-level
+    * DML: replaced files stay on disk on a restarted vacuum grace
+    * clock, replacement shards inherit the replaced inputs' min
+    * firstVersion (never resurfacing as change-feed adds; carry shards
+    * keep their source's exact firstVersion), and the manifest's
+    * rewrite watermark is stamped. Runs under the table lock held by
+    * commit(). */
+  private def commitReplace(prev: KvTableMeta, ser: String,
+                            newShards: Seq[KvShardMeta]): Unit = {
+    val ranges = KeyRanges.parseBounded(ser)
+    val replaced = prev.shards.filter(s =>
+      KeyRanges.intersectsShard(ranges, s.minKey, s.maxKey))
+    val (interior, boundary) = replaced.partition(s =>
+      KeyRanges.coversShard(ranges, s.minKey, s.maxKey))
+    val carryToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val carries = new ArrayBuffer[KvShardMeta]()
+    def discard(): Unit = {
+      (newShards ++ carries).foreach { s =>
+        new File(s"$dir/${s.file}").delete()
+        if (s.bloom.nonEmpty) new File(s"$dir/${s.bloom}").delete()
+      }
+    }
+    try {
+      boundary.zipWithIndex.foreach { case (s, i) =>
+        carveSurvivors(s, ranges, f"carry-$carryToken-$i%03d.kv")
+          .foreach(carries += _)
+      }
+    } catch { case e: Throwable => discard(); throw e }
+    // restart the vacuum grace clock on replaced inputs BEFORE the swap
+    // commits so pre-replace snapshots stay replayable
+    val now = System.currentTimeMillis()
+    if (!replaced.forall(s => new File(s"$dir/${s.file}").setLastModified(now))) {
+      discard()
+      throw new IllegalStateException(
+        "cannot restart the vacuum grace clock on replaced shards; " +
+          "range replace aborted")
+    }
+    // lineage = min over the replaced inputs (a replace reshuffles
+    // surviving rows across its outputs, so tighter per-output bounds
+    // don't exist); with NOTHING replaced the write is a plain append
+    // of new rows into the range — genuine adds at this commit
+    val inheritedFirst = replaced.map(_.firstVersion).minOption
+      .getOrElse(prev.version + 1)
+    val replacedFiles = replaced.map(_.file).toSet
+    val keep = prev.shards.filterNot(s => replacedFiles(s.file)) ++
+      carries ++ newShards.map(_.copy(firstVersion = inheritedFirst))
+    val _ = interior // read for symmetry: interior shards just drop
+    KvStore.writeMeta(dir,
+      KvTableMeta(keep, prev.committedEpochs, prev.version),
+      rewriteCommit = replaced.nonEmpty)
+  }
+
+  /** Stream one boundary shard, keeping every record OUTSIDE the
+    * ranges, into a carry shard. Inherited metadata stays SOUND, not
+    * tight: zone-map stats are the source's (bounds of a superset),
+    * the bloom sidecar is dropped (pruning loss only), `firstVersion`
+    * is the source's exact value — and the carry file is new, so
+    * writeMeta stamps `addedVersion = commitV ≠ firstVersion`,
+    * keeping carried rows out of every change-feed window, exactly
+    * like a compaction output. None = no survivors. */
+  private def carveSurvivors(s: KvShardMeta, ranges: Seq[KeyRanges.Range],
+                             fileName: String): Option[KvShardMeta] = {
+    require(!new File(s"$dir/$fileName").exists(),
+      s"range-replace carry $fileName already exists")
+    // CRC rides the same pass: a bit-rotted boundary shard throws at
+    // its EOF, before the manifest swap can commit a partial carve
+    val rd = new KvStore.ShardReader(dir, s, verifyCrc = true)
+    val w = new KvStore.ShardWriter(dir, fileName)
+    try {
+      while (rd.hasNext) {
+        val rec = rd.next()
+        if (!KeyRanges.containsKey(ranges, rec.key)) w.append(rec)
+      }
+    } finally rd.close()
+    w.close().map(m => m.copy(stats = s.stats, firstVersion = s.firstVersion,
+      bucket = s.bucket, bucketMod = s.bucketMod))
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KvCommit(s) => s }
@@ -247,13 +377,15 @@ case class KvStreamingDataWriterFactory(dir: String, schemaJson: String,
 case class KvDataWriterFactory(dir: String, schemaJson: String,
                                declaredJson: String, rowkey: String,
                                chunkBytes: Long, bloomColumns: String = "",
-                               bloomBits: Int = 1 << 20, buckets: Int = 0)
+                               bloomBits: Int = 1 << 20, buckets: Int = 0,
+                               replaceRanges: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(dir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       DataType.fromJson(declaredJson).asInstanceOf[StructType], rowkey,
-      partitionId, taskId, chunkBytes, bloomColumns, bloomBits, buckets)
+      partitionId, taskId, chunkBytes, bloomColumns, bloomBits, buckets,
+      replaceRanges)
 }
 
 object KvDataWriter {
@@ -279,11 +411,16 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
                    rowkey: String, partitionId: Int, taskId: Long,
                    chunkBytes: Long = KvDataWriter.DefaultChunkBytes,
                    bloomColumns: String = "", bloomBits: Int = 1 << 20,
-                   buckets: Int = 0)
+                   buckets: Int = 0, replaceRanges: String = "")
     extends DataWriter[InternalRow] {
 
   private val rowkeyIdx = schema.fieldIndex(rowkey)
   private val keyType = schema.fields(rowkeyIdx).dataType
+  // range-scoped overwrite: every written key must fall inside the
+  // declared ranges — a violation fails the TASK (commit never runs),
+  // so a replace can never leak rows outside the region it swaps
+  private val replaceRangeSet: Seq[KeyRanges.Range] =
+    if (replaceRanges.isEmpty) Nil else KeyRanges.parseBounded(replaceRanges)
   // per-column layout resolved ONCE (this is the innermost write loop):
   // (incoming index, cf, qualifier, dataType) for every non-rowkey field
   private val cellCols: Array[(Int, String, String, org.apache.spark.sql.types.DataType)] = {
@@ -387,6 +524,10 @@ class KvDataWriter(dir: String, schema: StructType, declared: StructType,
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(rowkeyIdx), s"null rowkey '${rowkey}' at write")
     val key = BytesCodec.encodeKey(keyType, row.get(rowkeyIdx, keyType))
+    if (replaceRangeSet.nonEmpty && !KeyRanges.containsKey(replaceRangeSet, key))
+      throw new IllegalArgumentException(
+        s"replaceKeyRanges violation: written rowkey ${KvStore.toHex(key)} " +
+          "falls outside every declared replace range")
     val acc = accFor(key)
     var recBytes = key.length.toLong + 8
     val cellBuf = new ArrayBuffer[KvCell](cellCols.length)
