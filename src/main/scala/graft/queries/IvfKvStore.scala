@@ -5,10 +5,12 @@ import java.io.File
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import graft.{Q, Tables}
-import graft.kv.KvStore
+import graft.kv.{BytesCodec, KvStore}
 import graft.queries.Similarity.IvfIndex
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.KeyRanges
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** [[IvfStore]] for corpora that live IN THE ENGINE — a versioned
   * `graft-kv` table instead of a parquet directory. The index relations
@@ -158,8 +160,10 @@ object IvfKvStore {
     case KvRewrite(v0, cur, reason) => throw new IllegalStateException(
       s"persisted IVF index at $root covers corpus manifest v$v0 but the live " +
         s"table is v$cur and the window is NOT a pure append: $reason — " +
-        "assignments in the index may describe rows that changed, so a full " +
-        "rebuild is required (IvfKvStore.build, or graft.ivfRebuildOnStale=true)")
+        "assignments in the index may describe rows that changed; ensure() " +
+        "patches a bounded rewrite window incrementally when " +
+        "graft.ivfIncremental=true (the default), otherwise a full rebuild " +
+        "is required (IvfKvStore.build, or graft.ivfRebuildOnStale=true)")
     case KvAppend(v0, cur) => throw new IllegalStateException(
       s"persisted IVF index at $root covers corpus manifest v$v0; the live " +
         s"table is v$cur and the window is a PURE APPEND — ensure() applies an " +
@@ -231,10 +235,159 @@ object IvfKvStore {
     IvfStore.loadPinned(s, root, mapper.readTree(metaFile(root)))
   }
 
+  /** The TOUCHED KEY REGION of a rewrite window (v0, live]: the union
+    * of key ranges of every shard the window removed or created. Any
+    * row the window deleted, updated or added has its key inside this
+    * region (rows of retained shards are untouched — the KV write
+    * contract forbids same-key re-appends, so no live row outside a
+    * new file can shadow an old one), and the region is computed from
+    * manifests alone, no data scan. Returns the region with the LIVE
+    * row counts (region rows to re-assign, total corpus rows); None
+    * when v0's manifest is unavailable (history vacuumed / version
+    * moved backwards / nothing actually changed) — the caller must
+    * fall back to refuse-or-rebuild. */
+  private def dmlRegion(corpusDir: String, v0: Long)
+      : Option[(Seq[KeyRanges.Range], Long, Long)] = {
+    val live = KvStore.readMeta(corpusDir)
+    if (live.version <= v0) return None
+    val old =
+      try KvStore.readMetaAsOf(corpusDir, Some(v0))
+      catch { case _: IllegalArgumentException => return None }
+    val oldFiles = old.shards.map(_.file).toSet
+    val liveFiles = live.shards.map(_.file).toSet
+    val touched = old.shards.filterNot(s => liveFiles(s.file)) ++
+      live.shards.filterNot(s => oldFiles(s.file))
+    if (touched.isEmpty) return None
+    val ranges = KeyRanges.normalize(touched.map(s =>
+      (Some(s.minKey): KeyRanges.Bound, Some(s.maxKey): KeyRanges.Bound)))
+    val regionRows = live.shards
+      .filter(s => KeyRanges.intersectsShard(ranges, s.minKey, s.maxKey))
+      .map(_.rows).sum
+    Some((ranges, regionRows, live.shards.map(_.rows).sum))
+  }
+
+  /** The region as a pushable `vec_id` predicate — multi-range rowkey
+    * planning prunes the scan to exactly the touched shards. */
+  private def regionPredicate(ranges: Seq[KeyRanges.Range]): Column =
+    ranges.map {
+      case (Some(lo), Some(hi)) =>
+        col("vec_id").between(
+          BytesCodec.decodeKey(LongType, lo).asInstanceOf[Long],
+          BytesCodec.decodeKey(LongType, hi).asInstanceOf[Long])
+      case r => throw new IllegalStateException(s"unbounded region range $r")
+    }.reduce(_ || _)
+
+  /** DML-incremental maintenance: patch the index through a rewrite
+    * window at cost ∝ the TOUCHED REGION, not the corpus.
+    *
+    * Under frozen centroids the assignment of a row depends on nothing
+    * but the row and the centroids, so the correct post-DML state of
+    * the assigned table over the touched region is simply
+    * `assignRouted(live rows of the region)` — unchanged rows
+    * re-derive their identical cells, updated rows get their new
+    * cells, deleted rows are absent, added rows appear. One
+    * range-pruned scan of the live region, one frozen-centroid
+    * assignment, and one `replaceKeyRanges` commit on the assigned
+    * table (fenced by `expectedVersion` against concurrent
+    * maintainers) — the same primitive the corpus DML itself used.
+    *
+    * Bounds: region rows / corpus ≤ `graft.ivfMaxDmlFrac` (default
+    * 0.5 — past that a full rebuild is the cheaper and better-quality
+    * answer), and the EXACT changed-row count (diffed against the
+    * pinned v0 region read, cost ∝ region) joins the cumulative
+    * centroid-drift budget checked against `graft.ivfMaxAppendFrac`.
+    * If v0's shard files are already vacuumed the drift diff falls
+    * back to the conservative region row count.
+    *
+    * Crash contract unchanged: `_ivfmeta.json` is the commit point; a
+    * crash after the assigned-table replace but before the meta write
+    * leaves a version mismatch that the next ensure() detects and
+    * answers with a full rebuild. */
+  private def dmlIncrementLocked(s: SparkSession, corpusDir: String,
+                                 rw: KvRewrite, rebuildOk: Boolean): IvfIndex = {
+    val root = indexRoot(corpusDir)
+    val meta = mapper.readTree(metaFile(root))
+    val assignedV = KvStore.readMeta(s"$root/assigned").version
+    if (assignedV != meta.path("assignedVersion").asLong() ||
+        KvStore.readMeta(s"$root/centroids").version != meta.path("centroidsVersion").asLong()) {
+      System.err.println(
+        s"[graft] IvfKvStore: dangling index commit detected at $root; " +
+          "falling back to a full rebuild")
+      return buildLocked(s, corpusDir)
+    }
+    dmlRegion(corpusDir, rw.v0) match {
+      case None =>
+        if (rebuildOk) buildLocked(s, corpusDir) else staleError(root, rw)
+      case Some((ranges, regionRows, liveTotal)) =>
+        val maxDml = s.conf.get("graft.ivfMaxDmlFrac", "0.5").toDouble
+        val regionFrac = regionRows.toDouble / math.max(1L, liveTotal)
+        if (regionFrac > maxDml) {
+          if (rebuildOk) return buildLocked(s, corpusDir)
+          throw new IllegalStateException(
+            f"persisted IVF index at $root: rewrite window (${rw.v0}, ${rw.cur}] " +
+              f"touches $regionRows of $liveTotal corpus rows " +
+              f"($regionFrac%.3f > graft.ivfMaxDmlFrac=$maxDml%.2f) — a full " +
+              "rebuild is cheaper than patching most of the index " +
+              "(set graft.ivfRebuildOnStale=true to rebuild automatically)")
+        }
+        val k = meta.path("k").asLong()
+        val frozen = IvfStore.loadPinned(s, root, meta)
+        val pred = regionPredicate(ranges)
+        val region = readCorpus(s, corpusDir, asOf = rw.cur, since = None)
+          .filter(pred)
+        // exact centroid-drift contribution: rows of the live region
+        // the frozen centroids never saw (changed or added), diffed
+        // against the pinned v0 region — cost ∝ region. Vacuumed v0
+        // files degrade to the conservative region row count.
+        val changedOrAdded =
+          try {
+            val oldRegion = readCorpus(s, corpusDir, asOf = rw.v0, since = None)
+              .filter(pred)
+            region.join(oldRegion, Seq("vec_id", "embedding"), "left_anti").count()
+          } catch { case _: Exception => regionRows }
+        val drift =
+          (meta.path("appendedRows").asLong() + changedOrAdded).toDouble /
+            math.max(1L, liveTotal)
+        val maxFrac = s.conf.get("graft.ivfMaxAppendFrac", "0.25").toDouble
+        if (drift > maxFrac) {
+          if (rebuildOk) return buildLocked(s, corpusDir)
+          throw new IllegalStateException(
+            f"persisted IVF index at $root: rewrite window (${rw.v0}, ${rw.cur}] " +
+              f"is patchable, but cumulative rows unseen by the frozen centroids " +
+              f"reach $drift%.3f of the corpus, past " +
+              f"graft.ivfMaxAppendFrac=$maxFrac%.2f — the drift budget is " +
+              "spent; full rebuild required (set graft.ivfRebuildOnStale=true)")
+        }
+        Similarity.assignRouted(region, frozen.coarse, frozen.centRouted, k)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .repartitionByRange(4, col("vec_id"))
+          .write.format("graft-kv")
+          .option("catalog", IvfStore.assignedCatalog("ivf_assigned"))
+          .option("path", s"$root/assigned")
+          .option("replaceKeyRanges", KeyRanges.serializeBounded(ranges))
+          .option("expectedVersion", assignedV)
+          .mode("overwrite").save()
+        val node = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        node.put("corpusVersion", rw.cur)
+        node.put("n", liveTotal)
+        node.put("appendedRows", meta.path("appendedRows").asLong() + changedOrAdded)
+        node.put("assignedVersion", KvStore.readMeta(s"$root/assigned").version)
+        IvfStore.writeMetaAtomic(root, node)
+        System.err.println(
+          s"[graft] IvfKvStore: patched the rewrite window (${rw.v0}, ${rw.cur}] " +
+            s"by re-assigning $regionRows region rows ($changedOrAdded changed/" +
+            s"added) against frozen k=$k centroids at $root")
+        IvfStore.loadPinned(s, root, mapper.readTree(metaFile(root)))
+    }
+  }
+
   /** Load when fresh; build when absent; append-incrementally extend a
     * pure-append manifest window within `graft.ivfMaxAppendFrac` (by
     * rows since the original build — exact here, the manifest counts
-    * rows); otherwise refuse unless `graft.ivfRebuildOnStale=true`. */
+    * rows); DML-incrementally PATCH a rewrite window whose touched
+    * region stays within `graft.ivfMaxDmlFrac` (re-assigning only the
+    * region against the frozen centroids); otherwise refuse unless
+    * `graft.ivfRebuildOnStale=true`. */
   def ensure(s: SparkSession, corpusDir: String): IvfIndex =
     KvStore.withTableLock(indexRoot(corpusDir)) {
       val root = indexRoot(corpusDir)
@@ -269,7 +422,10 @@ object IvfKvStore {
                   "(set graft.ivfRebuildOnStale=true to rebuild automatically)")
             } else incrementLocked(s, corpusDir, app)
           case rw: KvRewrite =>
-            if (rebuildOk) buildLocked(s, corpusDir) else staleError(root, rw)
+            val incremental = s.conf.get("graft.ivfIncremental", "true").toBoolean
+            if (incremental) dmlIncrementLocked(s, corpusDir, rw, rebuildOk)
+            else if (rebuildOk) buildLocked(s, corpusDir)
+            else staleError(root, rw)
         }
       }
     }
@@ -349,5 +505,128 @@ object IvfKvStore {
     Some(IvfStore.incOracleSql),
     doc = "IVF ANN maintained append-incrementally over a versioned graft-kv corpus")
 
-  def defs: Seq[Q] = Seq(q117IvfKvIncremental)
+  // ---- q118: DML-incremental maintenance, oracle-checked ----
+
+  private[graft] def dmlStagedRoot(sfDir: String): String = {
+    val abs = new File(sfDir).getAbsolutePath
+    KvStore.cacheDir(
+      s"ivfkvdml-${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}")
+  }
+
+  /** Stage the DML scenario: commit the WHOLE driver corpus as a KV
+    * table (v1, 8 range shards), build the index on it, then issue one
+    * `replaceKeyRanges` DML over the middle-quintiles region
+    * (positional vec_id thresholds th1 = P40, th2 = P60, replayed by
+    * the oracle as row_number bounds): rows with `vec_id % 7 = 3` are
+    * DELETED, rows with `vec_id % 7 = 5` get their embedding scaled by
+    * 2 (exact in float AND in the oracle's double replay, since ×2
+    * only bumps the exponent), everything else in the region survives
+    * unchanged. ensure() then classifies the rewrite via the
+    * watermark, derives the touched region from the two manifests, and
+    * patches the index by re-assigning the region against the frozen
+    * centroids — the full DML-incremental path under one oracle.
+    * Same idempotence/crash contract as the q117 staging. */
+  private[queries] def ensureDmlStageKv(s: SparkSession, sfDir: String): IvfIndex = {
+    val root = dmlStagedRoot(sfDir)
+    val corpus = s"$root/corpus"
+    KvStore.withTableLock(root) {
+      val srcFp = IvfStore.corpusFingerprint(sfDir)
+      val marker = new File(s"$root/_staged.json")
+      val staged = marker.exists() && {
+        val m = mapper.readTree(marker)
+        m.path("sourceFingerprint").asText() == srcFp &&
+          m.path("phase").asText() == "dmled"
+      }
+      if (!staged) {
+        IvfStore.rmrf(new File(corpus))
+        IvfStore.rmrf(new File(indexRoot(corpus)))
+        marker.delete()
+        val raw = Tables.embeddings(s, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val n = raw.count()
+        require(n >= 40, s"corpus too small to stage a DML region: n=$n")
+        raw.repartitionByRange(8, col("vec_id"))
+          .write.format("graft-kv")
+          .option("catalog", corpusCatalog)
+          .option("path", corpus).mode("append").save()
+        build(s, corpus)
+        // positional thresholds: vec_ids are unique, so `vec_id <= thr`
+        // ≡ the first m rows in vec_id order — the oracle replays them
+        // as row_number() OVER (ORDER BY vec_id) bounds
+        def thAt(m: Long): Long = raw.select(col("vec_id"))
+          .orderBy(col("vec_id")).limit(m.toInt)
+          .agg(max(col("vec_id"))).head().getLong(0)
+        val th1 = thAt(n * 4 / 10)
+        val th2 = thAt(n * 6 / 10)
+        val survivors = raw
+          .filter(col("vec_id") > th1 && col("vec_id") <= th2 &&
+            col("vec_id") % 7 =!= 3)
+          .withColumn("embedding",
+            when(col("vec_id") % 7 === 5,
+              transform(col("embedding"), x => x * lit(2.0f)))
+              .otherwise(col("embedding")))
+        survivors.repartitionByRange(2, col("vec_id"))
+          .write.format("graft-kv")
+          .option("catalog", corpusCatalog)
+          .option("path", corpus)
+          .option("replaceKeyRanges",
+            KeyRanges.serializeTyped(LongType, Seq((th1 + 1, th2))))
+          .mode("overwrite").save()
+        val node = mapper.createObjectNode()
+        node.put("sourceFingerprint", srcFp)
+        node.put("phase", "dmled")
+        node.put("th1", th1)
+        node.put("th2", th2)
+        java.nio.file.Files.write(marker.toPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+      }
+    }
+    ensure(s, corpus)
+  }
+
+  /** q118's oracle: the frozen-centroid IVF replay with centroids fit
+    * on the FULL pre-DML corpus (`dbl`) and assignment/probing/
+    * rescoring over the post-DML state (`cur`): middle-quintile rows
+    * with vec_id % 7 = 3 deleted, % 7 = 5 scaled ×2 (exact in both
+    * engines' arithmetic), everything else untouched. */
+  private[queries] val dmlOracleSql: String = Similarity.ivfOracleSqlFrom(
+    """
+      th AS (
+        SELECT max(CASE WHEN rn <= cnt * 4 // 10 THEN vec_id END) AS th1,
+               max(CASE WHEN rn <= cnt * 6 // 10 THEN vec_id END) AS th2
+        FROM (SELECT vec_id,
+                     row_number() OVER (ORDER BY vec_id) AS rn,
+                     count(*) OVER () AS cnt
+              FROM dbl) t),
+      cur AS (
+        SELECT vec_id,
+               CASE WHEN vec_id > (SELECT th1 FROM th)
+                     AND vec_id <= (SELECT th2 FROM th)
+                     AND vec_id % 7 = 5
+                    THEN list_transform(emb, x -> x * 2) ELSE emb END AS emb
+        FROM dbl
+        WHERE NOT (vec_id > (SELECT th1 FROM th)
+                   AND vec_id <= (SELECT th2 FROM th)
+                   AND vec_id % 7 = 3)),""", "dbl", "cur")
+
+  /** q118: IVF ANN through an index BUILT on the full corpus and then
+    * DML-INCREMENTALLY PATCHED after a replaceKeyRanges rewrite
+    * (deletes + in-place updates) — the maintenance path a mutable
+    * 100 TB corpus actually needs: the patch re-assigns only the
+    * touched region against the frozen centroids instead of re-paying
+    * the build. Deleted vectors must vanish from candidates, updated
+    * vectors must rank under their NEW embeddings, untouched rows keep
+    * bit-identical assignments — all pinned by the DuckDB replay. */
+  val q118IvfKvDml: Q = Q(
+    "q118_ivf_dml_incremental",
+    (s, d) => {
+      val idx = ensureDmlStageKv(s, d)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfProbe(s, idx, queries, nProbe = 4)
+    },
+    Some(dmlOracleSql),
+    doc = "IVF ANN patched DML-incrementally after deletes + updates on the KV corpus")
+
+  def defs: Seq[Q] = Seq(q117IvfKvIncremental, q118IvfKvDml)
 }

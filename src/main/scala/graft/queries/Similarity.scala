@@ -457,9 +457,15 @@ object Similarity {
     * it): q53/q115 sample from the full corpus (`dbl`), while q116's
     * append-incremental index samples from the pre-append prefix — the
     * frozen-centroid semantics of incremental maintenance, replayed
-    * exactly. Assignment/probe/rescoring always run over the FULL
-    * corpus. */
-  private[queries] def ivfOracleSqlFrom(extraCtes: String, basis: String): String = s"""
+    * exactly. Also parameterized over the ASSIGNMENT CORPUS (`corpus`):
+    * the relation whose rows are assigned, probed and rescored —
+    * `dbl` everywhere except q118, whose corpus was DML-rewritten
+    * after the build (deletes + in-place updates), so candidates come
+    * from the post-DML state while centroids stay frozen on the
+    * full pre-DML basis. Queries always come from `dbl` (the driver
+    * parquet), matching the engines' probe inputs. */
+  private[queries] def ivfOracleSqlFrom(extraCtes: String, basis: String,
+                                        corpus: String = "dbl"): String = s"""
       WITH dbl AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),$extraCtes
       params AS (
@@ -490,7 +496,7 @@ object Similarity {
                    list_dot_product(e.emb, g.gemb) /
                    (sqrt(list_dot_product(e.emb, e.emb)) *
                     sqrt(list_dot_product(g.gemb, g.gemb))) DESC, g.gid) AS r
-          FROM dbl e CROSS JOIN coarse g) WHERE r = 1),
+          FROM $corpus e CROSS JOIN coarse g) WHERE r = 1),
       cells AS (
         SELECT vec_id, cid AS cell FROM (
           SELECT v.vec_id, f.cid,
@@ -530,7 +536,7 @@ object Similarity {
                 sqrt(list_dot_product(ne.emb, ne.emb))) AS cos
         FROM cands c
         JOIN dbl qe ON qe.vec_id = c.q_id
-        JOIN dbl ne ON ne.vec_id = c.n_id),
+        JOIN $corpus ne ON ne.vec_id = c.n_id),
       ranked AS (
         SELECT q_id, n_id, cos,
                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk

@@ -119,14 +119,30 @@ class IvfKvStoreSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ivfRebuildOnStale")
   }
 
-  test("a row-level DML delete is classified as a rewrite, not a pure append") {
-    // Regression: the replaced genuine adds land in retiredAdds (the
-    // change-feed planner needs them there), so the file-survival check
-    // alone read a DELETE window as a pure append with an EMPTY delta —
-    // ensure() silently re-pinned an index still serving deleted rows.
-    // The lastRewriteVersion watermark is the fix.
+  private def corpusDf(dir: String) = spark.read.format("graft-kv")
+    .option("catalog", IvfKvStore.corpusCatalog).option("path", dir).load()
+    .select(col("vec_id"), col("embedding"))
+
+  private def assertAssignedMatches(dir: String): Unit = {
+    val index = IvfKvStore.load(spark, dir)
+    val direct = Similarity
+      .assignRouted(corpusDf(dir), index.coarse, index.centRouted, index.nlist)
+      .select(col("vec_id"), col("cell"))
+    val got = index.assigned.select(col("vec_id"), col("cell"))
+    assert(got.except(direct).count() == 0 && direct.except(got).count() == 0,
+      "assigned table must equal a direct frozen-centroid assignment of the live corpus")
+  }
+
+  test("a row-level DML delete is detected via the watermark and patched incrementally") {
+    // Regression core: the replaced genuine adds land in retiredAdds
+    // (the change-feed planner needs them there), so the file-survival
+    // check alone read a DELETE window as a pure append with an EMPTY
+    // delta — ensure() silently re-pinned an index still serving
+    // deleted rows. The lastRewriteVersion watermark is the fix; the
+    // DML-incremental path then PATCHES instead of refusing.
     val (dir, n) = freshCorpus()
     IvfKvStore.ensure(spark, dir)
+    val m1 = meta(dir)
     spark.sql("DROP TABLE IF EXISTS ivfkv_dml")
     try {
       spark.sql(s"""
@@ -136,16 +152,121 @@ class IvfKvStoreSpec extends SparkSpec {
       val live = KvStore.readMeta(dir)
       assert(live.lastRewriteVersion == live.version,
         "row-level DML must stamp the rewrite watermark")
-      val e = intercept[IllegalStateException](IvfKvStore.ensure(spark, dir))
-      assert(e.getMessage.contains("row-level rewrite"), e.getMessage)
+      // load() is read-only: it refuses any rewrite window
       val e2 = intercept[IllegalStateException](IvfKvStore.load(spark, dir))
       assert(e2.getMessage.contains("NOT a pure append"), e2.getMessage)
+      // with incremental maintenance off, ensure() refuses too
+      spark.conf.set("graft.ivfIncremental", "false")
+      try {
+        val e = intercept[IllegalStateException](IvfKvStore.ensure(spark, dir))
+        assert(e.getMessage.contains("row-level rewrite"), e.getMessage)
+      } finally spark.conf.unset("graft.ivfIncremental")
+      // a SCATTERED delete touches every shard: the region is the whole
+      // corpus, which the default cost bound refuses...
+      val e3 = intercept[IllegalStateException](IvfKvStore.ensure(spark, dir))
+      assert(e3.getMessage.contains("graft.ivfMaxDmlFrac"), e3.getMessage)
+      // ...but an explicit budget patches it: deleted ids vanish,
+      // centroids stay frozen, and every assignment equals a direct
+      // frozen-centroid assignment of the live corpus
       val survivors = spark.table("ivfkv_dml").count()
       assert(survivors < n)
-      spark.conf.set("graft.ivfRebuildOnStale", "true")
-      try assert(IvfKvStore.ensure(spark, dir).nVectors == survivors)
-      finally spark.conf.unset("graft.ivfRebuildOnStale")
+      spark.conf.set("graft.ivfMaxDmlFrac", "1.0")
+      try {
+        val idx = IvfKvStore.ensure(spark, dir)
+        assert(idx.nVectors == survivors)
+        assert(meta(dir).path("centroidsVersion").asLong() ==
+          m1.path("centroidsVersion").asLong(),
+          "a DML patch must not touch the centroid table")
+        // pure deletes add NOTHING to the centroid-drift budget: every
+        // surviving row was seen by the build
+        assert(meta(dir).path("appendedRows").asLong() == 0)
+        assertAssignedMatches(dir)
+      } finally spark.conf.unset("graft.ivfMaxDmlFrac")
     } finally spark.sql("DROP TABLE IF EXISTS ivfkv_dml")
+  }
+
+  test("a localized replaceKeyRanges rewrite (deletes + updates) patches within bounds") {
+    val dir = Files.createTempDirectory("ivfkv-dml2").toString + "/t"
+    val raw = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    raw.repartitionByRange(8, col("vec_id"))
+      .write.format("graft-kv")
+      .option("catalog", IvfKvStore.corpusCatalog)
+      .option("path", dir).mode("append").save()
+    val n = raw.count()
+    IvfKvStore.ensure(spark, dir)
+    val m1 = meta(dir)
+    // rewrite one narrow region: drop every 5th id, scale every 7th
+    val lo = n / 3
+    val hi = lo + n / 10
+    val survivors = raw
+      .filter(col("vec_id") > lo && col("vec_id") <= hi && col("vec_id") % 5 =!= 0)
+      .withColumn("embedding",
+        when(col("vec_id") % 7 === 0,
+          transform(col("embedding"), x => x * lit(2.0f)))
+          .otherwise(col("embedding")))
+    survivors.coalesce(1)
+      .write.format("graft-kv")
+      .option("catalog", IvfKvStore.corpusCatalog)
+      .option("path", dir)
+      .option("replaceKeyRanges",
+        graft.sources.KeyRanges.serializeTyped(
+          org.apache.spark.sql.types.LongType, Seq((lo + 1, hi))))
+      .mode("overwrite").save()
+    // default bounds admit the narrow region; the patch must not touch
+    // centroids, and the whole assigned table must equal a direct
+    // frozen-centroid assignment of the post-DML corpus
+    val idx = IvfKvStore.ensure(spark, dir)
+    assert(idx.nVectors == corpusDf(dir).count())
+    assert(idx.nVectors < n)
+    assert(meta(dir).path("centroidsVersion").asLong() ==
+      m1.path("centroidsVersion").asLong())
+    assertAssignedMatches(dir)
+    // drift accounting is EXACT: only updated rows count (deletes are
+    // free), so the budget reflects rows the centroids never saw
+    val updated = corpusDf(dir)
+      .filter(col("vec_id") > lo && col("vec_id") <= hi && col("vec_id") % 7 === 0)
+      .count()
+    assert(meta(dir).path("appendedRows").asLong() == updated,
+      s"drift must count exactly the $updated updated rows")
+    // and the patched index is FRESH: load() succeeds, re-ensure no-ops
+    val v = meta(dir).path("assignedVersion").asLong()
+    IvfKvStore.ensure(spark, dir)
+    assert(meta(dir).path("assignedVersion").asLong() == v)
+  }
+
+  test("a mixed window (append commit + DML rewrite) patches both at once") {
+    val dir = Files.createTempDirectory("ivfkv-dml3").toString + "/t"
+    val raw = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    raw.repartitionByRange(8, col("vec_id"))
+      .write.format("graft-kv")
+      .option("catalog", IvfKvStore.corpusCatalog)
+      .option("path", dir).mode("append").save()
+    val n = raw.count()
+    IvfKvStore.ensure(spark, dir)
+    // commit 1: a pure append of 10 new vectors
+    appendRows(dir, 400000, 10)
+    // commit 2: delete a narrow range outright
+    val lo = n / 2
+    val hi = lo + n / 20
+    spark.emptyDataFrame
+      .select(lit(0L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding"))
+      .filter(lit(false))
+      .write.format("graft-kv")
+      .option("catalog", IvfKvStore.corpusCatalog)
+      .option("path", dir)
+      .option("replaceKeyRanges",
+        graft.sources.KeyRanges.serializeTyped(
+          org.apache.spark.sql.types.LongType, Seq((lo + 1, hi))))
+      .mode("overwrite").save()
+    val idx = IvfKvStore.ensure(spark, dir)
+    val want = corpusDf(dir).count()
+    assert(idx.nVectors == want)
+    val ids = idx.assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.exists(_ >= 400000), "appended rows must be probe-visible")
+    assert(!ids.exists(id => id > lo && id <= hi && id < 400000),
+      "deleted range must be gone from the index")
+    assertAssignedMatches(dir)
   }
 
   test("row-exact drift bound: appends past graft.ivfMaxAppendFrac refuse") {
