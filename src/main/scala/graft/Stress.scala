@@ -72,6 +72,12 @@ object Stress {
     // double a ~20-minute tier to shave noise that is irrelevant at
     // this magnitude) and none of the A/B sections
     val heavy = args.drop(1).headOption.contains("heavy")
+    // `runMain graft.Stress <copies> dmlonly`: run ONLY the
+    // ivf_dml_patch section and emit a {"metric":"stress_dml"} line —
+    // the section was added after the r15 tier campaign froze, so it
+    // gets its own per-tier artifact instead of invalidating the
+    // committed same-revision passes
+    val dmlOnly = args.drop(1).headOption.contains("dmlonly")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the copies count is part of the replica path: a rerun with a
     // different scale can never silently reuse the old replica, and the
@@ -376,6 +382,94 @@ object Stress {
       f""""ivf_incremental":{"vectors":$n,"delta_rows":$deltaRows,"nlist":${idxU.nlist},"build_sec":$incBuildSec%.2f,"update_sec":$updateSec%.2f,"probe_first_sec":$pFirstI%.2f,"probe_sec":$pSteadyI%.2f,"recall_at5":$recallI%.4f}"""
     }
 
+    // DML-incremental index maintenance at scale — the cost claim this
+    // section measures: patching a persisted index through a rewrite
+    // window must cost ∝ the TOUCHED REGION, not the corpus. The
+    // corpus is committed as a versioned graft-kv table with BOUNDED
+    // shard sizes (~8k rows — on a real table chunkBytes bounds shard
+    // bytes the same way), so a fixed-size DML region touches a fixed
+    // number of shards at every tier; the patch re-assigns only that
+    // region against the frozen centroids and range-replaces it into
+    // the assigned table, while the build it avoids grows with n.
+    // Mirrors q118's shape: one replaceKeyRanges rewrite deleting
+    // vec_id%7=3 and scaling %7=5 by 2 inside a ~1 024-row key range
+    // (cosine is scale-invariant, so the exact ground truth still
+    // asserts recall; the handful of deleted truth rows are disclosed
+    // by region_rows/vectors).
+    val ivfDmlJson = {
+      val root = s"$out/_kv_ivfdml"
+      val corpus = s"$root/corpus"
+      def rmrfD(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrfD)
+        f.delete(): Unit
+      }
+      rmrfD(new File(root))
+      rmrfD(new File(graft.queries.IvfKvStore.indexRoot(corpus)))
+      val emb = Tables.embeddings(spark, out)
+        .select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      val regionRows = math.min(1024L, n / 10)
+      // bounded shards: partitions sized so a shard holds ~8k rows
+      val parts = math.max(8L, n / 8192L).toInt
+      val tb = System.nanoTime()
+      emb.repartitionByRange(parts, col("vec_id"))
+        .write.format("graft-kv")
+        .option("catalog", graft.queries.IvfKvStore.corpusCatalog)
+        .option("path", corpus).mode("append").save()
+      graft.queries.IvfKvStore.build(spark, corpus)
+      val dmlBuildSec = (System.nanoTime() - tb) / 1e9
+      // fixed-size mid-corpus key range [thLo+1, thHi]
+      def thAt(m: Long): Long = emb.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(m.toInt).agg(max(col("vec_id"))).head().getLong(0)
+      val thLo = thAt(n / 2)
+      val thHi = thAt(n / 2 + regionRows)
+      val survivors = emb
+        .filter(col("vec_id") > thLo && col("vec_id") <= thHi &&
+          col("vec_id") % 7 =!= 3)
+        .withColumn("embedding",
+          when(col("vec_id") % 7 === 5,
+            org.apache.spark.sql.functions.transform(
+              col("embedding"), x => x * lit(2.0f)))
+            .otherwise(col("embedding")))
+      survivors.coalesce(1)
+        .write.format("graft-kv")
+        .option("catalog", graft.queries.IvfKvStore.corpusCatalog)
+        .option("path", corpus)
+        .option("replaceKeyRanges",
+          graft.sources.KeyRanges.serializeTyped(
+            org.apache.spark.sql.types.LongType, Seq((thLo + 1, thHi))))
+        .mode("overwrite").save()
+      val tp = System.nanoTime()
+      val idxD = graft.queries.IvfKvStore.ensure(spark, corpus) // the DML patch
+      val patchSec = (System.nanoTime() - tp) / 1e9
+      sampleHeap()
+      val mD = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new File(
+          s"${graft.queries.IvfKvStore.indexRoot(corpus)}/_ivfmeta.json"))
+      val changed = mD.path("appendedRows").asLong()
+      require(changed > 0 && changed < regionRows,
+        s"DML patch did not run exactly (drift rows=$changed, region=$regionRows)")
+      require(idxD.nVectors < n, "deleted rows must leave the index")
+      val nPD = queries.Similarity.adaptiveNProbe(idxD.nlist, idxD.nVectors)
+      def probeOnceDml(): (Double, Set[(Long, Long)]) = {
+        val t = System.nanoTime()
+        val df = queries.Similarity.ivfProbe(spark,
+          graft.queries.IvfKvStore.load(spark, corpus), qEmbIvf, nProbe = nPD)
+        df.queryExecution.toRdd.count()
+        sampleHeap()
+        ((System.nanoTime() - t) / 1e9, top5Ivf(df))
+      }
+      val (pFirstD, gotD) = probeOnceDml()
+      val pSteadyD = Seq.fill(2)(probeOnceDml()._1).min
+      val recallD = recallOf(gotD)
+      require(recallD >= 0.6,
+        f"DML-patched-IVF recall@5 $recallD%.4f < 0.6 at ${copies}x")
+      System.err.println(f"[stress] ivf_dml_patch n=$n region=$regionRows " +
+        f"changed=$changed build=$dmlBuildSec%.1fs patch=$patchSec%.2fs " +
+        f"probe=$pSteadyD%.2fs recall@5=$recallD%.4f")
+      f""""ivf_dml_patch":{"vectors":$n,"region_rows":$regionRows,"changed_rows":$changed,"nlist":${idxD.nlist},"build_sec":$dmlBuildSec%.2f,"patch_sec":$patchSec%.2f,"probe_first_sec":$pFirstD%.2f,"probe_sec":$pSteadyD%.2f,"recall_at5":$recallD%.4f}"""
+    }
+
     // CDC catch-up at scale — the q113 composition measured: a KV table
     // written as 4 append versions (v1 = backfill snapshot, v2-v4 = the
     // tail), then a streaming tail from sinceVersion=1 drained with
@@ -620,7 +714,7 @@ object Stress {
         f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
       }.mkString("{", ",", "}")
       val frontier = q45Frontiers.mkString("[", ",", "]")
-      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,"q45_escalated":$q45Escalated,$semOut,$ivfJson,$ivfPersistJson,$ivfIncJson,$cdcJson,$ssJoinJson,"peak_heap_mb":$peakHeapMb}""")
+      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,"q45_escalated":$q45Escalated,$semOut,$ivfJson,$ivfPersistJson,$ivfIncJson,$ivfDmlJson,$cdcJson,$ssJoinJson,"peak_heap_mb":$peakHeapMb}""")
       spark.stop()
       return
     }
@@ -870,7 +964,7 @@ object Stress {
     val pointJson =
       f""""point_lookup_ab":{"pruned_sec":$ptPruneSec%.2f,"unpruned_sec":$ptBaseSec%.2f,"speedup":${ptBaseSec / ptPruneSec}%.2f,"shards_skipped":$ptPruned,"shards_total":$ptTotal}"""
     val frontierJson = q45Frontiers.mkString("[", ",", "]")
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,"q45_escalated":$q45Escalated,$pairsJson,$semOut,$ivfJson,$ivfPersistJson,$ivfIncJson,$cdcJson,$ssJoinJson,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,"q45_escalated":$q45Escalated,$pairsJson,$semOut,$ivfJson,$ivfPersistJson,$ivfIncJson,$ivfDmlJson,$cdcJson,$ssJoinJson,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 

@@ -55,7 +55,7 @@ object IvfKvStore {
   private val mapper = new ObjectMapper()
 
   /** Catalog of a KV-resident embeddings corpus (vec_id, embedding). */
-  private[queries] val corpusCatalog: String =
+  private[graft] val corpusCatalog: String =
     """{"table":{"name":"ivf_corpus"},"rowkey":"vec_id",
       | "columns":{"vec_id":{"cf":"rowkey","col":"vec_id","type":"long"},
       |            "embedding":{"cf":"i","col":"e","type":"array<float>"}}}""".stripMargin
