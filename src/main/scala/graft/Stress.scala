@@ -123,7 +123,7 @@ object Stress {
     }
     var q45Frontiers: Seq[Long] = Nil
     var q45Escalated = false
-    val results = (if (heavy) heavyProbes else probes).map { name =>
+    val results = (if (dmlOnly) Nil else if (heavy) heavyProbes else probes).map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -170,6 +170,10 @@ object Stress {
       // are recorded in the artifact so nobody reads the anchor row as
       // the production path
       if (anchor) spark.conf.set("graft.allowExactAnchors", "true")
+      // try/finally: a thrown recall assert must not leak the anchor
+      // opt-in into every later section of the pass (it would weaken
+      // the q103 fence for anything else this session runs)
+      try {
       val semFn = SparkEntry.queries(qname)
       def semOnce(): (Double, DataFrame) = {
         val t0 = System.nanoTime()
@@ -193,12 +197,12 @@ object Stress {
         f""","twin_dup_recall":$twinRecall%.4f,"higher_copy_n":$hiN,"higher_copy_dup":$hiDup"""
       } else ""
       semDf.unpersist(blocking = true)
-      if (anchor) spark.conf.unset("graft.allowExactAnchors")
       val anchorJson = if (anchor) ""","anchor":true""" else ""
       System.err.println(f"[stress] $key first=$semFirst%.1fs steady=$semSteady%.1fs rows=$semRows")
       f""""$key":{"first_sec":$semFirst%.2f,"steady_sec":$semSteady%.2f,"rows":$semRows$semJson$anchorJson}"""
+      } finally if (anchor) spark.conf.unset("graft.allowExactAnchors")
     }
-    val semOut =
+    val semOut = if (dmlOnly) "" else
       semSection("semantic_dedup", "q103_semantic_dedup", 0.9, anchor = true) + "," +
       semSection("semantic_dedup_hier", "q114_semantic_dedup_hier", 0.85)
 
@@ -240,7 +244,7 @@ object Stress {
     def recallOf(got: Set[(Long, Long)]): Double =
       if (exactTop5.isEmpty) 1.0
       else got.intersect(exactTop5).size.toDouble / exactTop5.size
-    val ivfJson = {
+    val ivfJson = if (dmlOnly) "" else {
       val t0 = System.nanoTime()
       val idx0 = queries.Similarity.ivfIndex(spark, out)
       val idx = idx0.copy(centRouted = idx0.centRouted.persist(),
@@ -287,7 +291,7 @@ object Stress {
     // session actually runs: IvfStore.load (meta + fingerprint stat +
     // two KV scans, no corpus scan) plus the probe. The 100 TB claim is
     // cold_probe ≈ steady probe — the index outlives its builder.
-    val ivfPersistJson = {
+    val ivfPersistJson = if (dmlOnly) "" else {
       // the REAL index path, not a re-derivation of IvfStore's keying —
       // a cache-key change there must break loudly here, not silently
       // corrupt built-detection
@@ -330,7 +334,7 @@ object Stress {
     // classifies + frozen-assigns + append-commits it. The updated
     // index covers the FULL replica corpus, so the same exact ground
     // truth asserts recall.
-    val ivfIncJson = {
+    val ivfIncJson = if (dmlOnly) "" else {
       val root = s"$out/_kv_ivfinc"
       val corpus = s"$root/corpus"
       def rmrfI(f: File): Unit = {
@@ -480,7 +484,7 @@ object Stress {
     // build is cached across passes (build_sec = 0 on reuse); the drain
     // re-runs every pass from a fresh checkpoint. Exactly-once is
     // asserted at scale: drained rows must equal the tail's row count.
-    val cdcJson = {
+    val cdcJson = if (dmlOnly) "" else {
       val cdcDir = s"$out/_kv_cdc_catchup2" // v2: byte-sized tail versions
       val cdcCat =
         """{"table":{"name":"cdc_catchup"},"rowkey":"lk",
@@ -590,7 +594,7 @@ object Stress {
     //  - BOUNDED STATE: watermark eviction must hold peak join state
     //    well under the total ingested rows, or a long catch-up
     //    accumulates both streams in memory.
-    val ssJoinJson = {
+    val ssJoinJson = if (dmlOnly) "" else {
       val lDir = s"$out/_kv_ssj_left"
       val rDir = s"$out/_kv_ssj_right"
       val lCat =
@@ -704,6 +708,16 @@ object Stress {
         f"max_state=$maxState in_rows=$inRows stateParts=$ssStateParts " +
         f"addBatchMed=${durMed("addBatch")}ms")
       f""""ss_join":{"built":$ssBuilt,"build_sec":$ssBuildSec%.2f,"drain_sec":$ssDrainSec%.2f,"joined_rows":$outRows,"truth_rows":$truth,"micro_batches":$nB,"max_state_rows":$maxState,"input_rows":$inRows,"state_partitions":$ssStateParts,$profJson}"""
+    }
+
+    if (dmlOnly) {
+      // the DML-patch tier artifact: the ivf_dml_patch section was
+      // added after the r15 tier campaign froze, so it ships as its
+      // own {"metric":"stress_dml"} line per tier instead of
+      // invalidating the committed same-revision multi-pass artifacts
+      println(s"""{"metric":"stress_dml","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,$ivfDmlJson,"peak_heap_mb":$peakHeapMb}""")
+      spark.stop()
+      return
     }
 
     if (heavy) {

@@ -338,13 +338,25 @@ object IvfKvStore {
         // exact centroid-drift contribution: rows of the live region
         // the frozen centroids never saw (changed or added), diffed
         // against the pinned v0 region — cost ∝ region. Vacuumed v0
-        // files degrade to the conservative region row count.
+        // history (manifest archive or shard files — both surface as
+        // the KV layer's "unavailable" IllegalArgumentException at
+        // planning) degrades to the conservative region row count;
+        // anything else (schema error, task failure) is a real bug and
+        // must propagate, not be silently converted into drift.
         val changedOrAdded =
           try {
             val oldRegion = readCorpus(s, corpusDir, asOf = rw.v0, since = None)
               .filter(pred)
             region.join(oldRegion, Seq("vec_id", "embedding"), "left_anti").count()
-          } catch { case _: Exception => regionRows }
+          } catch {
+            case e: IllegalArgumentException if e.getMessage != null &&
+                e.getMessage.contains("unavailable") =>
+              System.err.println(
+                s"[graft] IvfKvStore: pinned v${rw.v0} region read unavailable " +
+                  s"(${e.getMessage}); using the conservative drift bound " +
+                  s"of $regionRows region rows")
+              regionRows
+          }
         val drift =
           (meta.path("appendedRows").asLong() + changedOrAdded).toDouble /
             math.max(1L, liveTotal)

@@ -252,8 +252,15 @@ class KvTable(val catalog: KvCatalog, val dir: String,
         }
         val newShards = current.shards.flatMap(s =>
           replacements.getOrElse(s.file, Seq(s)))
+        // replacements is non-empty here (early return above), so this
+        // commit REPLACED live rows in place — stamp the rewrite
+        // watermark exactly like the group-based DML path
+        // (KvRowLevelOps) does, or derived-state consumers (IvfKvStore)
+        // would classify the window as a pure append and silently keep
+        // serving deleted rows.
         KvStore.writeMeta(dir,
-          KvTableMeta(newShards, current.committedEpochs, current.version))
+          KvTableMeta(newShards, current.committedEpochs, current.version),
+          rewriteCommit = true)
         true
       }
     }

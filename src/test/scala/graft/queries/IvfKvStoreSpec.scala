@@ -185,6 +185,52 @@ class IvfKvStoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivfkv_dml")
   }
 
+  test("a PUSHABLE-predicate DML delete stamps the watermark and patches too") {
+    // Regression core (round 16): `DELETE FROM t WHERE vec_id <= X` is
+    // fully pushable, so Spark takes the SupportsDelete.deleteWhere
+    // metadata fast path (KvDataSource.deleteOnce) instead of the
+    // group-based KvRowLevelOps rewrite. That path's manifest swap
+    // committed WITHOUT rewriteCommit=true — the watermark stayed
+    // unstamped, classify() read the window as compaction-only, and
+    // ensure() silently re-pinned an index still serving the deleted
+    // vectors. The % 10 test above never catches this: modulo is not
+    // pushable.
+    val (dir, n) = freshCorpus()
+    IvfKvStore.ensure(spark, dir)
+    val m1 = meta(dir)
+    val cutoff = spark.read.format("graft-kv")
+      .option("catalog", IvfKvStore.corpusCatalog).option("path", dir).load()
+      .selectExpr("percentile_approx(vec_id, 0.2)").head().getLong(0)
+    spark.sql("DROP TABLE IF EXISTS ivfkv_dml_push")
+    try {
+      spark.sql(s"""
+        CREATE TABLE ivfkv_dml_push USING `graft-kv`
+        OPTIONS (catalog '${IvfKvStore.corpusCatalog}', path '$dir')""")
+      spark.sql(s"DELETE FROM ivfkv_dml_push WHERE vec_id <= $cutoff")
+      val live = KvStore.readMeta(dir)
+      assert(live.lastRewriteVersion == live.version,
+        "a pushable-predicate deleteWhere must stamp the rewrite watermark")
+      // the window must be classified as a rewrite, never re-pinned
+      val e = intercept[IllegalStateException](IvfKvStore.load(spark, dir))
+      assert(e.getMessage.contains("NOT a pure append"), e.getMessage)
+      val survivors = spark.table("ivfkv_dml_push").count()
+      assert(survivors < n)
+      spark.conf.set("graft.ivfMaxDmlFrac", "1.0")
+      try {
+        val idx = IvfKvStore.ensure(spark, dir)
+        assert(idx.nVectors == survivors,
+          "ensure() must PATCH the delete, not re-pin the stale index")
+        assert(idx.assigned.filter(col("vec_id") <= cutoff).count() == 0,
+          "deleted vectors must vanish from the assigned table")
+        assert(meta(dir).path("centroidsVersion").asLong() ==
+          m1.path("centroidsVersion").asLong())
+        assert(meta(dir).path("appendedRows").asLong() == 0,
+          "a pure delete adds nothing to the centroid-drift budget")
+        assertAssignedMatches(dir)
+      } finally spark.conf.unset("graft.ivfMaxDmlFrac")
+    } finally spark.sql("DROP TABLE IF EXISTS ivfkv_dml_push")
+  }
+
   test("a localized replaceKeyRanges rewrite (deletes + updates) patches within bounds") {
     val dir = Files.createTempDirectory("ivfkv-dml2").toString + "/t"
     val raw = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
