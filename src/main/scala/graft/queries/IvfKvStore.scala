@@ -124,22 +124,31 @@ object IvfKvStore {
   def build(s: SparkSession, corpusDir: String): IvfIndex =
     KvStore.withTableLock(indexRoot(corpusDir)) { buildLocked(s, corpusDir) }
 
+  /** Live corpus bytes straight from the manifest's shard listing — the
+    * write-sizing estimate ([[IvfStore.indexShards]]) without any scan. */
+  private def kvShardBytes(dir: String, shards: Seq[graft.kv.KvShardMeta]): Long =
+    shards.map(sh => new File(s"$dir/${sh.file}").length()).sum
+
   private def buildLocked(s: SparkSession, corpusDir: String): IvfIndex = {
     val root = indexRoot(corpusDir)
-    val cur = KvStore.readMeta(corpusDir).version
+    val liveMeta = KvStore.readMeta(corpusDir)
+    val cur = liveMeta.version
+    val corpusBytes = kvShardBytes(corpusDir, liveMeta.shards)
     val idx = Similarity.ivfIndexFrom(s, readCorpus(s, corpusDir, cur, None))
     val k = idx.nlist
     val c = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
     idx.centRouted
       .select(col("cid"), col("gid"), col("cemb"))
-      .repartitionByRange(4, col("cid"))
+      .repartitionByRange(IvfStore.indexShards(s,
+        corpusBytes * k / math.max(1L, idx.nVectors), 4), col("cid"))
       .write.format("graft-kv")
       .option("catalog", IvfStore.centCatalog("ivf_centroids"))
       .option("path", s"$root/centroids")
       .mode("overwrite").save()
     idx.assigned
       .select(col("vec_id"), col("embedding"), col("cell"))
-      .repartitionByRange(32, col("vec_id"))
+      .repartitionByRange(IvfStore.indexShards(s, corpusBytes, 32),
+        col("vec_id"))
       .write.format("graft-kv")
       .option("catalog", IvfStore.assignedCatalog("ivf_assigned"))
       .option("path", s"$root/assigned")
@@ -215,9 +224,12 @@ object IvfKvStore {
     }
     val assignedDelta =
       Similarity.assignRouted(delta, frozen.coarse, frozen.centRouted, k)
+    // delta bytes from the same lineage-planned shard set the read used
+    val deltaBytes = kvShardBytes(corpusDir,
+      KvStore.deltaShards(corpusDir, app.v0, Some(app.cur)))
     assignedDelta
       .select(col("vec_id"), col("embedding"), col("cell"))
-      .repartitionByRange(4, col("vec_id"))
+      .repartitionByRange(IvfStore.indexShards(s, deltaBytes, 4), col("vec_id"))
       .write.format("graft-kv")
       .option("catalog", IvfStore.assignedCatalog("ivf_assigned"))
       .option("path", s"$root/assigned")
@@ -232,6 +244,7 @@ object IvfKvStore {
       s"[graft] IvfKvStore: appended $deltaRows vectors (manifest window " +
         s"(${app.v0}, ${app.cur}]) to the persisted index at $root against " +
         s"frozen k=$k centroids")
+    IvfStore.maybeCompactAssigned(s, root)
     IvfStore.loadPinned(s, root, mapper.readTree(metaFile(root)))
   }
 
@@ -370,9 +383,15 @@ object IvfKvStore {
               f"graft.ivfMaxAppendFrac=$maxFrac%.2f — the drift budget is " +
               "spent; full rebuild required (set graft.ivfRebuildOnStale=true)")
         }
+        // region bytes ≈ the region's row share of the live corpus bytes
+        val liveM = KvStore.readMeta(corpusDir)
+        val regionBytes =
+          kvShardBytes(corpusDir, liveM.shards) * regionRows /
+            math.max(1L, liveTotal)
         Similarity.assignRouted(region, frozen.coarse, frozen.centRouted, k)
           .select(col("vec_id"), col("embedding"), col("cell"))
-          .repartitionByRange(4, col("vec_id"))
+          .repartitionByRange(IvfStore.indexShards(s, regionBytes, 4),
+            col("vec_id"))
           .write.format("graft-kv")
           .option("catalog", IvfStore.assignedCatalog("ivf_assigned"))
           .option("path", s"$root/assigned")
@@ -389,6 +408,7 @@ object IvfKvStore {
           s"[graft] IvfKvStore: patched the rewrite window (${rw.v0}, ${rw.cur}] " +
             s"by re-assigning $regionRows region rows ($changedOrAdded changed/" +
             s"added) against frozen k=$k centroids at $root")
+        IvfStore.maybeCompactAssigned(s, root)
         IvfStore.loadPinned(s, root, mapper.readTree(metaFile(root)))
     }
   }

@@ -107,6 +107,59 @@ object IvfStore {
 
   private[graft] def metaFile(root: String) = new File(s"$root/_ivfmeta.json")
 
+  /** Index-write shard sizing: one shard per ~`graft.ivfShardTargetBytes`
+    * (default 128 MiB) of estimated input bytes, floored at the
+    * historical small-corpus counts (32 full-corpus / 4 delta) so the
+    * committed tier layouts and oracle hashes are unchanged at test
+    * scale, and capped defensively. A fixed 32 was right at sf0.1 but
+    * would mean ~3 TB shards on a 100 TB corpus; sized by bytes the
+    * same corpus gets ~800k shards of ~128 MiB each. */
+  private[queries] def indexShards(s: SparkSession, bytes: Long, floor: Int): Int = {
+    val target = math.max(1L,
+      s.conf.get("graft.ivfShardTargetBytes", (128L << 20).toString).toLong)
+    math.max(floor, math.min(1 << 20,
+      math.ceil(bytes.toDouble / target).toInt))
+  }
+
+  /** Index-table SELF-maintenance: every incremental append/patch adds
+    * shards to `assigned`, so over many maintenance cycles the index
+    * table fragments without bound. Past `graft.ivfCompactShards`
+    * (default 64) live shards, merge back toward the byte-sized target
+    * (no floor here — a sub-target index table compacts to one shard)
+    * in RETAIN mode, so superseded files stay on the vacuum grace
+    * clock and a concurrently pinned load keeps replaying its
+    * snapshot, then re-pin `assignedVersion`. Compaction merges files
+    * and never touches rows, so probe results are bit-identical.
+    *
+    * Caller must hold the index-root table lock (the KV-level swap
+    * takes the assigned table's own lock — a different key, no
+    * nesting). Crash contract: a crash between the compaction swap and
+    * the meta re-pin leaves the KV version ahead of the meta — pinned
+    * loads keep working (archived manifest + retained files), and the
+    * next incremental window's dangling-commit guard answers with a
+    * rebuild: sound, never silent. */
+  private[queries] def maybeCompactAssigned(s: SparkSession, root: String): Unit = {
+    val assignedDir = s"$root/assigned"
+    val threshold = s.conf.get("graft.ivfCompactShards", "64").toInt
+    val m = KvStore.readMeta(assignedDir)
+    if (m.shards.length <= threshold) return
+    val totalBytes =
+      m.shards.map(sh => new File(s"$assignedDir/${sh.file}").length()).sum
+    val desired = indexShards(s, totalBytes, 1)
+    val targetBytes = math.max(1L, totalBytes / desired + 1)
+    if (graft.kv.KvCompactor.compact(assignedDir, targetBytes,
+        retainInputs = true) > 0) {
+      val node = mapper.readTree(metaFile(root))
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      node.put("assignedVersion", KvStore.readMeta(assignedDir).version)
+      writeMetaAtomic(root, node)
+      System.err.println(
+        s"[graft] IvfStore: compacted the assigned index table at $root " +
+          s"(${m.shards.length} shards past graft.ivfCompactShards=$threshold " +
+          s"-> ${KvStore.readMeta(assignedDir).shards.length})")
+    }
+  }
+
   /** The corpus DATA file listing: (relative-path, file) of every file
     * under the embeddings input, skipping underscore/dot-prefixed
     * markers (`_SUCCESS`, `.crc` — the same convention parquet readers
@@ -191,20 +244,24 @@ object IvfStore {
     val idx = Similarity.ivfIndex(s, sfDir)
     val k = idx.nlist
     val c = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
-    // fine-centroid table: k rows, trivially small next to the corpus
+    val corpusBytes = corpusDataFiles(sfDir).map(_._2.length()).sum
+    // fine-centroid table: k rows — estimated as the k/n slice of the
+    // corpus bytes (the embedding dominates a row either way)
     idx.centRouted
       .select(col("cid"), col("gid"), col("cemb"))
-      .repartitionByRange(4, col("cid"))
+      .repartitionByRange(indexShards(s,
+        corpusBytes * k / math.max(1L, idx.nVectors), 4), col("cid"))
       .write.format("graft-kv")
       .option("catalog", centCatalog("ivf_centroids"))
       .option("path", s"$root/centroids")
       .mode("overwrite").save()
     // assigned corpus: range-partitioned on vec_id for non-overlapping
     // shards (the probe's cell-keyed join reads it shuffled on cell
-    // either way; the rowkey layout serves point/range lookups)
+    // either way; the rowkey layout serves point/range lookups),
+    // shard count sized by corpus bytes (floor 32)
     idx.assigned
       .select(col("vec_id"), col("embedding"), col("cell"))
-      .repartitionByRange(32, col("vec_id"))
+      .repartitionByRange(indexShards(s, corpusBytes, 32), col("vec_id"))
       .write.format("graft-kv")
       .option("catalog", assignedCatalog("ivf_assigned"))
       .option("path", s"$root/assigned")
@@ -217,7 +274,7 @@ object IvfStore {
     files.foreach(farr.add)
     node.put("n", n); node.put("k", k); node.put("c", c)
     node.put("baseN", n)
-    node.put("baseBytes", corpusDataFiles(sfDir).map(_._2.length()).sum)
+    node.put("baseBytes", corpusBytes)
     node.put("appendedRows", 0L)
     node.put("centroidsVersion", KvStore.readMeta(s"$root/centroids").version)
     node.put("assignedVersion", KvStore.readMeta(s"$root/assigned").version)
@@ -336,7 +393,7 @@ object IvfStore {
       Similarity.assignRouted(delta, frozen.coarse, frozen.centRouted, k)
     assignedDelta
       .select(col("vec_id"), col("embedding"), col("cell"))
-      .repartitionByRange(4, col("vec_id"))
+      .repartitionByRange(indexShards(s, app.newBytes, 4), col("vec_id"))
       .write.format("graft-kv")
       .option("catalog", assignedCatalog("ivf_assigned"))
       .option("path", assignedDir)
@@ -355,6 +412,7 @@ object IvfStore {
     System.err.println(
       s"[graft] IvfStore: appended $deltaRows vectors (${app.newFiles.size} files) " +
         s"to the persisted index at $root against frozen k=$k centroids")
+    maybeCompactAssigned(s, root)
     loadPinned(s, root, mapper.readTree(metaFile(root)))
   }
 

@@ -328,4 +328,131 @@ class IvfKvStoreSpec extends SparkSpec {
     assert(IvfKvStore.ensure(spark, dir).nVectors ==
       Tables.embeddings(spark, d).count() + 10)
   }
+
+  test("index-table self-maintenance: compaction bounds shards, probe bit-identical") {
+    // Every incremental append/patch adds shards to `assigned`; over
+    // many cycles the index table fragments without bound. Past
+    // graft.ivfCompactShards the maintenance step merges small shards
+    // (retain-mode) and re-pins assignedVersion — merging files must
+    // not change a single row.
+    val (dir, _) = freshCorpus()
+    IvfKvStore.ensure(spark, dir)
+    val root = IvfKvStore.indexRoot(dir)
+    val assignedDir = s"$root/assigned"
+    // fragment under the default (high) threshold: no auto-compaction
+    (0 until 5).foreach { i =>
+      appendRows(dir, 700000 + i * 1000, 8)
+      IvfKvStore.ensure(spark, dir)
+    }
+    val fragShards = KvStore.readMeta(assignedDir).shards.length
+    assert(fragShards > 6, s"expected a fragmented index table, got $fragShards")
+    val q = Tables.embeddings(spark, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def probe(): Set[(Long, Long)] = {
+      val idx = IvfKvStore.load(spark, dir)
+      Similarity.ivfProbe(spark, idx, q, nProbe = 4)
+        .select(col("q_id"), col("n_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val before = probe()
+    spark.conf.set("graft.ivfCompactShards", "4")
+    try KvStore.withTableLock(root)(IvfStore.maybeCompactAssigned(spark, root))
+    finally spark.conf.unset("graft.ivfCompactShards")
+    val compacted = KvStore.readMeta(assignedDir)
+    assert(compacted.shards.length < fragShards,
+      s"compaction did not shrink the table ($fragShards -> ${compacted.shards.length})")
+    assert(meta(dir).path("assignedVersion").asLong() == compacted.version,
+      "self-maintenance must re-pin assignedVersion to the compacted commit")
+    assert(probe() == before,
+      "probe results must be bit-identical across index-table compaction")
+    assertAssignedMatches(dir)
+    // the automatic path: another maintenance cycle under a low
+    // threshold compacts inside ensure() and stays bounded
+    spark.conf.set("graft.ivfCompactShards", "2")
+    try {
+      appendRows(dir, 800000, 8)
+      IvfKvStore.ensure(spark, dir)
+      assert(KvStore.readMeta(assignedDir).shards.length <= 2,
+        "auto-compaction past the threshold must keep the shard count bounded")
+      assertAssignedMatches(dir)
+    } finally spark.conf.unset("graft.ivfCompactShards")
+  }
+
+  test("vacuumed v0 region files degrade the drift diff to the conservative bound") {
+    // the DML patch's exact changed-row diff reads the region pinned at
+    // v0; when those superseded shard files are already vacuumed the
+    // pinned read fails with the KV layer's "unavailable" planning
+    // error and the diff falls back to counting the whole region as
+    // drift — over-counting is sound (it only triggers earlier rebuild)
+    val (dir, n) = freshCorpus()
+    IvfKvStore.ensure(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS ivfkv_vac")
+    try {
+      spark.sql(s"""
+        CREATE TABLE ivfkv_vac USING `graft-kv`
+        OPTIONS (catalog '${IvfKvStore.corpusCatalog}', path '$dir')""")
+      val cutoff = spark.table("ivfkv_vac")
+        .selectExpr("percentile_approx(vec_id, 0.2)").head().getLong(0)
+      spark.sql(s"DELETE FROM ivfkv_vac WHERE vec_id <= $cutoff")
+      // reclaim ONLY the replaced v1 shard files (a full vacuum(0)
+      // would also expire the archived v1 manifest and hit the refuse
+      // path instead): the archived manifest survives, so dmlRegion
+      // plans, but the pinned region read fails "unavailable"
+      val old = KvStore.readMetaAsOf(dir, Some(1L))
+      val liveFiles = KvStore.readMeta(dir).shards.map(_.file).toSet
+      val gone = old.shards.filterNot(s => liveFiles(s.file))
+      assert(gone.nonEmpty, "the delete must have replaced at least one shard")
+      gone.foreach(s => new java.io.File(s"$dir/${s.file}").delete())
+      val survivors = spark.table("ivfkv_vac").count()
+      spark.conf.set("graft.ivfMaxDmlFrac", "1.0")
+      // the conservative drift (whole region) would blow the default
+      // 0.25 budget — widen it so the test reaches the patch itself
+      spark.conf.set("graft.ivfMaxAppendFrac", "1.0")
+      try {
+        val idx = IvfKvStore.ensure(spark, dir)
+        assert(idx.nVectors == survivors)
+        // conservative: the whole surviving region counted as drift
+        assert(meta(dir).path("appendedRows").asLong() > 0,
+          "vacuumed v0 must degrade to the conservative region-row drift")
+        assertAssignedMatches(dir)
+      } finally {
+        spark.conf.unset("graft.ivfMaxDmlFrac")
+        spark.conf.unset("graft.ivfMaxAppendFrac")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ivfkv_vac")
+  }
+
+  test("a corrupted pinned v0 read fails loudly, never silently degrades") {
+    // the round-15 catch-all converted ANY pinned-read failure into the
+    // conservative drift number; a genuine bug (here: a truncated
+    // retained shard file that fails mid-task, surfacing as a
+    // SparkException, not the planner's "unavailable"
+    // IllegalArgumentException) must propagate instead
+    val (dir, _) = freshCorpus()
+    IvfKvStore.ensure(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS ivfkv_corrupt")
+    try {
+      spark.sql(s"""
+        CREATE TABLE ivfkv_corrupt USING `graft-kv`
+        OPTIONS (catalog '${IvfKvStore.corpusCatalog}', path '$dir')""")
+      val cutoff = spark.table("ivfkv_corrupt")
+        .selectExpr("percentile_approx(vec_id, 0.2)").head().getLong(0)
+      spark.sql(s"DELETE FROM ivfkv_corrupt WHERE vec_id <= $cutoff")
+      // truncate a replaced (retained-for-snapshot) shard: planning's
+      // existence check passes, the task-time read blows up
+      val old = KvStore.readMetaAsOf(dir, Some(1L))
+      val liveFiles = KvStore.readMeta(dir).shards.map(_.file).toSet
+      val victim = old.shards.filterNot(s => liveFiles(s.file)).head
+      Files.write(java.nio.file.Paths.get(s"$dir/${victim.file}"),
+        Array[Byte](1, 2, 3))
+      spark.conf.set("graft.ivfMaxDmlFrac", "1.0")
+      try {
+        val e = intercept[Exception](IvfKvStore.ensure(spark, dir))
+        assert(!e.isInstanceOf[IllegalArgumentException], e.toString)
+        // and the index was NOT silently advanced past the window
+        assert(meta(dir).path("corpusVersion").asLong() == 1,
+          "a failed patch must leave the index pinned at its last consistent state")
+      } finally spark.conf.unset("graft.ivfMaxDmlFrac")
+    } finally spark.sql("DROP TABLE IF EXISTS ivfkv_corrupt")
+  }
 }

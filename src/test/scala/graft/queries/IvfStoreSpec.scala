@@ -210,4 +210,21 @@ class IvfStoreSpec extends SparkSpec {
       .filter(expr("cosine_sim(gemb, cemb)") < 0.999999)
     assert(joined.count() == 0, "coarse router drifted from the fine-centroid prefix")
   }
+
+  test("index-write shard sizing: bytes-derived with the historical floors") {
+    // floors hold at test scale (unchanged committed layouts)...
+    assert(IvfStore.indexShards(spark, 0L, 32) == 32)
+    assert(IvfStore.indexShards(spark, 10L << 20, 32) == 32)
+    assert(IvfStore.indexShards(spark, 1L << 20, 4) == 4)
+    // ...and the count follows bytes past them: ~one shard per 128 MiB
+    assert(IvfStore.indexShards(spark, 32L * (128L << 20), 32) == 32)
+    assert(IvfStore.indexShards(spark, 100L * (128L << 20), 32) == 100)
+    // a 100 TB corpus: ~800k shards of 128 MiB, not 32 of 3 TB
+    assert(IvfStore.indexShards(spark, 100L << 40, 32) == 819200)
+    // configurable target, runaway cap
+    spark.conf.set("graft.ivfShardTargetBytes", (1L << 30).toString)
+    try assert(IvfStore.indexShards(spark, 100L << 30, 32) == 100)
+    finally spark.conf.unset("graft.ivfShardTargetBytes")
+    assert(IvfStore.indexShards(spark, Long.MaxValue / 4, 32) == (1 << 20))
+  }
 }
