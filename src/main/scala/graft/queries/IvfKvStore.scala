@@ -660,5 +660,106 @@ object IvfKvStore {
     Some(dmlOracleSql),
     doc = "IVF ANN patched DML-incrementally after deletes + updates on the KV corpus")
 
-  def defs: Seq[Q] = Seq(q117IvfKvIncremental, q118IvfKvDml)
+  // ---- q119: index-table self-maintenance, oracle-checked ----
+
+  private[graft] def selfMaintStagedRoot(sfDir: String): String = {
+    val abs = new File(sfDir).getAbsolutePath
+    KvStore.cacheDir(
+      s"ivfkvsm-${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}")
+  }
+
+  /** Stage the self-maintenance scenario: build on the 90% prefix (same
+    * split as q116/q117, so the SAME frozen-centroid oracle applies —
+    * neither HOW MANY commits deliver the delta nor whether the index
+    * table compacted itself between them can change a single
+    * assignment), then land the remaining 10% as THREE separate append
+    * commits, running a maintenance cycle after each under a low
+    * `graft.ivfCompactShards` with grace-0 vacuum — every cycle
+    * increments, self-compacts the fragmented assigned table, re-pins,
+    * and reclaims the superseded generation. The staged invariant
+    * (bounded live shard count) is asserted here; the RESULT invariant
+    * (bit-identical probes) is what the DuckDB oracle hash-checks. */
+  private[queries] def ensureSelfMaintStageKv(
+      s: SparkSession, sfDir: String): IvfIndex = {
+    val root = selfMaintStagedRoot(sfDir)
+    val corpus = s"$root/corpus"
+    KvStore.withTableLock(root) {
+      val srcFp = IvfStore.corpusFingerprint(sfDir)
+      val marker = new File(s"$root/_staged.json")
+      val staged = marker.exists() && {
+        val m = mapper.readTree(marker)
+        m.path("sourceFingerprint").asText() == srcFp &&
+          m.path("phase").asText() == "maintained"
+      }
+      if (!staged) {
+        IvfStore.rmrf(new File(corpus))
+        IvfStore.rmrf(new File(indexRoot(corpus)))
+        marker.delete()
+        val raw = Tables.embeddings(s, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val n = raw.count()
+        val n0 = n * 9 / 10
+        require(n0 > 0 && n0 + 3 <= n,
+          s"corpus too small to stage a 3-cycle append split: n=$n")
+        def thAt(m: Long): Long = raw.select(col("vec_id"))
+          .orderBy(col("vec_id")).limit(m.toInt)
+          .agg(max(col("vec_id"))).head().getLong(0)
+        val cuts = Seq(n0, n0 + (n - n0) / 3, n0 + 2 * (n - n0) / 3).map(thAt)
+        def commit(df: DataFrame): Unit =
+          df.repartitionByRange(2, col("vec_id"))
+            .write.format("graft-kv")
+            .option("catalog", corpusCatalog)
+            .option("path", corpus)
+            .mode("append").save()
+        commit(raw.filter(col("vec_id") <= cuts(0))) // v1: the build basis
+        build(s, corpus)
+        s.conf.set("graft.ivfCompactShards", "4")
+        s.conf.set("graft.ivfVacuumGraceMs", "0")
+        try {
+          commit(raw.filter(col("vec_id") > cuts(0) && col("vec_id") <= cuts(1)))
+          ensure(s, corpus) // cycle 1: increment + self-compact + vacuum
+          commit(raw.filter(col("vec_id") > cuts(1) && col("vec_id") <= cuts(2)))
+          ensure(s, corpus) // cycle 2
+          commit(raw.filter(col("vec_id") > cuts(2)))
+          ensure(s, corpus) // cycle 3
+        } finally {
+          s.conf.unset("graft.ivfCompactShards")
+          s.conf.unset("graft.ivfVacuumGraceMs")
+        }
+        val liveShards =
+          KvStore.readMeta(s"${indexRoot(corpus)}/assigned").shards.length
+        require(liveShards <= 4,
+          s"self-maintenance left $liveShards live shards after 3 cycles " +
+            "(expected the compacted bound)")
+        val node = mapper.createObjectNode()
+        node.put("sourceFingerprint", srcFp)
+        node.put("phase", "maintained")
+        java.nio.file.Files.write(marker.toPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+      }
+    }
+    ensure(s, corpus)
+  }
+
+  /** q119: IVF ANN through an index extended by THREE maintenance
+    * cycles with index-table SELF-COMPACTION (+ grace-0 vacuum)
+    * between them — the long-lived-index shape: repeated increments
+    * fragment the assigned table, the maintenance step merges it back
+    * and re-pins, and none of that may change a single assignment.
+    * Same DuckDB oracle as q116/q117 (centroid basis = the 90%
+    * prefix): compaction is row-preserving, so the replay is
+    * identical whether the delta arrived in one commit or three with
+    * compactions between. */
+  val q119IvfSelfMaintain: Q = Q(
+    "q119_ivf_self_maintain",
+    (s, d) => {
+      val idx = ensureSelfMaintStageKv(s, d)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfProbe(s, idx, queries, nProbe = 4)
+    },
+    Some(IvfStore.incOracleSql),
+    doc = "IVF ANN through 3 maintenance cycles with index-table self-compaction between them")
+
+  def defs: Seq[Q] = Seq(q117IvfKvIncremental, q118IvfKvDml, q119IvfSelfMaintain)
 }

@@ -157,6 +157,19 @@ object IvfStore {
         s"[graft] IvfStore: compacted the assigned index table at $root " +
           s"(${m.shards.length} shards past graft.ivfCompactShards=$threshold " +
           s"-> ${KvStore.readMeta(assignedDir).shards.length})")
+      // opt-in reclamation: without it, retained compaction inputs
+      // accumulate one generation per maintenance cycle even though the
+      // live manifest stays bounded. The grace period must exceed the
+      // longest concurrently pinned load (the standard vacuum
+      // discipline); -1 (default) leaves reclamation to the operator.
+      // Current loads pin the just-re-pinned version and never replay
+      // reclaimed history.
+      val grace = s.conf.get("graft.ivfVacuumGraceMs", "-1").toLong
+      if (grace >= 0) {
+        val reclaimed = graft.kv.KvCompactor.vacuum(assignedDir, grace)
+        if (reclaimed > 0) System.err.println(
+          s"[graft] IvfStore: vacuumed $reclaimed superseded index files at $root")
+      }
     }
   }
 

@@ -367,15 +367,26 @@ class IvfKvStoreSpec extends SparkSpec {
       "probe results must be bit-identical across index-table compaction")
     assertAssignedMatches(dir)
     // the automatic path: another maintenance cycle under a low
-    // threshold compacts inside ensure() and stays bounded
+    // threshold compacts inside ensure() and stays bounded; with the
+    // opt-in vacuum the superseded generation is reclaimed too
     spark.conf.set("graft.ivfCompactShards", "2")
+    spark.conf.set("graft.ivfVacuumGraceMs", "0")
     try {
       appendRows(dir, 800000, 8)
       IvfKvStore.ensure(spark, dir)
-      assert(KvStore.readMeta(assignedDir).shards.length <= 2,
+      val live = KvStore.readMeta(assignedDir)
+      assert(live.shards.length <= 2,
         "auto-compaction past the threshold must keep the shard count bounded")
+      val onDisk = Option(new java.io.File(assignedDir).listFiles()).toSeq.flatten
+        .count(f => f.getName.startsWith("shard-") && f.getName.endsWith(".kv"))
+      assert(onDisk == live.shards.length,
+        s"grace-0 vacuum must reclaim superseded index files " +
+          s"($onDisk on disk vs ${live.shards.length} live)")
       assertAssignedMatches(dir)
-    } finally spark.conf.unset("graft.ivfCompactShards")
+    } finally {
+      spark.conf.unset("graft.ivfCompactShards")
+      spark.conf.unset("graft.ivfVacuumGraceMs")
+    }
   }
 
   test("vacuumed v0 region files degrade the drift diff to the conservative bound") {
