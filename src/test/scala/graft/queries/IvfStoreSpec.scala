@@ -211,6 +211,37 @@ class IvfStoreSpec extends SparkSpec {
     assert(joined.count() == 0, "coarse router drifted from the fine-centroid prefix")
   }
 
+  test("parquet-corpus maintenance self-compacts the assigned table past the threshold") {
+    // same shared maybeCompactAssigned as the KV path, exercised from
+    // IvfStore.incrementLocked's call site: repeated append cycles under
+    // a low threshold keep the index table's live shard count bounded
+    // and the content exact
+    val corpus = copyCorpusDir()
+    IvfStore.ensure(spark, corpus)
+    val assignedDir = s"${IvfStore.indexRoot(corpus)}/assigned"
+    spark.conf.set("graft.ivfCompactShards", "2")
+    spark.conf.set("graft.ivfVacuumGraceMs", "0")
+    try {
+      (0 until 3).foreach { i =>
+        appendRows(corpus, idOffset = 200000 + i * 1000, nRows = 10)
+        IvfStore.ensure(spark, corpus)
+      }
+      val live = graft.kv.KvStore.readMeta(assignedDir)
+      assert(live.shards.length <= 2,
+        s"expected a bounded index table, got ${live.shards.length} shards")
+      assert(meta(corpus).path("assignedVersion").asLong() == live.version,
+        "self-maintenance must re-pin assignedVersion")
+      val idx = IvfStore.load(spark, corpus)
+      val want = Tables.embeddings(spark, corpus)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = idx.assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, "compacted assigned table diverged from the corpus")
+    } finally {
+      spark.conf.unset("graft.ivfCompactShards")
+      spark.conf.unset("graft.ivfVacuumGraceMs")
+    }
+  }
+
   test("index-write shard sizing: bytes-derived with the historical floors") {
     // floors hold at test scale (unchanged committed layouts)...
     assert(IvfStore.indexShards(spark, 0L, 32) == 32)
