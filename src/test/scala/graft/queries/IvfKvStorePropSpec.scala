@@ -43,6 +43,7 @@ class IvfKvStorePropSpec extends SparkSpec {
   private sealed trait Op
   private case class AppendNew(rows: Int) extends Op
   private case object DmlSlice extends Op      // replaceKeyRanges rewrite
+  private case object PushDelete extends Op    // pushable SQL DELETE fast path
   private case object CompactCorpus extends Op // retain-mode merge
   private case object VacuumCorpus extends Op  // grace-0 reclaim
   private case object Ensure extends Op
@@ -51,6 +52,7 @@ class IvfKvStorePropSpec extends SparkSpec {
   private val opGen: Gen[Op] = Gen.frequency(
     3 -> Gen.chooseNum(3, 10).map(AppendNew(_)),
     2 -> Gen.const(DmlSlice),
+    2 -> Gen.const(PushDelete),
     2 -> Gen.const(CompactCorpus),
     1 -> Gen.const(VacuumCorpus),
     5 -> Gen.const(Ensure),
@@ -71,7 +73,12 @@ class IvfKvStorePropSpec extends SparkSpec {
     List(DmlSlice, CompactCorpus, Ensure, LoadOnly),
     // DML window then vacuum -> region derivation degrades to None,
     // never a partial patch
-    List(DmlSlice, VacuumCorpus, Ensure))
+    List(DmlSlice, VacuumCorpus, Ensure),
+    // the round-16 headline fix across a schedule: a pushable-predicate
+    // DELETE (SupportsDelete.deleteWhere metadata fast path) must stamp
+    // the watermark even with compaction around it -> patched, never a
+    // silent re-pin serving deleted vectors
+    List(PushDelete, Ensure, CompactCorpus, PushDelete, Ensure))
 
   test("KV maintenance x compaction/vacuum schedules match the model") {
     spark.conf.set("graft.ivfMaxAppendFrac", "1.0")
@@ -108,6 +115,11 @@ class IvfKvStorePropSpec extends SparkSpec {
           .assigned.select("vec_id").collect().map(_.getLong(0)).toSet
 
         var liveIds: Set[Long] = appendRows(40)
+        // SQL surface for the pushable-DELETE fast path
+        val tbl = s"ivfkv_sm_${Integer.toHexString(corpus.hashCode)}"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"""CREATE TABLE $tbl USING `graft-kv`
+          OPTIONS (catalog '${IvfKvStore.corpusCatalog}', path '$corpus')""")
         var idxIds: Option[Set[Long]] = None
         var centVersion: Long = -1
         // window state vs the index's pinned corpusVersion
@@ -119,7 +131,7 @@ class IvfKvStorePropSpec extends SparkSpec {
           idxIds = Some(liveIds); versionMoved = false
           dmlInWindow = false; v0Gone = false
         }
-        ops.foreach {
+        try ops.foreach {
           case AppendNew(n) =>
             liveIds ++= appendRows(n)
             if (idxIds.isDefined) versionMoved = true
@@ -144,6 +156,19 @@ class IvfKvStorePropSpec extends SparkSpec {
                   KeyRanges.serializeTyped(LongType, Seq((lo, hi))))
                 .mode("overwrite").save()
               liveIds = liveIds.filterNot(id => id >= lo && id <= hi && id % 2 == 1)
+              if (idxIds.isDefined) { versionMoved = true; dmlInWindow = true }
+            }
+          case PushDelete =>
+            // `vec_id <= cut` is fully pushable, so Spark takes the
+            // SupportsDelete.deleteWhere metadata fast path — the exact
+            // path whose missing rewriteCommit stamp round 16 fixed; an
+            // unstamped commit here would make the model's dmlInWindow
+            // expectation fail as a silent re-pin
+            val ids = liveIds.toSeq.sorted
+            if (ids.size >= 20) {
+              val cut = ids(ids.size / 4)
+              spark.sql(s"DELETE FROM $tbl WHERE vec_id <= $cut")
+              liveIds = liveIds.filter(_ > cut)
               if (idxIds.isDefined) { versionMoved = true; dmlInWindow = true }
             }
           case CompactCorpus =>
@@ -204,7 +229,7 @@ class IvfKvStorePropSpec extends SparkSpec {
               assert(assignedIds() == liveIds,
                 "assigned table diverged from the live corpus")
             }
-        }
+        } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
         true
       }
       val res = PropTest.check(
