@@ -700,6 +700,163 @@ object Similarity {
       ORDER BY id_a, id_b"""),
     doc = "LSH-bucketed cosine near-dup pairs (sub-quadratic twin of q51)")
 
+  /** Left-to-right double dot product over already-double arrays — the
+    * HOF twin of list_dot_product, shared by the PQ stages (8-dim
+    * subvectors: per-row cost is trivial; the codegen'd cosine_sim
+    * expression covers the full-width hot paths). */
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization (PQ) ANN top-k — the memory path for 100 TB
+    * similarity search. The 64-dim float corpus (256 B/vector) is
+    * compressed to M = 8 codes of 4 bits (K = 16 codewords/subspace —
+    * 4 B/vector, 64× less than float32): each vector splits into 8
+    * contiguous 8-dim subspaces and each subvector snaps to its
+    * min-L2 codeword (ties to the smallest codeword id), the codebook
+    * being a deterministic md5-ordered corpus sample — q53's quantizer
+    * seed rule, which is exactly what lets DuckDB replay codebook,
+    * codes, and candidate ranks bit-for-bit (iterative k-means would
+    * be partitioning-dependent). Probing is asymmetric distance
+    * computation (ADC): a candidate is scored from its CODES alone —
+    * mathematically the dot product of the query against the
+    * candidate's reconstruction (its codewords concatenated), computed
+    * here as one left-to-right double dot so both engines agree
+    * bitwise. At cluster scale the same score is an M-entry table
+    * lookup sum: the query×codeword dot tables are M·K doubles per
+    * query, broadcast, and the candidate scan reads ONLY the 4 B/vector
+    * code columns — the float corpus is touched by nothing but the
+    * final ≤R-row re-rank joins. Top R = 20 ADC candidates per query
+    * re-rank with EXACT cosine, so every emitted score is exact and
+    * quantization costs only recall (floor vs exact q50 asserted in
+    * ScalaTest). The argmin-L2 encode is expressed as argmax of
+    * (dot(sv, cw) − |cw|²/2) — the ‖sv‖² term is constant per
+    * (vector, subspace) — keeping every comparison on the
+    * list_dot_product primitive both engines accumulate identically. */
+  /** PQ geometry: M contiguous subspaces of subDim dims over the 64-dim
+    * corpus, K codewords per subspace (codes fit 4 bits). */
+  private[queries] val PqM = 8
+  private[queries] val PqSubDim = 8
+  private[queries] val PqK = 16
+
+  /** The PQ codebook: K md5-sampled seed vectors × M subspaces, with
+    * the codeword self-dot precomputed for the encode affinity.
+    * (m, j, cw, cn). */
+  private[queries] def pqCodebook(s: SparkSession, raw: DataFrame): DataFrame =
+    md5CentroidSample(s, raw, PqK)
+      .select(col("cid").as("j"), transform(col("cemb"), _.cast("double")).as("semb"))
+      .select(col("j"), explode(sequence(lit(1), lit(PqM))).as("m"), col("semb"))
+      .select(col("m"), col("j"),
+        slice(col("semb"), (col("m") - 1) * PqSubDim + 1, lit(PqSubDim)).as("cw"))
+      .withColumn("cn", dotd(col("cw"), col("cw")))
+
+  /** PQ encode: per (vector, subspace) the max-affinity codeword —
+    * argmin L2 ≡ argmax (dot(sv, cw) − |cw|²/2), ties to the smallest
+    * codeword id. The K×M codebook is broadcast; the n·M subvector
+    * stream collapses back to n·M rows via map-side-combined max_by
+    * before any shuffle. (vec_id, m, code). */
+  private[queries] def pqEncode(dbl: DataFrame, cb: DataFrame): DataFrame =
+    dbl
+      .select(col("vec_id"), col("emb"), explode(sequence(lit(1), lit(PqM))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("emb"), (col("m") - 1) * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+      .join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("j"),
+        (dotd(col("sv"), col("cw")) - col("cn") / 2).as("aff"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("j"), struct(col("aff"), (lit(0) - col("j")).as("nj"))).as("code"))
+
+  val q120PqTopK: Q = Q(
+    "q120_pq_topk",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val R = 20
+      val raw = Tables.embeddings(s, d)
+      val dbl = raw.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      val cb = pqCodebook(s, raw)
+      val codes = pqEncode(dbl, cb)
+      // decode: the reconstruction every ADC score is a dot against
+      // (collect_list order is non-deterministic; sort_array on the
+      // unique m restores the subspace order deterministically)
+      val recon = codes
+        .join(broadcast(cb.select(col("m"), col("j").as("code"), col("cw"))), Seq("m", "code"))
+        .groupBy(col("vec_id"))
+        .agg(flatten(transform(
+          sort_array(collect_list(struct(col("m"), col("cw")))),
+          x => x.getField("cw"))).as("recon"))
+      val queries = dbl.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val adc = recon.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          dotd(col("q_emb"), col("recon")).as("aip"))
+      val wc = Window.partitionBy(col("q_id")).orderBy(col("aip").desc, col("n_id"))
+      val cands = adc.withColumn("crk", row_number().over(wc)).filter(col("crk") <= R)
+        .select(col("q_id"), col("n_id"))
+      // exact cosine re-rank over the ≤R candidates — the only stage
+      // that reads the float corpus
+      val rer = cands
+        .join(raw.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+        .join(raw.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+        .select(col("q_id"), col("n_id"), expr("cosine_sim(qe, ne)").as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some("""
+      WITH dbl AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      seeds AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j,
+               emb AS semb
+        FROM (SELECT vec_id, emb FROM dbl
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+      ms AS (SELECT unnest(range(1, 9)) AS m),
+      cb AS (
+        SELECT m, j, semb[(m-1)*8+1 : m*8] AS cw,
+               list_dot_product(semb[(m-1)*8+1 : m*8], semb[(m-1)*8+1 : m*8]) AS cn
+        FROM seeds CROSS JOIN ms),
+      subs AS (
+        SELECT vec_id, m, emb[(m-1)*8+1 : m*8] AS sv FROM dbl CROSS JOIN ms),
+      codes AS (
+        SELECT vec_id, m, j AS code FROM (
+          SELECT s.vec_id, s.m, c.j,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY list_dot_product(s.sv, c.cw) - c.cn / 2 DESC, c.j) AS rn
+          FROM subs s JOIN cb c ON s.m = c.m)
+        WHERE rn = 1),
+      recon AS (
+        SELECT k.vec_id, flatten(list(c.cw ORDER BY k.m)) AS recon
+        FROM codes k JOIN cb c ON c.m = k.m AND c.j = k.code
+        GROUP BY k.vec_id),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb FROM dbl WHERE vec_id < 20),
+      adc AS (
+        SELECT q.q_id, r.vec_id AS n_id,
+               list_dot_product(q.q_emb, r.recon) AS aip
+        FROM recon r CROSS JOIN q WHERE r.vec_id <> q.q_id),
+      cands AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY aip DESC, n_id) AS crk
+          FROM adc)
+        WHERE crk <= 20),
+      rer AS (
+        SELECT c.q_id, c.n_id,
+               list_dot_product(qe.emb, ne.emb) /
+               (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                sqrt(list_dot_product(ne.emb, ne.emb))) AS cos
+        FROM cands c
+        JOIN dbl qe ON qe.vec_id = c.q_id
+        JOIN dbl ne ON ne.vec_id = c.n_id),
+      ranked AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM rer)
+      SELECT q_id, rk, n_id, round(cos, 6) AS cos_r
+      FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk"""),
+    doc = "product-quantization ANN: 4 B/vector ADC candidates + exact re-rank")
+
   /** SemDeDup-style semantic deduplication: cluster the corpus around a
     * coarse quantizer, then mark as duplicate every vector that has a
     * SMALLER-id neighbor above the cosine threshold in its own cluster
@@ -904,5 +1061,6 @@ object Similarity {
     doc = "hierarchical SemDeDup: two-level quantizer assignment, cluster-local dedup")
 
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
-    q54QuantizedTopK, q55LshNearDup, q103SemanticDedup, q114SemanticDedupHier)
+    q54QuantizedTopK, q55LshNearDup, q103SemanticDedup, q114SemanticDedupHier,
+    q120PqTopK)
 }

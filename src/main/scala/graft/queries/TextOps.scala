@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators over the `documents` table: token counting,
   * quality scoring, n-gram frequency (generator/explode surface), and
@@ -321,7 +322,86 @@ object TextOps {
       ORDER BY doc_id"""),
     doc = "corpus-trained bigram LM: per-doc mean NLL (perplexity-filter proxy)")
 
+  /** Okapi BM25 document ranking (k1 = 1.2, b = 0.75) for a fixed
+    * keyword query — the retrieval staple of training-data curation
+    * (targeted corpus slicing, contamination hunting, topical
+    * resampling). Entirely relational: one tokenize pass feeds the
+    * (doc, token) tf table; doc length is derived from tf itself
+    * (sum of tf per doc — no second tokenize); idf comes from a
+    * term-filtered df aggregate. The ONLY corpus-sized relations are
+    * the tf stream (shuffles once on (doc_id, token) for the counts)
+    * and the dl join; the query-term filter prunes the postings to
+    * |matching terms| rows BEFORE the idf join and score sum, and
+    * df / N / avgdl are broadcast scalars/tiny maps — so at 100 TB the
+    * scoring stage is sized by the postings of 4 terms, not the
+    * corpus. row_number over the scored docs is rank-pushed
+    * (WindowGroupLimit) — no global sort materializes. ln on both
+    * engines (q112 precedent); hash-checked end to end. */
+  val q121Bm25: Q = Q(
+    "q121_bm25",
+    (s, d) => {
+      val terms = Seq("table", "vector", "customer", "stream")
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(col("t")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val nDocs = docs.agg(count(lit(1)).as("n"))
+      val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+      val postings = tf.filter(col("token").isin(terms: _*))
+      val df = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val scored = postings
+        .join(broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
+        .select(col("doc_id"),
+          (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("term_score"))
+        .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score"))
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("rk"), col("doc_id"), round(col("score"), 6).as("bm25_r"))
+        .orderBy(col("rk"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS t
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        GROUP BY doc_id, token),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+      postings AS (
+        SELECT * FROM tf WHERE token IN ('table', 'vector', 'customer', 'stream')),
+      df AS (SELECT token, count(*) AS df FROM postings GROUP BY token),
+      scored AS (
+        SELECT p.doc_id,
+               ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+               (p.tf * 2.2) /
+               (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS term_score
+        FROM postings p
+        JOIN df f ON p.token = f.token
+        JOIN dl l ON p.doc_id = l.doc_id
+        CROSS JOIN stats s),
+      agg AS (SELECT doc_id, sum(term_score) AS score FROM scored GROUP BY doc_id),
+      ranked AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM agg)
+      SELECT rk, doc_id, round(score, 6) AS bm25_r
+      FROM ranked WHERE rk <= 10
+      ORDER BY rk"""),
+    doc = "Okapi BM25 keyword ranking (tf/df/dl relational pipeline)")
+
   def defs: Seq[Q] = Seq(q30TokenStats, q31QualityScore, q32TokenFreq,
     q33Fingerprint, q34LangId, q35BpeTokens, q36TextNormalize,
-    q38StratifiedSample, q112BigramLm)
+    q38StratifiedSample, q112BigramLm, q121Bm25)
 }

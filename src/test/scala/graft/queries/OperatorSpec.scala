@@ -538,4 +538,70 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"no corpus-side shuffle join expected at gate scale:\n$plan")
   }
+
+  test("PQ top-k (q120): codes are 4-bit, every score exact, recall printed") {
+    CosineSimilarity.register(spark)
+    val brute = bruteTop5
+    val out = Similarity.q120PqTopK.fn(spark, d)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "PQ top-k produced no rows")
+    // every emitted (q, n, cos) must be the EXACT float cosine — the
+    // re-rank reads the raw embeddings, so quantization may cost recall
+    // but can never perturb a score
+    val emb = Tables.embeddings(spark, d)
+    val exact = out.select(col("q_id"), col("n_id"), col("cos_r"))
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      .select(col("cos_r"), round(expr("cosine_sim(qe, ne)"), 6).as("want"))
+      .filter(col("cos_r") =!= col("want")).count()
+    assert(exact == 0, "PQ re-ranked scores must equal exact cosine")
+    val recall = recallAt5(out, brute)
+    info(f"PQ recall@5=$recall%.3f (M=8 subspaces, K=16 codewords, R=20)")
+    // approximate by construction on a near-orthogonal random corpus;
+    // require meaningfully-better-than-random, like the LSH/IVF floors
+    assert(recall >= 0.2, s"PQ recall@5 $recall suspiciously low")
+    // the compression claim: every vector carries exactly M codes, each
+    // in [1, K] — i.e. 4 bits/code, M·4 bits/vector
+    val raw = Tables.embeddings(spark, d)
+    val dbl = raw.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("emb"))
+    val codes = Similarity.pqEncode(dbl, Similarity.pqCodebook(spark, raw))
+    val n = raw.count()
+    assert(codes.count() == n * Similarity.PqM, "exactly M codes per vector")
+    assert(codes.filter(col("code") < 1 || col("code") > Similarity.PqK).count() == 0,
+      s"codes must fit 4 bits (1..${Similarity.PqK})")
+  }
+
+  test("BM25 (q121) matches an independent in-memory reimplementation") {
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val terms = Seq("table", "vector", "customer", "stream")
+    def toks(t: String): Seq[String] =
+      if (t.trim.isEmpty) Seq.empty else t.trim.split("[ \t\n\r\f]+").toSeq
+    val n = docs.length.toDouble
+    val dl = docs.map { case (id, t) => id -> toks(t).size }
+      .filter(_._2 > 0).toMap // zero-token docs have no tf rows
+    val avgdl = dl.values.sum.toDouble / dl.size
+    val tf = docs.flatMap { case (id, t) =>
+      toks(t).filter(terms.contains).groupBy(identity)
+        .map { case (w, ws) => (id, w, ws.size) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, rows) => w -> rows.size }
+    val scores = tf.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map { case (_, w, f) =>
+        math.log(1.0 + (n - df(w) + 0.5) / (df(w) + 0.5)) *
+          (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+      }.sum
+    }
+    val want = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val got = TextOps.q121Bm25.fn(spark, d)
+      .select("rk", "doc_id", "bm25_r").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == want.map(_._1),
+      s"BM25 top-10 doc order diverged: got ${got.map(_._2).toSeq} want ${want.map(_._1)}")
+    got.zip(want).foreach { case ((_, id, sc), (_, wsc)) =>
+      assert(math.abs(sc - wsc) < 1e-6, s"BM25 score for doc $id: $sc vs $wsc")
+    }
+  }
 }
