@@ -380,8 +380,12 @@ object Similarity {
     * The order is total over all k cells, so probe sets stay NESTED in
     * nProbe: candidates grow monotonically, recall@5 is non-decreasing,
     * and nProbe = nlist is exhaustive — OperatorSpec sweeps 1/4/k. */
-  def ivfProbe(s: SparkSession, idx: IvfIndex,
-               queries: DataFrame, nProbe: Int): DataFrame = {
+  /** The probe-cell ranking alone — (q_id, cell) for each query's
+    * nProbe best cells in the assignment-consistent two-level order.
+    * Shared by [[ivfProbe]] (exact rescoring of every cell candidate)
+    * and q122's IVF-PQ probe (ADC pre-scoring from PQ codes). */
+  private[queries] def probeCells(s: SparkSession, idx: IvfIndex,
+                                  queries: DataFrame, nProbe: Int): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     // query → coarse ranking (|q|·c evaluations)
     val wg = Window.partitionBy(col("q_id")).orderBy(col("gcos").desc, col("gid"))
@@ -393,12 +397,18 @@ object Similarity {
     // all k fine cells per query, ordered (coarse rank, cosine, cid)
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("grk"), col("cos").desc, col("cid"))
-    val probes = idx.centRouted.join(broadcast(qg), "gid")
+    idx.centRouted.join(broadcast(qg), "gid")
       .select(col("q_id"), col("cid"), col("grk"),
         call_function("cosine_sim", col("q_emb"), col("cemb")).as("cos"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nProbe)
       .select(col("q_id"), col("cid").as("cell"))
+  }
+
+  def ivfProbe(s: SparkSession, idx: IvfIndex,
+               queries: DataFrame, nProbe: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val probes = probeCells(s, idx, queries, nProbe)
     val cands = idx.assigned.join(broadcast(probes), Seq("cell"))
       .join(broadcast(queries), Seq("q_id"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -464,8 +474,11 @@ object Similarity {
     * from the post-DML state while centroids stay frozen on the
     * full pre-DML basis. Queries always come from `dbl` (the driver
     * parquet), matching the engines' probe inputs. */
-  private[queries] def ivfOracleSqlFrom(extraCtes: String, basis: String,
-                                        corpus: String = "dbl"): String = s"""
+  /** The IVF replay CTEs up to and including `cands` (q_id, n_id per
+    * probed-cell candidate) — shared by the exact-rescore tail
+    * ([[ivfOracleSqlFrom]]) and q122's ADC tail. */
+  private def ivfCandsCtes(extraCtes: String, basis: String,
+                           corpus: String = "dbl"): String = s"""
       WITH dbl AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),$extraCtes
       params AS (
@@ -528,7 +541,11 @@ object Similarity {
       cands AS (
         SELECT p.q_id, a.vec_id AS n_id
         FROM probes p JOIN cells a ON a.cell = p.cell
-        WHERE a.vec_id <> p.q_id),
+        WHERE a.vec_id <> p.q_id)"""
+
+  private[queries] def ivfOracleSqlFrom(extraCtes: String, basis: String,
+                                        corpus: String = "dbl"): String =
+    ivfCandsCtes(extraCtes, basis, corpus) + s""",
       scored AS (
         SELECT c.q_id, c.n_id,
                list_dot_product(qe.emb, ne.emb) /
@@ -765,6 +782,47 @@ object Similarity {
       .groupBy(col("vec_id"), col("m"))
       .agg(max_by(col("j"), struct(col("aff"), (lit(0) - col("j")).as("nj"))).as("code"))
 
+  /** The PQ replay CTEs (codebook sample → per-subspace codes →
+    * reconstruction) as a WITH-list fragment over an existing `dbl`
+    * (vec_id, emb DOUBLE[]) relation — shared by q120 (flat PQ) and
+    * q122 (IVF-PQ). Geometry literals match PqM/PqSubDim/PqK. */
+  private val pqReconCtes: String = """
+      seeds AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j,
+               emb AS semb
+        FROM (SELECT vec_id, emb FROM dbl
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+      ms AS (SELECT unnest(range(1, 9)) AS m),
+      pqcb AS (
+        SELECT m, j, semb[(m-1)*8+1 : m*8] AS cw,
+               list_dot_product(semb[(m-1)*8+1 : m*8], semb[(m-1)*8+1 : m*8]) AS cn
+        FROM seeds CROSS JOIN ms),
+      subs AS (
+        SELECT vec_id, m, emb[(m-1)*8+1 : m*8] AS sv FROM dbl CROSS JOIN ms),
+      codes AS (
+        SELECT vec_id, m, j AS code FROM (
+          SELECT s.vec_id, s.m, c.j,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY list_dot_product(s.sv, c.cw) - c.cn / 2 DESC, c.j) AS rn
+          FROM subs s JOIN pqcb c ON s.m = c.m)
+        WHERE rn = 1),
+      recon AS (
+        SELECT k.vec_id, flatten(list(c.cw ORDER BY k.m)) AS recon
+        FROM codes k JOIN pqcb c ON c.m = k.m AND c.j = k.code
+        GROUP BY k.vec_id),"""
+
+  /** PQ decode: the reconstruction every ADC score is a dot against.
+    * (collect_list order is non-deterministic; sort_array on the
+    * unique m restores the subspace order deterministically.)
+    * (vec_id, recon). */
+  private[queries] def pqRecon(codes: DataFrame, cb: DataFrame): DataFrame =
+    codes
+      .join(broadcast(cb.select(col("m"), col("j").as("code"), col("cw"))), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("cw")))),
+        x => x.getField("cw"))).as("recon"))
+
   val q120PqTopK: Q = Q(
     "q120_pq_topk",
     (s, d) => {
@@ -775,15 +833,7 @@ object Similarity {
         transform(col("embedding"), _.cast("double")).as("emb"))
       val cb = pqCodebook(s, raw)
       val codes = pqEncode(dbl, cb)
-      // decode: the reconstruction every ADC score is a dot against
-      // (collect_list order is non-deterministic; sort_array on the
-      // unique m restores the subspace order deterministically)
-      val recon = codes
-        .join(broadcast(cb.select(col("m"), col("j").as("code"), col("cw"))), Seq("m", "code"))
-        .groupBy(col("vec_id"))
-        .agg(flatten(transform(
-          sort_array(collect_list(struct(col("m"), col("cw")))),
-          x => x.getField("cw"))).as("recon"))
+      val recon = pqRecon(codes, cb)
       val queries = dbl.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
       val adc = recon.join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -803,32 +853,9 @@ object Similarity {
         .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
         .orderBy(col("q_id"), col("rk"))
     },
-    Some("""
+    Some(s"""
       WITH dbl AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      seeds AS (
-        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j,
-               emb AS semb
-        FROM (SELECT vec_id, emb FROM dbl
-              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
-      ms AS (SELECT unnest(range(1, 9)) AS m),
-      cb AS (
-        SELECT m, j, semb[(m-1)*8+1 : m*8] AS cw,
-               list_dot_product(semb[(m-1)*8+1 : m*8], semb[(m-1)*8+1 : m*8]) AS cn
-        FROM seeds CROSS JOIN ms),
-      subs AS (
-        SELECT vec_id, m, emb[(m-1)*8+1 : m*8] AS sv FROM dbl CROSS JOIN ms),
-      codes AS (
-        SELECT vec_id, m, j AS code FROM (
-          SELECT s.vec_id, s.m, c.j,
-                 row_number() OVER (PARTITION BY s.vec_id, s.m
-                   ORDER BY list_dot_product(s.sv, c.cw) - c.cn / 2 DESC, c.j) AS rn
-          FROM subs s JOIN cb c ON s.m = c.m)
-        WHERE rn = 1),
-      recon AS (
-        SELECT k.vec_id, flatten(list(c.cw ORDER BY k.m)) AS recon
-        FROM codes k JOIN cb c ON c.m = k.m AND c.j = k.code
-        GROUP BY k.vec_id),
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),$pqReconCtes
       q AS (SELECT vec_id AS q_id, emb AS q_emb FROM dbl WHERE vec_id < 20),
       adc AS (
         SELECT q.q_id, r.vec_id AS n_id,
@@ -856,6 +883,88 @@ object Similarity {
       FROM ranked WHERE rk <= 5
       ORDER BY q_id, rk"""),
     doc = "product-quantization ANN: 4 B/vector ADC candidates + exact re-rank")
+
+  /** IVF-PQ ANN — the classic composed layout for billion-vector /
+    * 100 TB search (coarse inverted file for candidate pruning ×
+    * product quantization for candidate scoring): the probe visits
+    * q53's nProbe = 4 route-ranked cells, but the cell candidates are
+    * pre-scored by ADC from their 4 B/vector PQ codes — the float
+    * corpus is read ONLY by the final ≤R-row exact re-rank, so the
+    * per-cell scan touches (cell, codes) columns: ~12 B/vector instead
+    * of 256 B. Cell pruning and code compression multiply: at the
+    * design point a probe reads nProbe·256 code rows (~4 KB) where
+    * exact IVF reads nProbe·256 float vectors (~256 KB) and flat PQ
+    * reads every code row. Both stages reuse the exact machinery of
+    * their parents — probeCells (route-consistent cell ranking) and
+    * pqEncode/pqRecon (md5-sampled codebook) — so the DuckDB oracle is
+    * literally q53's candidate CTEs composed with q120's PQ CTEs, and
+    * the full build → probe → ADC → re-rank pipeline stays
+    * hash-checked. Recall floor vs exact q50 asserted in ScalaTest. */
+  val q122IvfPq: Q = Q(
+    "q122_ivf_pq",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val R = 20
+      val raw = Tables.embeddings(s, d)
+      val dbl = raw.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      val idx = ivfIndexFrom(s, raw)
+      val cb = pqCodebook(s, raw)
+      val recon = pqRecon(pqEncode(dbl, cb), cb)
+      val queries = raw.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probes = probeCells(s, idx, queries, nProbe = 4)
+      // cell candidates carry only ids — the assigned relation's float
+      // column is dropped before the join with the code-derived recon
+      val cands = idx.assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val qd = dbl.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_embd"))
+      val adc = cands.join(recon, "vec_id").join(broadcast(qd), "q_id")
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          dotd(col("q_embd"), col("recon")).as("aip"))
+      val wc = Window.partitionBy(col("q_id")).orderBy(col("aip").desc, col("n_id"))
+      val top = adc.withColumn("crk", row_number().over(wc)).filter(col("crk") <= R)
+        .select(col("q_id"), col("n_id"))
+      val rer = top
+        .join(raw.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+        .join(raw.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+        .select(col("q_id"), col("n_id"), expr("cosine_sim(qe, ne)").as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(ivfCandsCtes("", "dbl") + "," + pqReconCtes + """
+      qd AS (SELECT vec_id AS q_id, emb FROM dbl WHERE vec_id < 20),
+      adc AS (
+        SELECT c.q_id, c.n_id, list_dot_product(q.emb, r.recon) AS aip
+        FROM cands c
+        JOIN recon r ON r.vec_id = c.n_id
+        JOIN qd q ON q.q_id = c.q_id),
+      top AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY aip DESC, n_id) AS crk
+          FROM adc)
+        WHERE crk <= 20),
+      rer AS (
+        SELECT t.q_id, t.n_id,
+               list_dot_product(qe.emb, ne.emb) /
+               (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                sqrt(list_dot_product(ne.emb, ne.emb))) AS cos
+        FROM top t
+        JOIN dbl qe ON qe.vec_id = t.q_id
+        JOIN dbl ne ON ne.vec_id = t.n_id),
+      ranked AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM rer)
+      SELECT q_id, rk, n_id, round(cos, 6) AS cos_r
+      FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk"""),
+    doc = "IVF-PQ ANN: cell-pruned candidates ADC-scored from 4 B/vector codes")
 
   /** SemDeDup-style semantic deduplication: cluster the corpus around a
     * coarse quantizer, then mark as duplicate every vector that has a
@@ -1062,5 +1171,5 @@ object Similarity {
 
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
     q54QuantizedTopK, q55LshNearDup, q103SemanticDedup, q114SemanticDedupHier,
-    q120PqTopK)
+    q120PqTopK, q122IvfPq)
 }

@@ -572,6 +572,26 @@ class OperatorSpec extends SparkSpec {
       s"codes must fit 4 bits (1..${Similarity.PqK})")
   }
 
+  test("IVF-PQ (q122): scores exact, recall printed vs exact and vs parent IVF") {
+    CosineSimilarity.register(spark)
+    val brute = bruteTop5
+    val out = Similarity.q122IvfPq.fn(spark, d)
+    assert(out.collect().nonEmpty, "IVF-PQ produced no rows")
+    // the exact-re-rank contract, same as q120: emitted scores are the
+    // exact float cosine, composition may only cost recall
+    val emb = Tables.embeddings(spark, d)
+    val wrong = out.select(col("q_id"), col("n_id"), col("cos_r"))
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      .select(col("cos_r"), round(expr("cosine_sim(qe, ne)"), 6).as("want"))
+      .filter(col("cos_r") =!= col("want")).count()
+    assert(wrong == 0, "IVF-PQ re-ranked scores must equal exact cosine")
+    val r122 = recallAt5(out, brute)
+    val r53 = recallAt5(Similarity.ivfAnn(spark, d, 4), brute)
+    info(f"IVF-PQ recall@5=$r122%.3f (parent IVF nProbe=4: $r53%.3f)")
+    assert(r122 >= 0.2, s"IVF-PQ recall@5 $r122 suspiciously low")
+  }
+
   test("BM25 (q121) matches an independent in-memory reimplementation") {
     val docs = Tables.documents(spark, d)
       .select("doc_id", "text").collect()
