@@ -78,6 +78,12 @@ object Stress {
     // gets its own per-tier artifact instead of invalidating the
     // committed same-revision passes
     val dmlOnly = args.drop(1).headOption.contains("dmlonly")
+    // `runMain graft.Stress <copies> pqonly`: run ONLY the ivf_pq
+    // section and emit a {"metric":"stress_pq"} line — same
+    // post-campaign convention as dmlonly (the section was added in
+    // r16 after the committed multi-pass tiers froze)
+    val pqOnly = args.drop(1).headOption.contains("pqonly")
+    val sectionOnly = dmlOnly || pqOnly
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the copies count is part of the replica path: a rerun with a
     // different scale can never silently reuse the old replica, and the
@@ -123,7 +129,7 @@ object Stress {
     }
     var q45Frontiers: Seq[Long] = Nil
     var q45Escalated = false
-    val results = (if (dmlOnly) Nil else if (heavy) heavyProbes else probes).map { name =>
+    val results = (if (sectionOnly) Nil else if (heavy) heavyProbes else probes).map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -202,7 +208,7 @@ object Stress {
       f""""$key":{"first_sec":$semFirst%.2f,"steady_sec":$semSteady%.2f,"rows":$semRows$semJson$anchorJson}"""
       } finally if (anchor) spark.conf.unset("graft.allowExactAnchors")
     }
-    val semOut = if (dmlOnly) "" else
+    val semOut = if (sectionOnly) "" else
       semSection("semantic_dedup", "q103_semantic_dedup", 0.9, anchor = true) + "," +
       semSection("semantic_dedup_hier", "q114_semantic_dedup_hier", 0.85)
 
@@ -244,7 +250,7 @@ object Stress {
     def recallOf(got: Set[(Long, Long)]): Double =
       if (exactTop5.isEmpty) 1.0
       else got.intersect(exactTop5).size.toDouble / exactTop5.size
-    val ivfJson = if (dmlOnly) "" else {
+    val ivfJson = if (sectionOnly) "" else {
       val t0 = System.nanoTime()
       val idx0 = queries.Similarity.ivfIndex(spark, out)
       val idx = idx0.copy(centRouted = idx0.centRouted.persist(),
@@ -291,7 +297,7 @@ object Stress {
     // session actually runs: IvfStore.load (meta + fingerprint stat +
     // two KV scans, no corpus scan) plus the probe. The 100 TB claim is
     // cold_probe ≈ steady probe — the index outlives its builder.
-    val ivfPersistJson = if (dmlOnly) "" else {
+    val ivfPersistJson = if (sectionOnly) "" else {
       // the REAL index path, not a re-derivation of IvfStore's keying —
       // a cache-key change there must break loudly here, not silently
       // corrupt built-detection
@@ -334,7 +340,7 @@ object Stress {
     // classifies + frozen-assigns + append-commits it. The updated
     // index covers the FULL replica corpus, so the same exact ground
     // truth asserts recall.
-    val ivfIncJson = if (dmlOnly) "" else {
+    val ivfIncJson = if (sectionOnly) "" else {
       val root = s"$out/_kv_ivfinc"
       val corpus = s"$root/corpus"
       def rmrfI(f: File): Unit = {
@@ -400,7 +406,7 @@ object Stress {
     // (cosine is scale-invariant, so the exact ground truth still
     // asserts recall; the handful of deleted truth rows are disclosed
     // by region_rows/vectors).
-    val ivfDmlJson = {
+    val ivfDmlJson = if (pqOnly) "" else {
       val root = s"$out/_kv_ivfdml"
       val corpus = s"$root/corpus"
       def rmrfD(f: File): Unit = {
@@ -474,6 +480,72 @@ object Stress {
       f""""ivf_dml_patch":{"vectors":$n,"region_rows":$regionRows,"changed_rows":$changed,"nlist":${idxD.nlist},"build_sec":$dmlBuildSec%.2f,"patch_sec":$patchSec%.2f,"probe_first_sec":$pFirstD%.2f,"probe_sec":$pSteadyD%.2f,"recall_at5":$recallD%.4f}"""
     }
 
+    // IVF-PQ at scale (r16, pqonly mode) — what the q122 composition
+    // must prove at tier scale: (a) the PQ encode (codebook sample +
+    // per-subspace argmin + reconstruction) grows ~linearly with the
+    // corpus like the IVF build it sits beside — both are build-time
+    // costs; (b) the probe stays FLAT across tiers (bounded cells ×
+    // fixed R cut — same argument as ivf_split's probe, but the
+    // candidate scan is ADC over code reconstructions, floats read
+    // only by the ≤R re-rank); (c) recall vs the exact ground truth
+    // holds at every tier — the ε-twin replicas quantize to the SAME
+    // codewords as their source (the ±0.001·i dim-0 nudge is far
+    // inside a cell), so a sound encode must keep them findable.
+    val ivfPqJson = if (!pqOnly) "" else {
+      val raw = Tables.embeddings(spark, out)
+      val dblPq = raw.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      val tI = System.nanoTime()
+      val idx0 = queries.Similarity.ivfIndexFrom(spark, raw)
+      val idxP = idx0.copy(centRouted = idx0.centRouted.persist(),
+        assigned = idx0.assigned.persist())
+      val nlist = idxP.centRouted.count()
+      val nVecs = idxP.assigned.count()
+      val ivfBuildSec = (System.nanoTime() - tI) / 1e9
+      val tE = System.nanoTime()
+      val cbP = queries.Similarity.pqCodebook(spark, raw).persist()
+      cbP.count()
+      val reconP = queries.Similarity
+        .pqRecon(queries.Similarity.pqEncode(dblPq, cbP), cbP).persist()
+      val nRecon = reconP.count()
+      sampleHeap()
+      val encodeSec = (System.nanoTime() - tE) / 1e9
+      require(nRecon == nVecs, s"recon rows $nRecon != corpus $nVecs")
+      val nP = queries.Similarity.adaptiveNProbe(nlist, nVecs)
+      def probeOnce(): Double = {
+        val t = System.nanoTime()
+        queries.Similarity.ivfPqProbe(spark, idxP, reconP, raw, qEmbIvf, nP)
+          .queryExecution.toRdd.count()
+        sampleHeap()
+        (System.nanoTime() - t) / 1e9
+      }
+      val pFirst = probeOnce()
+      val pSteady = Seq.fill(4)(probeOnce()).min
+      val recall = recallOf(top5Ivf(
+        queries.Similarity.ivfPqProbe(spark, idxP, reconP, raw, qEmbIvf, nP)))
+      sampleHeap()
+      // ε-twin tiers (copies ≥ 10) must stay near-exact; the 1× tier's
+      // corpus is near-orthogonal random noise where ADC's top-R cut
+      // legitimately costs recall (recorded, floor-asserted lower)
+      val floor = if (copies >= 10) 0.6 else 0.2
+      require(recall >= floor,
+        f"IVF-PQ recall@5 $recall%.4f < $floor%.1f at ${copies}x")
+      reconP.unpersist(blocking = true)
+      cbP.unpersist(blocking = true)
+      idxP.assigned.unpersist(blocking = true)
+      idxP.centRouted.unpersist(blocking = true)
+      System.err.println(f"[stress] ivf_pq n=$nVecs nlist=$nlist nProbe=$nP " +
+        f"ivf_build=$ivfBuildSec%.1fs encode=$encodeSec%.1fs " +
+        f"probe_first=$pFirst%.2fs probe=$pSteady%.2fs recall@5=$recall%.4f")
+      f""""ivf_pq":{"vectors":$nVecs,"nlist":$nlist,"n_probe":$nP,"ivf_build_sec":$ivfBuildSec%.2f,"encode_sec":$encodeSec%.2f,"probe_first_sec":$pFirst%.2f,"probe_sec":$pSteady%.2f,"recall_at5":$recall%.4f}"""
+    }
+
+    if (pqOnly) {
+      println(s"""{"metric":"stress_pq","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,$ivfPqJson,"peak_heap_mb":$peakHeapMb}""")
+      spark.stop()
+      return
+    }
+
     // CDC catch-up at scale — the q113 composition measured: a KV table
     // written as 4 append versions (v1 = backfill snapshot, v2-v4 = the
     // tail), then a streaming tail from sinceVersion=1 drained with
@@ -484,7 +556,7 @@ object Stress {
     // build is cached across passes (build_sec = 0 on reuse); the drain
     // re-runs every pass from a fresh checkpoint. Exactly-once is
     // asserted at scale: drained rows must equal the tail's row count.
-    val cdcJson = if (dmlOnly) "" else {
+    val cdcJson = if (sectionOnly) "" else {
       val cdcDir = s"$out/_kv_cdc_catchup2" // v2: byte-sized tail versions
       val cdcCat =
         """{"table":{"name":"cdc_catchup"},"rowkey":"lk",
@@ -594,7 +666,7 @@ object Stress {
     //  - BOUNDED STATE: watermark eviction must hold peak join state
     //    well under the total ingested rows, or a long catch-up
     //    accumulates both streams in memory.
-    val ssJoinJson = if (dmlOnly) "" else {
+    val ssJoinJson = if (sectionOnly) "" else {
       val lDir = s"$out/_kv_ssj_left"
       val rDir = s"$out/_kv_ssj_right"
       val lCat =

@@ -353,7 +353,7 @@ object Similarity {
   /** [[ivfIndex]] over an arbitrary (vec_id, embedding) relation — the
     * entry point for corpora that are not parquet directories (e.g. a
     * versioned graft-kv table pinned at a manifest version). */
-  private[queries] def ivfIndexFrom(s: SparkSession, emb: DataFrame): IvfIndex = {
+  private[graft] def ivfIndexFrom(s: SparkSession, emb: DataFrame): IvfIndex = {
     graft.functions.CosineSimilarity.register(s)
     // Bounded scalar collect: corpus count → deterministic nlist.
     val n = emb.count()
@@ -758,7 +758,7 @@ object Similarity {
   /** The PQ codebook: K md5-sampled seed vectors × M subspaces, with
     * the codeword self-dot precomputed for the encode affinity.
     * (m, j, cw, cn). */
-  private[queries] def pqCodebook(s: SparkSession, raw: DataFrame): DataFrame =
+  private[graft] def pqCodebook(s: SparkSession, raw: DataFrame): DataFrame =
     md5CentroidSample(s, raw, PqK)
       .select(col("cid").as("j"), transform(col("cemb"), _.cast("double")).as("semb"))
       .select(col("j"), explode(sequence(lit(1), lit(PqM))).as("m"), col("semb"))
@@ -771,7 +771,7 @@ object Similarity {
     * codeword id. The K×M codebook is broadcast; the n·M subvector
     * stream collapses back to n·M rows via map-side-combined max_by
     * before any shuffle. (vec_id, m, code). */
-  private[queries] def pqEncode(dbl: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqEncode(dbl: DataFrame, cb: DataFrame): DataFrame =
     dbl
       .select(col("vec_id"), col("emb"), explode(sequence(lit(1), lit(PqM))).as("m"))
       .select(col("vec_id"), col("m"),
@@ -815,7 +815,7 @@ object Similarity {
     * (collect_list order is non-deterministic; sort_array on the
     * unique m restores the subspace order deterministically.)
     * (vec_id, recon). */
-  private[queries] def pqRecon(codes: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqRecon(codes: DataFrame, cb: DataFrame): DataFrame =
     codes
       .join(broadcast(cb.select(col("m"), col("j").as("code"), col("cw"))), Seq("m", "code"))
       .groupBy(col("vec_id"))
@@ -900,11 +900,43 @@ object Similarity {
     * literally q53's candidate CTEs composed with q120's PQ CTEs, and
     * the full build → probe → ADC → re-rank pipeline stays
     * hash-checked. Recall floor vs exact q50 asserted in ScalaTest. */
+  /** The IVF-PQ probe over a built index and a PQ reconstruction
+    * table: route-ranked cell pruning → id-only candidates → ADC
+    * scoring against `recon` → top-R cut → exact cosine re-rank from
+    * `raw`. Split from q122 so the stress harness can time probes over
+    * a PERSISTED index/recon pair, the way q53's split does. */
+  private[graft] def ivfPqProbe(s: SparkSession, idx: IvfIndex, recon: DataFrame,
+                                raw: DataFrame, queries: DataFrame,
+                                nProbe: Int, r: Int = 20): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val probes = probeCells(s, idx, queries, nProbe)
+    // cell candidates carry only ids — the assigned relation's float
+    // column is dropped before the join with the code-derived recon
+    val cands = idx.assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val qd = queries.select(col("q_id"),
+      transform(col("q_emb"), _.cast("double")).as("q_embd"))
+    val adc = cands.join(recon, "vec_id").join(broadcast(qd), "q_id")
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        dotd(col("q_embd"), col("recon")).as("aip"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("aip").desc, col("n_id"))
+    val top = adc.withColumn("crk", row_number().over(wc)).filter(col("crk") <= r)
+      .select(col("q_id"), col("n_id"))
+    val rer = top
+      .join(raw.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(raw.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      .select(col("q_id"), col("n_id"), expr("cosine_sim(qe, ne)").as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val q122IvfPq: Q = Q(
     "q122_ivf_pq",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
-      val R = 20
       val raw = Tables.embeddings(s, d)
       val dbl = raw.select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("emb"))
@@ -913,28 +945,7 @@ object Similarity {
       val recon = pqRecon(pqEncode(dbl, cb), cb)
       val queries = raw.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val probes = probeCells(s, idx, queries, nProbe = 4)
-      // cell candidates carry only ids — the assigned relation's float
-      // column is dropped before the join with the code-derived recon
-      val cands = idx.assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"))
-      val qd = dbl.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_embd"))
-      val adc = cands.join(recon, "vec_id").join(broadcast(qd), "q_id")
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          dotd(col("q_embd"), col("recon")).as("aip"))
-      val wc = Window.partitionBy(col("q_id")).orderBy(col("aip").desc, col("n_id"))
-      val top = adc.withColumn("crk", row_number().over(wc)).filter(col("crk") <= R)
-        .select(col("q_id"), col("n_id"))
-      val rer = top
-        .join(raw.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
-        .join(raw.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
-        .select(col("q_id"), col("n_id"), expr("cosine_sim(qe, ne)").as("cos"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
-        .orderBy(col("q_id"), col("rk"))
+      ivfPqProbe(s, idx, recon, raw, queries, nProbe = 4)
     },
     Some(ivfCandsCtes("", "dbl") + "," + pqReconCtes + """
       qd AS (SELECT vec_id AS q_id, emb FROM dbl WHERE vec_id < 20),
