@@ -718,10 +718,17 @@ object Similarity {
     doc = "LSH-bucketed cosine near-dup pairs (sub-quadratic twin of q51)")
 
   /** Left-to-right double dot product over already-double arrays — the
-    * HOF twin of list_dot_product, shared by the PQ stages (8-dim
-    * subvectors: per-row cost is trivial; the codegen'd cosine_sim
-    * expression covers the full-width hot paths). */
+    * fused codegen'd [[graft.functions.DoubleDot]] expression (bit-
+    * identical to the `zip_with`+`aggregate` HOF and to DuckDB's
+    * list_dot_product; the HOF form allocates an intermediate array per
+    * row and runs interpreted, which dominated the PQ encode's n·M·K
+    * row stream). Callers must have called DoubleDot.register. */
   private def dotd(a: Column, b: Column): Column =
+    call_function("dot_d", a, b)
+
+  /** The HOF reference formulation [[graft.functions.DoubleDot]] is
+    * tested against (OperatorSpec asserts bitwise agreement). */
+  private[queries] def dotdHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Product-quantization (PQ) ANN top-k — the memory path for 100 TB
@@ -758,20 +765,23 @@ object Similarity {
   /** The PQ codebook: K md5-sampled seed vectors × M subspaces, with
     * the codeword self-dot precomputed for the encode affinity.
     * (m, j, cw, cn). */
-  private[graft] def pqCodebook(s: SparkSession, raw: DataFrame): DataFrame =
+  private[graft] def pqCodebook(s: SparkSession, raw: DataFrame): DataFrame = {
+    graft.functions.DoubleDot.register(s)
     md5CentroidSample(s, raw, PqK)
       .select(col("cid").as("j"), transform(col("cemb"), _.cast("double")).as("semb"))
       .select(col("j"), explode(sequence(lit(1), lit(PqM))).as("m"), col("semb"))
       .select(col("m"), col("j"),
         slice(col("semb"), (col("m") - 1) * PqSubDim + 1, lit(PqSubDim)).as("cw"))
       .withColumn("cn", dotd(col("cw"), col("cw")))
+  }
 
   /** PQ encode: per (vector, subspace) the max-affinity codeword —
     * argmin L2 ≡ argmax (dot(sv, cw) − |cw|²/2), ties to the smallest
     * codeword id. The K×M codebook is broadcast; the n·M subvector
     * stream collapses back to n·M rows via map-side-combined max_by
     * before any shuffle. (vec_id, m, code). */
-  private[graft] def pqEncode(dbl: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqEncode(dbl: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.DoubleDot.register(dbl.sparkSession)
     dbl
       .select(col("vec_id"), col("emb"), explode(sequence(lit(1), lit(PqM))).as("m"))
       .select(col("vec_id"), col("m"),
@@ -781,6 +791,7 @@ object Similarity {
         (dotd(col("sv"), col("cw")) - col("cn") / 2).as("aff"))
       .groupBy(col("vec_id"), col("m"))
       .agg(max_by(col("j"), struct(col("aff"), (lit(0) - col("j")).as("nj"))).as("code"))
+  }
 
   /** The PQ replay CTEs (codebook sample → per-subspace codes →
     * reconstruction) as a WITH-list fragment over an existing `dbl`
@@ -827,6 +838,7 @@ object Similarity {
     "q120_pq_topk",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
+      graft.functions.DoubleDot.register(s)
       val R = 20
       val raw = Tables.embeddings(s, d)
       val dbl = raw.select(col("vec_id"),
@@ -909,6 +921,7 @@ object Similarity {
                                 raw: DataFrame, queries: DataFrame,
                                 nProbe: Int, r: Int = 20): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
+    graft.functions.DoubleDot.register(s)
     val probes = probeCells(s, idx, queries, nProbe)
     // cell candidates carry only ids — the assigned relation's float
     // column is dropped before the join with the code-derived recon

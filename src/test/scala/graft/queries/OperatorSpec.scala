@@ -572,6 +572,18 @@ class OperatorSpec extends SparkSpec {
       s"codes must fit 4 bits (1..${Similarity.PqK})")
   }
 
+  test("codegen'd dot_d ≡ higher-order-function double dot, bit for bit") {
+    graft.functions.DoubleDot.register(spark)
+    val e = Tables.embeddings(spark, d).limit(100)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        expr("dot_d(a.emb, b.emb)").as("fast"),
+        Similarity.dotdHof(col("a.emb"), col("b.emb")).as("ref"))
+    val diffs = pairs.filter(col("fast") =!= col("ref")).count()
+    assert(diffs == 0, "expression and HOF double dot must agree exactly")
+  }
+
   test("IVF-PQ (q122): scores exact, recall printed vs exact and vs parent IVF") {
     CosineSimilarity.register(spark)
     val brute = bruteTop5
