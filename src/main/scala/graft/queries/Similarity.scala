@@ -406,7 +406,7 @@ object Similarity {
   }
 
   def ivfProbe(s: SparkSession, idx: IvfIndex,
-               queries: DataFrame, nProbe: Int): DataFrame = {
+               queries: DataFrame, nProbe: Int, topK: Int = 5): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val probes = probeCells(s, idx, queries, nProbe)
     val cands = idx.assigned.join(broadcast(probes), Seq("cell"))
@@ -416,7 +416,7 @@ object Similarity {
       expr("cosine_sim(q_emb, embedding)").as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
       .orderBy(col("q_id"), col("rk"))
   }
@@ -1193,7 +1193,83 @@ object Similarity {
       ORDER BY c.vec_id"""),
     doc = "hierarchical SemDeDup: two-level quantizer assignment, cluster-local dedup")
 
+  /** Hybrid retrieval: the IVF ANN arm (q53's index + probe machinery,
+    * single exemplar query vec_id = 7, top-20 neighbors) fused with the
+    * BM25 keyword arm (q121's pipeline, top-20 docs) by reciprocal-rank
+    * fusion, rrf = Σ 1/(60 + rank) — the standard training-data
+    * curation composition (dense + sparse retrieval, e.g. for targeted
+    * corpus slicing or contamination hunting from one exemplar). Rides
+    * the doc_id ≡ vec_id pairing of the driver tables (embeddings are
+    * the documents' vectors).
+    *
+    * Scale shape: both arms are the already-audited sublinear paths —
+    * the vector arm rescores only nProbe bounded cells, the keyword arm
+    * sizes scoring by 4 terms' postings and rank-pushes its window —
+    * and the fusion itself joins two ≤20-row relations (full outer, so
+    * single-arm hits still rank) then sorts ≤40 rows. The vector arm
+    * excludes the exemplar itself (ivfProbe's self-filter); the
+    * exemplar can still surface through the keyword arm.
+    *
+    * Oracle: the COMPLETE composition in one statement — q53's IVF
+    * candidate CTEs (+ exact rescore, top-20) and q121's BM25 CTEs
+    * (k-prefixed to coexist) fused by the same RRF arithmetic. 1.0 is
+    * cast to DOUBLE in SQL so DuckDB's decimal division never enters;
+    * both engines add the two arm terms left-to-right. */
+  val q123HybridRrf: Q = Q(
+    "q123_hybrid_rrf",
+    (s, d) => {
+      val idx = ivfIndex(s, d)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val vec = ivfProbe(s, idx, qv, nProbe = 4, topK = 20)
+        .select(col("n_id").as("doc_id"), col("rk").as("rk_vec"))
+      val kw = TextOps.bm25Ranked(s, d).filter(col("rk") <= 20)
+        .select(col("doc_id"), col("rk").as("rk_kw"))
+      val fused = vec.join(kw, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rk_vec"), col("rk_kw"),
+          (coalesce(lit(1.0) / (lit(60) + col("rk_vec")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rk_kw")), lit(0.0))).as("rrf"))
+      val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("rk"), col("doc_id"), round(col("rrf"), 6).as("rrf_r"),
+          when(col("rk_vec").isNotNull && col("rk_kw").isNotNull, "both")
+            .when(col("rk_vec").isNotNull, "vec").otherwise("kw").as("arm"))
+        .orderBy(col("rk"))
+    },
+    Some(ivfCandsCtes("", "dbl") + "," + TextOps.bm25Ctes + """,
+      vscored AS (
+        SELECT c.n_id,
+               list_dot_product(qe.emb, ne.emb) /
+               (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                sqrt(list_dot_product(ne.emb, ne.emb))) AS cos
+        FROM cands c
+        JOIN dbl qe ON qe.vec_id = c.q_id
+        JOIN dbl ne ON ne.vec_id = c.n_id
+        WHERE c.q_id = 7),
+      vranked AS (
+        SELECT n_id AS doc_id,
+               row_number() OVER (ORDER BY cos DESC, n_id) AS rk_vec
+        FROM vscored
+        QUALIFY rk_vec <= 20),
+      kw AS (SELECT doc_id, rk AS rk_kw FROM kranked WHERE rk <= 20),
+      fused AS (
+        SELECT COALESCE(v.doc_id, k.doc_id) AS doc_id, v.rk_vec, k.rk_kw,
+               COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rk_vec), 0.0) +
+               COALESCE(CAST(1.0 AS DOUBLE) / (60 + k.rk_kw), 0.0) AS rrf
+        FROM vranked v FULL OUTER JOIN kw k ON v.doc_id = k.doc_id),
+      franked AS (
+        SELECT doc_id, rrf, rk_vec, rk_kw,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+        FROM fused)
+      SELECT rk, doc_id, round(rrf, 6) AS rrf_r,
+             CASE WHEN rk_vec IS NOT NULL AND rk_kw IS NOT NULL THEN 'both'
+                  WHEN rk_vec IS NOT NULL THEN 'vec' ELSE 'kw' END AS arm
+      FROM franked WHERE rk <= 10
+      ORDER BY rk"""),
+    doc = "hybrid retrieval: IVF ANN + BM25 arms fused by reciprocal-rank fusion")
+
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
     q54QuantizedTopK, q55LshNearDup, q103SemanticDedup, q114SemanticDedupHier,
-    q120PqTopK, q122IvfPq)
+    q120PqTopK, q122IvfPq, q123HybridRrf)
 }

@@ -337,67 +337,82 @@ object TextOps {
     * corpus. row_number over the scored docs is rank-pushed
     * (WindowGroupLimit) — no global sort materializes. ln on both
     * engines (q112 precedent); hash-checked end to end. */
-  val q121Bm25: Q = Q(
-    "q121_bm25",
-    (s, d) => {
-      val terms = Seq("table", "vector", "customer", "stream")
-      val docs = Tables.documents(s, d)
-      val tf = docs
-        .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
-        .select(col("doc_id"), explode(col("t")).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val nDocs = docs.agg(count(lit(1)).as("n"))
-      val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
-      val postings = tf.filter(col("token").isin(terms: _*))
-      val df = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val scored = postings
-        .join(broadcast(df), "token")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
-        .select(col("doc_id"),
-          (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * 2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-            .as("term_score"))
-        .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score"))
-      val w = Window.orderBy(col("score").desc, col("doc_id"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-        .select(col("rk"), col("doc_id"), round(col("score"), 6).as("bm25_r"))
-        .orderBy(col("rk"))
-    },
-    Some("""
-      WITH toks AS (
+  /** The BM25 pipeline as a reusable ranked relation (rk, doc_id,
+    * score): callers filter `rk <= N` — the filter-on-row_number shape
+    * Spark rewrites to a rank-pushed WindowGroupLimit, so no caller
+    * materializes a global sort. Shared by q121 (keyword retrieval,
+    * top-10) and q123 (hybrid RRF fusion, top-20 arm). */
+  private[queries] def bm25Ranked(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("table", "vector", "customer", "stream")
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(col("t")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val postings = tf.filter(col("token").isin(terms: _*))
+    val df = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+  }
+
+  /** The BM25 replay as a CTE fragment (appended after an open `WITH`):
+    * k-prefixed names so it composes with the IVF CTE chain inside one
+    * statement (q123). Ends at `kranked(doc_id, score, rk)`. */
+  private[queries] val bm25Ctes: String = """
+      ktoks AS (
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                     ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS t
         FROM documents),
-      tf AS (
+      ktf AS (
         SELECT doc_id, token, count(*) AS tf
-        FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        FROM (SELECT doc_id, unnest(t) AS token FROM ktoks)
         GROUP BY doc_id, token),
-      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-      stats AS (
-        SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
-      postings AS (
-        SELECT * FROM tf WHERE token IN ('table', 'vector', 'customer', 'stream')),
-      df AS (SELECT token, count(*) AS df FROM postings GROUP BY token),
-      scored AS (
+      kdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ktf GROUP BY doc_id),
+      kstats AS (
+        SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM kdl),
+      kpostings AS (
+        SELECT * FROM ktf WHERE token IN ('table', 'vector', 'customer', 'stream')),
+      kdf AS (SELECT token, count(*) AS df FROM kpostings GROUP BY token),
+      kscored AS (
         SELECT p.doc_id,
                ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
                (p.tf * 2.2) /
                (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS term_score
-        FROM postings p
-        JOIN df f ON p.token = f.token
-        JOIN dl l ON p.doc_id = l.doc_id
-        CROSS JOIN stats s),
-      agg AS (SELECT doc_id, sum(term_score) AS score FROM scored GROUP BY doc_id),
-      ranked AS (
+        FROM kpostings p
+        JOIN kdf f ON p.token = f.token
+        JOIN kdl l ON p.doc_id = l.doc_id
+        CROSS JOIN kstats s),
+      kagg AS (SELECT doc_id, sum(term_score) AS score FROM kscored GROUP BY doc_id),
+      kranked AS (
         SELECT doc_id, score,
                row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-        FROM agg)
+        FROM kagg)"""
+
+  val q121Bm25: Q = Q(
+    "q121_bm25",
+    (s, d) =>
+      bm25Ranked(s, d).filter(col("rk") <= 10)
+        .select(col("rk"), col("doc_id"), round(col("score"), 6).as("bm25_r"))
+        .orderBy(col("rk")),
+    Some(s"""
+      WITH$bm25Ctes
       SELECT rk, doc_id, round(score, 6) AS bm25_r
-      FROM ranked WHERE rk <= 10
+      FROM kranked WHERE rk <= 10
       ORDER BY rk"""),
     doc = "Okapi BM25 keyword ranking (tf/df/dl relational pipeline)")
 

@@ -636,4 +636,41 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(sc - wsc) < 1e-6, s"BM25 score for doc $id: $sc vs $wsc")
     }
   }
+
+  test("hybrid RRF (q123) matches a hand fusion of its two arms") {
+    import org.apache.spark.sql.functions.col
+    // the arms via the engine's own helpers (bounded: ≤20 rows each)
+    val idx = Similarity.ivfIndex(spark, d)
+    val qv = Tables.embeddings(spark, d).filter(col("vec_id") === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val vec = Similarity.ivfProbe(spark, idx, qv, nProbe = 4, topK = 20)
+      .select("n_id", "rk").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kw = TextOps.bm25Ranked(spark, d).filter(col("rk") <= 20)
+      .select("doc_id", "rk").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fused = (vec.keySet ++ kw.keySet).toSeq.map { id =>
+      val rrf = vec.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        kw.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      val arm =
+        if (vec.contains(id) && kw.contains(id)) "both"
+        else if (vec.contains(id)) "vec" else "kw"
+      (id, rrf, arm)
+    }.sortBy { case (id, rrf, _) => (-rrf, id) }.take(10)
+    val got = Similarity.q123HybridRrf.fn(spark, d)
+      .select("rk", "doc_id", "rrf_r", "arm").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to got.length),
+      s"ranks must be dense 1..k: ${got.map(_._1).toSeq}")
+    assert(got.map(_._2).toSeq == fused.map(_._1),
+      s"fused order diverged: got ${got.map(_._2).toSeq} want ${fused.map(_._1)}")
+    got.zip(fused).foreach { case ((_, id, rrf, arm), (_, wrrf, warm)) =>
+      assert(math.abs(rrf - wrrf) < 1e-6, s"rrf for doc $id: $rrf vs $wrrf")
+      assert(arm == warm, s"arm for doc $id: $arm vs $warm")
+    }
+    // at least one doc must be keyword-only or vec-only in a healthy
+    // fusion of two 20-deep arms over different signals
+    info(s"arm mix: ${got.groupBy(_._4).view.mapValues(_.length).toMap}")
+  }
 }
