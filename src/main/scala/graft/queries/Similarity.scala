@@ -478,8 +478,9 @@ object Similarity {
     * probed-cell candidate) — shared by the exact-rescore tail
     * ([[ivfOracleSqlFrom]]) and q122's ADC tail. */
   private def ivfCandsCtes(extraCtes: String, basis: String,
-                           corpus: String = "dbl"): String = s"""
-      WITH dbl AS (
+                           corpus: String = "dbl",
+                           recursive: Boolean = false): String = s"""
+      WITH ${if (recursive) "RECURSIVE " else ""}dbl AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),$extraCtes
       params AS (
         SELECT GREATEST(16, CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k FROM $basis),
@@ -1269,7 +1270,136 @@ object Similarity {
       ORDER BY rk"""),
     doc = "hybrid retrieval: IVF ANN + BM25 arms fused by reciprocal-rank fusion")
 
+  /** MMR (maximal marginal relevance) diversified re-rank of the IVF
+    * probe candidates: greedily select k = 10 of the top-20 neighbors
+    * of exemplar vec_id = 7, each pick maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)  (λ = 0.7, ties to
+    * the smaller id; the first pick degenerates to pure relevance via
+    * COALESCE(max over ∅) = 0) — the standard rerank that stops k
+    * near-identical documents from crowding a retrieval slate, i.e.
+    * dedup applied at selection time.
+    *
+    * Spark-first shape: the greedy loop is a per-QUERY fold, so it
+    * runs as ONE `aggregate` higher-order function over
+    * `sequence(1, k)` with a struct(selected, remaining) accumulator —
+    * per-row, no driver loop, no custom physical operator; a million
+    * queries would each fold independently inside their own row. The
+    * argmax inside each step is `array_min` over structs keyed
+    * (10.0 − score, id): order-independent of the candidate array's
+    * arrival order, so the non-deterministic collect_list order never
+    * shows. Candidate count and k are both bounded constants — the
+    * fold is O(k²·dim) per query regardless of corpus size.
+    *
+    * Oracle: same greedy fold as a DuckDB recursive CTE over a
+    * single-row (selected, remaining) list state — each step picks
+    * `list_sort(list_transform(...))[1]` with the identical
+    * (10.0 − score, id) key, nested lambdas computing the same
+    * left-to-right cosine folds. Scores and key arithmetic are the
+    * same IEEE ops in the same order on both engines, so the whole
+    * greedy trajectory is hash-checked, not just the final set. */
+  val q124MmrRerank: Q = Q(
+    "q124_mmr_rerank",
+    (s, d) => {
+      val idx = ivfIndex(s, d)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val embD = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      val top = ivfProbe(s, idx, qv, nProbe = 4, topK = 20)
+        .select(col("n_id"), col("cos_r"))
+      val cands = embD.join(broadcast(top), col("vec_id") === col("n_id"))
+        .select(col("n_id").as("id"), col("cos_r").as("rel"), col("emb"))
+      val packed = cands
+        .agg(collect_list(struct(col("id"), col("rel"), col("emb"))).as("cands"))
+      val selT = (c: Column) => struct(c.getField("id").as("id"),
+        lit(0.0).as("mmr"), c.getField("emb").as("emb"))
+      val zero = struct(
+        slice(transform(col("cands"), selT), 1, 0).as("sel"),
+        col("cands").as("rem"))
+      val step = (st: Column, _: Column) => {
+        val sel = st.getField("sel")
+        val rem = st.getField("rem")
+        val scored = transform(rem, c => {
+          val maxsim = coalesce(array_max(transform(sel,
+            s2 => cosine(c.getField("emb"), s2.getField("emb")))), lit(0.0))
+          val score = lit(0.7) * c.getField("rel") - lit(0.3) * maxsim
+          struct((lit(10.0) - score).as("key"), c.getField("id").as("id"),
+            score.as("mmr"), c.getField("emb").as("emb"))
+        })
+        val best = array_min(scored)
+        when(size(rem) > 0,
+          struct(
+            concat(sel, array(struct(best.getField("id").as("id"),
+              best.getField("mmr").as("mmr"),
+              best.getField("emb").as("emb")))).as("sel"),
+            filter(rem, c => c.getField("id") =!= best.getField("id"))
+              .as("rem")))
+          .otherwise(st)
+      }
+      val folded = aggregate(sequence(lit(1), lit(10)), zero, step)
+      packed.select(posexplode(folded.getField("sel")))
+        .select((col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("doc_id"),
+          round(col("col.mmr"), 6).as("mmr_r"))
+        .orderBy(col("rk"))
+    },
+    Some(ivfCandsCtes("", "dbl", recursive = true) + """,
+      vscored AS (
+        SELECT c.n_id,
+               list_dot_product(qe.emb, ne.emb) /
+               (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                sqrt(list_dot_product(ne.emb, ne.emb))) AS cos
+        FROM cands c
+        JOIN dbl qe ON qe.vec_id = c.q_id
+        JOIN dbl ne ON ne.vec_id = c.n_id
+        WHERE c.q_id = 7),
+      vcand AS (
+        SELECT n_id AS id, round(cos, 6) AS rel,
+               row_number() OVER (ORDER BY cos DESC, n_id) AS rk
+        FROM vscored
+        QUALIFY rk <= 20),
+      cand AS (
+        SELECT v.id, v.rel, e.emb
+        FROM vcand v JOIN dbl e ON e.vec_id = v.id),
+      packed AS (
+        SELECT list({'id': id, 'rel': rel, 'emb': emb}) AS cands FROM cand),
+      mmr AS (
+        SELECT 0 AS step,
+               CAST([] AS STRUCT(id BIGINT, mmr DOUBLE, emb DOUBLE[])[]) AS sel,
+               cands AS rem
+        FROM packed
+        UNION ALL
+        SELECT step + 1,
+               list_append(sel, {'id': best.id, 'mmr': best.mmr, 'emb': best.emb}),
+               list_filter(rem, c -> c.id <> best.id)
+        FROM (
+          SELECT step, sel, rem,
+                 list_sort(list_transform(rem, c -> {
+                   'key': 10.0 - (CAST(0.7 AS DOUBLE) * c.rel -
+                            CAST(0.3 AS DOUBLE) * COALESCE(list_max(
+                              list_transform(sel, s ->
+                                list_dot_product(c.emb, s.emb) /
+                                (sqrt(list_dot_product(c.emb, c.emb)) *
+                                 sqrt(list_dot_product(s.emb, s.emb))))), 0.0)),
+                   'id': c.id,
+                   'mmr': CAST(0.7 AS DOUBLE) * c.rel -
+                            CAST(0.3 AS DOUBLE) * COALESCE(list_max(
+                              list_transform(sel, s ->
+                                list_dot_product(c.emb, s.emb) /
+                                (sqrt(list_dot_product(c.emb, c.emb)) *
+                                 sqrt(list_dot_product(s.emb, s.emb))))), 0.0),
+                   'emb': c.emb}))[1] AS best
+          FROM mmr WHERE step < 10 AND len(rem) > 0) t),
+      final AS (
+        SELECT unnest(range(1, len(sel) + 1)) AS i, sel
+        FROM mmr WHERE step = 10)
+      SELECT CAST(i AS INT) AS rk, sel[i].id AS doc_id,
+             round(sel[i].mmr, 6) AS mmr_r
+      FROM final
+      ORDER BY rk"""),
+    doc = "MMR diversified re-rank of IVF candidates (greedy per-query HOF fold)")
+
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
     q54QuantizedTopK, q55LshNearDup, q103SemanticDedup, q114SemanticDedupHier,
-    q120PqTopK, q122IvfPq, q123HybridRrf)
+    q120PqTopK, q122IvfPq, q123HybridRrf, q124MmrRerank)
 }

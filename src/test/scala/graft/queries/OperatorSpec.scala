@@ -673,4 +673,52 @@ class OperatorSpec extends SparkSpec {
     // fusion of two 20-deep arms over different signals
     info(s"arm mix: ${got.groupBy(_._4).view.mapValues(_.length).toMap}")
   }
+
+  test("MMR re-rank (q124) matches a hand greedy selection") {
+    import org.apache.spark.sql.functions.{broadcast, col, transform}
+    val idx = Similarity.ivfIndex(spark, d)
+    val qv = Tables.embeddings(spark, d).filter(col("vec_id") === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val embD = Tables.embeddings(spark, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("emb"))
+    val cands = embD
+      .join(broadcast(Similarity.ivfProbe(spark, idx, qv, nProbe = 4, topK = 20)),
+        col("vec_id") === col("n_id"))
+      .select("n_id", "cos_r", "emb").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // hand greedy: argmin of (10 - score, id) — the engine's exact key
+    var rem = cands.toList
+    var sel = List.empty[(Long, Double, Array[Double])]
+    val picks = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+    for (_ <- 1 to 10 if rem.nonEmpty) {
+      val scored = rem.map { case (id, rel, e) =>
+        val maxsim = if (sel.isEmpty) 0.0 else sel.map(s => cos(e, s._3)).max
+        val score = 0.7 * rel - 0.3 * maxsim
+        ((10.0 - score, id), id, score, e)
+      }
+      val best = scored.minBy(_._1)
+      picks += ((best._2, best._3))
+      sel = sel :+ ((best._2, best._3, best._4))
+      rem = rem.filterNot(_._1 == best._2)
+    }
+    val got = Similarity.q124MmrRerank.fn(spark, d)
+      .select("rk", "doc_id", "mmr_r").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == picks.map(_._1).toSeq,
+      s"greedy order diverged: got ${got.map(_._2).toSeq} want ${picks.map(_._1).toSeq}")
+    got.zip(picks).foreach { case ((_, id, m), (_, wm)) =>
+      assert(math.abs(m - wm) < 1e-6, s"mmr for doc $id: $m vs $wm")
+    }
+    // diversification must actually reorder: the MMR order differs
+    // from the pure-relevance order whenever near-dup candidates exist
+    val relOrder = cands.sortBy { case (id, rel, _) => (-rel, id) }
+      .take(10).map(_._1).toSeq
+    info(s"reordered vs pure relevance: ${got.map(_._2).toSeq != relOrder}")
+  }
 }
