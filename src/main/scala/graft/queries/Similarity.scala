@@ -1399,7 +1399,81 @@ object Similarity {
       ORDER BY rk"""),
     doc = "MMR diversified re-rank of IVF candidates (greedy per-query HOF fold)")
 
+  /** One Lloyd refinement step for the PQ codebook — codebook TRAINING
+    * as a distributed aggregation. q120's seed codebook is an
+    * md5-ordered corpus sample; real PQ trains it with k-means. One
+    * step is: encode the corpus against the seed (the already-audited
+    * `pqEncode`), then move every codeword to the MEAN of its assigned
+    * subvectors (per subspace m, per codeword j, per dimension);
+    * codewords that attracted nothing keep their seed. Lloyd's descent
+    * property — the step never increases total quantization error — is
+    * asserted in ScalaTest; more steps are this same query iterated.
+    *
+    * Scale shape: the corpus is scanned once into (m, j, dim, value)
+    * and partially aggregated map-side — the shuffle carries M·K·dim
+    * (1 024) groups, not rows, and the output is the 128-codeword
+    * table. The means use the house fixed-point trick
+    * ([[graft.util.Exact]], scale 6): sums of per-row rounded longs
+    * are ORDER-INDEPENDENT, so the refined codebook is bit-identical
+    * across partitionings and engines — codebook training itself is
+    * hash-checked against DuckDB, which replays seed → encode → means
+    * with the same fixed-point arithmetic. */
+  val q125PqRefine: Q = Q(
+    "q125_pq_refine",
+    (s, d) => {
+      graft.functions.DoubleDot.register(s)
+      val raw = Tables.embeddings(s, d)
+      val dbl = raw.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      val cb = pqCodebook(s, raw)
+      val codes = pqEncode(dbl, cb)
+      val subs = dbl
+        .select(col("vec_id"), explode(sequence(lit(1), lit(PqM))).as("m"),
+          col("emb"))
+        .select(col("vec_id"), col("m"),
+          slice(col("emb"), (col("m") - 1) * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+      val dims = subs.join(codes, Seq("vec_id", "m"))
+        .select(col("m"), col("code").as("j"), posexplode(col("sv")))
+      val means = dims.groupBy(col("m"), col("j"), col("pos"))
+        .agg(graft.util.Exact.davg(col("col"), 6).as("mu"),
+          count(lit(1)).as("n"))
+      val refined = means.groupBy(col("m"), col("j"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("mu")))),
+          x => x.getField("mu")).as("cw1"),
+          max(col("n")).as("n"))
+      cb.select(col("m"), col("j"), col("cw"))
+        .join(refined, Seq("m", "j"), "left")
+        // no final round: the fixed-point means are already bit-identical
+        // doubles on both engines, and a round-to-6 DIVERGES on them —
+        // sumLong/10^6/count lands exactly on .xxxxxx5 whenever count
+        // divides the sum at the 7th digit, and Spark (HALF_UP) and
+        // DuckDB (nearbyint) break those halves differently
+        .select(col("m"), col("j"),
+          coalesce(col("n"), lit(0L)).as("n_assigned"),
+          coalesce(col("cw1"), col("cw")).as("cw_m"))
+        .orderBy(col("m"), col("j"))
+    },
+    Some(s"""
+      WITH dbl AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),$pqReconCtes
+      dims AS (
+        SELECT s.m, k.code AS j, s.sv, unnest(range(0, 8)) AS pos
+        FROM subs s JOIN codes k ON k.vec_id = s.vec_id AND k.m = s.m),
+      vals AS (SELECT m, j, pos, sv[pos + 1] AS v FROM dims),
+      means AS (
+        SELECT m, j, pos, ${graft.util.Exact.sqlDavg("v", 6)} AS mu,
+               count(*) AS n
+        FROM vals GROUP BY m, j, pos),
+      refined AS (
+        SELECT m, j, list(mu ORDER BY pos) AS cw1, max(n) AS n
+        FROM means GROUP BY m, j)
+      SELECT c.m, c.j, COALESCE(r.n, 0) AS n_assigned,
+             COALESCE(r.cw1, c.cw) AS cw_m
+      FROM pqcb c LEFT JOIN refined r ON r.m = c.m AND r.j = c.j
+      ORDER BY c.m, c.j"""),
+    doc = "PQ codebook Lloyd step: codeword = exact mean of assigned subvectors")
+
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
     q54QuantizedTopK, q55LshNearDup, q103SemanticDedup, q114SemanticDedupHier,
-    q120PqTopK, q122IvfPq, q123HybridRrf, q124MmrRerank)
+    q120PqTopK, q122IvfPq, q123HybridRrf, q124MmrRerank, q125PqRefine)
 }

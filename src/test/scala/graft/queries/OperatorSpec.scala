@@ -721,4 +721,40 @@ class OperatorSpec extends SparkSpec {
       .take(10).map(_._1).toSeq
     info(s"reordered vs pure relevance: ${got.map(_._2).toSeq != relOrder}")
   }
+
+  test("PQ Lloyd step (q125) never increases quantization error") {
+    import org.apache.spark.sql.functions.{col, transform => stransform}
+    def num(v: Any): Long = v.asInstanceOf[Number].longValue
+    val raw = Tables.embeddings(spark, d)
+    val dbl = raw.select(col("vec_id"),
+      stransform(col("embedding"), _.cast("double")).as("emb"))
+    val seedCb = Similarity.pqCodebook(spark, raw)
+      .select("m", "j", "cw").collect()
+      .map(r => (num(r.get(0)), num(r.get(1))) -> r.getSeq[Double](2).toArray)
+      .toMap
+    val refinedCb = Similarity.q125PqRefine.fn(spark, d)
+      .select("m", "j", "cw_m").collect()
+      .map(r => (num(r.get(0)), num(r.get(1))) -> r.getSeq[Double](2).toArray)
+      .toMap
+    val codes = Similarity.pqEncode(dbl, Similarity.pqCodebook(spark, raw))
+      .select("vec_id", "m", "code").collect()
+      .map(r => (num(r.get(0)), num(r.get(1))) -> num(r.get(2))).toMap
+    val embs = dbl.select("vec_id", "emb").collect()
+      .map(r => num(r.get(0)) -> r.getSeq[Double](1).toArray)
+    def sse(cb: Map[(Long, Long), Array[Double]]): Double =
+      embs.iterator.flatMap { case (vid, e) =>
+        (1 to 8).map { m =>
+          val sv = e.slice((m - 1) * 8, m * 8)
+          val cw = cb((m.toLong, codes((vid, m.toLong))))
+          sv.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+      }.sum
+    val before = sse(seedCb)
+    val after = sse(refinedCb)
+    info(f"quantization SSE: seed=$before%.4f refined=$after%.4f")
+    assert(after <= before,
+      f"Lloyd step increased SSE: $before%.6f -> $after%.6f")
+    assert(after < before,
+      "Lloyd step moved no codeword — refinement is a no-op on this corpus")
+  }
 }
