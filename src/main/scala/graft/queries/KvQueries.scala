@@ -1007,9 +1007,120 @@ object KvQueries {
       |  }
       |}""".stripMargin
 
+  private val docsIncCatalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "docs_inc"},
+      |  "rowkey": "doc_id",
+      |  "columns": {
+      |    "doc_id": {"cf": "rowkey", "col": "doc_id", "type": "long"},
+      |    "text": {"cf": "t", "col": "tx", "type": "string"}
+      |  }
+      |}""".stripMargin
+
+  private[queries] val keepersCatalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "doc_keepers"},
+      |  "rowkey": "fp",
+      |  "columns": {
+      |    "fp": {"cf": "rowkey", "col": "fp", "type": "string"},
+      |    "keep_id": {"cf": "k", "col": "id", "type": "long"}
+      |  }
+      |}""".stripMargin
+
+  /** Documents staged as 3 ascending doc_id-range append commits —
+    * the ingest-feed shape the streaming dedup consumes. */
+  private[queries] def incDocsDir(s: SparkSession, d: String): String = {
+    val dir = graft.kv.KvStore.cacheDir(s"inc-docs-${cacheKey(d)}")
+    if (!new File(s"$dir/_kvmeta.json").exists()) {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val n = docs.count()
+      Seq(
+        col("doc_id") < n / 3,
+        col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3,
+        col("doc_id") >= 2 * n / 3
+      ).foreach { slice =>
+        docs.filter(slice).repartitionByRange(2, col("doc_id"))
+          .write.format("graft-kv")
+          .option("catalog", docsIncCatalogJson).option("path", dir)
+          .mode("append").save()
+      }
+    }
+    dir
+  }
+
+  /** Streaming dedup of a document ingest feed — the streaming arm of
+    * the dedup family (q40/q41's batch exact dedup, made incremental).
+    * The corpus arrives as version-ordered micro-batches
+    * (`maxVersionsPerTrigger = 1` pins one commit per batch); each
+    * batch reduces to one keeper per prefix-fingerprint
+    * (md5 of the lowercased first 40 chars — the cheap heuristic tier
+    * below q40's full-text hash; ~5% of this corpus collides) and
+    * anti-joins the KEEPER TABLE ITSELF before appending, so the
+    * dedup state is the versioned KV sink — restart-safe (exactly-once
+    * via checkpoint + idempotent anti-join: a replayed batch finds its
+    * fps already landed and appends nothing) and queryable mid-stream.
+    * First-seen-wins across batches ≡ min doc_id here because the
+    * staged versions ascend in doc_id; the in-batch keeper is min
+    * doc_id by construction.
+    *
+    * At 100 TB the anti-join is the scale story: the sink table is
+    * rowkey-sorted on fp, so the per-batch anti-join prunes to the
+    * batch's fp ranges (zone maps + blooms) instead of scanning the
+    * accumulated corpus — state grows, per-batch cost tracks the
+    * batch. Oracle: the whole drain ≡ one batch GROUP BY. */
+  val q126StreamDedup: Q = Q(
+    "q126_stream_dedup",
+    (s, d) => {
+      val dir = incDocsDir(s, d)
+      val sinkDir = s"$dir-keepers"
+      val ckpt = s"$dir-ckpt-dedup"
+      def rmrf(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new File(ckpt))
+      rmrf(new File(sinkDir))
+      try {
+        val q = s.readStream.format("graft-kv")
+          .option("catalog", docsIncCatalogJson).option("path", dir)
+          .option("maxVersionsPerTrigger", 1).load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val keepers = batch
+              .select(md5(lower(substring(col("text"), 1, 40)).cast("binary"))
+                .as("fp"), col("doc_id"))
+              .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+            val fresh =
+              if (!new File(s"$sinkDir/_kvmeta.json").exists()) keepers
+              else keepers.join(
+                s.read.format("graft-kv").option("catalog", keepersCatalogJson)
+                  .option("path", sinkDir).load().select("fp"),
+                Seq("fp"), "left_anti")
+            fresh.repartitionByRange(2, col("fp"))
+              .write.format("graft-kv")
+              .option("catalog", keepersCatalogJson).option("path", sinkDir)
+              .mode("append").save()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally rmrf(new File(ckpt))
+      s.read.format("graft-kv")
+        .option("catalog", keepersCatalogJson).option("path", sinkDir).load()
+        .orderBy(col("fp"))
+    },
+    Some("""
+      SELECT md5(lower(substr(text, 1, 40))) AS fp, min(doc_id) AS keep_id
+      FROM documents
+      GROUP BY 1
+      ORDER BY fp"""),
+    doc = "streaming dedup: version-ordered batches anti-join the keeper table itself")
+
   def defs: Seq[Q] = Seq(q70KvScanFilter, q71KvRowkeyRange, q72KvCanonical,
     q81KvCompacted, q82KvStreamed, q83KvTopnDesc, q84KvTypes, q85KvRuntimeFilter,
     q86KvZoneMap, q95KvGroupedAgg, q96KvFilterExtras, q97KvPrefixSeek,
     q100KvMultiRange, q101KvBloomPoint, q102SqlCatalog, q107KvBloomJoin,
-    q108SpjJoin, q109TimeTravel, q110IncrementalRead, q113CdcStreamHandoff)
+    q108SpjJoin, q109TimeTravel, q110IncrementalRead, q113CdcStreamHandoff,
+    q126StreamDedup)
 }

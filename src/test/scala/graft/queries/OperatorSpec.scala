@@ -757,4 +757,43 @@ class OperatorSpec extends SparkSpec {
     assert(after < before,
       "Lloyd step moved no codeword — refinement is a no-op on this corpus")
   }
+
+  test("streaming dedup (q126): first-seen keepers, cross-batch suppression, idempotent replay") {
+    import org.apache.spark.sql.functions.{col, lower, md5, min, substring}
+    val got = KvQueries.q126StreamDedup.fn(spark, d)
+      .select("fp", "keep_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.documents(spark, d)
+      .groupBy(md5(lower(substring(col("text"), 1, 40)).cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "streaming keepers must equal the batch GROUP BY")
+    // the fingerprint must actually collide — otherwise this dedups nothing
+    val nDocs = Tables.documents(spark, d).count()
+    assert(got.size < nDocs,
+      s"no duplicate fingerprints in corpus (${got.size} of $nDocs) — test is vacuous")
+    // cross-batch suppression: some fp group must span the staged
+    // version boundaries (keeper in an early commit, dup in a later one)
+    val spans = Tables.documents(spark, d)
+      .select(md5(lower(substring(col("text"), 1, 40)).cast("binary")).as("fp"),
+        col("doc_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).values
+      .count(g => g.map(_._2 / (nDocs / 3)).distinct.size > 1)
+    info(s"dup groups spanning version boundaries: $spans")
+    assert(spans > 0, "no dup group crosses a batch boundary — suppression untested")
+    // idempotent replay: re-feeding the ENTIRE staged table as one more
+    // batch against the landed keeper table must find nothing fresh —
+    // the exactly-once contract a crashed-and-replayed foreachBatch rides
+    val sinkDir = s"${KvQueries.incDocsDir(spark, d)}-keepers"
+    val landed = spark.read.format("graft-kv")
+      .option("catalog", KvQueries.keepersCatalogJson)
+      .option("path", sinkDir).load()
+    val replay = Tables.documents(spark, d)
+      .groupBy(md5(lower(substring(col("text"), 1, 40)).cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .join(landed.select("fp"), Seq("fp"), "left_anti")
+    assert(replay.count() == 0,
+      "replaying the full feed against the keeper table must append nothing")
+  }
 }
