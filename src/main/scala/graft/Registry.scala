@@ -23,6 +23,7 @@ object Registry {
       queries.TextOps.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++
+      queries.Bm25Store.defs ++
       queries.IvfStore.defs ++
       queries.IvfKvStore.defs ++
       queries.Multimodal.defs ++

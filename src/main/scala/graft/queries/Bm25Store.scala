@@ -1,0 +1,204 @@
+package graft.queries
+
+import java.io.File
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Persisted inverted index for BM25 — the sparse-retrieval mirror of
+  * [[IvfStore]]'s dense-index story, and the workload the reference's
+  * own domain (sorted-rowkey tables) is literally built for: postings
+  * live in a versioned graft-kv table keyed `token#<doc_id padded to
+  * 12>`, so "fetch the postings of these query terms" is a handful of
+  * ROWKEY PREFIX SEEKS (zone-map + range-pruned, q97's machinery) —
+  * the classic HBase schema-design idiom (reference
+  * `HbaseTableCatalog.scala:49-78` rowkey composition), re-expressed
+  * on our engine. Scoring then runs over |terms' postings| rows, never
+  * the corpus; doc-length normalization joins a second KV table keyed
+  * by doc_id whose corpus stats (N, Σdl, docs-with-tokens) come from
+  * PUSHED per-shard aggregates (q95's machinery) — three scalars, no
+  * driver-side corpus pass.
+  *
+  * Maintenance is append-incremental like the IVF family: the indexed
+  * frontier is `max(doc_id)` pushed down to the dl table's shard
+  * stats; only documents PAST the frontier are tokenized and their
+  * postings/dl rows appended (cost ∝ delta, never corpus). Because
+  * BM25's df/N/avgdl are algebraic over postings/dl rows, an appended
+  * index is EXACTLY the index a full rebuild would produce — q127
+  * (build → probe) and q128 (build 90% → append 10% → probe) both
+  * hash-check against q121's full-corpus oracle.
+  */
+object Bm25Store {
+
+  private val postingsCatalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "bm25_postings"},
+      |  "rowkey": "pk",
+      |  "columns": {
+      |    "pk": {"cf": "rowkey", "col": "pk", "type": "string"},
+      |    "token": {"cf": "p", "col": "t", "type": "string"},
+      |    "doc_id": {"cf": "p", "col": "d", "type": "long"},
+      |    "tf": {"cf": "p", "col": "f", "type": "long"}
+      |  }
+      |}""".stripMargin
+
+  private val dlCatalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "bm25_dl"},
+      |  "rowkey": "doc_id",
+      |  "columns": {
+      |    "doc_id": {"cf": "rowkey", "col": "doc_id", "type": "long"},
+      |    "dl": {"cf": "l", "col": "dl", "type": "long"}
+      |  }
+      |}""".stripMargin
+
+  private def cacheKey(sfDir: String): String = {
+    val abs = new File(sfDir).getAbsolutePath
+    s"${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}"
+  }
+
+  /** Postings/dl rows for the given documents slice. dl keeps a row for
+    * EVERY doc (dl = 0 for token-less ones) so the dl table's row count
+    * IS the corpus size N; avgdl excludes the zero rows, matching
+    * q121's tf-derived doc lengths. */
+  private[queries] def indexRows(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"),
+      graft.functions.Text.tokens(col("text")).as("t"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("t")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val postings = tf.select(
+      concat(col("token"), lit("#"),
+        lpad(col("doc_id").cast("string"), 12, "0")).as("pk"),
+      col("token"), col("doc_id"), col("tf"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    (postings, dl)
+  }
+
+  private[queries] def writePostings(s: SparkSession, p: DataFrame, dir: String,
+                            mode: String, shards: Int): Unit =
+    p.repartitionByRange(shards, col("pk"))
+      .write.format("graft-kv")
+      .option("catalog", postingsCatalogJson).option("path", dir)
+      .mode(mode).save()
+
+  private[queries] def writeDl(s: SparkSession, dl: DataFrame, dir: String,
+                      mode: String): Unit =
+    dl.repartitionByRange(2, col("doc_id"))
+      .write.format("graft-kv")
+      .option("catalog", dlCatalogJson).option("path", dir)
+      .mode(mode).save()
+
+  /** Build the persisted index over `docs` if absent. Shard count for
+    * the postings table is bytes-derived ([[IvfStore.indexShards]],
+    * estimated from the corpus' character volume — postings carry
+    * roughly half the text bytes as (token, ids, counts)). */
+  private[queries] def buildIfAbsent(s: SparkSession, d: String, tag: String,
+                            docs: => DataFrame): (String, String) = {
+    val pDir = graft.kv.KvStore.cacheDir(s"bm25-$tag-postings-${cacheKey(d)}")
+    val lDir = graft.kv.KvStore.cacheDir(s"bm25-$tag-dl-${cacheKey(d)}")
+    if (!new File(s"$pDir/_kvmeta.json").exists()) {
+      val dd = docs
+      val chars = dd.agg(sum(col("n_chars"))).head().getLong(0)
+      val (p, dl) = indexRows(dd)
+      writePostings(s, p, pDir, "overwrite",
+        IvfStore.indexShards(s, chars / 2, 4))
+      writeDl(s, dl, lDir, "overwrite")
+    }
+    (pDir, lDir)
+  }
+
+  /** Append-incremental maintenance: index every document past the
+    * dl table's pushed `max(doc_id)` frontier. Tokenizes ONLY the
+    * delta; appends one commit per table; a fresh index is a no-op. */
+  private[queries] def ensureIndexed(s: SparkSession, d: String,
+                                     pDir: String, lDir: String): Long = {
+    val frontier = s.read.format("graft-kv")
+      .option("catalog", dlCatalogJson).option("path", lDir).load()
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val delta = Tables.documents(s, d).filter(col("doc_id") > frontier)
+    val n = delta.count()
+    if (n > 0) {
+      val (p, dl) = indexRows(delta)
+      writePostings(s, p, pDir, "append", 2)
+      writeDl(s, dl, lDir, "append")
+    }
+    n
+  }
+
+  /** The BM25 probe over the persisted tables: prefix-seek the terms'
+    * postings (rowkey StartsWith ranges; the token-column equality is
+    * the residual guard against a term that is itself a prefix of
+    * another token containing '#'), derive df from the fetched
+    * postings, corpus stats from pushed aggregates over dl, and score
+    * exactly q121's formula. */
+  /** The postings-side read of [[probe]], exposed for the plan spec:
+    * rowkey prefix seeks per term; the token-column equality is the
+    * residual guard against a term that is itself a prefix of another
+    * token containing '#'. */
+  private[queries] def postingsRead(s: SparkSession, pDir: String,
+                                    terms: Seq[String]): DataFrame =
+    s.read.format("graft-kv")
+      .option("catalog", postingsCatalogJson).option("path", pDir).load()
+      .filter(terms.map(t => col("pk").startsWith(t + "#")).reduce(_ || _))
+      .filter(col("token").isin(terms: _*))
+      .select(col("token"), col("doc_id"), col("tf"))
+
+  private[queries] def probe(s: SparkSession, pDir: String, lDir: String,
+                             terms: Seq[String]): DataFrame = {
+    val p = postingsRead(s, pDir, terms)
+    val dl = s.read.format("graft-kv")
+      .option("catalog", dlCatalogJson).option("path", lDir).load()
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+        count(when(col("dl") > 0, 1)).as("npos"))
+      .select(col("n"),
+        (col("sdl").cast("double") / col("npos").cast("double")).as("avgdl"))
+    val df = p.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = p
+      .join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("rk"), col("doc_id"), round(col("score"), 6).as("bm25_r"))
+      .orderBy(col("rk"))
+  }
+
+  private val Terms = Seq("table", "vector", "customer", "stream")
+
+  val q127Bm25Persisted: Q = Q(
+    "q127_bm25_persisted",
+    (s, d) => {
+      val (pDir, lDir) = buildIfAbsent(s, d, "full", Tables.documents(s, d))
+      probe(s, pDir, lDir, Terms)
+    },
+    Some(TextOps.bm25OracleSql),
+    doc = "BM25 over a persisted KV inverted index: term prefix seeks, pushed dl stats")
+
+  val q128Bm25Incremental: Q = Q(
+    "q128_bm25_incremental",
+    (s, d) => {
+      // seed the index from the first ~90% of the corpus, then let the
+      // frontier maintenance index the tail — probing must be
+      // indistinguishable from a full build (one oracle pins both)
+      val (pDir, lDir) = buildIfAbsent(s, d, "inc", {
+        val docs = Tables.documents(s, d)
+        val cut = (docs.count() * 9) / 10
+        docs.filter(col("doc_id") < cut)
+      })
+      ensureIndexed(s, d, pDir, lDir)
+      probe(s, pDir, lDir, Terms)
+    },
+    Some(TextOps.bm25OracleSql),
+    doc = "append-incremental inverted-index maintenance: tokenize only past the frontier")
+
+  def defs: Seq[Q] = Seq(q127Bm25Persisted, q128Bm25Incremental)
+}

@@ -403,17 +403,22 @@ object TextOps {
                row_number() OVER (ORDER BY score DESC, doc_id) AS rk
         FROM kagg)"""
 
+  /** The full q121 replay — also pins q127/q128 (the persisted /
+    * incrementally-maintained inverted index must be indistinguishable
+    * from scoring the corpus directly). */
+  private[queries] val bm25OracleSql: String = s"""
+      WITH$bm25Ctes
+      SELECT rk, doc_id, round(score, 6) AS bm25_r
+      FROM kranked WHERE rk <= 10
+      ORDER BY rk"""
+
   val q121Bm25: Q = Q(
     "q121_bm25",
     (s, d) =>
       bm25Ranked(s, d).filter(col("rk") <= 10)
         .select(col("rk"), col("doc_id"), round(col("score"), 6).as("bm25_r"))
         .orderBy(col("rk")),
-    Some(s"""
-      WITH$bm25Ctes
-      SELECT rk, doc_id, round(score, 6) AS bm25_r
-      FROM kranked WHERE rk <= 10
-      ORDER BY rk"""),
+    Some(bm25OracleSql),
     doc = "Okapi BM25 keyword ranking (tf/df/dl relational pipeline)")
 
   def defs: Seq[Q] = Seq(q30TokenStats, q31QualityScore, q32TokenFreq,
