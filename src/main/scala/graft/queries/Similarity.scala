@@ -479,7 +479,8 @@ object Similarity {
     * ([[ivfOracleSqlFrom]]) and q122's ADC tail. */
   private def ivfCandsCtes(extraCtes: String, basis: String,
                            corpus: String = "dbl",
-                           recursive: Boolean = false): String = s"""
+                           recursive: Boolean = false,
+                           nProbe: Int = 4): String = s"""
       WITH ${if (recursive) "RECURSIVE " else ""}dbl AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),$extraCtes
       params AS (
@@ -538,7 +539,7 @@ object Similarity {
           FROM qg
           JOIN centg f ON f.gid = qg.gid
           JOIN dbl qe ON qe.vec_id = qg.q_id) t
-        WHERE rk <= 4),
+        WHERE rk <= $nProbe),
       cands AS (
         SELECT p.q_id, a.vec_id AS n_id
         FROM probes p JOIN cells a ON a.cell = p.cell
@@ -1473,7 +1474,71 @@ object Similarity {
       ORDER BY c.m, c.j"""),
     doc = "PQ codebook Lloyd step: codeword = exact mean of assigned subvectors")
 
+  /** Metadata-filtered ANN — "nearest English documents", the
+    * filtered-vector-search shape every production retrieval system
+    * needs (topical slicing, license filtering, language-scoped
+    * contamination hunts). The predicate applies to the CANDIDATES,
+    * between cell pruning and rescoring: a left-semi join against the
+    * allowed-id set (lang = 'en', pushed into the documents scan)
+    * drops disallowed candidates BEFORE any cosine is computed, so
+    * the rescore stage is sized by the filter's selectivity, and the
+    * post-filter alternative (rank first, filter after — which
+    * silently returns < k rows whenever the filter bites) never
+    * happens. The probe widens to nProbe = 8: a filter that keeps
+    * fraction f of the corpus keeps ~f of each cell, so candidate
+    * coverage is restored by probing proportionally more cells — the
+    * standard filtered-ANN compensation, here a constant because the
+    * driver corpus is ~half 'en'. Same riding-the-index economics as
+    * q53 (bounded cells × bounded probe), one semi-join more.
+    *
+    * Oracle: q53's CTE chain at nProbe = 8 with the same semi-filter
+    * between cands and rescoring. */
+  val q129FilteredAnn: Q = Q(
+    "q129_filtered_ann",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val idx = ivfIndex(s, d)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val allowed = Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val probes = probeCells(s, idx, qv, nProbe = 8)
+      val cands = idx.assigned.join(broadcast(probes), Seq("cell"))
+        .join(allowed, Seq("vec_id"), "left_semi")
+        .join(broadcast(qv), Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+      val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
+        expr("cosine_sim(q_emb, embedding)").as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(ivfCandsCtes("", "dbl", nProbe = 8) + """,
+      fcands AS (
+        SELECT c.q_id, c.n_id
+        FROM cands c
+        JOIN documents a ON a.doc_id = c.n_id AND a.lang = 'en'),
+      fscored AS (
+        SELECT c.q_id, c.n_id,
+               list_dot_product(qe.emb, ne.emb) /
+               (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                sqrt(list_dot_product(ne.emb, ne.emb))) AS cos
+        FROM fcands c
+        JOIN dbl qe ON qe.vec_id = c.q_id
+        JOIN dbl ne ON ne.vec_id = c.n_id),
+      franked AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM fscored)
+      SELECT q_id, rk, n_id, round(cos, 6) AS cos_r
+      FROM franked WHERE rk <= 5
+      ORDER BY q_id, rk"""),
+    doc = "metadata-filtered ANN: semi-join the allowed set between cell pruning and rescoring")
+
   def defs: Seq[Q] = Seq(q50CosineTopK, q51CosineNearDup, q52LshAnn, q53IvfAnn,
     q54QuantizedTopK, q55LshNearDup, q103SemanticDedup, q114SemanticDedupHier,
-    q120PqTopK, q122IvfPq, q123HybridRrf, q124MmrRerank, q125PqRefine)
+    q120PqTopK, q122IvfPq, q123HybridRrf, q124MmrRerank, q125PqRefine,
+    q129FilteredAnn)
 }

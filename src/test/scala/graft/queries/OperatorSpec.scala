@@ -796,4 +796,35 @@ class OperatorSpec extends SparkSpec {
     assert(replay.count() == 0,
       "replaying the full feed against the keeper table must append nothing")
   }
+
+  test("filtered ANN (q129): every hit allowed, recall holds vs exact filtered truth") {
+    import org.apache.spark.sql.functions.col
+    val en = Tables.documents(spark, d).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(en.nonEmpty && en.size < Tables.documents(spark, d).count(),
+      "the lang filter must be selective for this test to mean anything")
+    val got = Similarity.q129FilteredAnn.fn(spark, d)
+      .select("q_id", "rk", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.forall { case (_, _, n) => en.contains(n) },
+      "a filtered probe must never emit a disallowed candidate")
+    // exact filtered ground truth: brute-force cosine among allowed docs
+    val embs = Tables.embeddings(spark, d).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val hits = (0L until 20L).map { q =>
+      val truth = en.toSeq.filter(n => n != q && embs.contains(n))
+        .map(n => (cos(embs(q), embs(n)), n))
+        .sortBy { case (c, n) => (-c, n) }.take(5).map(_._2).toSet
+      val mine = got.filter(_._1 == q).map(_._3).toSet
+      (mine intersect truth).size.toDouble / math.max(1, truth.size)
+    }
+    val recall = hits.sum / hits.size
+    info(f"filtered recall@5 = $recall%.3f over 20 queries")
+    assert(recall >= 0.6, f"filtered ANN recall@5 $recall%.3f below floor")
+  }
 }
