@@ -24,6 +24,7 @@ object Registry {
       queries.Dedup.defs ++
       queries.Similarity.defs ++
       queries.Bm25Store.defs ++
+      queries.LshStore.defs ++
       queries.IvfStore.defs ++
       queries.IvfKvStore.defs ++
       queries.Multimodal.defs ++

@@ -34,14 +34,20 @@ object Dedup {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Per-doc distinct 3-shingles of an arbitrary documents frame —
+    * the uncached building block (shared with [[LshStore]]'s delta
+    * indexing, which shingles only the unindexed tail). */
+  private[queries] def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(Text.shinglesOf(col("toks"), 3))).as("sh"))
+
   private def shinglesOf(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d), {
       shingleCache.keys.toSeq.filter(k => k._1 == s && k._2 != d).foreach { k =>
         shingleCache.remove(k).foreach(_.unpersist(blocking = true))
       }
-      Tables.documents(s, d)
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(array_distinct(Text.shinglesOf(col("toks"), 3))).as("sh"))
+      shingleRowsOf(Tables.documents(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -201,7 +207,7 @@ object Dedup {
     * |a|+|b|); union sizes ride along as size(array). Result set
     * identical — only the join geometry changes. Shared by q42/q45
     * (AllPairs candidates), q43 (LSH candidates) and q46 (md5 twin). */
-  private def verifyJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
+  private[queries] def verifyJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
     val docSets = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("sh")).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).as("sz"))
@@ -266,6 +272,30 @@ object Dedup {
     * hash-checked, not just spot-tested. q43 keeps the faster seeded
     * xxhash64 family for production use (same trade as
     * fingerprint64 vs fingerprintMd5). */
+  /** The q46 md5 MinHash(32) + 8-band LSH pipeline over a shingle
+    * relation → (doc_id, band, bkey). Shared with [[LshStore]], whose
+    * persisted band tables must hold exactly these keys so its probe
+    * replays under q46's oracle. */
+  private[queries] def md5Banded(sh: DataFrame): DataFrame = {
+    val k = 32
+    val bands = 8
+    val rowsPerBand = k / bands
+    def mdSlice(i: Int): (Int, Int) = (i / 2, 1 + 15 * (i % 2))
+    def h(i: Int) = {
+      val (j, off) = mdSlice(i)
+      conv(substring(md5(concat(lit(s"$j:"), col("sh"))), off, 15), 16, 10).cast("long")
+    }
+    val hashCols = (0 until k).map(i => min(h(i)).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("|",
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"h$i").cast("string")): _*)
+    }: _*)
+    sigs.select(col("doc_id"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+  }
+
   val q46MinhashMd5: Q = {
     val k = 32
     val bands = 8
@@ -285,19 +315,7 @@ object Dedup {
       "q46_minhash_md5",
       (s, d) => {
         val sh = shinglesOf(s, d)
-        def h(i: Int) = {
-          val (j, off) = mdSlice(i)
-          conv(substring(md5(concat(lit(s"$j:"), col("sh"))), off, 15), 16, 10).cast("long")
-        }
-        val hashCols = (0 until k).map(i => min(h(i)).as(s"h$i"))
-        val sigs = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
-        val bandKeys = array((0 until bands).map { b =>
-          concat_ws("|",
-            (b * rowsPerBand until (b + 1) * rowsPerBand)
-              .map(i => col(s"h$i").cast("string")): _*)
-        }: _*)
-        val banded = sigs.select(col("doc_id"), posexplode(bandKeys))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+        val banded = md5Banded(sh)
         val cands = banded.as("x")
           .join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

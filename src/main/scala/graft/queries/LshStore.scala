@@ -1,0 +1,170 @@
+package graft.queries
+
+import java.io.File
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH index — the DEDUP family's entry in the
+  * persisted-index trilogy (dense: [[IvfStore]] q115/q116; sparse:
+  * [[Bm25Store]] q127/q128; near-dup: here). The expensive part of
+  * LSH dedup at 100 TB is sketching — tokenize, shingle, 32 md5
+  * minima per document — and it is paid per CORPUS, not per query,
+  * once the sketch lives in versioned graft-kv tables:
+  *
+  *  - `lsh_bands` keyed `<band>|<bkey>#<doc_id %012d>`: a band
+  *    bucket's members are one ROWKEY PREFIX SEEK (`<band>|<bkey>#`),
+  *    so "which docs could near-dup this one?" reads |its 8 buckets|
+  *    rows, never the table.
+  *  - `lsh_shingles` keyed `<doc_id %012d>#<md5(sh)>`: a candidate
+  *    pair's exact-Jaccard verification fetches each doc's shingle
+  *    set by doc-id prefix.
+  *
+  * Maintenance is frontier-incremental like q116/q128: only documents
+  * past the bands table's pushed `max(doc_id)` are sketched and
+  * appended. MinHash signatures are per-document — a new doc never
+  * changes an indexed doc's rows — so an appended index is EXACTLY a
+  * full rebuild, and both q130 (build → pair scan) and q131 (build
+  * 90% → append 10% → pair scan) hash-check against q46's
+  * full-pipeline oracle (the md5 hash family exists precisely so this
+  * sketch is SQL-replayable).
+  */
+object LshStore {
+
+  private val bandsCatalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "lsh_bands"},
+      |  "rowkey": "pk",
+      |  "columns": {
+      |    "pk": {"cf": "rowkey", "col": "pk", "type": "string"},
+      |    "band": {"cf": "b", "col": "b", "type": "int"},
+      |    "bkey": {"cf": "b", "col": "k", "type": "string"},
+      |    "doc_id": {"cf": "b", "col": "d", "type": "long"}
+      |  }
+      |}""".stripMargin
+
+  private val shinglesCatalogJson =
+    """{
+      |  "table": {"namespace": "default", "name": "lsh_shingles"},
+      |  "rowkey": "pk",
+      |  "columns": {
+      |    "pk": {"cf": "rowkey", "col": "pk", "type": "string"},
+      |    "doc_id": {"cf": "s", "col": "d", "type": "long"},
+      |    "sh": {"cf": "s", "col": "sh", "type": "string"}
+      |  }
+      |}""".stripMargin
+
+  private def cacheKey(sfDir: String): String = {
+    val abs = new File(sfDir).getAbsolutePath
+    s"${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}"
+  }
+
+  private def pad(id: org.apache.spark.sql.Column) =
+    lpad(id.cast("string"), 12, "0")
+
+  private[queries] def writeIndex(s: SparkSession, docs: DataFrame,
+                                  bDir: String, lDir: String,
+                                  mode: String): Unit = {
+    val sh = Dedup.shingleRowsOf(docs)
+    val bands = Dedup.md5Banded(sh).select(
+      concat(col("band").cast("string"), lit("|"), col("bkey"), lit("#"),
+        pad(col("doc_id"))).as("pk"),
+      col("band"), col("bkey"), col("doc_id"))
+    bands.repartitionByRange(4, col("pk"))
+      .write.format("graft-kv")
+      .option("catalog", bandsCatalogJson).option("path", bDir)
+      .mode(mode).save()
+    sh.select(
+        concat(pad(col("doc_id")), lit("#"),
+          md5(col("sh").cast("binary"))).as("pk"),
+        col("doc_id"), col("sh"))
+      .repartitionByRange(4, col("pk"))
+      .write.format("graft-kv")
+      .option("catalog", shinglesCatalogJson).option("path", lDir)
+      .mode(mode).save()
+  }
+
+  private[queries] def buildIfAbsent(s: SparkSession, d: String, tag: String,
+                                     docs: => DataFrame): (String, String) = {
+    val bDir = graft.kv.KvStore.cacheDir(s"lsh-$tag-bands-${cacheKey(d)}")
+    val lDir = graft.kv.KvStore.cacheDir(s"lsh-$tag-shingles-${cacheKey(d)}")
+    if (!new File(s"$bDir/_kvmeta.json").exists())
+      writeIndex(s, docs, bDir, lDir, "overwrite")
+    (bDir, lDir)
+  }
+
+  /** Frontier maintenance: sketch and append ONLY documents past the
+    * bands table's pushed `max(doc_id)`. Signatures are per-document,
+    * so appended rows compose with the indexed ones exactly. Returns
+    * the number of newly indexed documents. */
+  private[queries] def ensureIndexed(s: SparkSession, d: String,
+                                     bDir: String, lDir: String): Long = {
+    val frontier = s.read.format("graft-kv")
+      .option("catalog", bandsCatalogJson).option("path", bDir).load()
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val delta = Tables.documents(s, d).filter(col("doc_id") > frontier)
+    val n = delta.count()
+    if (n > 0) writeIndex(s, delta, bDir, lDir, "append")
+    n
+  }
+
+  private[queries] def bandsRead(s: SparkSession, bDir: String): DataFrame =
+    s.read.format("graft-kv")
+      .option("catalog", bandsCatalogJson).option("path", bDir).load()
+
+  /** One document's candidate set: 8 prefix seeks into its band
+    * buckets (exposed for the plan spec — the point-lookup shape the
+    * rowkey layout exists for). */
+  private[queries] def bucketLookup(s: SparkSession, bDir: String,
+                                    buckets: Seq[(Int, String)]): DataFrame =
+    bandsRead(s, bDir)
+      .filter(buckets.map { case (b, k) =>
+        col("pk").startsWith(s"$b|$k#")
+      }.reduce(_ || _))
+      .select(col("band"), col("bkey"), col("doc_id"))
+
+  /** The full verified near-dup pair relation, computed entirely from
+    * the persisted tables: candidates from shared band keys, exact
+    * Jaccard from the shingles table — no tokenize, no md5, no corpus
+    * read. Output ≡ q46. */
+  private[queries] def pairs(s: SparkSession, bDir: String,
+                             lDir: String): DataFrame = {
+    val banded = bandsRead(s, bDir).select(col("band"), col("bkey"), col("doc_id"))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sh = s.read.format("graft-kv")
+      .option("catalog", shinglesCatalogJson).option("path", lDir).load()
+      .select(col("doc_id"), col("sh"))
+    Dedup.verifyJaccard(sh, cands).orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q130LshPersisted: Q = Q(
+    "q130_lsh_persisted",
+    (s, d) => {
+      val (bDir, lDir) = buildIfAbsent(s, d, "full", Tables.documents(s, d))
+      pairs(s, bDir, lDir)
+    },
+    Dedup.q46MinhashMd5.oracle,
+    doc = "near-dup pairs from a persisted LSH index: sketch paid once per corpus")
+
+  val q131LshIncremental: Q = Q(
+    "q131_lsh_incremental",
+    (s, d) => {
+      val (bDir, lDir) = buildIfAbsent(s, d, "inc", {
+        val docs = Tables.documents(s, d)
+        val cut = (docs.count() * 9) / 10
+        docs.filter(col("doc_id") < cut)
+      })
+      ensureIndexed(s, d, bDir, lDir)
+      pairs(s, bDir, lDir)
+    },
+    Dedup.q46MinhashMd5.oracle,
+    doc = "frontier-incremental LSH maintenance: sketch only the unindexed tail")
+
+  def defs: Seq[Q] = Seq(q130LshPersisted, q131LshIncremental)
+}
