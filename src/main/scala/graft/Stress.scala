@@ -83,7 +83,12 @@ object Stress {
     // post-campaign convention as dmlonly (the section was added in
     // r16 after the committed multi-pass tiers froze)
     val pqOnly = args.drop(1).headOption.contains("pqonly")
-    val sectionOnly = dmlOnly || pqOnly
+    // `runMain graft.Stress <copies> storeonly`: run ONLY the persisted
+    // retrieval/dedup store section (bm25_store + lsh_store, r16) and
+    // emit a {"metric":"stress_store"} line — same post-campaign
+    // convention as dmlonly/pqonly
+    val storeOnly = args.drop(1).headOption.contains("storeonly")
+    val sectionOnly = dmlOnly || pqOnly || storeOnly
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the copies count is part of the replica path: a rerun with a
     // different scale can never silently reuse the old replica, and the
@@ -406,7 +411,7 @@ object Stress {
     // (cosine is scale-invariant, so the exact ground truth still
     // asserts recall; the handful of deleted truth rows are disclosed
     // by region_rows/vectors).
-    val ivfDmlJson = if (pqOnly) "" else {
+    val ivfDmlJson = if (pqOnly || storeOnly) "" else {
       val root = s"$out/_kv_ivfdml"
       val corpus = s"$root/corpus"
       def rmrfD(f: File): Unit = {
@@ -542,6 +547,118 @@ object Stress {
 
     if (pqOnly) {
       println(s"""{"metric":"stress_pq","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,$ivfPqJson,"peak_heap_mb":$peakHeapMb}""")
+      spark.stop()
+      return
+    }
+
+    // Persisted retrieval/dedup stores at scale (r16, storeonly mode) —
+    // what q127/q128 (BM25 inverted index) and q130/q131 (LSH sketch)
+    // must prove at tier scale: (a) the BUILD grows with the corpus —
+    // it is the tokenize/sketch cost the store exists to amortize;
+    // (b) the persisted-path query costs strictly less than the direct
+    // pipeline that recomputes the corpus per invocation, with
+    // BIT-IDENTICAL output (asserted every pass, every tier); (c) a
+    // frontier UPDATE on a fixed-size delta (the last copy's final 10%
+    // of base docs — constant rows at every tier) stays flat while the
+    // build it avoids grows. Each pass rebuilds everything from
+    // scratch, so all fields are independent measurements.
+    val storeJson = if (!storeOnly) "" else {
+      def rmrfS(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrfS)
+        f.delete(): Unit
+      }
+      val docs = Tables.documents(spark, out)
+      val nDocs = docs.count()
+      val baseDocs = docs.filter(col("doc_id") < 1000000L).count()
+      // replica ids are copy*1e6 + baseId, so this cut leaves exactly
+      // the last copy's final 10% of base docs as the unindexed tail
+      val seedCut = (copies - 1) * 1000000L + (baseDocs * 9) / 10
+      val terms = Seq("table", "vector", "customer", "stream")
+
+      // ---- BM25 inverted index ----
+      val pDir = s"$out/_bm25_postings"
+      val lDir = s"$out/_bm25_dl"
+      Seq(pDir, lDir).foreach(p => rmrfS(new File(p)))
+      val tB = System.nanoTime()
+      val (post, dlRows) = queries.Bm25Store.indexRows(docs)
+      queries.Bm25Store.writePostings(spark, post, pDir, "overwrite", 8)
+      queries.Bm25Store.writeDl(spark, dlRows, lDir, "overwrite")
+      val bmBuildSec = (System.nanoTime() - tB) / 1e9
+      sampleHeap()
+      def bmProbeOnce(): Double = {
+        val t = System.nanoTime()
+        queries.Bm25Store.probe(spark, pDir, lDir, terms)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val bmFirst = bmProbeOnce()
+      val bmSteady = Seq.fill(3)(bmProbeOnce()).min
+      val tBD = System.nanoTime()
+      val bmDirect = queries.TextOps.q121Bm25.fn(spark, out).collect()
+      val bmDirectSec = (System.nanoTime() - tBD) / 1e9
+      val bmRows = queries.Bm25Store.probe(spark, pDir, lDir, terms).collect()
+      require(bmRows.map(_.toString).toSeq == bmDirect.map(_.toString).toSeq,
+        "persisted BM25 diverged from the direct pipeline at scale")
+      // fixed-delta frontier update on a fresh seed index
+      Seq(pDir, lDir).foreach(p => rmrfS(new File(p)))
+      val seed = docs.filter(col("doc_id") < seedCut)
+      val nSeed = seed.count()
+      val (post0, dl0) = queries.Bm25Store.indexRows(seed)
+      queries.Bm25Store.writePostings(spark, post0, pDir, "overwrite", 8)
+      queries.Bm25Store.writeDl(spark, dl0, lDir, "overwrite")
+      val tBU = System.nanoTime()
+      val bmUpdated = queries.Bm25Store.ensureIndexed(spark, out, pDir, lDir)
+      val bmUpdateSec = (System.nanoTime() - tBU) / 1e9
+      require(bmUpdated == nDocs - nSeed,
+        s"BM25 frontier update indexed $bmUpdated docs, expected ${nDocs - nSeed}")
+      val bmRows2 = queries.Bm25Store.probe(spark, pDir, lDir, terms).collect()
+      require(bmRows2.map(_.toString).toSeq == bmDirect.map(_.toString).toSeq,
+        "frontier-updated BM25 index diverged from the direct pipeline")
+      sampleHeap()
+      System.err.println(f"[stress] bm25_store n=$nDocs build=$bmBuildSec%.1fs " +
+        f"probe=$bmSteady%.2fs direct=$bmDirectSec%.1fs " +
+        f"update=$bmUpdateSec%.2fs (${nDocs - nSeed} docs)")
+
+      // ---- LSH sketch store ----
+      val bDir = s"$out/_lsh_bands"
+      val sDir = s"$out/_lsh_shingles"
+      Seq(bDir, sDir).foreach(p => rmrfS(new File(p)))
+      val tL = System.nanoTime()
+      queries.LshStore.writeIndex(spark, docs, bDir, sDir, "overwrite")
+      val lshBuildSec = (System.nanoTime() - tL) / 1e9
+      sampleHeap()
+      def pairsOnce(): Double = {
+        val t = System.nanoTime()
+        queries.LshStore.pairs(spark, bDir, sDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val lshFirst = pairsOnce()
+      val lshSteady = math.min(lshFirst, pairsOnce())
+      // direct pipeline, cold (fresh session cache in storeonly mode):
+      // tokenize + shingle + 32 md5 minima + band join + verify
+      val tLD = System.nanoTime()
+      val lshDirect = queries.Dedup.q46MinhashMd5.fn(spark, out).collect()
+      val lshDirectSec = (System.nanoTime() - tLD) / 1e9
+      val lshRows = queries.LshStore.pairs(spark, bDir, sDir).collect()
+      require(lshRows.map(_.toString).toSeq == lshDirect.map(_.toString).toSeq,
+        "persisted LSH pairs diverged from the direct sketch at scale")
+      Seq(bDir, sDir).foreach(p => rmrfS(new File(p)))
+      queries.LshStore.writeIndex(spark, seed, bDir, sDir, "overwrite")
+      val tLU = System.nanoTime()
+      val lshUpdated = queries.LshStore.ensureIndexed(spark, out, bDir, sDir)
+      val lshUpdateSec = (System.nanoTime() - tLU) / 1e9
+      require(lshUpdated == nDocs - nSeed,
+        s"LSH frontier update sketched $lshUpdated docs, expected ${nDocs - nSeed}")
+      sampleHeap()
+      System.err.println(f"[stress] lsh_store n=$nDocs build=$lshBuildSec%.1fs " +
+        f"pairs=$lshSteady%.1fs (${lshRows.length} pairs) direct=$lshDirectSec%.1fs " +
+        f"update=$lshUpdateSec%.2fs")
+
+      f""""bm25_store":{"docs":$nDocs,"build_sec":$bmBuildSec%.2f,"probe_first_sec":$bmFirst%.2f,"probe_sec":$bmSteady%.2f,"direct_sec":$bmDirectSec%.2f,"update_docs":$bmUpdated,"update_sec":$bmUpdateSec%.2f,"match":true},"lsh_store":{"docs":$nDocs,"build_sec":$lshBuildSec%.2f,"pairs_first_sec":$lshFirst%.2f,"pairs_sec":$lshSteady%.2f,"pairs":${lshRows.length},"direct_sec":$lshDirectSec%.2f,"update_docs":$lshUpdated,"update_sec":$lshUpdateSec%.2f,"match":true}"""
+    }
+
+    if (storeOnly) {
+      println(s"""{"metric":"stress_store","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,$storeJson,"peak_heap_mb":$peakHeapMb}""")
       spark.stop()
       return
     }

@@ -63,7 +63,7 @@ object Bm25Store {
     * EVERY doc (dl = 0 for token-less ones) so the dl table's row count
     * IS the corpus size N; avgdl excludes the zero rows, matching
     * q121's tf-derived doc lengths. */
-  private[queries] def indexRows(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def indexRows(docs: DataFrame): (DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
       graft.functions.Text.tokens(col("text")).as("t"))
     val tf = toks
@@ -77,14 +77,14 @@ object Bm25Store {
     (postings, dl)
   }
 
-  private[queries] def writePostings(s: SparkSession, p: DataFrame, dir: String,
+  private[graft] def writePostings(s: SparkSession, p: DataFrame, dir: String,
                             mode: String, shards: Int): Unit =
     p.repartitionByRange(shards, col("pk"))
       .write.format("graft-kv")
       .option("catalog", postingsCatalogJson).option("path", dir)
       .mode(mode).save()
 
-  private[queries] def writeDl(s: SparkSession, dl: DataFrame, dir: String,
+  private[graft] def writeDl(s: SparkSession, dl: DataFrame, dir: String,
                       mode: String): Unit =
     dl.repartitionByRange(2, col("doc_id"))
       .write.format("graft-kv")
@@ -113,7 +113,7 @@ object Bm25Store {
   /** Append-incremental maintenance: index every document past the
     * dl table's pushed `max(doc_id)` frontier. Tokenizes ONLY the
     * delta; appends one commit per table; a fresh index is a no-op. */
-  private[queries] def ensureIndexed(s: SparkSession, d: String,
+  private[graft] def ensureIndexed(s: SparkSession, d: String,
                                      pDir: String, lDir: String): Long = {
     val frontier = s.read.format("graft-kv")
       .option("catalog", dlCatalogJson).option("path", lDir).load()
@@ -146,7 +146,7 @@ object Bm25Store {
       .filter(col("token").isin(terms: _*))
       .select(col("token"), col("doc_id"), col("tf"))
 
-  private[queries] def probe(s: SparkSession, pDir: String, lDir: String,
+  private[graft] def probe(s: SparkSession, pDir: String, lDir: String,
                              terms: Seq[String]): DataFrame = {
     val p = postingsRead(s, pDir, terms)
     val dl = s.read.format("graft-kv")

@@ -63,7 +63,7 @@ object LshStore {
   private def pad(id: org.apache.spark.sql.Column) =
     lpad(id.cast("string"), 12, "0")
 
-  private[queries] def writeIndex(s: SparkSession, docs: DataFrame,
+  private[graft] def writeIndex(s: SparkSession, docs: DataFrame,
                                   bDir: String, lDir: String,
                                   mode: String): Unit = {
     val sh = Dedup.shingleRowsOf(docs)
@@ -98,7 +98,7 @@ object LshStore {
     * bands table's pushed `max(doc_id)`. Signatures are per-document,
     * so appended rows compose with the indexed ones exactly. Returns
     * the number of newly indexed documents. */
-  private[queries] def ensureIndexed(s: SparkSession, d: String,
+  private[graft] def ensureIndexed(s: SparkSession, d: String,
                                      bDir: String, lDir: String): Long = {
     val frontier = s.read.format("graft-kv")
       .option("catalog", bandsCatalogJson).option("path", bDir).load()
@@ -128,7 +128,7 @@ object LshStore {
     * the persisted tables: candidates from shared band keys, exact
     * Jaccard from the shingles table — no tokenize, no md5, no corpus
     * read. Output ≡ q46. */
-  private[queries] def pairs(s: SparkSession, bDir: String,
+  private[graft] def pairs(s: SparkSession, bDir: String,
                              lDir: String): DataFrame = {
     val banded = bandsRead(s, bDir).select(col("band"), col("bkey"), col("doc_id"))
     val cands = banded.as("x")
