@@ -598,7 +598,8 @@ object Stress {
       val bmDirectSec = (System.nanoTime() - tBD) / 1e9
       val bmRows = queries.Bm25Store.probe(spark, pDir, lDir, terms).collect()
       require(bmRows.map(_.toString).toSeq == bmDirect.map(_.toString).toSeq,
-        "persisted BM25 diverged from the direct pipeline at scale")
+        "persisted BM25 diverged from the direct pipeline at scale:\n" +
+          s"  probe : ${bmRows.mkString(" ")}\n  direct: ${bmDirect.mkString(" ")}")
       // fixed-delta frontier update on a fresh seed index
       Seq(pDir, lDir).foreach(p => rmrfS(new File(p)))
       val seed = docs.filter(col("doc_id") < seedCut)

@@ -166,7 +166,9 @@ object Bm25Store {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
           .as("term_score"))
       .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score"))
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    // rounded-score ranking, matching bm25Ranked: fp-tied docs order
+    // identically regardless of either plan's summation order
+    val w = Window.orderBy(round(col("score"), 6).desc, col("doc_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
       .select(col("rk"), col("doc_id"), round(col("score"), 6).as("bm25_r"))
       .orderBy(col("rk"))

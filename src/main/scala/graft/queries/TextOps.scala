@@ -365,7 +365,13 @@ object TextOps {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
           .as("term_score"))
       .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score"))
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    // rank on the ROUNDED score (the precision the output reports):
+    // mathematically tied docs (e.g. replicated corpora) pick up
+    // last-bit noise from the term-score summation order, and two
+    // plans of the same query would break such ties differently —
+    // rounding first makes the order a pure function of the data,
+    // ties then resolved by doc_id
+    val w = Window.orderBy(round(col("score"), 6).desc, col("doc_id"))
     scored.withColumn("rk", row_number().over(w))
   }
 
@@ -400,7 +406,7 @@ object TextOps {
       kagg AS (SELECT doc_id, sum(term_score) AS score FROM kscored GROUP BY doc_id),
       kranked AS (
         SELECT doc_id, score,
-               row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+               row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rk
         FROM kagg)"""
 
   /** The full q121 replay — also pins q127/q128 (the persisted /
