@@ -343,8 +343,14 @@ object TextOps {
     * materializes a global sort. Shared by q121 (keyword retrieval,
     * top-10) and q123 (hybrid RRF fusion, top-20 arm). */
   private[queries] def bm25Ranked(s: org.apache.spark.sql.SparkSession,
-                                  d: String): org.apache.spark.sql.DataFrame = {
-    val terms = Seq("table", "vector", "customer", "stream")
+                                  d: String): org.apache.spark.sql.DataFrame =
+    bm25RankedWith(s, d, Seq("table", "vector", "customer", "stream"))
+
+  /** [[bm25Ranked]] for an arbitrary term set — the direct-pipeline
+    * reference the persisted-index property fuzz compares against. */
+  private[graft] def bm25RankedWith(s: org.apache.spark.sql.SparkSession,
+                                    d: String, terms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
     val tf = docs
       .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
