@@ -50,7 +50,14 @@ object Bench {
 
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-  private def repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
+  private def repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+  /** Child JVMs run with a PINNED heap (-Xms = -Xmx = this), never the
+    * parent's inherited flags: round 16's driver-vs-committed dispute
+    * (7 queries 6–24× apart at the same HEAD) could not be adjudicated
+    * from artifacts because the children's heap depended on however the
+    * PARENT happened to be launched. Same value on every host → the two
+    * runs are comparable by construction, and the artifact records it. */
+  private def childHeap = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_HEAP", "8g")
   /** Sub-second queries repeat up to this many times (min reported):
     * at 2 repeats a ±0.1 s load blip reads as a ±40% "regression" on a
     * 0.25 s query — round 7's r6-diff had a cluster of exactly those.
@@ -82,7 +89,14 @@ object Bench {
 
   private def parent(): Unit = {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(oracleOnly)
-    val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "16").toInt.max(1)
+    // one child JVM PER QUERY by default (round 17): batching shared one
+    // heap across a query family, so a GC-heavy neighbor (the r16
+    // PQ/RRF/MMR additions) could inflate an untouched query's timing by
+    // an amount invisible in any artifact. Per-query isolation makes
+    // every number attributable to exactly one plan. JVM startup stays
+    // untimed and the KV corpus builds are disk-cached across children,
+    // so the cost is wall-clock only.
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "1").toInt.max(1)
     val batches = names.grouped(batchSize).toSeq
     // a failed child falls back PER BATCH (bias confined to that batch)
     // and the output says so — timings from a fallback batch carry the
@@ -117,6 +131,23 @@ object Bench {
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json: ${e.getMessage}") }
   }
 
+  /** Host/JVM snapshot embedded in every bench artifact so a
+    * driver-vs-committed disagreement is decidable from the two JSON
+    * lines alone: available memory and load at measurement time, the
+    * pinned child heap, and the isolation granularity. */
+  private def envJson(): String = {
+    def firstLine(p: String): String =
+      try scala.io.Source.fromFile(p).getLines().next() catch { case _: Exception => "" }
+    val availGb =
+      try scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong / 1048576.0 }.getOrElse(-1.0)
+      catch { case _: Exception => -1.0 }
+    val load1 = firstLine("/proc/loadavg").split(" ").headOption.getOrElse("-1")
+    val jv = System.getProperty("java.version", "?")
+    f"""{"child_heap":"$childHeap","batch":${sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "1")},"repeats":$repeats,"cpus":"$cpus","avail_gb":$availGb%.1f,"load1":$load1,"java":"$jv"}"""
+  }
+
   private def compactJson(results: Seq[(String, Double)], failed: Seq[String],
                           colds: Seq[(String, Double)]): String = {
     def short(n: String): String = n.split("_").head
@@ -132,20 +163,22 @@ object Bench {
     val failedArr = failed.map(n => "\"" + key(n) + "\"").mkString("[", ",", "]")
     val coldMap = colds.sortBy(_._1)
       .map { case (k, v) => "\"" + key(k) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":$failedArr,"cold_first_sec":$coldMap,"full_map":"BENCH_LOCAL.json"}"""
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":$failedArr,"cold_first_sec":$coldMap,"env":${envJson()},"full_map":"BENCH_LOCAL.json"}"""
   }
 
   /** Fork one fresh JVM for `batch`, parse its JSON line. */
   private def runChild(batch: Seq[String])
       : (Seq[(String, Double)], Seq[String], Seq[(String, Double)]) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    // inherit module opens / memory / -D flags; a child without the
-    // --add-opens list cannot even build a SparkSession on JDK 17+
+    // inherit module opens / -D flags (a child without the --add-opens
+    // list cannot even build a SparkSession on JDK 17+) but NOT the
+    // parent's memory flags — the child heap is pinned so two runs of
+    // the same HEAD are comparable no matter how the parent was launched
     val inherited = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-        a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-D") ||
-        a.contains("=ALL-UNNAMED"))
+        a.startsWith("-D") || a.contains("=ALL-UNNAMED"))
     val cmd = Seq(javaBin) ++ inherited ++ Seq(
+      s"-Xms$childHeap", s"-Xmx$childHeap",
       "-XX:ReservedCodeCacheSize=512m", // codegen headroom: the round-3 bias
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench")
@@ -247,6 +280,6 @@ object Bench {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val coldMap = colds.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v.toString }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":${arr(failed)},"cold_first_sec":$coldMap,"cached_relations":${arr(cachedRelations.toSeq.sorted)},"skipped_oracle_twins":${arr(skipped)},"single_jvm_fallback":${arr(fallback)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":${arr(failed)},"cold_first_sec":$coldMap,"cached_relations":${arr(cachedRelations.toSeq.sorted)},"skipped_oracle_twins":${arr(skipped)},"single_jvm_fallback":${arr(fallback)},"env":${envJson()}}"""
   }
 }

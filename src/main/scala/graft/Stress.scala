@@ -650,6 +650,12 @@ object Stress {
       val lshUpdateSec = (System.nanoTime() - tLU) / 1e9
       require(lshUpdated == nDocs - nSeed,
         s"LSH frontier update sketched $lshUpdated docs, expected ${nDocs - nSeed}")
+      // the updated index must EQUAL the direct pipeline (not just have
+      // indexed the right count) — the BM25 twin re-verifies after its
+      // update (bmRows2) and "match":true below claims the same for LSH
+      val lshRows2 = queries.LshStore.pairs(spark, bDir, sDir).collect()
+      require(lshRows2.map(_.toString).toSeq == lshDirect.map(_.toString).toSeq,
+        "frontier-updated LSH index diverged from the direct sketch")
       sampleHeap()
       System.err.println(f"[stress] lsh_store n=$nDocs build=$lshBuildSec%.1fs " +
         f"pairs=$lshSteady%.1fs (${lshRows.length} pairs) direct=$lshDirectSec%.1fs " +

@@ -40,7 +40,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // mismatched lengths → null (the HOF zip_with-pads-null semantics);
+    // a min-length truncation would return a plausible partial score
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -64,9 +67,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       val bad = ctx.freshName("anyNull")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        boolean $bad = false;
+        boolean $bad = $n != $b.numElements();
         for (int $i = 0; $i < $n && !$bad; $i++) {
           if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
           else {

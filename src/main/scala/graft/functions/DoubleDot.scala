@@ -40,7 +40,12 @@ case class DoubleDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // mismatched lengths → null, matching the HOF formulation exactly:
+    // zip_with pads the shorter array with nulls and acc + null is null.
+    // A silent min-length truncation would hand a caller with wrong
+    // dims a plausible-looking partial dot instead.
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -58,9 +63,9 @@ case class DoubleDot(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val bad = ctx.freshName("anyNull")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         double $dot = 0.0;
-        boolean $bad = false;
+        boolean $bad = $n != $b.numElements();
         for (int $i = 0; $i < $n && !$bad; $i++) {
           if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
           else { $dot += $a.getDouble($i) * $b.getDouble($i); }

@@ -43,7 +43,10 @@ case class Int8Dot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // mismatched lengths → null (the HOF zip_with-pads-null semantics);
+    // a min-length truncation would return a plausible partial dot
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var sum = 0L
     var i = 0
     while (i < n) {
@@ -61,9 +64,9 @@ case class Int8Dot(left: Expression, right: Expression)
       val sum = ctx.freshName("sum")
       val bad = ctx.freshName("anyNull")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         long $sum = 0L;
-        boolean $bad = false;
+        boolean $bad = $n != $b.numElements();
         for (int $i = 0; $i < $n && !$bad; $i++) {
           if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
           else { $sum += (long) $a.getInt($i) * (long) $b.getInt($i); }

@@ -99,7 +99,12 @@ object Bm25Store {
                             docs: => DataFrame): (String, String) = {
     val pDir = graft.kv.KvStore.cacheDir(s"bm25-$tag-postings-${cacheKey(d)}")
     val lDir = graft.kv.KvStore.cacheDir(s"bm25-$tag-dl-${cacheKey(d)}")
-    if (!new File(s"$pDir/_kvmeta.json").exists()) {
+    // gate on BOTH tables' commit markers: a crash between writePostings
+    // and writeDl would otherwise leave a complete postings table whose
+    // presence makes every later run skip the rebuild the missing dl
+    // table needs
+    if (!new File(s"$pDir/_kvmeta.json").exists() ||
+        !new File(s"$lDir/_kvmeta.json").exists()) {
       val dd = docs
       val chars = dd.agg(sum(col("n_chars"))).head().getLong(0)
       val (p, dl) = indexRows(dd)
@@ -115,9 +120,12 @@ object Bm25Store {
     * delta; appends one commit per table; a fresh index is a no-op. */
   private[graft] def ensureIndexed(s: SparkSession, d: String,
                                      pDir: String, lDir: String): Long = {
+    // coalesce: dl keeps a row per doc so an empty table means an empty
+    // SEED CORPUS — legal; frontier -1 treats the whole corpus as the
+    // delta instead of NPE-ing on a null max
     val frontier = s.read.format("graft-kv")
       .option("catalog", dlCatalogJson).option("path", lDir).load()
-      .agg(max(col("doc_id"))).head().getLong(0)
+      .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
     val delta = Tables.documents(s, d).filter(col("doc_id") > frontier)
     val n = delta.count()
     if (n > 0) {
@@ -147,7 +155,7 @@ object Bm25Store {
       .select(col("token"), col("doc_id"), col("tf"))
 
   private[graft] def probe(s: SparkSession, pDir: String, lDir: String,
-                             terms: Seq[String]): DataFrame = {
+                             terms: Seq[String], topK: Int = 10): DataFrame = {
     val p = postingsRead(s, pDir, terms)
     val dl = s.read.format("graft-kv")
       .option("catalog", dlCatalogJson).option("path", lDir).load()
@@ -169,12 +177,12 @@ object Bm25Store {
     // rounded-score ranking, matching bm25Ranked: fp-tied docs order
     // identically regardless of either plan's summation order
     val w = Window.orderBy(round(col("score"), 6).desc, col("doc_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
       .select(col("rk"), col("doc_id"), round(col("score"), 6).as("bm25_r"))
       .orderBy(col("rk"))
   }
 
-  private val Terms = Seq("table", "vector", "customer", "stream")
+  private[queries] val Terms = Seq("table", "vector", "customer", "stream")
 
   val q127Bm25Persisted: Q = Q(
     "q127_bm25_persisted",

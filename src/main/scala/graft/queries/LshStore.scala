@@ -89,7 +89,12 @@ object LshStore {
                                      docs: => DataFrame): (String, String) = {
     val bDir = graft.kv.KvStore.cacheDir(s"lsh-$tag-bands-${cacheKey(d)}")
     val lDir = graft.kv.KvStore.cacheDir(s"lsh-$tag-shingles-${cacheKey(d)}")
-    if (!new File(s"$bDir/_kvmeta.json").exists())
+    // gate on BOTH tables' commit markers: a crash between the two
+    // writes inside writeIndex must not leave a complete bands table
+    // that makes every later run skip the rebuild (Bm25Store has the
+    // same two-table shape and the same gate)
+    if (!new File(s"$bDir/_kvmeta.json").exists() ||
+        !new File(s"$lDir/_kvmeta.json").exists())
       writeIndex(s, docs, bDir, lDir, "overwrite")
     (bDir, lDir)
   }
@@ -100,9 +105,13 @@ object LshStore {
     * the number of newly indexed documents. */
   private[graft] def ensureIndexed(s: SparkSession, d: String,
                                      bDir: String, lDir: String): Long = {
+    // coalesce: an EMPTY bands table is legal (every seed doc shorter
+    // than 3 tokens sketches to no band rows) — max(doc_id) is then
+    // null and a bare getLong would NPE; frontier -1 treats the whole
+    // corpus as the delta
     val frontier = s.read.format("graft-kv")
       .option("catalog", bandsCatalogJson).option("path", bDir).load()
-      .agg(max(col("doc_id"))).head().getLong(0)
+      .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
     val delta = Tables.documents(s, d).filter(col("doc_id") > frontier)
     val n = delta.count()
     if (n > 0) writeIndex(s, delta, bDir, lDir, "append")

@@ -1220,12 +1220,19 @@ object Similarity {
   val q123HybridRrf: Q = Q(
     "q123_hybrid_rrf",
     (s, d) => {
-      val idx = ivfIndex(s, d)
+      // both arms ride the PERSISTED indexes (q115's IVF store, q127's
+      // inverted index) — at scale nobody retrains a coarse quantizer
+      // or re-tokenizes a corpus per query; the stores are already
+      // asserted bit-identical to the in-session pipelines, so the
+      // in-session oracle below still pins this result exactly
+      val idx = IvfStore.ensure(s, d)
       val qv = Tables.embeddings(s, d).filter(col("vec_id") === 7)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val vec = ivfProbe(s, idx, qv, nProbe = 4, topK = 20)
         .select(col("n_id").as("doc_id"), col("rk").as("rk_vec"))
-      val kw = TextOps.bm25Ranked(s, d).filter(col("rk") <= 20)
+      val (pDir, lDir) =
+        Bm25Store.buildIfAbsent(s, d, "full", Tables.documents(s, d))
+      val kw = Bm25Store.probe(s, pDir, lDir, Bm25Store.Terms, topK = 20)
         .select(col("doc_id"), col("rk").as("rk_kw"))
       val fused = vec.join(kw, Seq("doc_id"), "full_outer")
         .select(col("doc_id"), col("rk_vec"), col("rk_kw"),
@@ -1301,7 +1308,10 @@ object Similarity {
   val q124MmrRerank: Q = Q(
     "q124_mmr_rerank",
     (s, d) => {
-      val idx = ivfIndex(s, d)
+      // candidates come from the PERSISTED IVF store (bit-identical to
+      // the in-session index, so the recursive-CTE oracle still pins
+      // the whole greedy trajectory) — see q123's rationale
+      val idx = IvfStore.ensure(s, d)
       val qv = Tables.embeddings(s, d).filter(col("vec_id") === 7)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val embD = Tables.embeddings(s, d).select(col("vec_id"),
@@ -1438,21 +1448,24 @@ object Similarity {
       val means = dims.groupBy(col("m"), col("j"), col("pos"))
         .agg(graft.util.Exact.davg(col("col"), 6).as("mu"),
           count(lit(1)).as("n"))
-      val refined = means.groupBy(col("m"), col("j"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("mu")))),
-          x => x.getField("mu")).as("cw1"),
-          max(col("n")).as("n"))
-      cb.select(col("m"), col("j"), col("cw"))
-        .join(refined, Seq("m", "j"), "left")
+      // output is SCALAR rows (m, j, pos, n_assigned, mu) — one per
+      // codeword dimension — not a re-assembled DOUBLE[] codeword: the
+      // driver's hash harness sorts result frames and list columns are
+      // unhashable there (r16's q125 was the suite's one unverified
+      // query for exactly that). The list form was cosmetic anyway —
+      // the means are computed per-pos above.
+      cb.select(col("m"), col("j"), posexplode(col("cw")))
+        .withColumnRenamed("col", "seed_v")
+        .join(means, Seq("m", "j", "pos"), "left")
         // no final round: the fixed-point means are already bit-identical
         // doubles on both engines, and a round-to-6 DIVERGES on them —
         // sumLong/10^6/count lands exactly on .xxxxxx5 whenever count
         // divides the sum at the 7th digit, and Spark (HALF_UP) and
         // DuckDB (nearbyint) break those halves differently
-        .select(col("m"), col("j"),
+        .select(col("m"), col("j"), col("pos"),
           coalesce(col("n"), lit(0L)).as("n_assigned"),
-          coalesce(col("cw1"), col("cw")).as("cw_m"))
-        .orderBy(col("m"), col("j"))
+          coalesce(col("mu"), col("seed_v")).as("mu"))
+        .orderBy(col("m"), col("j"), col("pos"))
     },
     Some(s"""
       WITH dbl AS (
@@ -1465,13 +1478,15 @@ object Similarity {
         SELECT m, j, pos, ${graft.util.Exact.sqlDavg("v", 6)} AS mu,
                count(*) AS n
         FROM vals GROUP BY m, j, pos),
-      refined AS (
-        SELECT m, j, list(mu ORDER BY pos) AS cw1, max(n) AS n
-        FROM means GROUP BY m, j)
-      SELECT c.m, c.j, COALESCE(r.n, 0) AS n_assigned,
-             COALESCE(r.cw1, c.cw) AS cw_m
-      FROM pqcb c LEFT JOIN refined r ON r.m = c.m AND r.j = c.j
-      ORDER BY c.m, c.j"""),
+      seedv AS (
+        SELECT m, j, pos, cw[pos + 1] AS seed_v
+        FROM (SELECT m, j, cw, unnest(range(0, 8)) AS pos FROM pqcb))
+      SELECT c.m, c.j, CAST(c.pos AS INT) AS pos,
+             COALESCE(r.n, 0) AS n_assigned,
+             COALESCE(r.mu, c.seed_v) AS mu
+      FROM seedv c LEFT JOIN means r
+        ON r.m = c.m AND r.j = c.j AND r.pos = c.pos
+      ORDER BY c.m, c.j, c.pos"""),
     doc = "PQ codebook Lloyd step: codeword = exact mean of assigned subvectors")
 
   /** Metadata-filtered ANN — "nearest English documents", the
@@ -1497,7 +1512,9 @@ object Similarity {
     "q129_filtered_ann",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
-      val idx = ivfIndex(s, d)
+      // probes the PERSISTED IVF store (bit-identical to the in-session
+      // index; same q53-family oracle) — see q123's rationale
+      val idx = IvfStore.ensure(s, d)
       val qv = Tables.embeddings(s, d).filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val allowed = Tables.documents(s, d).filter(col("lang") === "en")

@@ -19,6 +19,14 @@ class OperatorSpec extends SparkSpec {
         Similarity.cosine(col("a.embedding"), col("b.embedding")).as("ref"))
     val diffs = pairs.filter(col("fast") =!= col("ref")).count()
     assert(diffs == 0, "expression and HOF cosine must agree exactly")
+    // mismatched dims → null on BOTH forms (zip_with pads with null),
+    // never a silent min-length partial score
+    val mm = spark.sql(
+      "SELECT array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)) AS a, array(CAST(1 AS FLOAT)) AS b")
+      .select(expr("cosine_sim(a, b)").as("fast"),
+        Similarity.cosine(col("a"), col("b")).as("ref")).head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1),
+      "mismatched-length cosine must be null on both forms")
   }
 
   test("MinHash+LSH finds every true near-dup pair the exact Jaccard join finds") {
@@ -148,14 +156,16 @@ class OperatorSpec extends SparkSpec {
       (Array(-127, -127), Array(-127, -127))).toDF("a", "b")
       // null ELEMENT must null the result, exactly like the HOF form
       .union(spark.sql("SELECT array(1, CAST(NULL AS INT), 3), array(1, 1, 1)"))
+      // mismatched LENGTHS too (zip_with pads the short side with null)
+      .union(spark.sql("SELECT array(1, 2, 3), array(1, 2)"))
     val both = df.select(
       expr("int8_dot(a, b)").as("fast"),
       aggregate(zip_with(col("a"), col("b"), (x, y) => (x * y).cast("long")),
         lit(0L), (acc, v) => acc + v).as("ref"))
     assert(both.filter(!(col("fast") <=> col("ref"))).count() == 0,
       "fused and HOF integer dot products must agree exactly (incl. nulls)")
-    assert(both.filter(col("fast").isNull).count() == 1,
-      "exactly the null-element row must be null")
+    assert(both.filter(col("fast").isNull).count() == 2,
+      "exactly the null-element and mismatched-length rows must be null")
     val plan = Similarity.q54QuantizedTopK.fn(spark, d)
       .queryExecution.optimizedPlan.toString.toLowerCase
     assert(plan.contains("int8dot"), s"q54 must score through the fused expression:\n$plan")
@@ -582,6 +592,14 @@ class OperatorSpec extends SparkSpec {
         Similarity.dotdHof(col("a.emb"), col("b.emb")).as("ref"))
     val diffs = pairs.filter(col("fast") =!= col("ref")).count()
     assert(diffs == 0, "expression and HOF double dot must agree exactly")
+    // mismatched dims → null on BOTH forms (zip_with pads with null),
+    // never a silent min-length partial dot
+    val mm = spark.sql(
+      "SELECT array(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE)) AS a, array(CAST(3 AS DOUBLE)) AS b")
+      .select(expr("dot_d(a, b)").as("fast"),
+        Similarity.dotdHof(col("a"), col("b")).as("ref")).head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1),
+      "mismatched-length dot_d must be null on both forms")
   }
 
   test("IVF-PQ (q122): scores exact, recall printed vs exact and vs parent IVF") {
@@ -732,10 +750,13 @@ class OperatorSpec extends SparkSpec {
       .select("m", "j", "cw").collect()
       .map(r => (num(r.get(0)), num(r.get(1))) -> r.getSeq[Double](2).toArray)
       .toMap
+    // q125 emits scalar (m, j, pos, mu) rows (driver-hashable);
+    // reassemble codewords here for the SSE computation
     val refinedCb = Similarity.q125PqRefine.fn(spark, d)
-      .select("m", "j", "cw_m").collect()
-      .map(r => (num(r.get(0)), num(r.get(1))) -> r.getSeq[Double](2).toArray)
-      .toMap
+      .select("m", "j", "pos", "mu").collect()
+      .map(r => (num(r.get(0)), num(r.get(1)), num(r.get(2)), r.getDouble(3)))
+      .groupBy { case (m, j, _, _) => (m, j) }
+      .map { case (k, rows) => k -> rows.sortBy(_._3).map(_._4).toArray }
     val codes = Similarity.pqEncode(dbl, Similarity.pqCodebook(spark, raw))
       .select("vec_id", "m", "code").collect()
       .map(r => (num(r.get(0)), num(r.get(1))) -> num(r.get(2))).toMap
