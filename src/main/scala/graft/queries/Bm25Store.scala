@@ -210,5 +210,78 @@ object Bm25Store {
     Some(TextOps.bm25OracleSql),
     doc = "append-incremental inverted-index maintenance: tokenize only past the frontier")
 
-  def defs: Seq[Q] = Seq(q127Bm25Persisted, q128Bm25Incremental)
+  /** One micro-batch of index maintenance: tokenize and append the
+    * batch's documents PAST the dl frontier. The frontier filter is
+    * the replay discipline — a restarted stream re-delivers a batch,
+    * finds its doc_ids already at-or-below the frontier, and appends
+    * nothing (the q126 idempotency argument, keyed on the monotone
+    * doc_id instead of an anti-join because postings rows are
+    * per-(token, doc) and an anti-join would need the whole postings
+    * table; the frontier is one pushed aggregate). Exposed for the
+    * restart-idempotency spec. */
+  private[graft] def maintainBatch(s: SparkSession, batch: DataFrame,
+                                   pDir: String, lDir: String): Long = {
+    val frontier =
+      if (!new File(s"$lDir/_kvmeta.json").exists()) -1L
+      else s.read.format("graft-kv")
+        .option("catalog", dlCatalogJson).option("path", lDir).load()
+        .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
+    val fresh = batch.filter(col("doc_id") > frontier)
+    val n = fresh.count()
+    if (n > 0) {
+      val (p, dl) = indexRows(fresh)
+      writePostings(s, p, pDir, "append", 2)
+      writeDl(s, dl, lDir, "append")
+    }
+    n
+  }
+
+  /** Streaming index maintenance — the index is kept fresh BY the
+    * micro-batch stream instead of by batch ensure() calls: the staged
+    * document feed (q126's 3 ascending-doc_id commits) is drained as a
+    * KV micro-batch stream (`maxVersionsPerTrigger = 1` pins one
+    * commit per batch) and every batch appends its postings/dl rows
+    * past the dl frontier. Because BM25's df/N/avgdl are algebraic
+    * over postings/dl rows, the drained index is EXACTLY the index a
+    * full rebuild would produce — the same q121 oracle pins the probe,
+    * hash-exact (the q128 equation, now per micro-batch).
+    *
+    * At 100 TB this is the production retrieval-pipeline shape: the
+    * corpus arrives as a stream, the inverted index never rebuilds —
+    * per-batch cost is the batch's tokenize + two bounded appends +
+    * one pushed frontier aggregate, independent of the accumulated
+    * corpus size (stress `bm25_stream` measures the drain across
+    * tiers). Restart-safe: checkpoint + the frontier filter make a
+    * replayed batch a no-op. */
+  val q132Bm25Stream: Q = Q(
+    "q132_bm25_stream",
+    (s, d) => {
+      val dir = KvQueries.incDocsDir(s, d)
+      val pDir = s"$dir-bm25s-postings"
+      val lDir = s"$dir-bm25s-dl"
+      val ckpt = s"$dir-ckpt-bm25s"
+      def rmrf(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      Seq(ckpt, pDir, lDir).foreach(p => rmrf(new File(p)))
+      try {
+        val q = s.readStream.format("graft-kv")
+          .option("catalog", KvQueries.docsIncCatalogJson).option("path", dir)
+          .option("maxVersionsPerTrigger", 1).load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            maintainBatch(s, batch, pDir, lDir): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally rmrf(new File(ckpt))
+      probe(s, pDir, lDir, Terms)
+    },
+    Some(TextOps.bm25OracleSql),
+    doc = "streaming inverted-index maintenance: each micro-batch appends past the frontier; drained ≡ rebuilt")
+
+  def defs: Seq[Q] = Seq(q127Bm25Persisted, q128Bm25Incremental, q132Bm25Stream)
 }

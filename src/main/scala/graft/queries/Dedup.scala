@@ -563,15 +563,22 @@ object Dedup {
     * reports its duplicated-window fraction — the signal a curation
     * pipeline thresholds on to drop boilerplate-heavy documents.
     *
-    * Scale shape: one shuffle keyed by the fixed-width 128-bit digest
-    * (not the raw gram text — at 100 TB the digest bounds shuffle bytes
-    * per window at 32 hex chars regardless of token length), one join
-    * back on the same key (AQE reuses the groupBy's partitioning), one
-    * per-doc aggregate. No window over the whole corpus, no driver
-    * collect; everything before the first shuffle is per-row
-    * codegen'd array work. */
+    * Scale shape: digests (fixed 32 hex chars) bound shuffle bytes per
+    * window regardless of token length. Window rows first compress to
+    * per-(doc, digest) MULTIPLICITIES — keyed by (doc_id, g), which no
+    * hot gram can skew because doc_id spreads it — and both aggregates
+    * over the bare digest are partial (map-side combined), so no stage
+    * shuffles raw window rows by a hot key. The one unavoidable
+    * hot-key join (marking each doc's digests against the duplicated
+    * set) is SALTED ([[graft.operators.SkewJoin]]'s pattern): the
+    * per-doc side carries a content+partition salt, the duplicated-set
+    * side replicates across the 16 salts, so a boilerplate digest
+    * shared by a million documents lands on 16 tasks, not 1 — that
+    * skew measured as a 3× same-revision swing at the 100× stress
+    * tier before salting. */
   val q111SubstringDedup: Q = {
     val k = 8
+    val nSalts = 16
     Q(
       "q111_substring_dedup",
       (s, d) => {
@@ -580,15 +587,25 @@ object Dedup {
         val grams = toks
           .select(col("doc_id"), explode(Text.shinglesOf(col("toks"), k)).as("gram"))
           .select(col("doc_id"), md5(col("gram").cast("binary")).as("g"))
-        val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        // per-(doc, digest) multiplicity: the skew-free unit of work
+        val dgc = grams.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("m"))
+        // corpus-wide digest totals from the multiplicities (partial
+        // aggregation combines map-side; a hot digest ships one partial
+        // row per map task, never its raw windows)
+        val hot = dgc.groupBy(col("g")).agg(sum(col("m")).as("cnt"))
           .filter(col("cnt") > 1)
-        grams.join(hot, Seq("g"), "left")
+        val salted = dgc.withColumn("_salt",
+          graft.operators.SkewJoin.saltExpr(dgc, nSalts))
+        val hotS = hot.withColumn("_salt",
+          explode(sequence(lit(0), lit(nSalts - 1))))
+        salted.join(hotS, Seq("g", "_salt"), "left")
           .groupBy(col("doc_id"))
           .agg(
-            count(lit(1)).as("n_grams"),
-            count(col("cnt")).as("n_dup"),
-            round(count(col("cnt")).cast("double") / count(lit(1)).cast("double"), 6)
-              .as("dup_fraction"))
+            sum(col("m")).as("n_grams"),
+            sum(when(col("cnt").isNotNull, col("m")).otherwise(lit(0L))).as("n_dup"),
+            round(sum(when(col("cnt").isNotNull, col("m")).otherwise(lit(0L))).cast("double") /
+              sum(col("m")).cast("double"), 6).as("dup_fraction"))
           .orderBy(col("doc_id"))
       },
       Some(s"""

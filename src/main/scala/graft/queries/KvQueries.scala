@@ -61,6 +61,13 @@ object KvQueries {
     dir
   }
 
+  /** Build-if-absent for the lineitem KV table, exposed for Bench's
+    * per-child warmup: the untimed builder work is the TABLE BUILD
+    * (once per host — the cache dir persists across JVMs), not a full
+    * q70 execution; when the table exists this is a metadata stat. */
+  def ensureLineitemKv(s: SparkSession, sfDir: String): Unit =
+    kvDir(s, sfDir): Unit
+
   private def kv(s: SparkSession, sfDir: String): DataFrame =
     s.read.format("graft-kv")
       .option("catalog", catalogJson).option("path", kvDir(s, sfDir)).load()
@@ -1007,7 +1014,7 @@ object KvQueries {
       |  }
       |}""".stripMargin
 
-  private val docsIncCatalogJson =
+  private[queries] val docsIncCatalogJson =
     """{
       |  "table": {"namespace": "default", "name": "docs_inc"},
       |  "rowkey": "doc_id",

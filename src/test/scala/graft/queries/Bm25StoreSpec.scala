@@ -48,6 +48,25 @@ class Bm25StoreSpec extends SparkSpec {
       "the appended index must be indistinguishable from a full build")
   }
 
+  test("streaming maintenance (q132): drained index ≡ full rebuild, replay is a no-op") {
+    assert(rows(Bm25Store.q132Bm25Stream.fn(spark, d)) ==
+      rows(TextOps.q121Bm25.fn(spark, d)),
+      "the stream-maintained index must be indistinguishable from a full build")
+    // restart discipline: re-delivering every staged batch against the
+    // ALREADY-DRAINED index (a lost checkpoint, the worst replay case)
+    // must append nothing — the frontier filter absorbs the replay
+    val dir = KvQueries.incDocsDir(spark, d)
+    val (pDir, lDir) = (s"$dir-bm25s-postings", s"$dir-bm25s-dl")
+    val staged = spark.read.format("graft-kv")
+      .option("catalog", KvQueries.docsIncCatalogJson).option("path", dir).load()
+    assert(Bm25Store.maintainBatch(spark, staged, pDir, lDir) == 0L,
+      "replayed batches past a drained index must be absorbed by the frontier")
+    assert(rows(Bm25Store.probe(spark, pDir, lDir,
+        Seq("table", "vector", "customer", "stream"))) ==
+      rows(TextOps.q121Bm25.fn(spark, d)),
+      "a replay must not change the probe result")
+  }
+
   test("a term fetch rides rowkey prefix seeks, not a postings scan") {
     val (pDir, _) = Bm25Store.buildIfAbsent(spark, d, "full",
       Tables.documents(spark, d))
