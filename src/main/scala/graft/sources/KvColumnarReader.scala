@@ -14,22 +14,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * rebuild can do better because downstream operators consume batches
   * through codegen'd `ColumnarToRow`, so full-shard scans avoid one
   * `InternalRow` allocation per record and keep the decode loop tight.
-  * Behind the `columnar` option (default on); forward scans over flat
-  * schemas only — the DESC-tail ring buffer and nested array/map columns
-  * stay on the row reader ([[KvPartitionReader]]).
+  * Behind the `columnar` option (default on); forward scans over every
+  * catalog cell type including nested array<float>/map<string,string>
+  * (child-column + putArray offsets) — the DESC-tail ring buffer and
+  * calendar-interval columns stay on the row reader
+  * ([[KvPartitionReader]]).
   */
 object KvColumnarReader {
   val DefaultCapacity = 4096
 
   /** Columnar-eligible = every projected column has a vector writer
-    * below. Nested types (array/map) and calendar-interval fall back to
-    * the row path. */
+    * below — all the catalog's cell types including the nested ones
+    * (array<float> embeddings, map<string,string> props), which write
+    * through the vector's child columns + putArray offsets (r17; they
+    * previously forced the whole scan onto the row path, so the
+    * embedding/multimodal tables never batched). Calendar-interval
+    * stays on the row path (read-parity type, no vector layout). */
   def eligible(pruned: StructType): Boolean = pruned.fields.forall { f =>
     f.dataType match {
       case BooleanType | ByteType | ShortType | IntegerType | LongType |
           FloatType | DoubleType | DateType | TimestampType |
           StringType | BinaryType => true
       case d: DecimalType if d.precision <= 18 => true
+      case ArrayType(FloatType, _) => true
+      case MapType(StringType, StringType, _) => true
       case _ => false
     }
   }
@@ -57,6 +65,30 @@ object KvColumnarReader {
       }
       case d: DecimalType =>
         (v, i, x) => v.putDecimal(i, x.asInstanceOf[Decimal], d.precision)
+      case ArrayType(FloatType, _) => (v, i, x) => {
+        val a = x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val n = a.numElements()
+        val child = v.arrayData()
+        val start = child.getElementsAppended
+        var k = 0
+        while (k < n) { child.appendFloat(a.getFloat(k)); k += 1 }
+        v.putArray(i, start, n)
+      }
+      case MapType(StringType, StringType, _) => (v, i, x) => {
+        val m = x.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val n = m.numElements()
+        val keys = v.getChild(0); val vals = v.getChild(1)
+        val start = keys.getElementsAppended
+        var k = 0
+        while (k < n) {
+          val kb = m.keyArray().getUTF8String(k).getBytes
+          val vb = m.valueArray().getUTF8String(k).getBytes
+          keys.appendByteArray(kb, 0, kb.length)
+          vals.appendByteArray(vb, 0, vb.length)
+          k += 1
+        }
+        v.putArray(i, start, n)
+      }
       case other => throw new IllegalArgumentException(
         s"not columnar-eligible: $other") // guarded by eligible()
     }
@@ -87,6 +119,35 @@ object KvColumnarReader {
       case d: DecimalType if d.precision <= 18 =>
         (v, i, b, off, _) =>
           v.putDecimal(i, Decimal(longAt(b, off), d.precision, d.scale), d.precision)
+      // nested cells parse the stored layout (BytesCodec.encode) straight
+      // into the vector's child columns — still no intermediate
+      // ArrayData/MapData object on the zero-copy path
+      case ArrayType(FloatType, _) => (v, i, b, off, _) => {
+        val n = intAt(b, off)
+        val child = v.arrayData()
+        val start = child.getElementsAppended
+        var k = 0
+        while (k < n) {
+          child.appendFloat(java.lang.Float.intBitsToFloat(intAt(b, off + 4 + 4 * k)))
+          k += 1
+        }
+        v.putArray(i, start, n)
+      }
+      case MapType(StringType, StringType, _) => (v, i, b, off, _) => {
+        val n = intAt(b, off)
+        val keys = v.getChild(0); val vals = v.getChild(1)
+        val start = keys.getElementsAppended
+        var p = off + 4
+        var k = 0
+        while (k < n) {
+          val kl = intAt(b, p); p += 4
+          keys.appendByteArray(b, p, kl); p += kl
+          val vl = intAt(b, p); p += 4
+          vals.appendByteArray(b, p, vl); p += vl
+          k += 1
+        }
+        v.putArray(i, start, n)
+      }
       case other => throw new IllegalArgumentException(
         s"not columnar-eligible: $other") // guarded by eligible()
     }

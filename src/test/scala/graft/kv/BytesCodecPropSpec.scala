@@ -96,4 +96,16 @@ class BytesCodecPropSpec extends AnyFunSuite {
     check(Prop.forAll(finiteDouble) { v =>
       BytesCodec.decode(DoubleType, BytesCodec.encode(DoubleType, v)) == v })
   }
+
+  test("round-trip: calendar-interval cells survive encode/decode over the full domain") {
+    // the type the reference declares (`DefaultSource.scala:54`) but
+    // crashes reading (`HbasePartitionReader.scala:67` TODO) — here the
+    // (months, days, micros) triple must survive exactly, including
+    // negative and extreme components (mixed-sign intervals are legal)
+    check(Prop.forAll { (m: Int, d: Int, us: Long) =>
+      val iv = new org.apache.spark.unsafe.types.CalendarInterval(m, d, us)
+      BytesCodec.decode(CalendarIntervalType,
+        BytesCodec.encode(CalendarIntervalType, iv)) == iv
+    })
+  }
 }

@@ -735,11 +735,16 @@ class KvConnectorSpec extends SparkSpec {
         | "columns":{"k":{"cf":"rowkey","col":"k","type":"long"},
         |            "iv":{"cf":"f","col":"iv","type":"calendar"}}}""".stripMargin
     val schema = KvCatalog.parse(civCat).schema
-    val w = new KvDataWriter(civDir, schema, schema, "k", 0, 0L)
-    (1 to 20).foreach { k =>
-      w.write(InternalRow(k.toLong, new CalendarInterval(k % 3, k, k * 1000L + 500L)))
+    // two writer tasks → two shards, so the compaction assertion below
+    // actually rewrites (the compactor no-ops on a single shard)
+    val shards = Seq(1 to 10, 11 to 20).zipWithIndex.flatMap { case (ks, pid) =>
+      val w = new KvDataWriter(civDir, schema, schema, "k", pid, 0L)
+      ks.foreach { k =>
+        w.write(InternalRow(k.toLong, new CalendarInterval(k % 3, k, k * 1000L + 500L)))
+      }
+      w.commit().asInstanceOf[KvCommit].shards
     }
-    KvStore.writeMeta(civDir, KvTableMeta(w.commit().asInstanceOf[KvCommit].shards))
+    KvStore.writeMeta(civDir, KvTableMeta(shards))
     val back = spark.read.format("graft-kv")
       .option("catalog", civCat).option("path", civDir).load()
     assert(back.schema("iv").dataType ==
@@ -754,6 +759,14 @@ class KvConnectorSpec extends SparkSpec {
     // interval columns coexist with pushable rowkey predicates
     val one = back.filter(col("k") === 7L).collect().head
     assert(one.getAs[CalendarInterval]("iv") == new CalendarInterval(1, 7, 7500L))
+    // WRITE-path parity (r17): the maintenance rewrite must round-trip
+    // interval cells too — compact the two shards and re-read
+    assert(graft.kv.KvCompactor.compact(civDir, targetBytes = 1L << 20) > 0,
+      "compaction must actually rewrite the two shards")
+    val after = spark.read.format("graft-kv")
+      .option("catalog", civCat).option("path", civDir).load()
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[CalendarInterval]("iv")).toMap
+    assert(after == got, "interval cells must survive the compaction rewrite exactly")
   }
 
   test("review regressions: -0.0 equality, pre-epoch ts filter, case-insensitive options") {
@@ -1266,8 +1279,9 @@ class KvConnectorSpec extends SparkSpec {
       "vectorized and row readers must produce identical results")
   }
 
-  test("columnar falls back to the row reader for nested projections and DESC top-N") {
-    // nested types have no vector writer -> whole scan stays row-based
+  test("nested projections batch through the columnar reader; DESC top-N stays on the row path") {
+    // array<float>/map cells write through child-column vectors (r17) —
+    // an embedding scan is exactly the shape that must batch at 100 TB
     val vecDir = Files.createTempDirectory("graft-kv-vec").toString
     val cat =
       """{"table":{"name":"vecs"},"rowkey":"k",
@@ -1280,10 +1294,15 @@ class KvConnectorSpec extends SparkSpec {
       .mode("overwrite").save()
     val nested = spark.read.format("graft-kv")
       .option("catalog", cat).option("path", vecDir).load()
-    assert(!physicalPlan(nested).contains("ColumnarToRow"),
-      "array<float> projection must stay on the row reader")
+    assert(physicalPlan(nested).contains("ColumnarToRow"),
+      s"array<float> projection must batch through the vectorized reader:\n${physicalPlan(nested)}")
     assert(nested.select(sum(element_at(col("emb"), 2))).head().getDouble(0)
       == (1 to 50).map(_ * 2.0).sum)
+    // calendar-interval keeps the row fallback (no vector layout)
+    import org.apache.spark.sql.types._
+    assert(!graft.sources.KvColumnarReader.eligible(StructType(Seq(
+      StructField("iv", CalendarIntervalType)))),
+      "calendar-interval must not claim columnar eligibility")
     // DESC-tail top-N keeps the ring-buffer row reader
     val desc = kv.orderBy(col("id").desc).limit(5)
     assert(!physicalPlan(desc).contains("ColumnarToRow"),

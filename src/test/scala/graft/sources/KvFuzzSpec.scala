@@ -310,6 +310,58 @@ class KvFuzzSpec extends SparkSpec {
     }
   }
 
+  test("nested cells (array<float>, map<string,string>) agree across row and columnar readers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { j =>
+      val vec = if (rnd.nextInt(10) == 0) null
+        else Array.fill(rnd.nextInt(5))(rnd.nextFloat()) // 0-length hits the empty edge
+      val props = if (rnd.nextInt(10) == 0) null
+        else (0 until rnd.nextInt(4)).map(i => s"k$i" -> randomString(rnd)).toMap
+      (j.toLong, randomString(rnd), vec, props)
+    }
+    val src = rows.toDF("k", "s", "vec", "props")
+    val nestedCat =
+      """{"table":{"name":"nested_fuzz"},"rowkey":"k",
+        | "columns":{
+        |  "k":{"cf":"rowkey","col":"k","type":"long"},
+        |  "s":{"cf":"f","col":"s","type":"string"},
+        |  "vec":{"cf":"f","col":"v","type":"array<float>"},
+        |  "props":{"cf":"f","col":"p","type":"map<string,string>"}}}""".stripMargin
+    val dir = Files.createTempDirectory("graft-kv-nested").toString
+    src.repartitionByRange(4, col("k"))
+      .write.format("graft-kv").option("catalog", nestedCat).option("path", dir)
+      .mode("overwrite").save()
+    def read(columnar: Boolean) = spark.read.format("graft-kv")
+      .option("catalog", nestedCat).option("path", dir)
+      .option("columnar", columnar.toString).load()
+    // canonical row image: sorted map entries (map iteration order is
+    // not part of the contract), array as-is (order IS the contract)
+    def canon(df: DataFrame, proj: Seq[String], pred: Option[Column]): Seq[String] = {
+      val filtered = pred.fold(df)(df.filter(_))
+      filtered.select(proj.map {
+        case "props" => sort_array(map_entries(col("props"))).as("props")
+        case c => col(c)
+      }: _*).collect().map(_.toString).sorted.toSeq
+    }
+    val allCols = Seq("k", "s", "vec", "props")
+    // predicates on the scalar columns only — nested cells aren't
+    // pushable, but they must still decode right when the predicate
+    // forces the wanted-cell set to differ from the projection
+    val preds: Seq[Option[Column]] =
+      Seq(None, Some(col("k") % 3 === 0), Some(col("s") > rows(50)._2))
+    for (_ <- 1 to 6; pred <- preds) {
+      val proj = rnd.shuffle(allCols).take(1 + rnd.nextInt(allCols.length))
+      val expected = canon(src, proj, pred)
+      // both paths must actually exercise: the nested columns are
+      // columnar-eligible as of r17, so columnar=true is the batch path
+      assert(canon(read(columnar = true), proj, pred) == expected,
+        s"columnar nested proj $proj pred $pred diverged")
+      assert(canon(read(columnar = false), proj, pred) == expected,
+        s"row nested proj $proj pred $pred diverged")
+    }
+  }
+
   test("fuzz: every snapshot version replays its exact append prefix") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
