@@ -563,22 +563,25 @@ object Dedup {
     * reports its duplicated-window fraction — the signal a curation
     * pipeline thresholds on to drop boilerplate-heavy documents.
     *
-    * Scale shape: digests (fixed 32 hex chars) bound shuffle bytes per
-    * window regardless of token length. Window rows first compress to
-    * per-(doc, digest) MULTIPLICITIES — keyed by (doc_id, g), which no
-    * hot gram can skew because doc_id spreads it — and both aggregates
-    * over the bare digest are partial (map-side combined), so no stage
-    * shuffles raw window rows by a hot key. The one unavoidable
-    * hot-key join (marking each doc's digests against the duplicated
-    * set) is SALTED ([[graft.operators.SkewJoin]]'s pattern): the
-    * per-doc side carries a content+partition salt, the duplicated-set
-    * side replicates across the 16 salts, so a boilerplate digest
-    * shared by a million documents lands on 16 tasks, not 1 — that
-    * skew measured as a 3× same-revision swing at the 100× stress
-    * tier before salting. */
+    * Scale shape (r17 — JOIN-FREE): digests (fixed 32 hex chars) bound
+    * shuffle bytes per window regardless of token length, and the
+    * pipeline never joins window rows back on the digest at all.
+    * The identity: a window is non-duplicated exactly when its digest
+    * occurs ONCE in the corpus — and such a digest belongs to exactly
+    * ONE document. So one partial-aggregated pass per digest
+    * `(count, min(doc_id))` yields, filtered to count = 1, each
+    * document's UNIQUE-window count; per-doc window totals come
+    * straight from the token arrays (zero shuffle); and
+    * n_dup = n_grams − n_uniq. The r16 shape joined every window row
+    * back to the duplicated-digest set on the hot key g — boilerplate
+    * digests shared by thousands of documents landed on single tasks
+    * and swung the 100× stress tier 3× between same-revision passes;
+    * an r17 salted variant fixed the skew but paid an extra full-data
+    * shuffle (53 s at 100× vs ~7 s). This shape shuffles window rows
+    * ONCE (the digest aggregate, map-side combined — a hot digest
+    * ships one partial row per map task), then only per-doc scalars. */
   val q111SubstringDedup: Q = {
     val k = 8
-    val nSalts = 16
     Q(
       "q111_substring_dedup",
       (s, d) => {
@@ -587,25 +590,22 @@ object Dedup {
         val grams = toks
           .select(col("doc_id"), explode(Text.shinglesOf(col("toks"), k)).as("gram"))
           .select(col("doc_id"), md5(col("gram").cast("binary")).as("g"))
-        // per-(doc, digest) multiplicity: the skew-free unit of work
-        val dgc = grams.groupBy(col("doc_id"), col("g"))
-          .agg(count(lit(1)).as("m"))
-        // corpus-wide digest totals from the multiplicities (partial
-        // aggregation combines map-side; a hot digest ships one partial
-        // row per map task, never its raw windows)
-        val hot = dgc.groupBy(col("g")).agg(sum(col("m")).as("cnt"))
-          .filter(col("cnt") > 1)
-        val salted = dgc.withColumn("_salt",
-          graft.operators.SkewJoin.saltExpr(dgc, nSalts))
-        val hotS = hot.withColumn("_salt",
-          explode(sequence(lit(0), lit(nSalts - 1))))
-        salted.join(hotS, Seq("g", "_salt"), "left")
-          .groupBy(col("doc_id"))
-          .agg(
-            sum(col("m")).as("n_grams"),
-            sum(when(col("cnt").isNotNull, col("m")).otherwise(lit(0L))).as("n_dup"),
-            round(sum(when(col("cnt").isNotNull, col("m")).otherwise(lit(0L))).cast("double") /
-              sum(col("m")).cast("double"), 6).as("dup_fraction"))
+        // per-digest (count, owner-if-unique): min(doc_id) is only read
+        // where cnt = 1, where it IS the one owning document
+        val uniqPerDoc = grams.groupBy(col("g"))
+          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("doc_id"))
+          .filter(col("cnt") === 1)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
+        // per-doc window totals from the token arrays — no shuffle
+        val base = toks
+          .select(col("doc_id"),
+            greatest(size(col("toks")) - (k - 1), lit(0)).cast("long").as("n_grams"))
+          .filter(col("n_grams") > 0)
+        base.join(uniqPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            (col("n_grams") - coalesce(col("n_uniq"), lit(0L))).as("n_dup"),
+            round((col("n_grams") - coalesce(col("n_uniq"), lit(0L))).cast("double") /
+              col("n_grams").cast("double"), 6).as("dup_fraction"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
