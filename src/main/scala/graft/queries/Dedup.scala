@@ -587,12 +587,19 @@ object Dedup {
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        // digest = a PAIR of independently-seeded xxhash64s (128 bits,
+        // codegen'd, 16 B) rather than md5 hex (32-char string): the
+        // digest never surfaces — only per-doc counts do, and the
+        // oracle computes its own md5 grouping — so Spark's key only
+        // has to be collision-free, and the halved key bytes shrink the
+        // one full-data shuffle this query performs
         val grams = toks
           .select(col("doc_id"), explode(Text.shinglesOf(col("toks"), k)).as("gram"))
-          .select(col("doc_id"), md5(col("gram").cast("binary")).as("g"))
+          .select(col("doc_id"),
+            xxhash64(col("gram")).as("g1"), xxhash64(lit(1), col("gram")).as("g2"))
         // per-digest (count, owner-if-unique): min(doc_id) is only read
         // where cnt = 1, where it IS the one owning document
-        val uniqPerDoc = grams.groupBy(col("g"))
+        val uniqPerDoc = grams.groupBy(col("g1"), col("g2"))
           .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("doc_id"))
           .filter(col("cnt") === 1)
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
