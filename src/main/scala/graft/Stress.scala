@@ -693,9 +693,17 @@ object Stress {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      val steady = once()
-      System.err.println(f"[stress] q111 (salted) first=$first%.1fs steady=$steady%.1fs")
-      println(f"""{"metric":"stress_q111","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"q111_substring_dedup":{"first_sec":$first%.2f,"steady_sec":$steady%.2f},"peak_heap_mb":$peakHeapMb}""")
+      // min-of-3 steady: this host suffers multi-ten-second KERNEL
+      // storms (vmstat sys% > 90 across all cores with user ~1%, no
+      // IO wait — observed live this round) that can swallow a single
+      // repeat of any shuffle-heavy query; the min is the code's cost,
+      // the storms are the host's
+      val steadies = Seq.fill(3)(once())
+      val steady = steadies.min
+      System.err.println(f"[stress] q111 first=$first%.1fs steady=$steady%.1fs " +
+        s"(repeats ${steadies.map(s => f"$s%.1f").mkString("/")})")
+      val reps = steadies.map(s => f"$s%.2f").mkString("[", ",", "]")
+      println(f"""{"metric":"stress_q111","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"q111_substring_dedup":{"first_sec":$first%.2f,"steady_sec":$steady%.2f,"steady_repeats":$reps},"peak_heap_mb":$peakHeapMb}""")
       spark.stop()
       return
     }
