@@ -601,5 +601,149 @@ object IvfStore {
     Some(incOracleSql),
     doc = "IVF ANN through an append-incrementally maintained persisted index")
 
-  def defs: Seq[Q] = Seq(q115IvfPersisted, q116IvfIncremental)
+  // ---- q133: streaming index maintenance (the q132 pattern, dense arm) ----
+
+  private[queries] val feedCatalog =
+    """{"table":{"name":"emb_feed"},"rowkey":"vec_id",
+      | "columns":{"vec_id":{"cf":"rowkey","col":"vec_id","type":"long"},
+      |            "embedding":{"cf":"f","col":"e","type":"array<float>"}}}""".stripMargin
+
+  private[graft] def streamRoot(sfDir: String): String = {
+    val abs = new File(sfDir).getAbsolutePath
+    KvStore.cacheDir(
+      s"ivfstream-${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}")
+  }
+
+  /** Stage q133's scenario once per corpus: seed = the same 90% prefix
+    * q116 uses (so [[incOracleSql]] pins both), the seed-built index at
+    * `indexRoot(corpus)` (corpus dir holds ONLY the seed, so loads stay
+    * fingerprint-fresh while the index grows through the stream), and
+    * the FEED — a versioned KV table, v1 = seed snapshot, v2–v4 = the
+    * tail in three ascending vec_id slices. */
+  private def ensureStreamStage(s: SparkSession, sfDir: String): String = {
+    val root = streamRoot(sfDir)
+    val corpus = s"$root/corpus"
+    KvStore.withTableLock(root) {
+      val srcFp = corpusFingerprint(sfDir)
+      val marker = new File(s"$root/_staged.json")
+      val staged = marker.exists() &&
+        mapper.readTree(marker).path("sourceFingerprint").asText() == srcFp
+      if (!staged) {
+        rmrf(new File(root))
+        new File(root).mkdirs()
+        val raw = Tables.load(s, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+        val n = raw.count()
+        val n0 = n * 9 / 10
+        require(n0 > 0 && n0 + 3 <= n, s"corpus too small to stage a 3-batch tail: n=$n")
+        def thAt(m: Long): Long = raw.select(col("vec_id"))
+          .orderBy(col("vec_id")).limit(m.toInt)
+          .agg(max(col("vec_id"))).head().getLong(0)
+        val thr = thAt(n0)
+        val cuts = Seq(thAt(n0 + (n - n0) / 3), thAt(n0 + 2 * (n - n0) / 3))
+        raw.filter(col("vec_id") <= thr).coalesce(1)
+          .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+        build(s, corpus) // seed-frozen centroids, seed-only assigned table
+        def commitFeed(df: DataFrame): Unit =
+          df.repartitionByRange(2, col("vec_id"))
+            .write.format("graft-kv")
+            .option("catalog", feedCatalog).option("path", s"$root/feed")
+            .mode("append").save()
+        commitFeed(raw.filter(col("vec_id") <= thr))
+        commitFeed(raw.filter(col("vec_id") > thr && col("vec_id") <= cuts(0)))
+        commitFeed(raw.filter(col("vec_id") > cuts(0) && col("vec_id") <= cuts(1)))
+        commitFeed(raw.filter(col("vec_id") > cuts(1)))
+        val node = mapper.createObjectNode()
+        node.put("sourceFingerprint", srcFp)
+        java.nio.file.Files.write(marker.toPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+      }
+    }
+    root
+  }
+
+  /** One micro-batch of dense-index maintenance: assign the batch's
+    * vectors PAST the assigned table's pushed `max(vec_id)` frontier
+    * against the FROZEN centroids and append-commit, advancing the
+    * meta's pinned version (the [[q116IvfIncremental]] update, per
+    * micro-batch). The frontier filter is the replay discipline — a
+    * re-delivered batch appends nothing. Returns the rows indexed. */
+  private[graft] def maintainBatch(s: SparkSession, corpus: String,
+                                   batch: DataFrame): Long =
+    KvStore.withTableLock(indexRoot(corpus)) {
+      val root = indexRoot(corpus)
+      val meta = mapper.readTree(metaFile(root))
+      val assignedDir = s"$root/assigned"
+      val frontier = s.read.format("graft-kv")
+        .option("catalog", assignedCatalog("ivf_assigned"))
+        .option("path", assignedDir)
+        .option("asOfVersion", meta.path("assignedVersion").asLong()).load()
+        .agg(coalesce(max(col("vec_id")), lit(-1L))).head().getLong(0)
+      val fresh = batch.filter(col("vec_id") > frontier)
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      val nFresh = fresh.count()
+      if (nFresh > 0) {
+        val frozen = loadPinned(s, root, meta)
+        graft.functions.CosineSimilarity.register(s)
+        Similarity.assignRouted(fresh, frozen.coarse, frozen.centRouted,
+            meta.path("k").asLong())
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .repartitionByRange(2, col("vec_id"))
+          .write.format("graft-kv")
+          .option("catalog", assignedCatalog("ivf_assigned"))
+          .option("path", assignedDir)
+          .mode("append").save()
+        val node = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        node.put("n", meta.path("n").asLong() + nFresh)
+        node.put("appendedRows", meta.path("appendedRows").asLong() + nFresh)
+        node.put("assignedVersion", KvStore.readMeta(assignedDir).version)
+        writeMetaAtomic(root, node)
+        maybeCompactAssigned(s, root)
+      }
+      nFresh
+    }
+
+  /** q133: the persisted IVF index maintained BY a micro-batch stream —
+    * the dense twin of q132's inverted-index maintenance, composing
+    * q126's state-in-the-sink pattern with q116's frozen-centroid
+    * append. The staged embedding feed (v1 = seed snapshot, v2–v4 =
+    * ascending tail) drains with `maxVersionsPerTrigger = 1` from
+    * `sinceVersion = 1`; every batch assigns only vectors past the
+    * assigned table's frontier and append-commits through the same
+    * meta/versioning discipline as batch maintenance (self-compaction
+    * included), so the index stays loadable and version-pinned
+    * MID-STREAM. The drained index ≡ q116's append-maintained index —
+    * same 90% centroid basis, same assignments — so [[incOracleSql]]
+    * pins the probe hash-exactly. Idempotent across invocations: a
+    * second drain (fresh checkpoint, every version re-delivered — the
+    * lost-checkpoint worst case) is absorbed by the frontier. */
+  val q133IvfStream: Q = Q(
+    "q133_ivf_stream",
+    (s, d) => {
+      val root = ensureStreamStage(s, d)
+      val corpus = s"$root/corpus"
+      val ckpt = s"$root/ckpt"
+      rmrf(new File(ckpt))
+      try {
+        val q = s.readStream.format("graft-kv")
+          .option("catalog", feedCatalog).option("path", s"$root/feed")
+          .option("sinceVersion", 1).option("maxVersionsPerTrigger", 1).load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            maintainBatch(s, corpus, batch): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally rmrf(new File(ckpt))
+      val idx = load(s, corpus)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfProbe(s, idx, queries, nProbe = 4)
+    },
+    Some(incOracleSql),
+    doc = "streaming IVF maintenance: micro-batches append frozen-centroid assignments past the frontier; drained ≡ q116")
+
+  def defs: Seq[Q] = Seq(q115IvfPersisted, q116IvfIncremental, q133IvfStream)
 }

@@ -211,6 +211,26 @@ class IvfStoreSpec extends SparkSpec {
     assert(joined.count() == 0, "coarse router drifted from the fine-centroid prefix")
   }
 
+  test("streaming maintenance (q133): drained index ≡ q116's append-maintained index, replay is a no-op") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // same 90% centroid basis, same assignments → identical probe
+    assert(rows(IvfStore.q133IvfStream.fn(spark, d)) ==
+      rows(IvfStore.q116IvfIncremental.fn(spark, d)),
+      "stream-maintained and batch-append-maintained indexes must probe identically")
+    // lost-checkpoint worst case: every staged version re-delivered
+    // against the drained index must be absorbed by the frontier
+    val root = IvfStore.streamRoot(d)
+    val staged = spark.read.format("graft-kv")
+      .option("catalog", IvfStore.feedCatalog).option("path", s"$root/feed").load()
+    assert(IvfStore.maintainBatch(spark, s"$root/corpus", staged) == 0L,
+      "replayed batches past a drained index must append nothing")
+    assert(rows(IvfStore.q133IvfStream.fn(spark, d)) ==
+      rows(IvfStore.q116IvfIncremental.fn(spark, d)),
+      "a replay must not change the probe result")
+  }
+
   test("parquet-corpus maintenance self-compacts the assigned table past the threshold") {
     // same shared maybeCompactAssigned as the KV path, exercised from
     // IvfStore.incrementLocked's call site: repeated append cycles under
