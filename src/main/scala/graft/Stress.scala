@@ -788,7 +788,95 @@ object Stress {
         f"drain=$drainSec%.1fs direct=$directSec%.1fs")
       val batchArr = batchSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
       val docsArr = batchDocs.mkString("[", ",", "]")
-      println(f"""{"metric":"stress_stream","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"bm25_stream":{"docs":$nDocs,"seed_build_sec":$seedBuildSec%.2f,"batch_secs":$batchArr,"batch_docs":$docsArr,"drain_sec":$drainSec%.2f,"direct_sec":$directSec%.2f,"match":true},"peak_heap_mb":$peakHeapMb}""")
+
+      // ---- ivf_stream: q133's dense twin at tier scale ----
+      // Same shape: seed index frozen on everything below the cut, a
+      // FIXED-SIZE tail (the last copy's final 10% of base vectors)
+      // drains as 3 micro-batches of frozen-centroid assignment.
+      // Equality check: the micro-batch-drained index must probe
+      // identically to the SAME tail appended as ONE q116-style batch
+      // (splitting maintenance into micro-batches changes nothing);
+      // gate-scale q133 pins absolute correctness against DuckDB.
+      val vecs = Tables.load(spark, out, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      val nVecs2 = vecs.count()
+      val baseVecs = vecs.filter(col("vec_id") < 1000000L).count()
+      val seedCutV = (copies - 1) * 1000000L + (baseVecs * 9) / 10
+      val tailN = nVecs2 - vecs.filter(col("vec_id") < seedCutV).count()
+      def stageIvf(tag: String): String = {
+        val corpusDir = s"$out/_ivfstream_$tag"
+        rmrfS2(new File(corpusDir))
+        rmrfS2(new File(queries.IvfStore.indexRoot(corpusDir)))
+        vecs.filter(col("vec_id") < seedCutV).coalesce(4)
+          .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+        val t = System.nanoTime()
+        queries.IvfStore.build(spark, corpusDir)
+        System.err.println(f"[stress] ivf_stream seed build ($tag) = ${(System.nanoTime() - t) / 1e9}%.1fs")
+        corpusDir
+      }
+      val tSB = System.nanoTime()
+      val corpusA = stageIvf("a")
+      val ivfSeedSec = (System.nanoTime() - tSB) / 1e9
+      sampleHeap()
+      // feed: v1 = seed snapshot, v2-v4 = the fixed tail in 3 slices
+      val vFeed = s"$out/_ivfstream_feed"
+      val vCkpt = s"$out/_ivfstream_ckpt"
+      Seq(vFeed, vCkpt).foreach(p => rmrfS2(new File(p)))
+      val vCuts = Seq(seedCutV + (baseVecs - (baseVecs * 9) / 10) / 3,
+        seedCutV + 2 * (baseVecs - (baseVecs * 9) / 10) / 3)
+      def commitVFeed(df: org.apache.spark.sql.DataFrame): Unit =
+        df.repartitionByRange(2, col("vec_id"))
+          .write.format("graft-kv")
+          .option("catalog", queries.IvfStore.feedCatalog).option("path", vFeed)
+          .mode("append").save()
+      commitVFeed(vecs.filter(col("vec_id") < seedCutV))
+      commitVFeed(vecs.filter(col("vec_id") >= seedCutV && col("vec_id") < vCuts(0)))
+      commitVFeed(vecs.filter(col("vec_id") >= vCuts(0) && col("vec_id") < vCuts(1)))
+      commitVFeed(vecs.filter(col("vec_id") >= vCuts(1)))
+      val vBatchSecs = scala.collection.mutable.ListBuffer[Double]()
+      val vBatchVecs = scala.collection.mutable.ListBuffer[Long]()
+      val tVD = System.nanoTime()
+      val vq = spark.readStream.format("graft-kv")
+        .option("catalog", queries.IvfStore.feedCatalog).option("path", vFeed)
+        .option("sinceVersion", 1).option("maxVersionsPerTrigger", 1).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val t0 = System.nanoTime()
+          vBatchVecs += queries.IvfStore.maintainBatch(spark, corpusA, batch)
+          vBatchSecs += (System.nanoTime() - t0) / 1e9
+          ()
+        }
+        .option("checkpointLocation", vCkpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      vq.awaitTermination()
+      val vDrainSec = (System.nanoTime() - tVD) / 1e9
+      sampleHeap()
+      require(vBatchVecs.sum == tailN,
+        s"ivf stream maintenance indexed ${vBatchVecs.sum} vectors, expected $tailN")
+      // one-batch twin: the same tail appended in a single maintenance call
+      val corpusB = stageIvf("b")
+      val tOB = System.nanoTime()
+      val oneBatch = queries.IvfStore.maintainBatch(spark, corpusB,
+        vecs.filter(col("vec_id") >= seedCutV))
+      val oneBatchSec = (System.nanoTime() - tOB) / 1e9
+      require(oneBatch == tailN, s"one-batch twin indexed $oneBatch, expected $tailN")
+      val qv = vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probeA = queries.Similarity.ivfProbe(spark,
+        queries.IvfStore.load(spark, corpusA), qv, nProbe = 4).collect()
+      val probeB = queries.Similarity.ivfProbe(spark,
+        queries.IvfStore.load(spark, corpusB), qv, nProbe = 4).collect()
+      require(probeA.map(_.toString).toSeq == probeB.map(_.toString).toSeq,
+        "micro-batch-drained IVF index diverged from the one-batch-appended twin")
+      sampleHeap()
+      System.err.println(f"[stress] ivf_stream n=$nVecs2 seed_build=$ivfSeedSec%.1fs " +
+        s"batches=${vBatchSecs.map(s => f"$s%.2f").mkString("/")}s " +
+        f"drain=$vDrainSec%.1fs onebatch=$oneBatchSec%.1fs")
+      val vBatchArr = vBatchSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
+      val vVecsArr = vBatchVecs.mkString("[", ",", "]")
+
+      println(f"""{"metric":"stress_stream","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"bm25_stream":{"docs":$nDocs,"seed_build_sec":$seedBuildSec%.2f,"batch_secs":$batchArr,"batch_docs":$docsArr,"drain_sec":$drainSec%.2f,"direct_sec":$directSec%.2f,"match":true},"ivf_stream":{"vectors":$nVecs2,"seed_build_sec":$ivfSeedSec%.2f,"batch_secs":$vBatchArr,"batch_vecs":$vVecsArr,"drain_sec":$vDrainSec%.2f,"onebatch_sec":$oneBatchSec%.2f,"match":true},"peak_heap_mb":$peakHeapMb}""")
       spark.stop()
       return
     }

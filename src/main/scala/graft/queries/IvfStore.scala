@@ -603,7 +603,7 @@ object IvfStore {
 
   // ---- q133: streaming index maintenance (the q132 pattern, dense arm) ----
 
-  private[queries] val feedCatalog =
+  private[graft] val feedCatalog =
     """{"table":{"name":"emb_feed"},"rowkey":"vec_id",
       | "columns":{"vec_id":{"cf":"rowkey","col":"vec_id","type":"long"},
       |            "embedding":{"cf":"f","col":"e","type":"array<float>"}}}""".stripMargin

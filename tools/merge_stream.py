@@ -18,7 +18,7 @@ import json
 import subprocess
 import sys
 
-KEY = "bm25_stream"
+KEYS = ("bm25_stream", "ivf_stream")
 
 
 def median(vals):
@@ -41,9 +41,9 @@ def main() -> int:
         if (p["copies"], p["base"]) != (tier["copies"], tier["base"]):
             print("refusing a stream pass from a different tier", file=sys.stderr)
             return 1
-        if not p[KEY].get("match"):
-            print("refusing a pass whose maintained index diverged from the "
-                  "direct pipeline", file=sys.stderr)
+        if not all(p[k].get("match") for k in KEYS if k in p):
+            print("refusing a pass whose maintained index diverged from its "
+                  "reference pipeline", file=sys.stderr)
             return 1
     revisions = [p.get("revision") for p in passes]
     if None in revisions:
@@ -59,27 +59,32 @@ def main() -> int:
             print(f"refusing different ENGINES: {a} vs {b} differ under "
                   "src/main/build.sbt/project", file=sys.stderr)
             return 1
-    secs = [p[KEY] for p in passes]
-    base = dict(sorted(secs, key=lambda s: s["drain_sec"])[len(secs) // 2])
-    for f in ("drain_sec", "direct_sec"):
-        vals = [s[f] for s in secs]
-        base[f] = median(vals)
-        base[f + "_min"] = min(vals)
-        base[f + "_max"] = max(vals)
-        base[f + "_per_pass"] = vals
-    base["seed_build_sec"] = min(s["seed_build_sec"] for s in secs)
-    base["batch_secs_per_pass"] = [s["batch_secs"] for s in secs]
-    base["passes"] = len(secs)
-    base["revision"] = revisions[0]
-    base["note"] = ("section added after the tier campaign froze; measured "
-                    "standalone (streamonly mode) at the recorded revision")
-    tier[KEY] = base
+    for key in KEYS:
+        secs = [p[key] for p in passes if key in p]
+        if not secs:
+            continue
+        base = dict(sorted(secs, key=lambda s: s["drain_sec"])[len(secs) // 2])
+        for f in ("drain_sec", "direct_sec", "onebatch_sec"):
+            vals = [s[f] for s in secs if f in s]
+            if not vals:
+                continue
+            base[f] = median(vals)
+            base[f + "_min"] = min(vals)
+            base[f + "_max"] = max(vals)
+            base[f + "_per_pass"] = vals
+        base["seed_build_sec"] = min(s["seed_build_sec"] for s in secs)
+        base["batch_secs_per_pass"] = [s["batch_secs"] for s in secs]
+        base["passes"] = len(secs)
+        base["revision"] = revisions[0]
+        base["note"] = ("section added after the tier campaign froze; measured "
+                        "standalone (streamonly mode) at the recorded revision")
+        tier[key] = base
+        print(f"merged {len(secs)} {key} passes into {tier_path}: "
+              f"seed_build={base['seed_build_sec']} drain={base['drain_sec']} "
+              f"batches={base['batch_secs_per_pass']}")
     with open(tier_path, "w") as f:
         json.dump(tier, f, indent=1)
         f.write("\n")
-    print(f"merged {len(passes)} stream passes into {tier_path}: "
-          f"seed_build={base['seed_build_sec']} drain={base['drain_sec']} "
-          f"batches={base['batch_secs_per_pass']}")
     return 0
 
 
