@@ -250,6 +250,15 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name cold run failed: ${e.getMessage}") }
       }
+      // one UNTIMED execution first: in the batched protocol a query
+      // inherited JIT/codegen warmth from its batchmates; a per-query
+      // child starts cold, and without this the sub-second floor
+      // carries a fixed ~0.1–0.3 s compile tax (measured: the whole
+      // sub-second family read ~2× its batched floor). For the
+      // cache-riding queries this runs AFTER the timed cold run above,
+      // so cold_first_sec stays genuinely cold.
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () } // the timed loop reports failures
       val times = scala.collection.mutable.ListBuffer[Double]()
       var attempts = 0
       // base repeats for everyone; sub-second queries keep going (up to
