@@ -138,6 +138,22 @@ object Stress {
     // eden and old-gen peak at different times, so their sum can exceed
     // any heap state that ever existed)
     var peakHeapMb = 0L
+    // host snapshot for artifact adjudication: this VM suffers kernel
+    // storms (sys% > 90 across all cores) that inflate any
+    // shuffle-heavy timing 5-15x at random — a pass that ran under
+    // load/storm pressure should say so in its own JSON
+    def hostJson(): String = {
+      val availGb =
+        try scala.io.Source.fromFile("/proc/meminfo").getLines()
+          .collectFirst { case l if l.startsWith("MemAvailable:") =>
+            l.split("\\s+")(1).toLong / 1048576.0 }.getOrElse(-1.0)
+        catch { case _: Exception => -1.0 }
+      val load1 =
+        try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+          .split(" ").head
+        catch { case _: Exception => "-1" }
+      f"""{"avail_gb":$availGb%.1f,"load1":$load1}"""
+    }
     def sampleHeap(): Unit = {
       val used = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1 << 20)
       if (used > peakHeapMb) peakHeapMb = used
@@ -556,7 +572,7 @@ object Stress {
     }
 
     if (pqOnly) {
-      println(s"""{"metric":"stress_pq","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,$ivfPqJson,"peak_heap_mb":$peakHeapMb}""")
+      println(s"""{"metric":"stress_pq","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,$ivfPqJson,"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
       spark.stop()
       return
     }
@@ -675,7 +691,7 @@ object Stress {
     }
 
     if (storeOnly) {
-      println(s"""{"metric":"stress_store","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,$storeJson,"peak_heap_mb":$peakHeapMb}""")
+      println(s"""{"metric":"stress_store","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,$storeJson,"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
       spark.stop()
       return
     }
@@ -703,7 +719,7 @@ object Stress {
       System.err.println(f"[stress] q111 first=$first%.1fs steady=$steady%.1fs " +
         s"(repeats ${steadies.map(s => f"$s%.1f").mkString("/")})")
       val reps = steadies.map(s => f"$s%.2f").mkString("[", ",", "]")
-      println(f"""{"metric":"stress_q111","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"q111_substring_dedup":{"first_sec":$first%.2f,"steady_sec":$steady%.2f,"steady_repeats":$reps},"peak_heap_mb":$peakHeapMb}""")
+      println(f"""{"metric":"stress_q111","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"q111_substring_dedup":{"first_sec":$first%.2f,"steady_sec":$steady%.2f,"steady_repeats":$reps},"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
       spark.stop()
       return
     }
@@ -876,7 +892,7 @@ object Stress {
       val vBatchArr = vBatchSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
       val vVecsArr = vBatchVecs.mkString("[", ",", "]")
 
-      println(f"""{"metric":"stress_stream","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"bm25_stream":{"docs":$nDocs,"seed_build_sec":$seedBuildSec%.2f,"batch_secs":$batchArr,"batch_docs":$docsArr,"drain_sec":$drainSec%.2f,"direct_sec":$directSec%.2f,"match":true},"ivf_stream":{"vectors":$nVecs2,"seed_build_sec":$ivfSeedSec%.2f,"batch_secs":$vBatchArr,"batch_vecs":$vVecsArr,"drain_sec":$vDrainSec%.2f,"onebatch_sec":$oneBatchSec%.2f,"match":true},"peak_heap_mb":$peakHeapMb}""")
+      println(f"""{"metric":"stress_stream","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"bm25_stream":{"docs":$nDocs,"seed_build_sec":$seedBuildSec%.2f,"batch_secs":$batchArr,"batch_docs":$docsArr,"drain_sec":$drainSec%.2f,"direct_sec":$directSec%.2f,"match":true},"ivf_stream":{"vectors":$nVecs2,"seed_build_sec":$ivfSeedSec%.2f,"batch_secs":$vBatchArr,"batch_vecs":$vVecsArr,"drain_sec":$vDrainSec%.2f,"onebatch_sec":$oneBatchSec%.2f,"match":true},"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
       spark.stop()
       return
     }
@@ -1122,7 +1138,7 @@ object Stress {
       // added after the r15 tier campaign froze, so it ships as its
       // own {"metric":"stress_dml"} line per tier instead of
       // invalidating the committed same-revision multi-pass artifacts
-      println(s"""{"metric":"stress_dml","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,$ivfDmlJson,"peak_heap_mb":$peakHeapMb}""")
+      println(s"""{"metric":"stress_dml","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,$ivfDmlJson,"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
       spark.stop()
       return
     }
@@ -1135,7 +1151,7 @@ object Stress {
         f""""$k":{"first_sec":$fst%.2f,"steady_sec":$std%.2f}"""
       }.mkString("{", ",", "}")
       val frontier = q45Frontiers.mkString("[", ",", "]")
-      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,"q45_escalated":$q45Escalated,$semOut,$ivfJson,$ivfPersistJson,$ivfIncJson,$ivfDmlJson,$cdcJson,$ssJoinJson,"peak_heap_mb":$peakHeapMb}""")
+      println(s"""{"metric":"stress","mode":"heavy","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontier,"q45_escalated":$q45Escalated,$semOut,$ivfJson,$ivfPersistJson,$ivfIncJson,$ivfDmlJson,$cdcJson,$ssJoinJson,"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
       spark.stop()
       return
     }
@@ -1385,7 +1401,7 @@ object Stress {
     val pointJson =
       f""""point_lookup_ab":{"pruned_sec":$ptPruneSec%.2f,"unpruned_sec":$ptBaseSec%.2f,"speedup":${ptBaseSec / ptPruneSec}%.2f,"shards_skipped":$ptPruned,"shards_total":$ptTotal}"""
     val frontierJson = q45Frontiers.mkString("[", ",", "]")
-    println(s"""{"metric":"stress","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,"q45_escalated":$q45Escalated,$pairsJson,$semOut,$ivfJson,$ivfPersistJson,$ivfIncJson,$ivfDmlJson,$cdcJson,$ssJoinJson,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb}""")
+    println(s"""{"metric":"stress","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"queries":$qs,"q45_frontier_sizes":$frontierJson,"q45_escalated":$q45Escalated,$pairsJson,$semOut,$ivfJson,$ivfPersistJson,$ivfIncJson,$ivfDmlJson,$cdcJson,$ssJoinJson,$packJson,$abJson,$spjJson,$pointJson,"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
     spark.stop()
   }
 
