@@ -104,15 +104,29 @@ object LshStore {
     * so appended rows compose with the indexed ones exactly. Returns
     * the number of newly indexed documents. */
   private[graft] def ensureIndexed(s: SparkSession, d: String,
-                                     bDir: String, lDir: String): Long = {
-    // coalesce: an EMPTY bands table is legal (every seed doc shorter
-    // than 3 tokens sketches to no band rows) — max(doc_id) is then
-    // null and a bare getLong would NPE; frontier -1 treats the whole
-    // corpus as the delta
-    val frontier = s.read.format("graft-kv")
-      .option("catalog", bandsCatalogJson).option("path", bDir).load()
-      .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
-    val delta = Tables.documents(s, d).filter(col("doc_id") > frontier)
+                                     bDir: String, lDir: String): Long =
+    maintainBatch(s, Tables.documents(s, d), bDir, lDir)
+
+  /** One batch of sketch-index maintenance: sketch and append ONLY the
+    * batch's documents past the bands table's frontier — the q131
+    * update, per micro-batch (exposed for q134's stream and the
+    * schedule fuzz). A doc writes band rows iff it has ≥ 3 tokens, and
+    * exactly those docs write shingle rows too, so the bands frontier
+    * covers everything either table holds and a re-delivered batch is
+    * a no-op.
+    *
+    * Frontier coalesce: an EMPTY bands table is legal (every seed doc
+    * shorter than 3 tokens sketches to no band rows) — max(doc_id) is
+    * then null and a bare getLong would NPE; frontier -1 treats the
+    * whole batch as the delta. */
+  private[graft] def maintainBatch(s: SparkSession, batch: DataFrame,
+                                   bDir: String, lDir: String): Long = {
+    val frontier =
+      if (!new File(s"$bDir/_kvmeta.json").exists()) -1L
+      else s.read.format("graft-kv")
+        .option("catalog", bandsCatalogJson).option("path", bDir).load()
+        .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
+    val delta = batch.filter(col("doc_id") > frontier)
     val n = delta.count()
     if (n > 0) writeIndex(s, delta, bDir, lDir, "append")
     n
@@ -175,5 +189,46 @@ object LshStore {
     Dedup.q46MinhashMd5.oracle,
     doc = "frontier-incremental LSH maintenance: sketch only the unindexed tail")
 
-  def defs: Seq[Q] = Seq(q130LshPersisted, q131LshIncremental)
+  /** q134: streaming sketch-index maintenance — the LSH arm of the
+    * streaming trilogy (q132 inverted index, q133 IVF, this). The
+    * staged document feed (q126's 3 ascending-doc_id commits) drains
+    * as micro-batches (`maxVersionsPerTrigger = 1`) and every batch
+    * sketches + appends ONLY documents past the bands table's pushed
+    * `max(doc_id)` frontier. MinHash signatures are per-document, so
+    * the drained index is EXACTLY a full build — q46's full-pipeline
+    * oracle pins the pair relation hash-exactly — and a replayed batch
+    * is absorbed by the frontier (band rows exist iff ≥ 3 tokens, and
+    * exactly those docs carry shingle rows, so the bands frontier
+    * covers both tables). */
+  val q134LshStream: Q = Q(
+    "q134_lsh_stream",
+    (s, d) => {
+      val dir = KvQueries.incDocsDir(s, d)
+      val bDir = s"$dir-lshs-bands"
+      val lDir = s"$dir-lshs-shingles"
+      val ckpt = s"$dir-ckpt-lshs"
+      def rmrf(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      Seq(ckpt, bDir, lDir).foreach(p => rmrf(new File(p)))
+      try {
+        val q = s.readStream.format("graft-kv")
+          .option("catalog", KvQueries.docsIncCatalogJson).option("path", dir)
+          .option("maxVersionsPerTrigger", 1).load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            maintainBatch(s, batch, bDir, lDir): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally rmrf(new File(ckpt))
+      pairs(s, bDir, lDir)
+    },
+    Dedup.q46MinhashMd5.oracle,
+    doc = "streaming LSH sketch maintenance: each micro-batch sketches past the bands frontier; drained ≡ full build")
+
+  def defs: Seq[Q] = Seq(q130LshPersisted, q131LshIncremental, q134LshStream)
 }

@@ -46,6 +46,23 @@ class LshStoreSpec extends SparkSpec {
       "the appended index must be indistinguishable from a full build")
   }
 
+  test("streaming maintenance (q134): drained index ≡ direct sketch, replay is a no-op") {
+    assert(rows(LshStore.q134LshStream.fn(spark, d)) ==
+      rows(Dedup.q46MinhashMd5.fn(spark, d)),
+      "the stream-maintained sketch index must be indistinguishable from a full build")
+    // lost-checkpoint worst case: every staged batch re-delivered
+    // against the drained index must be absorbed by the bands frontier
+    val dir = KvQueries.incDocsDir(spark, d)
+    val (bDir, lDir) = (s"$dir-lshs-bands", s"$dir-lshs-shingles")
+    val staged = spark.read.format("graft-kv")
+      .option("catalog", KvQueries.docsIncCatalogJson).option("path", dir).load()
+    assert(LshStore.maintainBatch(spark, staged, bDir, lDir) == 0L,
+      "replayed batches past a drained index must append nothing")
+    assert(rows(LshStore.pairs(spark, bDir, lDir)) ==
+      rows(Dedup.q46MinhashMd5.fn(spark, d)),
+      "a replay must not change the pair relation")
+  }
+
   test("a doc's candidate lookup rides band-bucket prefix seeks") {
     val (bDir, _) = LshStore.buildIfAbsent(spark, d, "full",
       Tables.documents(spark, d))
