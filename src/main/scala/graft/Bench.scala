@@ -152,7 +152,11 @@ object Bench {
         .collectFirst { case l if l.startsWith("MemAvailable:") =>
           l.split("\\s+")(1).toLong / 1048576.0 }.getOrElse(-1.0)
       catch { case _: Exception => -1.0 }
-    val load1 = firstLine("/proc/loadavg").split(" ").headOption.getOrElse("-1")
+    // filter(_.nonEmpty): "".split(" ") is Array(""), so a bare headOption
+    // would embed an EMPTY unquoted value — malformed JSON (matching
+    // Stress.hostJson's fallback)
+    val load1 = firstLine("/proc/loadavg").split(" ").headOption
+      .filter(_.nonEmpty).getOrElse("-1")
     val jv = System.getProperty("java.version", "?")
     f"""{"child_heap":"$childHeap","batch":${sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "1")},"repeats":$repeats,"cpus":"$cpus","avail_gb":$availGb%.1f,"load1":$load1,"java":"$jv"}"""
   }
@@ -172,7 +176,12 @@ object Bench {
     val failedArr = failed.map(n => "\"" + key(n) + "\"").mkString("[", ",", "]")
     val coldMap = colds.sortBy(_._1)
       .map { case (k, v) => "\"" + key(k) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"partial":$partial,"failed":$failedArr,"cold_first_sec":$coldMap,"env":${envJson()},"full_map":"BENCH_LOCAL.json"}"""
+    // partial progress lines carry a DISTINCT metric: a consumer that
+    // greps the FIRST "metric":"total" match must never read a partial
+    // cumulative sum as the run's result (the "partial":true field alone
+    // doesn't protect such a consumer)
+    val metric = if (partial) "total_partial" else "total"
+    f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"partial":$partial,"failed":$failedArr,"cold_first_sec":$coldMap,"env":${envJson()},"full_map":"BENCH_LOCAL.json"}"""
   }
 
   /** Fork one fresh JVM for `batch`, parse its JSON line. */

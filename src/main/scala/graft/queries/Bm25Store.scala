@@ -116,25 +116,22 @@ object Bm25Store {
   }
 
   /** Append-incremental maintenance: index every document past the
-    * dl table's pushed `max(doc_id)` frontier. Tokenizes ONLY the
-    * delta; appends one commit per table; a fresh index is a no-op. */
+    * tables' pushed `max(doc_id)` frontiers ([[maintainBatch]] with the
+    * whole corpus as the batch). A fresh index is a no-op. */
   private[graft] def ensureIndexed(s: SparkSession, d: String,
-                                     pDir: String, lDir: String): Long = {
-    // coalesce: dl keeps a row per doc so an empty table means an empty
-    // SEED CORPUS — legal; frontier -1 treats the whole corpus as the
-    // delta instead of NPE-ing on a null max
-    val frontier = s.read.format("graft-kv")
-      .option("catalog", dlCatalogJson).option("path", lDir).load()
+                                     pDir: String, lDir: String): Long =
+    maintainBatch(s, Tables.documents(s, d), pDir, lDir)
+
+  /** One table's indexed frontier: its pushed `max(doc_id)`, or -1 for
+    * an absent or empty table (coalesce: dl keeps a row per doc, so an
+    * empty table means an empty SEED CORPUS — legal; frontier -1 treats
+    * everything as the delta instead of NPE-ing on a null max). */
+  private def tableFrontier(s: SparkSession, catalogJson: String,
+                            dir: String): Long =
+    if (!new File(s"$dir/_kvmeta.json").exists()) -1L
+    else s.read.format("graft-kv")
+      .option("catalog", catalogJson).option("path", dir).load()
       .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
-    val delta = Tables.documents(s, d).filter(col("doc_id") > frontier)
-    val n = delta.count()
-    if (n > 0) {
-      val (p, dl) = indexRows(delta)
-      writePostings(s, p, pDir, "append", 2)
-      writeDl(s, dl, lDir, "append")
-    }
-    n
-  }
 
   /** The BM25 probe over the persisted tables: prefix-seek the terms'
     * postings (rowkey StartsWith ranges; the token-column equality is
@@ -211,29 +208,41 @@ object Bm25Store {
     doc = "append-incremental inverted-index maintenance: tokenize only past the frontier")
 
   /** One micro-batch of index maintenance: tokenize and append the
-    * batch's documents PAST the dl frontier. The frontier filter is
+    * batch's documents PAST the frontier. The frontier filter is
     * the replay discipline — a restarted stream re-delivers a batch,
     * finds its doc_ids already at-or-below the frontier, and appends
     * nothing (the q126 idempotency argument, keyed on the monotone
     * doc_id instead of an anti-join because postings rows are
     * per-(token, doc) and an anti-join would need the whole postings
     * table; the frontier is one pushed aggregate). Exposed for the
-    * restart-idempotency spec. */
+    * restart-idempotency spec.
+    *
+    * The two appends are separate KV commits and a crash can land
+    * BETWEEN them, so each table reconciles against ITS OWN frontier
+    * (r18): a single shared frontier read from dl would re-append
+    * postings after a crash that committed postings but not dl
+    * (doubling tf/df for the batch), and the reverse order would
+    * permanently drop the uncommitted table's rows. Per-table filters
+    * make replay after ANY crash point exactly-once for both tables —
+    * the fully-committed table's filter drops the whole batch, the
+    * crashed-out table's filter admits exactly its missing rows. On
+    * the happy path both frontiers are equal and the extra frontier
+    * read is one more pushed aggregate. */
   private[graft] def maintainBatch(s: SparkSession, batch: DataFrame,
                                    pDir: String, lDir: String): Long = {
-    val frontier =
-      if (!new File(s"$lDir/_kvmeta.json").exists()) -1L
-      else s.read.format("graft-kv")
-        .option("catalog", dlCatalogJson).option("path", lDir).load()
-        .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
-    val fresh = batch.filter(col("doc_id") > frontier)
-    val n = fresh.count()
-    if (n > 0) {
-      val (p, dl) = indexRows(fresh)
-      writePostings(s, p, pDir, "append", 2)
-      writeDl(s, dl, lDir, "append")
-    }
-    n
+    val fP = tableFrontier(s, postingsCatalogJson, pDir)
+    val fDl = tableFrontier(s, dlCatalogJson, lDir)
+    val nPastP =
+      if (fP == fDl) -1L // same frontier ⇒ same delta; count once below
+      else batch.filter(col("doc_id") > fP).count()
+    val nPastDl = batch.filter(col("doc_id") > fDl).count()
+    if ((if (nPastP < 0) nPastDl else nPastP) > 0)
+      writePostings(s, indexRows(batch.filter(col("doc_id") > fP))._1,
+        pDir, "append", 2)
+    if (nPastDl > 0)
+      writeDl(s, indexRows(batch.filter(col("doc_id") > fDl))._2,
+        lDir, "append")
+    nPastDl
   }
 
   /** Streaming index maintenance — the index is kept fresh BY the

@@ -662,18 +662,77 @@ object IvfStore {
     root
   }
 
+  /** Marker for [[maintainBatch]]'s crash window: written (with the
+    * meta's pinned version) BEFORE the KV append, deleted after the
+    * meta advance. Its presence proves a version-ahead `assigned`
+    * table is maintainBatch's own half-finished commit — safe to
+    * adopt — rather than some other writer's. */
+  private[graft] def pendingMarker(root: String): File =
+    new File(s"$root/_maint_pending.json")
+
   /** One micro-batch of dense-index maintenance: assign the batch's
     * vectors PAST the assigned table's pushed `max(vec_id)` frontier
     * against the FROZEN centroids and append-commit, advancing the
     * meta's pinned version (the [[q116IvfIncremental]] update, per
     * micro-batch). The frontier filter is the replay discipline — a
-    * re-delivered batch appends nothing. Returns the rows indexed. */
+    * re-delivered batch appends nothing. Returns the rows indexed.
+    *
+    * Crash window (r18): the KV append and the meta advance are two
+    * commits, and the frontier read is PINNED at the meta's version —
+    * a crash between them would leave the appended rows invisible to
+    * the replayed batch's frontier, so replay would append them AGAIN
+    * (duplicate vec_ids at the new version). maintainBatch therefore
+    * brackets its append with [[pendingMarker]]: on entry, a KV
+    * version ahead of the meta WITH a marker matching the meta's
+    * version is adopted — the orphan commit is maintainBatch's own
+    * frontier-filtered, frozen-centroid append, so its rows are
+    * counted via the lineage-sound `sinceVersion` delta read (a
+    * crashed COMPACTION swap adopts as zero rows — delta planning
+    * excludes rewrite outputs) and the meta is re-pinned over it.
+    * Without a matching marker the orphan's producer is unknown and
+    * the conservative [[incrementLocked]] answer stands: full rebuild.
+    * `crashAfterAppend` is the crash-window spec's injection point —
+    * it returns right after the KV append, exactly the state a real
+    * crash leaves. */
   private[graft] def maintainBatch(s: SparkSession, corpus: String,
-                                   batch: DataFrame): Long =
+                                   batch: DataFrame,
+                                   crashAfterAppend: Boolean = false): Long =
     KvStore.withTableLock(indexRoot(corpus)) {
       val root = indexRoot(corpus)
-      val meta = mapper.readTree(metaFile(root))
+      var meta = mapper.readTree(metaFile(root))
       val assignedDir = s"$root/assigned"
+      val tableV = KvStore.readMeta(assignedDir).version
+      val metaV = meta.path("assignedVersion").asLong()
+      if (tableV != metaV) {
+        val marker = pendingMarker(root)
+        val adoptable = marker.exists() &&
+          mapper.readTree(marker).path("assignedVersion").asLong() == metaV
+        if (!adoptable) {
+          System.err.println(
+            s"[graft] IvfStore: dangling index commit at $root with no pending " +
+              "marker (an unknown writer advanced the assigned table past the " +
+              "meta); falling back to a full rebuild")
+          buildLocked(s, corpus)
+          meta = mapper.readTree(metaFile(root))
+        } else {
+          val orphanRows = s.read.format("graft-kv")
+            .option("catalog", assignedCatalog("ivf_assigned"))
+            .option("path", assignedDir)
+            .option("sinceVersion", metaV).option("asOfVersion", tableV)
+            .load().count()
+          val node = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          node.put("n", meta.path("n").asLong() + orphanRows)
+          node.put("appendedRows", meta.path("appendedRows").asLong() + orphanRows)
+          node.put("assignedVersion", tableV)
+          writeMetaAtomic(root, node)
+          marker.delete()
+          meta = mapper.readTree(metaFile(root))
+          System.err.println(
+            s"[graft] IvfStore: adopted a dangling maintainBatch commit at $root " +
+              s"($orphanRows rows, KV v$metaV -> v$tableV) — a prior batch crashed " +
+              "between its KV append and its meta advance; replay continues past it")
+        }
+      } else pendingMarker(root).delete() // stale marker from a pre-append crash
       val frontier = s.read.format("graft-kv")
         .option("catalog", assignedCatalog("ivf_assigned"))
         .option("path", assignedDir)
@@ -683,6 +742,10 @@ object IvfStore {
         .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
       val nFresh = fresh.count()
       if (nFresh > 0) {
+        val marker = mapper.createObjectNode()
+        marker.put("assignedVersion", meta.path("assignedVersion").asLong())
+        java.nio.file.Files.write(pendingMarker(root).toPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(marker))
         val frozen = loadPinned(s, root, meta)
         graft.functions.CosineSimilarity.register(s)
         Similarity.assignRouted(fresh, frozen.coarse, frozen.centRouted,
@@ -693,12 +756,16 @@ object IvfStore {
           .option("catalog", assignedCatalog("ivf_assigned"))
           .option("path", assignedDir)
           .mode("append").save()
-        val node = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
-        node.put("n", meta.path("n").asLong() + nFresh)
-        node.put("appendedRows", meta.path("appendedRows").asLong() + nFresh)
-        node.put("assignedVersion", KvStore.readMeta(assignedDir).version)
-        writeMetaAtomic(root, node)
-        maybeCompactAssigned(s, root)
+        // crashAfterAppend: spec-injected crash — KV committed, meta not
+        if (!crashAfterAppend) {
+          val node = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          node.put("n", meta.path("n").asLong() + nFresh)
+          node.put("appendedRows", meta.path("appendedRows").asLong() + nFresh)
+          node.put("assignedVersion", KvStore.readMeta(assignedDir).version)
+          writeMetaAtomic(root, node)
+          pendingMarker(root).delete()
+          maybeCompactAssigned(s, root)
+        }
       }
       nFresh
     }

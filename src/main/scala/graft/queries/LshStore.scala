@@ -63,19 +63,24 @@ object LshStore {
   private def pad(id: org.apache.spark.sql.Column) =
     lpad(id.cast("string"), 12, "0")
 
-  private[graft] def writeIndex(s: SparkSession, docs: DataFrame,
-                                  bDir: String, lDir: String,
-                                  mode: String): Unit = {
-    val sh = Dedup.shingleRowsOf(docs)
-    val bands = Dedup.md5Banded(sh).select(
-      concat(col("band").cast("string"), lit("|"), col("bkey"), lit("#"),
-        pad(col("doc_id"))).as("pk"),
-      col("band"), col("bkey"), col("doc_id"))
-    bands.repartitionByRange(4, col("pk"))
+  /** The bands half of the index write — one KV commit (exposed for the
+    * crash-window spec, which commits it alone to simulate a crash
+    * between the two table commits). */
+  private[graft] def writeBands(s: SparkSession, docs: DataFrame,
+                                bDir: String, mode: String): Unit =
+    Dedup.md5Banded(Dedup.shingleRowsOf(docs)).select(
+        concat(col("band").cast("string"), lit("|"), col("bkey"), lit("#"),
+          pad(col("doc_id"))).as("pk"),
+        col("band"), col("bkey"), col("doc_id"))
+      .repartitionByRange(4, col("pk"))
       .write.format("graft-kv")
       .option("catalog", bandsCatalogJson).option("path", bDir)
       .mode(mode).save()
-    sh.select(
+
+  /** The shingles half — the second KV commit. */
+  private[graft] def writeShingles(s: SparkSession, docs: DataFrame,
+                                   lDir: String, mode: String): Unit =
+    Dedup.shingleRowsOf(docs).select(
         concat(pad(col("doc_id")), lit("#"),
           md5(col("sh").cast("binary"))).as("pk"),
         col("doc_id"), col("sh"))
@@ -83,6 +88,12 @@ object LshStore {
       .write.format("graft-kv")
       .option("catalog", shinglesCatalogJson).option("path", lDir)
       .mode(mode).save()
+
+  private[graft] def writeIndex(s: SparkSession, docs: DataFrame,
+                                  bDir: String, lDir: String,
+                                  mode: String): Unit = {
+    writeBands(s, docs, bDir, mode)
+    writeShingles(s, docs, lDir, mode)
   }
 
   private[queries] def buildIfAbsent(s: SparkSession, d: String, tag: String,
@@ -107,29 +118,43 @@ object LshStore {
                                      bDir: String, lDir: String): Long =
     maintainBatch(s, Tables.documents(s, d), bDir, lDir)
 
+  /** One table's indexed frontier: its pushed `max(doc_id)`, or -1 for
+    * an absent or EMPTY table (legal — every seed doc shorter than 3
+    * tokens sketches to no rows; max(doc_id) is then null and a bare
+    * getLong would NPE; frontier -1 treats everything as the delta). */
+  private def tableFrontier(s: SparkSession, catalogJson: String,
+                            dir: String): Long =
+    if (!new File(s"$dir/_kvmeta.json").exists()) -1L
+    else s.read.format("graft-kv")
+      .option("catalog", catalogJson).option("path", dir).load()
+      .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
+
   /** One batch of sketch-index maintenance: sketch and append ONLY the
-    * batch's documents past the bands table's frontier — the q131
-    * update, per micro-batch (exposed for q134's stream and the
-    * schedule fuzz). A doc writes band rows iff it has ≥ 3 tokens, and
-    * exactly those docs write shingle rows too, so the bands frontier
-    * covers everything either table holds and a re-delivered batch is
-    * a no-op.
-    *
-    * Frontier coalesce: an EMPTY bands table is legal (every seed doc
-    * shorter than 3 tokens sketches to no band rows) — max(doc_id) is
-    * then null and a bare getLong would NPE; frontier -1 treats the
-    * whole batch as the delta. */
+    * batch's documents past the index frontier — the q131 update, per
+    * micro-batch (exposed for q134's stream and the schedule fuzz). A
+    * doc writes band rows iff it has ≥ 3 tokens, and exactly those
+    * docs write shingle rows too, so the two tables hold the same
+    * doc_id set — but their appends are SEPARATE KV commits, so each
+    * reconciles against ITS OWN frontier (r18): with a single shared
+    * bands frontier, a crash that committed bands but not shingles
+    * would make the replayed batch a no-op and permanently drop the
+    * batch's shingle rows (every later Jaccard verification involving
+    * those docs reads an incomplete shingle set — silent, not failing).
+    * Per-table filters make replay after any crash point exactly-once
+    * for both tables. On the happy path the frontiers are equal and
+    * both filters admit the same delta. */
   private[graft] def maintainBatch(s: SparkSession, batch: DataFrame,
                                    bDir: String, lDir: String): Long = {
-    val frontier =
-      if (!new File(s"$bDir/_kvmeta.json").exists()) -1L
-      else s.read.format("graft-kv")
-        .option("catalog", bandsCatalogJson).option("path", bDir).load()
-        .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
-    val delta = batch.filter(col("doc_id") > frontier)
-    val n = delta.count()
-    if (n > 0) writeIndex(s, delta, bDir, lDir, "append")
-    n
+    val fB = tableFrontier(s, bandsCatalogJson, bDir)
+    val fS = tableFrontier(s, shinglesCatalogJson, lDir)
+    val nPastB = batch.filter(col("doc_id") > fB).count()
+    val nPastS =
+      if (fB == fS) nPastB else batch.filter(col("doc_id") > fS).count()
+    if (nPastB > 0)
+      writeBands(s, batch.filter(col("doc_id") > fB), bDir, "append")
+    if (nPastS > 0)
+      writeShingles(s, batch.filter(col("doc_id") > fS), lDir, "append")
+    math.max(nPastB, nPastS)
   }
 
   private[queries] def bandsRead(s: SparkSession, bDir: String): DataFrame =
