@@ -236,12 +236,16 @@ object Bm25Store {
       if (fP == fDl) -1L // same frontier ⇒ same delta; count once below
       else batch.filter(col("doc_id") > fP).count()
     val nPastDl = batch.filter(col("doc_id") > fDl).count()
-    if ((if (nPastP < 0) nPastDl else nPastP) > 0)
+    if ((if (nPastP < 0) nPastDl else nPastP) > 0) {
       writePostings(s, indexRows(batch.filter(col("doc_id") > fP))._1,
         pDir, "append", 2)
-    if (nPastDl > 0)
+      StreamMaint.maybeCompact(s, pDir)
+    }
+    if (nPastDl > 0) {
       writeDl(s, indexRows(batch.filter(col("doc_id") > fDl))._2,
         lDir, "append")
+      StreamMaint.maybeCompact(s, lDir)
+    }
     nPastDl
   }
 

@@ -150,10 +150,14 @@ object LshStore {
     val nPastB = batch.filter(col("doc_id") > fB).count()
     val nPastS =
       if (fB == fS) nPastB else batch.filter(col("doc_id") > fS).count()
-    if (nPastB > 0)
+    if (nPastB > 0) {
       writeBands(s, batch.filter(col("doc_id") > fB), bDir, "append")
-    if (nPastS > 0)
+      StreamMaint.maybeCompact(s, bDir)
+    }
+    if (nPastS > 0) {
       writeShingles(s, batch.filter(col("doc_id") > fS), lDir, "append")
+      StreamMaint.maybeCompact(s, lDir)
+    }
     math.max(nPastB, nPastS)
   }
 
