@@ -59,22 +59,33 @@ object Bm25Store {
     s"${new File(sfDir).getName}-${Integer.toHexString(abs.hashCode)}"
   }
 
+  /** The shared tokenize pass both index tables derive from — split out
+    * so [[maintainBatch]]'s steady state can cache it ONCE per
+    * micro-batch instead of re-tokenizing per table write (the r18
+    * crash-safety fix doubled the per-batch tokenize cost; splitting
+    * the pipeline at the (doc_id, tokens) seam reclaims it). */
+  private[graft] def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.Text.tokens(col("text")).as("t"))
+
+  private[graft] def postingsOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(col("t")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .select(
+        concat(col("token"), lit("#"),
+          lpad(col("doc_id").cast("string"), 12, "0")).as("pk"),
+        col("token"), col("doc_id"), col("tf"))
+
+  private[graft] def dlOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+
   /** Postings/dl rows for the given documents slice. dl keeps a row for
     * EVERY doc (dl = 0 for token-less ones) so the dl table's row count
     * IS the corpus size N; avgdl excludes the zero rows, matching
     * q121's tf-derived doc lengths. */
   private[graft] def indexRows(docs: DataFrame): (DataFrame, DataFrame) = {
-    val toks = docs.select(col("doc_id"),
-      graft.functions.Text.tokens(col("text")).as("t"))
-    val tf = toks
-      .select(col("doc_id"), explode(col("t")).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val postings = tf.select(
-      concat(col("token"), lit("#"),
-        lpad(col("doc_id").cast("string"), 12, "0")).as("pk"),
-      col("token"), col("doc_id"), col("tf"))
-    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    (postings, dl)
+    val toks = tokensOf(docs)
+    (postingsOf(toks), dlOf(toks))
   }
 
   private[graft] def writePostings(s: SparkSession, p: DataFrame, dir: String,
@@ -225,28 +236,60 @@ object Bm25Store {
     * permanently drop the uncommitted table's rows. Per-table filters
     * make replay after ANY crash point exactly-once for both tables —
     * the fully-committed table's filter drops the whole batch, the
-    * crashed-out table's filter admits exactly its missing rows. On
-    * the happy path both frontiers are equal and the extra frontier
-    * read is one more pushed aggregate. */
+    * crashed-out table's filter admits exactly its missing rows.
+    *
+    * The happy path (equal frontiers — every run that didn't JUST
+    * crash) pays for the guarantee only in pushed frontier aggregates:
+    * the delta is tokenized ONCE, cached, and both table writes read
+    * the cache (r18 shipped the reconciliation with a duplicated
+    * tokenize job per batch — +37% on q132's drain; r19 reclaims it).
+    * Per-table reconciliation — tokenize per table — runs only when
+    * the frontiers actually diverge, i.e. after a real crash.
+    *
+    * A delta whose documents are all TOKEN-LESS produces dl rows but
+    * zero postings rows; appending the empty postings frame would
+    * churn table versions forever (the postings frontier can never
+    * catch up to dl's), so both branches skip a table's write when the
+    * delta contributes no rows to it. */
   private[graft] def maintainBatch(s: SparkSession, batch: DataFrame,
                                    pDir: String, lDir: String): Long = {
     val fP = tableFrontier(s, postingsCatalogJson, pDir)
     val fDl = tableFrontier(s, dlCatalogJson, lDir)
-    val nPastP =
-      if (fP == fDl) -1L // same frontier ⇒ same delta; count once below
-      else batch.filter(col("doc_id") > fP).count()
-    val nPastDl = batch.filter(col("doc_id") > fDl).count()
-    if ((if (nPastP < 0) nPastDl else nPastP) > 0) {
-      writePostings(s, indexRows(batch.filter(col("doc_id") > fP))._1,
-        pDir, "append", 2)
-      StreamMaint.maybeCompact(s, pDir)
+    if (fP == fDl) {
+      // steady state: same delta for both tables — one tokenize pass
+      val toks = tokensOf(batch.filter(col("doc_id") > fDl)).persist()
+      try {
+        val st = toks.agg(count(lit(1)).as("docs"),
+          coalesce(sum(size(col("t"))), lit(0L)).as("toks")).head()
+        val nDelta = st.getLong(0)
+        if (nDelta > 0) {
+          if (st.getLong(1) > 0) {
+            writePostings(s, postingsOf(toks), pDir, "append", 2)
+            StreamMaint.maybeCompact(s, pDir)
+          }
+          writeDl(s, dlOf(toks), lDir, "append")
+          StreamMaint.maybeCompact(s, lDir)
+        }
+        nDelta
+      } finally { toks.unpersist(); () }
+    } else {
+      // divergent frontiers: a crash landed between the two commits —
+      // reconcile each table against its own delta
+      val pRows = postingsOf(tokensOf(batch.filter(col("doc_id") > fP))).persist()
+      try {
+        if (pRows.limit(1).count() > 0) {
+          writePostings(s, pRows, pDir, "append", 2)
+          StreamMaint.maybeCompact(s, pDir)
+        }
+      } finally { pRows.unpersist(); () }
+      val nPastDl = batch.filter(col("doc_id") > fDl).count()
+      if (nPastDl > 0) {
+        writeDl(s, dlOf(tokensOf(batch.filter(col("doc_id") > fDl))),
+          lDir, "append")
+        StreamMaint.maybeCompact(s, lDir)
+      }
+      nPastDl
     }
-    if (nPastDl > 0) {
-      writeDl(s, indexRows(batch.filter(col("doc_id") > fDl))._2,
-        lDir, "append")
-      StreamMaint.maybeCompact(s, lDir)
-    }
-    nPastDl
   }
 
   /** Streaming index maintenance — the index is kept fresh BY the

@@ -63,12 +63,13 @@ object LshStore {
   private def pad(id: org.apache.spark.sql.Column) =
     lpad(id.cast("string"), 12, "0")
 
-  /** The bands half of the index write — one KV commit (exposed for the
-    * crash-window spec, which commits it alone to simulate a crash
-    * between the two table commits). */
-  private[graft] def writeBands(s: SparkSession, docs: DataFrame,
-                                bDir: String, mode: String): Unit =
-    Dedup.md5Banded(Dedup.shingleRowsOf(docs)).select(
+  /** The bands half of the index write, from an already-computed
+    * (doc_id, sh) shingle relation — [[maintainBatch]]'s steady state
+    * shingles the delta ONCE and feeds both table writes from the
+    * cached rows. */
+  private[graft] def writeBandsFrom(s: SparkSession, sh: DataFrame,
+                                    bDir: String, mode: String): Unit =
+    Dedup.md5Banded(sh).select(
         concat(col("band").cast("string"), lit("|"), col("bkey"), lit("#"),
           pad(col("doc_id"))).as("pk"),
         col("band"), col("bkey"), col("doc_id"))
@@ -77,10 +78,17 @@ object LshStore {
       .option("catalog", bandsCatalogJson).option("path", bDir)
       .mode(mode).save()
 
-  /** The shingles half — the second KV commit. */
-  private[graft] def writeShingles(s: SparkSession, docs: DataFrame,
-                                   lDir: String, mode: String): Unit =
-    Dedup.shingleRowsOf(docs).select(
+  /** The bands half over raw documents — one KV commit (exposed for the
+    * crash-window spec, which commits it alone to simulate a crash
+    * between the two table commits). */
+  private[graft] def writeBands(s: SparkSession, docs: DataFrame,
+                                bDir: String, mode: String): Unit =
+    writeBandsFrom(s, Dedup.shingleRowsOf(docs), bDir, mode)
+
+  /** The shingles half from the shared shingle relation. */
+  private[graft] def writeShinglesFrom(s: SparkSession, sh: DataFrame,
+                                       lDir: String, mode: String): Unit =
+    sh.select(
         concat(pad(col("doc_id")), lit("#"),
           md5(col("sh").cast("binary"))).as("pk"),
         col("doc_id"), col("sh"))
@@ -88,6 +96,11 @@ object LshStore {
       .write.format("graft-kv")
       .option("catalog", shinglesCatalogJson).option("path", lDir)
       .mode(mode).save()
+
+  /** The shingles half over raw documents — the second KV commit. */
+  private[graft] def writeShingles(s: SparkSession, docs: DataFrame,
+                                   lDir: String, mode: String): Unit =
+    writeShinglesFrom(s, Dedup.shingleRowsOf(docs), lDir, mode)
 
   private[graft] def writeIndex(s: SparkSession, docs: DataFrame,
                                   bDir: String, lDir: String,
@@ -141,24 +154,59 @@ object LshStore {
     * batch's shingle rows (every later Jaccard verification involving
     * those docs reads an incomplete shingle set — silent, not failing).
     * Per-table filters make replay after any crash point exactly-once
-    * for both tables. On the happy path the frontiers are equal and
-    * both filters admit the same delta. */
+    * for both tables.
+    *
+    * The happy path (equal frontiers) shingles the delta ONCE, caches
+    * it, and feeds both table writes from the cache (r18 shipped the
+    * reconciliation with a duplicated shingle job per batch; r19
+    * reclaims it). A delta whose documents are all SHORT (< 3 tokens)
+    * sketches to zero rows in BOTH tables; appending the empty frames
+    * would churn table versions on every replay (the frontiers can
+    * never advance past such a tail), so writes are skipped when the
+    * delta contributes no rows. Per-table reconciliation — shingling
+    * per table — runs only when the frontiers actually diverge, i.e.
+    * after a real crash. */
   private[graft] def maintainBatch(s: SparkSession, batch: DataFrame,
                                    bDir: String, lDir: String): Long = {
     val fB = tableFrontier(s, bandsCatalogJson, bDir)
     val fS = tableFrontier(s, shinglesCatalogJson, lDir)
-    val nPastB = batch.filter(col("doc_id") > fB).count()
-    val nPastS =
-      if (fB == fS) nPastB else batch.filter(col("doc_id") > fS).count()
-    if (nPastB > 0) {
-      writeBands(s, batch.filter(col("doc_id") > fB), bDir, "append")
-      StreamMaint.maybeCompact(s, bDir)
+    if (fB == fS) {
+      // steady state: same delta for both tables — one shingle pass
+      val delta = batch.filter(col("doc_id") > fB)
+      val nDocs = delta.count()
+      if (nDocs > 0) {
+        val sh = Dedup.shingleRowsOf(delta).persist()
+        try {
+          if (sh.limit(1).count() > 0) {
+            writeBandsFrom(s, sh, bDir, "append")
+            StreamMaint.maybeCompact(s, bDir)
+            writeShinglesFrom(s, sh, lDir, "append")
+            StreamMaint.maybeCompact(s, lDir)
+          }
+        } finally { sh.unpersist(); () }
+      }
+      nDocs
+    } else {
+      // divergent frontiers: a crash landed between the two commits —
+      // reconcile each table against its own delta
+      val nPastB = batch.filter(col("doc_id") > fB).count()
+      val nPastS = batch.filter(col("doc_id") > fS).count()
+      if (nPastB > 0) {
+        val shB = Dedup.shingleRowsOf(batch.filter(col("doc_id") > fB)).persist()
+        try if (shB.limit(1).count() > 0) {
+          writeBandsFrom(s, shB, bDir, "append")
+          StreamMaint.maybeCompact(s, bDir)
+        } finally { shB.unpersist(); () }
+      }
+      if (nPastS > 0) {
+        val shS = Dedup.shingleRowsOf(batch.filter(col("doc_id") > fS)).persist()
+        try if (shS.limit(1).count() > 0) {
+          writeShinglesFrom(s, shS, lDir, "append")
+          StreamMaint.maybeCompact(s, lDir)
+        } finally { shS.unpersist(); () }
+      }
+      math.max(nPastB, nPastS)
     }
-    if (nPastS > 0) {
-      writeShingles(s, batch.filter(col("doc_id") > fS), lDir, "append")
-      StreamMaint.maybeCompact(s, lDir)
-    }
-    math.max(nPastB, nPastS)
   }
 
   private[queries] def bandsRead(s: SparkSession, bDir: String): DataFrame =
