@@ -190,6 +190,60 @@ object Bm25Store {
       .orderBy(col("rk"))
   }
 
+  /** BATCHED retrieval over the persisted index — [[probe]] for a query
+    * RELATION `(q_id, terms array<string>)` instead of one literal term
+    * set. The single-probe prefix-seek shape cannot scale to millions
+    * of queries (it plans one rowkey range per term, driver-side); the
+    * batched shape is pure joins, no collect, no driver loop:
+    *
+    *  - the probed VOCABULARY (distinct tokens across all queries)
+    *    semi-join-prunes the postings table once for ALL queries;
+    *  - BM25's per-(token, doc) term score is query-INDEPENDENT
+    *    (idf · tf-saturation · length-norm), so it is computed once
+    *    per posting row and only then fanned out to the queries that
+    *    probe that token — |Q| never multiplies the scoring stage;
+    *  - per-query scores are one (q_id, doc_id) aggregate and the
+    *    top-k one q_id window (rank-pushed, no global sort).
+    *
+    * Ranking matches [[probe]]: rounded score desc, doc_id tiebreak —
+    * per query. Duplicate terms inside one query collapse (set
+    * semantics, as [[probe]]'s isin). */
+  private[graft] def probeAll(s: SparkSession, pDir: String, lDir: String,
+                              queries: DataFrame, topK: Int = 10): DataFrame = {
+    val qt = queries
+      .select(col("q_id"), explode(col("terms")).as("token")).distinct()
+    val vocab = qt.select("token").distinct()
+    val pm = s.read.format("graft-kv")
+      .option("catalog", postingsCatalogJson).option("path", pDir).load()
+      .select(col("token"), col("doc_id"), col("tf"))
+      .join(broadcast(vocab), Seq("token"), "left_semi")
+    val dl = s.read.format("graft-kv")
+      .option("catalog", dlCatalogJson).option("path", lDir).load()
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+        count(when(col("dl") > 0, 1)).as("npos"))
+      .select(col("n"),
+        (col("sdl").cast("double") / col("npos").cast("double")).as("avgdl"))
+    val df = pm.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val termScores = pm
+      .join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+    val scored = termScores.join(qt, "token")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("doc_id"),
+        round(col("score"), 6).as("bm25_r"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   private[queries] val Terms = Seq("table", "vector", "customer", "stream")
 
   val q127Bm25Persisted: Q = Q(
@@ -386,7 +440,72 @@ object Bm25Store {
     Some(TextOps.bm25OracleSql),
     doc = "inverted-index maintenance under every-batch self-compaction: merged files, identical probe")
 
+  /** q138's oracle: the q121 BM25 replay generalized to a query
+    * RELATION — queries are `doc_id < 100` with each document's first
+    * 3 tokens as its term set (`t[1:3]` is 1-based inclusive ≡ Spark
+    * `slice(t, 1, 3)`), de-duplicated to (q_id, token) set semantics.
+    * Term scores are per (token, doc) exactly as q121; the per-query
+    * fan-out joins them back to qt and ranks per q_id on the rounded
+    * score (doc_id tiebreak). */
+  private[queries] val bm25BatchOracleSql: String = """
+      WITH ktoks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f]+') END AS t
+        FROM documents),
+      ktf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS token FROM ktoks)
+        GROUP BY doc_id, token),
+      kdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ktf GROUP BY doc_id),
+      kstats AS (
+        SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM kdl),
+      qt AS (
+        SELECT DISTINCT q_id, token FROM (
+          SELECT doc_id AS q_id, unnest(t[1:3]) AS token
+          FROM ktoks WHERE doc_id < 100)),
+      kpostings AS (
+        SELECT f.* FROM ktf f WHERE f.token IN (SELECT token FROM qt)),
+      kdf AS (SELECT token, count(*) AS df FROM kpostings GROUP BY token),
+      kscored AS (
+        SELECT p.token, p.doc_id,
+               ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+               (p.tf * 2.2) /
+               (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS term_score
+        FROM kpostings p
+        JOIN kdf f ON p.token = f.token
+        JOIN kdl l ON p.doc_id = l.doc_id
+        CROSS JOIN kstats s),
+      kperq AS (
+        SELECT q.q_id, sc.doc_id, sum(sc.term_score) AS score
+        FROM kscored sc JOIN qt q ON sc.token = q.token
+        GROUP BY q.q_id, sc.doc_id),
+      kranked AS (
+        SELECT q_id, doc_id, score,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(score, 6) DESC, doc_id) AS rk
+        FROM kperq)
+      SELECT q_id, rk, doc_id, round(score, 6) AS bm25_r
+      FROM kranked WHERE rk <= 5
+      ORDER BY q_id, rk"""
+
+  /** q138: batched keyword retrieval — 100 queries (each document's
+    * first 3 tokens, `doc_id < 100`) against the same persisted
+    * inverted index q127 probes, in ONE distributed plan via
+    * [[probeAll]]. The sparse twin of q137's batched ANN. */
+  val q138Bm25ProbeBatch: Q = Q(
+    "q138_bm25_probe_batch",
+    (s, d) => {
+      val (pDir, lDir) = buildIfAbsent(s, d, "full", Tables.documents(s, d))
+      val queries = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("q_id"),
+          slice(graft.functions.Text.tokens(col("text")), 1, 3).as("terms"))
+      probeAll(s, pDir, lDir, queries, topK = 5)
+    },
+    Some(bm25BatchOracleSql),
+    doc = "batched BM25 retrieval: 100 query term-sets through the persisted inverted index in one plan")
+
   def defs: Seq[Q] =
     Seq(q127Bm25Persisted, q128Bm25Incremental, q132Bm25Stream,
-      q135Bm25StreamCompact)
+      q135Bm25StreamCompact, q138Bm25ProbeBatch)
 }

@@ -489,6 +489,29 @@ object IvfStore {
     Some(Similarity.ivfOracleSql),
     doc = "IVF ANN through the persisted (graft-kv) index, cold-loaded")
 
+  /** q137: BATCHED ANN retrieval through the persisted index — the
+    * r18-verdict gap: every prior probe query retrieves for a handful
+    * of broadcast exemplars, but a production pipeline retrieves for
+    * millions of queries in one plan. [[Similarity.ivfProbeAll]] keeps
+    * the query relation distributed (only the centroid tables are
+    * broadcast; candidates shuffle once on `cell`; ranking is per-query
+    * windows) — no driver loop, no query-side broadcast. 100 query
+    * vectors here (5× the exemplar set, enough to hash-pin the
+    * per-query fan-out) against the same persisted full-corpus index
+    * as q115, replayed by the same full-pipeline oracle widened to
+    * `vec_id < 100`. */
+  val q137IvfProbeBatch: Q = Q(
+    "q137_ivf_probe_batch",
+    (s, d) => {
+      val idx = ensure(s, d)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfProbeAll(s, idx, queries, nProbe = 4)
+    },
+    Some(Similarity.ivfOracleSqlFrom("", "dbl",
+      queryPred = "q.vec_id < 100")),
+    doc = "batched ANN retrieval: 100 queries through the persisted IVF index in one distributed plan")
+
   // ---- q116: append-incremental index maintenance, end to end ----
 
   /** Staged split-corpus root for [[q116IvfIncremental]] (cache-keyed
@@ -617,9 +640,12 @@ object IvfStore {
   /** Stage q133's scenario once per corpus: seed = the same 90% prefix
     * q116 uses (so [[incOracleSql]] pins both), the seed-built index at
     * `indexRoot(corpus)` (corpus dir holds ONLY the seed, so loads stay
-    * fingerprint-fresh while the index grows through the stream), and
-    * the FEED — a versioned KV table, v1 = seed snapshot, v2–v4 = the
-    * tail in three ascending vec_id slices. */
+    * fingerprint-fresh while the index grows through the stream), a
+    * PRISTINE SNAPSHOT of that seed index at `$root/index-seed` (q133
+    * restores it before every timed drain, so each drain does real
+    * tail appends instead of being absorbed by a prior drain's
+    * frontier), and the FEED — a versioned KV table, v1 = seed
+    * snapshot, v2–v4 = the tail in three ascending vec_id slices. */
   private def ensureStreamStage(s: SparkSession, sfDir: String): String = {
     val root = streamRoot(sfDir)
     val corpus = s"$root/corpus"
@@ -627,7 +653,8 @@ object IvfStore {
       val srcFp = corpusFingerprint(sfDir)
       val marker = new File(s"$root/_staged.json")
       val staged = marker.exists() &&
-        mapper.readTree(marker).path("sourceFingerprint").asText() == srcFp
+        mapper.readTree(marker).path("sourceFingerprint").asText() == srcFp &&
+        metaFile(s"$root/index-seed").exists()
       if (!staged) {
         rmrf(new File(root))
         new File(root).mkdirs()
@@ -644,6 +671,8 @@ object IvfStore {
         raw.filter(col("vec_id") <= thr).coalesce(1)
           .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
         build(s, corpus) // seed-frozen centroids, seed-only assigned table
+        StreamMaint.copyDir(new File(indexRoot(corpus)),
+          new File(s"$root/index-seed"))
         def commitFeed(df: DataFrame): Unit =
           df.repartitionByRange(2, col("vec_id"))
             .write.format("graft-kv")
@@ -783,27 +812,25 @@ object IvfStore {
     * same 90% centroid basis, same assignments — so [[incOracleSql]]
     * pins the probe hash-exactly. Idempotent across invocations: a
     * second drain (fresh checkpoint, every version re-delivered — the
-    * lost-checkpoint worst case) is absorbed by the frontier. */
+    * lost-checkpoint worst case) is absorbed by the frontier.
+    *
+    * Each invocation restores the index from the staged pristine seed
+    * snapshot first (r19), so the timed drain always performs the real
+    * tail appends — without the restore, every repeat after the first
+    * measured frontier-absorbed no-ops, understating the maintenance
+    * cost the row exists to measure. */
   val q133IvfStream: Q = Q(
     "q133_ivf_stream",
     (s, d) => {
       val root = ensureStreamStage(s, d)
       val corpus = s"$root/corpus"
-      val ckpt = s"$root/ckpt"
-      rmrf(new File(ckpt))
-      try {
-        val q = s.readStream.format("graft-kv")
-          .option("catalog", feedCatalog).option("path", s"$root/feed")
-          .option("sinceVersion", 1).option("maxVersionsPerTrigger", 1).load()
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            maintainBatch(s, corpus, batch): Unit
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally rmrf(new File(ckpt))
+      rmrf(new File(indexRoot(corpus)))
+      StreamMaint.copyDir(new File(s"$root/index-seed"),
+        new File(indexRoot(corpus)))
+      StreamMaint.drain(s, s"$root/feed", feedCatalog, s"$root/ckpt",
+        sinceVersion = Some(1)) { batch =>
+        maintainBatch(s, corpus, batch): Unit
+      }
       val idx = load(s, corpus)
       val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -812,5 +839,6 @@ object IvfStore {
     Some(incOracleSql),
     doc = "streaming IVF maintenance: micro-batches append frozen-centroid assignments past the frontier; drained ≡ q116")
 
-  def defs: Seq[Q] = Seq(q115IvfPersisted, q116IvfIncremental, q133IvfStream)
+  def defs: Seq[Q] =
+    Seq(q115IvfPersisted, q116IvfIncremental, q133IvfStream, q137IvfProbeBatch)
 }

@@ -421,6 +421,55 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** [[ivfProbe]] for a LARGE query relation — the batched-retrieval
+    * shape a production pipeline runs (millions of queries, one plan),
+    * same math, same output. [[ivfProbe]] broadcasts the query side
+    * twice (fine for a handful of exemplars, fatal at millions);
+    * here only the genuinely-small index relations are broadcast —
+    * `coarse` (c ≈ √k rows) into the query routing and `centRouted`
+    * (k rows) into the cell ranking — while the query stream itself
+    * stays distributed end to end:
+    *
+    *  - route: queries × broadcast(coarse) → per-query coarse rank
+    *    (ONE shuffle, the q_id window; the following cell-rank window
+    *    reuses the same q_id partitioning, so no second exchange);
+    *  - probes carry `q_emb` forward, so candidates never join back to
+    *    the query relation;
+    *  - candidates: `assigned ⋈ probes` shuffles on `cell` — the one
+    *    corpus-sized exchange, sized by nProbe·|Q| probe rows against
+    *    the assignment table, never |Q|·n;
+    *  - per-query top-k: one more q_id window over the candidate
+    *    stream.
+    *
+    * No driver loop, no collect: #queries only widens the shuffles. */
+  def ivfProbeAll(s: SparkSession, idx: IvfIndex, queries: DataFrame,
+                  nProbe: Int, topK: Int = 5): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val wg = Window.partitionBy(col("q_id")).orderBy(col("gcos").desc, col("gid"))
+    val qg = queries.crossJoin(broadcast(idx.coarse))
+      .select(col("q_id"), col("q_emb"), col("gid"),
+        call_function("cosine_sim", col("q_emb"), col("gemb")).as("gcos"))
+      .withColumn("grk", row_number().over(wg))
+      .select(col("q_id"), col("q_emb"), col("gid"), col("grk"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("grk"), col("cos").desc, col("cid"))
+    val probes = qg.join(broadcast(idx.centRouted), "gid")
+      .select(col("q_id"), col("q_emb"), col("cid"), col("grk"),
+        call_function("cosine_sim", col("q_emb"), col("cemb")).as("cos"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cid").as("cell"))
+    val cands = idx.assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
+      expr("cosine_sim(q_emb, embedding)").as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Production probe width: cover ~[[AdaptiveProbeTarget]] vectors'
     * worth of cells, never fewer than 4 cells. At the design point
     * (cells ≈ 256 vectors) this pins nProbe at 4–5 (4 exactly when
@@ -480,7 +529,8 @@ object Similarity {
   private def ivfCandsCtes(extraCtes: String, basis: String,
                            corpus: String = "dbl",
                            recursive: Boolean = false,
-                           nProbe: Int = 4): String = s"""
+                           nProbe: Int = 4,
+                           queryPred: String = "q.vec_id < 20"): String = s"""
       WITH ${if (recursive) "RECURSIVE " else ""}dbl AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),$extraCtes
       params AS (
@@ -528,7 +578,7 @@ object Similarity {
                    (sqrt(list_dot_product(q.emb, q.emb)) *
                     sqrt(list_dot_product(g.gemb, g.gemb))) DESC, g.gid) AS grk
           FROM dbl q CROSS JOIN coarse g
-          WHERE q.vec_id < 20) t),
+          WHERE $queryPred) t),
       probes AS (
         SELECT q_id, cell FROM (
           SELECT qg.q_id, f.cid AS cell,
@@ -546,8 +596,10 @@ object Similarity {
         WHERE a.vec_id <> p.q_id)"""
 
   private[queries] def ivfOracleSqlFrom(extraCtes: String, basis: String,
-                                        corpus: String = "dbl"): String =
-    ivfCandsCtes(extraCtes, basis, corpus) + s""",
+                                        corpus: String = "dbl",
+                                        queryPred: String = "q.vec_id < 20")
+      : String =
+    ivfCandsCtes(extraCtes, basis, corpus, queryPred = queryPred) + s""",
       scored AS (
         SELECT c.q_id, c.n_id,
                list_dot_product(qe.emb, ne.emb) /

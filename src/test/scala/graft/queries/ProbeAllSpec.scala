@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions.col
+
+/** Batched-probe equivalence (r19): `ivfProbeAll` / `Bm25Store.probeAll`
+  * are the distributed-query-relation twins of the exemplar probes —
+  * same math, same ranking, no query-side broadcast, no driver loop.
+  * The oracle gate pins q137/q138 against full SQL replays; these
+  * specs pin the cheaper invariant that the batched plans are
+  * BIT-IDENTICAL to the single-probe plans on the same inputs, so any
+  * later drift between the two code paths fails fast. */
+class ProbeAllSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+  private val Terms = Seq("table", "vector", "customer", "stream")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("ivfProbeAll ≡ ivfProbe on the same query set") {
+    val idx = IvfStore.ensure(spark, d)
+    val qs = Tables.embeddings(spark, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assert(rows(Similarity.ivfProbeAll(spark, idx, qs, nProbe = 4)) ==
+      rows(Similarity.ivfProbe(spark, idx, qs, nProbe = 4)),
+      "the distributed batched probe must rank exactly like the exemplar probe")
+  }
+
+  test("bm25 probeAll ≡ probe for the same term set, with set semantics") {
+    import spark.implicits._
+    val (pDir, lDir) =
+      Bm25Store.buildIfAbsent(spark, d, "full", Tables.documents(spark, d))
+    val single = rows(Bm25Store.probe(spark, pDir, lDir, Terms)
+      .select("rk", "doc_id", "bm25_r"))
+    val batched = Seq((7L, Terms)).toDF("q_id", "terms")
+    assert(rows(Bm25Store.probeAll(spark, pDir, lDir, batched)
+        .select("rk", "doc_id", "bm25_r")) == single,
+      "a one-query batch must reproduce the single probe exactly")
+    // duplicate terms inside a query collapse — probe's isin semantics
+    val duped = Seq((7L, Terms ++ Terms.take(2))).toDF("q_id", "terms")
+    assert(rows(Bm25Store.probeAll(spark, pDir, lDir, duped)
+        .select("rk", "doc_id", "bm25_r")) == single,
+      "duplicate query terms must not double-count term scores")
+  }
+
+  test("batched-probe plans contain no cartesian product") {
+    import spark.implicits._
+    val idx = IvfStore.ensure(spark, d)
+    val qs = Tables.embeddings(spark, d).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ivfPlan = Similarity.ivfProbeAll(spark, idx, qs, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("CartesianProduct"),
+      "ivfProbeAll must never degrade to a cartesian product")
+    val (pDir, lDir) =
+      Bm25Store.buildIfAbsent(spark, d, "full", Tables.documents(spark, d))
+    val queries = Seq((1L, Seq("table")), (2L, Seq("vector", "stream")))
+      .toDF("q_id", "terms")
+    val bmPlan = Bm25Store.probeAll(spark, pDir, lDir, queries)
+      .queryExecution.executedPlan.toString
+    assert(!bmPlan.contains("CartesianProduct"),
+      "probeAll must never degrade to a cartesian product")
+  }
+}
