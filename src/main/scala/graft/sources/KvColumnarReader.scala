@@ -28,13 +28,14 @@ object KvColumnarReader {
     * (array<float> embeddings, map<string,string> props), which write
     * through the vector's child columns + putArray offsets (r17; they
     * previously forced the whole scan onto the row path, so the
-    * embedding/multimodal tables never batched). Calendar-interval
-    * stays on the row path (read-parity type, no vector layout). */
+    * embedding/multimodal tables never batched) and calendar-interval
+    * (r19; writes the vector's three struct children — months, days,
+    * micros — the same layout `ColumnVector.getInterval` reads). */
   def eligible(pruned: StructType): Boolean = pruned.fields.forall { f =>
     f.dataType match {
       case BooleanType | ByteType | ShortType | IntegerType | LongType |
           FloatType | DoubleType | DateType | TimestampType |
-          StringType | BinaryType => true
+          StringType | BinaryType | CalendarIntervalType => true
       case d: DecimalType if d.precision <= 18 => true
       case ArrayType(FloatType, _) => true
       case MapType(StringType, StringType, _) => true
@@ -88,6 +89,12 @@ object KvColumnarReader {
           k += 1
         }
         v.putArray(i, start, n)
+      }
+      case CalendarIntervalType => (v, i, x) => {
+        val ci = x.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+        v.getChild(0).putInt(i, ci.months)
+        v.getChild(1).putInt(i, ci.days)
+        v.getChild(2).putLong(i, ci.microseconds)
       }
       case other => throw new IllegalArgumentException(
         s"not columnar-eligible: $other") // guarded by eligible()
@@ -148,6 +155,12 @@ object KvColumnarReader {
         }
         v.putArray(i, start, n)
       }
+      case CalendarIntervalType => (v, i, b, off, _) => {
+        // stored layout (BytesCodec.encode): months int, days int, micros long
+        v.getChild(0).putInt(i, intAt(b, off))
+        v.getChild(1).putInt(i, intAt(b, off + 4))
+        v.getChild(2).putLong(i, longAt(b, off + 8))
+      }
       case other => throw new IllegalArgumentException(
         s"not columnar-eligible: $other") // guarded by eligible()
     }
@@ -157,6 +170,7 @@ object KvColumnarReader {
 class KvColumnarReader(dir: String, part: KvInputPartition,
                        pruned: StructType, declared: StructType,
                        rowkeyName: String, filters: Array[Filter], limit: Int,
+                       reverse: Boolean = false,
                        capacity: Int = KvColumnarReader.DefaultCapacity)
     extends org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
 
@@ -167,7 +181,8 @@ class KvColumnarReader(dir: String, part: KvInputPartition,
   // object churn was the whole gap between the A/B probes reading ~1.0×
   // (the batch only saved the final InternalRow allocation). Filtered or
   // clipped scans keep the decoder path: predicates evaluate on decoded
-  // scratch values.
+  // scratch values. A DESC tail always carries a pushed limit, so it
+  // can never take the fast path.
   private val fastPath = filters.isEmpty && limit < 0 && part.isFullRange
 
   // same needed-column resolution as the row reader: pruned ∪ filter refs
@@ -264,11 +279,55 @@ class KvColumnarReader(dir: String, part: KvInputPartition,
     }
   }
 
+  // ---- reverse (DESC tail) mode — the columnar twin of the row
+  // reader's ring buffer (r19; reverse scans previously fell back to
+  // the row path wholesale). One forward pass retains the last `limit`
+  // matches' PROJECTED values (decodeInto yields fresh value objects
+  // per record, so holding the references is sound — the row reader's
+  // ring relies on the same property), then batches serve newest-first
+  // through the regular vector writers. ----
+  private var tail: Array[Array[Any]] = _
+  private var tailMatches = 0L
+
+  private def fillTail(): Unit = {
+    tail = new Array[Array[Any]](limit)
+    while (reader.hasNext) {
+      decoder.decodeInto(reader.next())
+      recordsRead += 1
+      if (pred()) {
+        val values = new Array[Any](pruned.length)
+        var k = 0
+        while (k < values.length) {
+          values(k) = decoder.scratch(prunedFromNeeded(k))
+          k += 1
+        }
+        tail((tailMatches % limit).toInt) = values
+        tailMatches += 1
+      }
+    }
+  }
+
   override def next(): Boolean = {
     if (limit >= 0 && served >= limit) return false
     var i = 0
     while (i < vectors.length) { vectors(i).reset(); i += 1 }
     var n = 0
+    if (reverse && limit > 0) {
+      if (tail == null) fillTail()
+      val avail = math.min(tailMatches, limit.toLong)
+      while (n < capacity && served < avail) {
+        val values = tail(((tailMatches - 1L - served) % limit).toInt)
+        var k = 0
+        while (k < writers.length) {
+          val x = values(k)
+          if (x == null) vectors(k).putNull(n) else writers(k)(vectors(k), n, x)
+          k += 1
+        }
+        n += 1
+        served += 1
+      }
+      return if (n == 0) false else { batch.setNumRows(n); true }
+    }
     if (fastPath) {
       visitor.slot = 0
       while (n < capacity && reader.visitNext(visitor)) n += 1

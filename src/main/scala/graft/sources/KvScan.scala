@@ -286,7 +286,8 @@ class KvScan(dir: String, rowkeyName: String, prunedSchema: StructType,
     // Columnar ahead of the filter list: plan renderers truncate the
     // description (spark.sql.maxMetadataStringLength) and the filter
     // list is the unbounded part
-    val col = columnar && !reverse && KvColumnarReader.eligible(prunedSchema) &&
+    val col = columnar && (!reverse || limit > 0) &&
+      KvColumnarReader.eligible(prunedSchema) &&
       !prunedSchema.fieldNames.contains(KvMetadataColumns.ShardCol) &&
       !prunedSchema.fieldNames.contains(KvEventTime.EventTimeCol)
     // Ranges counts the DISJOINT planned rowkey ranges (static filters
@@ -517,8 +518,12 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
     DataType.fromJson(declaredJson).asInstanceOf[StructType]
   @transient private lazy val eventTime = KvEventTime.decode(eventTimeEnc)
 
+  // A reverse scan is columnar-eligible only in its pushed-TopN form
+  // (limit > 0 bounds the ring buffer); reverse-without-limit never
+  // reaches a reader (pushTopN is the only reverse producer) but the
+  // guard keeps the row path as the sound fallback if one ever did.
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnar && !reverse && KvColumnarReader.eligible(pruned) &&
+    columnar && (!reverse || limit > 0) && KvColumnarReader.eligible(pruned) &&
       !pruned.fieldNames.contains(KvMetadataColumns.ShardCol) &&
       !pruned.fieldNames.contains(KvEventTime.EventTimeCol)
 
@@ -540,7 +545,7 @@ case class KvPartitionReaderFactory(dir: String, prunedJson: String,
     if (!KvBloomPrune.canMatch(dir, part.shard, filters ++ part.runtime, declared))
       new KvBloomSkippedReader[org.apache.spark.sql.vectorized.ColumnarBatch]
     else new KvColumnarReader(dir, part, pruned, declared,
-      rowkeyName, filters, limit)
+      rowkeyName, filters, limit, reverse)
   }
 }
 

@@ -311,11 +311,16 @@ class KvConnectorSpec extends SparkSpec {
     assert(scanExec.scan.description().contains("Limit: 3 (DESC tail)"),
       s"DESC top-N must reach the scan: ${scanExec.scan.description()}")
     // the scan itself (before Spark's merge-sort + global limit) must
-    // surface at most n rows per shard — 8 shards * 3 = 24, not 1000
-    val surfaced = scanExec.execute().count()
-    assert(surfaced <= 24, s"DESC tail scan surfaced $surfaced rows (> n per shard)")
+    // surface at most n rows per shard — 8 shards * 3 = 24, not 1000.
+    // r19: the DESC tail is served by the columnar ring buffer, so the
+    // node is columnar and per-shard row counts come from the batches
+    assert(scanExec.supportsColumnar,
+      "the DESC tail must ride the columnar ring buffer (r19)")
+    val perShard = scanExec.executeColumnar()
+      .map(_.numRows()).glom().map(_.sum).collect()
+    assert(perShard.sum <= 24,
+      s"DESC tail scan surfaced ${perShard.sum} rows (> n per shard)")
     // each shard's contribution must be ITS OWN key-descending tail
-    val perShard = scanExec.execute().glom().map(_.length).collect()
     assert(perShard.forall(_ <= 3), s"per-shard counts: ${perShard.toSeq}")
     // tail mode composes with a pushed value filter: odd ids only
     val filtered = kv.filter(col("alive") === false)
@@ -759,6 +764,16 @@ class KvConnectorSpec extends SparkSpec {
     // interval columns coexist with pushable rowkey predicates
     val one = back.filter(col("k") === 7L).collect().head
     assert(one.getAs[CalendarInterval]("iv") == new CalendarInterval(1, 7, 7500L))
+    // r19: calendar columns batch (struct-children vector layout) — the
+    // default read above already rode the columnar path; pin the plan
+    // and the row-path agreement explicitly
+    assert(physicalPlan(back).contains("ColumnarToRow"),
+      s"calendar projection must batch through the vectorized reader:\n${physicalPlan(back)}")
+    val rowPath = spark.read.format("graft-kv")
+      .option("catalog", civCat).option("path", civDir)
+      .option("columnar", "false").load()
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[CalendarInterval]("iv")).toMap
+    assert(rowPath == got, "columnar and row readers must agree on interval cells")
     // WRITE-path parity (r17): the maintenance rewrite must round-trip
     // interval cells too — compact the two shards and re-read
     assert(graft.kv.KvCompactor.compact(civDir, targetBytes = 1L << 20) > 0,
@@ -1279,7 +1294,7 @@ class KvConnectorSpec extends SparkSpec {
       "vectorized and row readers must produce identical results")
   }
 
-  test("nested projections batch through the columnar reader; DESC top-N stays on the row path") {
+  test("nested projections and DESC top-N batch through the columnar reader") {
     // array<float>/map cells write through child-column vectors (r17) —
     // an embedding scan is exactly the shape that must batch at 100 TB
     val vecDir = Files.createTempDirectory("graft-kv-vec").toString
@@ -1298,16 +1313,26 @@ class KvConnectorSpec extends SparkSpec {
       s"array<float> projection must batch through the vectorized reader:\n${physicalPlan(nested)}")
     assert(nested.select(sum(element_at(col("emb"), 2))).head().getDouble(0)
       == (1 to 50).map(_ * 2.0).sum)
-    // calendar-interval keeps the row fallback (no vector layout)
+    // calendar-interval batches too as of r19 (struct-children layout)
     import org.apache.spark.sql.types._
-    assert(!graft.sources.KvColumnarReader.eligible(StructType(Seq(
+    assert(graft.sources.KvColumnarReader.eligible(StructType(Seq(
       StructField("iv", CalendarIntervalType)))),
-      "calendar-interval must not claim columnar eligibility")
-    // DESC-tail top-N keeps the ring-buffer row reader
+      "calendar-interval must claim columnar eligibility (r19)")
+    // DESC-tail top-N rides the columnar ring buffer (r19; it used to
+    // force the whole scan onto the row path) — and must agree with the
+    // row reader bit for bit, including the newest-first order
     val desc = kv.orderBy(col("id").desc).limit(5)
-    assert(!physicalPlan(desc).contains("ColumnarToRow"),
-      "DESC top-N pushdown must stay on the ring-buffer row reader")
+    assert(physicalPlan(desc).contains("ColumnarToRow"),
+      s"DESC top-N pushdown must batch through the columnar ring buffer:\n${physicalPlan(desc)}")
     assert(desc.collect().map(_.getAs[Long]("id")).toSeq == (996L to 1000L).reverse)
+    val descRow = spark.read.format("graft-kv")
+      .option("catalog", catalogJson).option("path", dir)
+      .option("columnar", "false").load()
+      .orderBy(col("id").desc).limit(5)
+    assert(!physicalPlan(descRow).contains("ColumnarToRow"))
+    assert(desc.collect().map(_.toString).toSeq ==
+      descRow.collect().map(_.toString).toSeq,
+      "columnar and row DESC tails must serve identical rows in identical order")
   }
 
   test("scan reports pruning metrics: total shards and per-axis pruned counts") {

@@ -310,6 +310,39 @@ class KvFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: DESC top-N tails agree across row and columnar readers") {
+    // r19: reverse scans ride the columnar ring buffer; this is the
+    // agreement fuzz extended to the tail shape — random tail widths ×
+    // fully-pushable predicates (a residual filter would block the topN
+    // pushdown upstream, so pushable predicates are the ring path)
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 400).map { j =>
+      (j.toLong, randomString(rnd), rnd.nextInt(), randomDouble(rnd),
+        rnd.nextBoolean(), if (rnd.nextBoolean()) null else randomString(rnd))
+    }
+    val src = rows.toDF("k", "s", "i", "d", "b", "c")
+    val dir = Files.createTempDirectory("graft-kv-tail").toString
+    src.repartitionByRange(4, col("k"))
+      .write.format("graft-kv").option("catalog", cat).option("path", dir)
+      .mode("overwrite").save()
+    def read(columnar: Boolean) = spark.read.format("graft-kv")
+      .option("catalog", cat).option("path", dir)
+      .option("columnar", columnar.toString).load()
+    val pivot = rows(61)
+    val preds: Seq[Option[Column]] = Seq(None, Some(col("i") >= pivot._3),
+      Some(col("c").isNull), Some(col("d") <= pivot._4))
+    for (n <- Seq(1, 7, 64, 500); pred <- preds) {
+      def tailOf(df: DataFrame): Seq[String] = pred.fold(df)(df.filter(_))
+        .orderBy(col("k").desc).limit(n).collect().map(_.toString).toSeq
+      val expected = tailOf(src)
+      assert(tailOf(read(columnar = true)) == expected,
+        s"columnar DESC tail n=$n pred $pred diverged")
+      assert(tailOf(read(columnar = false)) == expected,
+        s"row DESC tail n=$n pred $pred diverged")
+    }
+  }
+
   test("nested cells (array<float>, map<string,string>) agree across row and columnar readers") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
