@@ -74,6 +74,21 @@ object Bench {
     .max(repeats)
   private val MidThresholdSec = 2.5
 
+  /** Kernel-storm guard (r19). THE HOST HAS KERNEL STORMS: multi-ten-
+    * second windows of sys% 83–96 across all 32 cores (documented in
+    * ARCHITECTURE "Bench-drift contract") that make any shuffle-heavy
+    * query 5–15× slow at random — min-of-repeats absorbs one bad pass,
+    * but a storm spanning the whole repeat loop still poisons the min.
+    * Each timed pass therefore samples /proc/stat around itself; a pass
+    * whose window ran ≥ [[stormSysPct]] system-mode is DISCARDED and
+    * retried (bounded by [[stormRetries]] extra passes per query), and
+    * the artifact records every discard under "storm_discarded" so two
+    * runs of the same HEAD stay decidable from their JSON alone. A
+    * query that exhausts its retries keeps the tainted sample —
+    * reported timings are never silently dropped, only re-measured. */
+  private def stormSysPct = sys.env.getOrElse("SPARK_GRAFT_STORM_SYS_PCT", "0.35").toDouble
+  private def stormRetries = sys.env.getOrElse("SPARK_GRAFT_STORM_RETRIES", "2").toInt
+
   def main(args: Array[String]): Unit = {
     // every number below rides f"...%.2f" into JSON — under a
     // comma-decimal default locale that emits invalid JSON, so pin the
@@ -81,8 +96,10 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
       case Some(csv) => // child: time the named queries, print one JSON line
-        val (results, failed, colds) = runQueries(csv.split(",").filter(_.nonEmpty).toSeq)
-        println(resultJson(results, failed, skipped = Nil, colds = colds))
+        val (results, failed, colds, storms) =
+          runQueries(csv.split(",").filter(_.nonEmpty).toSeq)
+        println(resultJson(results, failed, skipped = Nil, colds = colds,
+          storms = storms))
       case None => parent()
     }
   }
@@ -102,7 +119,7 @@ object Bench {
     // and the output says so — timings from a fallback batch carry the
     // single-JVM caveat and must not silently pass for fresh-JVM numbers
     val fallbackBatches = scala.collection.mutable.ListBuffer[String]()
-    val acc = scala.collection.mutable.ListBuffer[(Seq[(String, Double)], Seq[String], Seq[(String, Double)])]()
+    val acc = scala.collection.mutable.ListBuffer[(Seq[(String, Double)], Seq[String], Seq[(String, Double)], Seq[(String, Int)])]()
     batches.zipWithIndex.foreach { case (batch, i) =>
       System.err.println(s"[bench] batch ${i + 1}/${batches.length}: ${batch.head}..${batch.last}")
       acc += (try runChild(batch)
@@ -118,13 +135,14 @@ object Bench {
       // measured so far ("partial":true) instead of nothing at all
       if (i + 1 < batches.length)
         println(compactJson(acc.flatMap(_._1).toSeq, acc.flatMap(_._2).toSeq,
-          acc.flatMap(_._3).toSeq, partial = true))
+          acc.flatMap(_._3).toSeq, acc.flatMap(_._4).toSeq, partial = true))
     }
     val perBatch = acc.toSeq
-    val (results, failed, colds) =
-      (perBatch.flatMap(_._1), perBatch.flatMap(_._2), perBatch.flatMap(_._3))
+    val (results, failed, colds, storms) =
+      (perBatch.flatMap(_._1), perBatch.flatMap(_._2), perBatch.flatMap(_._3),
+        perBatch.flatMap(_._4))
     val json = resultJson(results, failed, skipped = oracleOnly.toSeq.sorted,
-      fallback = fallbackBatches.toSeq, colds = colds)
+      fallback = fallbackBatches.toSeq, colds = colds, storms = storms)
     // the driver's bench artifact keeps only a BOUNDED TAIL of stdout
     // (~2000 chars): the full-name full-precision line (~3200 chars for
     // ~100 queries) gets truncated mid-map and the round artifact
@@ -134,7 +152,7 @@ object Bench {
     // immutable BENCH_rNN.json carries a complete parseable map. The
     // full-fidelity line persists in BENCH_LOCAL.json (committed per
     // round as BENCH_rNN_full.json via tools/snapshot_bench.py).
-    println(compactJson(results, failed, colds))
+    println(compactJson(results, failed, colds, storms))
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json: ${e.getMessage}") }
@@ -162,7 +180,9 @@ object Bench {
   }
 
   private def compactJson(results: Seq[(String, Double)], failed: Seq[String],
-                          colds: Seq[(String, Double)], partial: Boolean = false): String = {
+                          colds: Seq[(String, Double)],
+                          storms: Seq[(String, Int)] = Nil,
+                          partial: Boolean = false): String = {
     def short(n: String): String = n.split("_").head
     // q-number prefixes are unique today; if a future name collides,
     // fall back to full names for the colliding entries rather than
@@ -181,12 +201,14 @@ object Bench {
     // cumulative sum as the run's result (the "partial":true field alone
     // doesn't protect such a consumer)
     val metric = if (partial) "total_partial" else "total"
-    f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"partial":$partial,"failed":$failedArr,"cold_first_sec":$coldMap,"env":${envJson()},"full_map":"BENCH_LOCAL.json"}"""
+    val stormMap = storms.sortBy(_._1)
+      .map { case (k, v) => "\"" + key(k) + "\":" + v }.mkString("{", ",", "}")
+    f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"partial":$partial,"failed":$failedArr,"cold_first_sec":$coldMap,"storm_discarded":$stormMap,"env":${envJson()},"full_map":"BENCH_LOCAL.json"}"""
   }
 
   /** Fork one fresh JVM for `batch`, parse its JSON line. */
   private def runChild(batch: Seq[String])
-      : (Seq[(String, Double)], Seq[String], Seq[(String, Double)]) = {
+      : (Seq[(String, Double)], Seq[String], Seq[(String, Double)], Seq[(String, Int)]) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     // inherit module opens / -D flags (a child without the --add-opens
     // list cannot even build a SparkSession on JDK 17+) but NOT the
@@ -218,13 +240,16 @@ object Bench {
     val colds = Option(root.get("cold_first_sec")).toSeq.flatMap { node =>
       node.fieldNames.asScala.toSeq.map(n => n -> node.get(n).asDouble)
     }
-    (results, failed, colds)
+    val storms = Option(root.get("storm_discarded")).toSeq.flatMap { node =>
+      node.fieldNames.asScala.toSeq.map(n => n -> node.get(n).asInt)
+    }
+    (results, failed, colds, storms)
   }
 
   /** Time `names` in THIS JVM (min over `repeats`); the original
     * single-JVM loop, now per-batch. */
   private def runQueries(names: Seq[String])
-      : (Seq[(String, Double)], Seq[String], Seq[(String, Double)]) = {
+      : (Seq[(String, Double)], Seq[String], Seq[(String, Double)], Seq[(String, Int)]) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -245,6 +270,7 @@ object Bench {
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val colds = scala.collection.mutable.ListBuffer[(String, Double)]()
+    val storms = scala.collection.mutable.ListBuffer[(String, Int)]()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       // cache-cold datapoint first: release the shared relations, pay
@@ -270,21 +296,40 @@ object Bench {
       catch { case _: Throwable => () } // the timed loop reports failures
       val times = scala.collection.mutable.ListBuffer[Double]()
       var attempts = 0
+      var discarded = 0
       // base repeats for everyone; sub-second queries keep going (up to
       // fastRepeats) so the reported min is a real floor, not load noise
       while (attempts < repeats ||
              (attempts < fastRepeats && times.nonEmpty && times.min < FastThresholdSec) ||
              (attempts < midRepeats && times.nonEmpty && times.min < MidThresholdSec)) {
+        val j0 = util.Host.cpuJiffies()
         val t0 = System.nanoTime()
         // toRdd.count() materializes the FULL physical plan (projections,
         // sorts, limits) without collecting to the driver; plain count()
         // would let Catalyst prune most of the query away.
+        var dt = -1.0
         try { fn(spark, sfDir).queryExecution.toRdd.count()
-              times += (System.nanoTime() - t0) / 1e9 }
+              dt = (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        attempts += 1
+        if (dt < 0) attempts += 1 // failures count against the loop bound
+        else {
+          val sysPct = util.Host.sysPct(j0, util.Host.cpuJiffies())
+          if (sysPct >= stormSysPct && discarded < stormRetries) {
+            discarded += 1
+            System.err.println(f"[bench] $name: pass overlapped a kernel storm " +
+              f"(sys=${sysPct * 100}%.0f%%), discarding and re-measuring " +
+              f"($discarded/$stormRetries)")
+          } else {
+            if (sysPct >= stormSysPct) System.err.println(
+              f"[bench] $name: storm retries exhausted, keeping a tainted pass " +
+                f"(sys=${sysPct * 100}%.0f%%)")
+            times += dt
+            attempts += 1
+          }
+        }
       }
+      if (discarded > 0) storms += name -> discarded
       if (times.isEmpty) failed += name
       // NaN → emitted as JSON null: a crashing query must never look like
       // a fast one, and null can't be misread as a timing by per-query
@@ -294,12 +339,13 @@ object Bench {
     queries.Dedup.releaseShingles() // free the dedup pass's persisted blocks
     queries.Curation.releaseTokenCounts()
     spark.stop()
-    (results, failed.toSeq, colds.toSeq)
+    (results, failed.toSeq, colds.toSeq, storms.toSeq)
   }
 
   private def resultJson(results: Seq[(String, Double)], failed: Seq[String],
                          skipped: Seq[String], fallback: Seq[String] = Nil,
-                         colds: Seq[(String, Double)] = Nil): String = {
+                         colds: Seq[(String, Double)] = Nil,
+                         storms: Seq[(String, Int)] = Nil): String = {
     val qs = results.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + (if (v.isNaN) "null" else v.toString) }
       .mkString("{", ",", "}")
@@ -307,6 +353,8 @@ object Bench {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val coldMap = colds.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v.toString }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":${arr(failed)},"cold_first_sec":$coldMap,"cached_relations":${arr(cachedRelations.toSeq.sorted)},"skipped_oracle_twins":${arr(skipped)},"single_jvm_fallback":${arr(fallback)},"env":${envJson()}}"""
+    val stormMap = storms.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":${arr(failed)},"cold_first_sec":$coldMap,"storm_discarded":$stormMap,"storm_sys_pct":$stormSysPct,"cached_relations":${arr(cachedRelations.toSeq.sorted)},"skipped_oracle_twins":${arr(skipped)},"single_jvm_fallback":${arr(fallback)},"env":${envJson()}}"""
   }
 }
