@@ -98,7 +98,14 @@ object Stress {
     // streaming index-maintenance section (q132's composition at tier
     // scale) and emit a {"metric":"stress_stream"} line
     val streamOnly = args.drop(1).headOption.contains("streamonly")
-    val sectionOnly = dmlOnly || pqOnly || storeOnly || q111Only || streamOnly
+    // `runMain graft.Stress <copies> compactonly`: run ONLY the
+    // long-run index-store self-compaction section (q135's claim at
+    // tier scale: 120 maintenance batches under the PRODUCTION
+    // threshold keep the live shard count bounded and probe latency
+    // flat, vs a never-compacting control) — {"metric":"stress_compact"}
+    val compactOnly = args.drop(1).headOption.contains("compactonly")
+    val sectionOnly =
+      dmlOnly || pqOnly || storeOnly || q111Only || streamOnly || compactOnly
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the copies count is part of the replica path: a rerun with a
     // different scale can never silently reuse the old replica, and the
@@ -741,6 +748,144 @@ object Stress {
       val reps = steadies.map(s => f"$s%.2f").mkString("[", ",", "]")
       val sysArr = passSys.map(s => f"$s%.3f").mkString("[", ",", "]")
       println(f"""{"metric":"stress_q111","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"q111_substring_dedup":{"first_sec":$first%.2f,"steady_sec":$steady%.2f,"steady_repeats":$reps,"pass_sys_pct":$sysArr,"storm_discarded":$stormDiscarded},"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
+      spark.stop()
+      return
+    }
+
+    // Long-run index-store self-compaction at tier scale (r19,
+    // compactonly mode): q135 proves probe bit-identity under a FORCED
+    // every-batch cycle at gate scale; this section measures the claim
+    // that matters at 100 TB — a BM25 index maintained across 120
+    // micro-batches under the PRODUCTION threshold
+    // (graft.ivfCompactShards = 64) keeps its live shard count bounded
+    // and its probe latency FLAT, while a never-compacting control of
+    // the same drain fragments linearly (~240 live shards by the end).
+    // Probes sample every 10 batches (with per-probe sys% so storm-
+    // inflated samples are adjudicable); the two stores must end
+    // probe-bit-identical — compaction merges files, never rows.
+    if (compactOnly) {
+      def rmrfC(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrfC)
+        f.delete(): Unit
+      }
+      val feedCat =
+        """{"table":{"name":"docs_feed_c"},"rowkey":"doc_id",
+          | "columns":{"doc_id":{"cf":"rowkey","col":"doc_id","type":"long"},
+          |            "text":{"cf":"t","col":"tx","type":"string"}}}""".stripMargin
+      val docs = Tables.documents(spark, out).select("doc_id", "text")
+      val nDocs = docs.count()
+      // 120 single-version micro-batches, produced in 3 phases of 40
+      // commits with a drain after each phase: a backlog deeper than
+      // the 64-archive manifest retention is ADMITTED as one catch-up
+      // batch (sound, but not the steady-state shape this section
+      // measures), so the producer stays within retention and every
+      // version drains as its own batch — the checkpoint carries the
+      // offset across phases, exactly a long-lived production stream.
+      val batches = 120
+      val phases = 3
+      val perPhase = batches / phases
+      val feedDir = s"$out/_compact_feed"
+      rmrfC(new File(feedDir))
+      // ascending doc_id slices (ntile over the global order): a fixed
+      // batch COUNT at every tier, so trajectories compare across
+      // 1x/10x/100x; the single-partition window runs once, at staging
+      val sliced = docs.withColumn("slice",
+          org.apache.spark.sql.functions.ntile(batches).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+        .persist()
+      sliced.count(): Unit
+      def commitSlices(from: Int, until: Int): Unit =
+        (from until until).foreach { i =>
+          sliced.filter(col("slice") === i + 1).drop("slice")
+            .repartitionByRange(2, col("doc_id"))
+            .write.format("graft-kv")
+            .option("catalog", feedCat).option("path", feedDir)
+            .mode("append").save()
+        }
+      val terms = Seq("table", "vector", "customer", "stream")
+      final class Store(tag: String, threshold: String) {
+        val pDir = s"$out/_compact_$tag-postings"
+        val lDir = s"$out/_compact_$tag-dl"
+        private val ckpt = s"$out/_compact_$tag-ckpt"
+        Seq(pDir, lDir, ckpt).foreach(p => rmrfC(new File(p)))
+        val batchSecs = scala.collection.mutable.ListBuffer[Double]()
+        val probeSecs = scala.collection.mutable.ListBuffer[Double]()
+        val liveShards = scala.collection.mutable.ListBuffer[Int]()
+        val probeSys = scala.collection.mutable.ListBuffer[Double]()
+        var n = 0
+        /** One AvailableNow drain of the feed's current backlog; the
+          * checkpoint is KEPT across calls so each drain continues from
+          * the previous phase's offset. */
+        def drainPhase(): Unit = {
+          spark.conf.set("graft.ivfCompactShards", threshold)
+          spark.conf.set("graft.ivfVacuumGraceMs", "0")
+          try {
+            val q = spark.readStream.format("graft-kv")
+              .option("catalog", feedCat).option("path", feedDir)
+              .option("maxVersionsPerTrigger", 1).load()
+              .writeStream
+              .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                val t0 = System.nanoTime()
+                queries.Bm25Store.maintainBatch(spark, batch, pDir, lDir): Unit
+                batchSecs += (System.nanoTime() - t0) / 1e9
+                n += 1
+                if (n % 10 == 0) {
+                  val j0 = graft.util.Host.cpuJiffies()
+                  val tp = System.nanoTime()
+                  queries.Bm25Store.probe(spark, pDir, lDir, terms).collect(): Unit
+                  probeSecs += (System.nanoTime() - tp) / 1e9
+                  probeSys += graft.util.Host.sysPct(j0, graft.util.Host.cpuJiffies())
+                  liveShards += graft.kv.KvStore.readMeta(pDir).shards.length
+                }
+                ()
+              }
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } finally {
+            spark.conf.unset("graft.ivfCompactShards")
+            spark.conf.unset("graft.ivfVacuumGraceMs")
+          }
+          sampleHeap()
+        }
+      }
+      val prod = new Store("prod", "64")
+      val ctrl = new Store("ctrl", Int.MaxValue.toString)
+      (0 until phases).foreach { ph =>
+        commitSlices(ph * perPhase, (ph + 1) * perPhase)
+        prod.drainPhase()
+        ctrl.drainPhase()
+      }
+      sliced.unpersist(): Unit
+      require(prod.n == batches && ctrl.n == batches,
+        s"expected $batches single-version micro-batches per store, " +
+          s"drained prod=${prod.n} ctrl=${ctrl.n}")
+      val (pB, pP, pL, pS) =
+        (prod.batchSecs.toSeq, prod.probeSecs.toSeq, prod.liveShards.toSeq,
+          prod.probeSys.toSeq)
+      val (cB, cP, cL, cS) =
+        (ctrl.batchSecs.toSeq, ctrl.probeSecs.toSeq, ctrl.liveShards.toSeq,
+          ctrl.probeSys.toSeq)
+      // the two stores must answer identically — compaction merged files only
+      val prodProbe = queries.Bm25Store.probe(spark,
+        s"$out/_compact_prod-postings", s"$out/_compact_prod-dl", terms).collect()
+      val ctrlProbe = queries.Bm25Store.probe(spark,
+        s"$out/_compact_ctrl-postings", s"$out/_compact_ctrl-dl", terms).collect()
+      require(prodProbe.map(_.toString).toSeq == ctrlProbe.map(_.toString).toSeq,
+        "compacted store diverged from the uncompacted control")
+      require(pL.last <= 66,
+        s"production threshold failed to bound live shards: ${pL.last}")
+      // 1-2 non-empty shards land per batch (tiny per-batch postings can
+      // collapse to one range partition), so the control ends at
+      // ~batches..2*batches live shards — anything well past the
+      // production threshold proves it never compacted
+      require(cL.last >= batches - 10, s"control unexpectedly compacted: ${cL.last}")
+      def arrD(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      def arrI(xs: Seq[Int]) = xs.mkString("[", ",", "]")
+      System.err.println(s"[stress] compact prod live=${pL.mkString("/")} probes=${arrD(pP)}")
+      System.err.println(s"[stress] compact ctrl live=${cL.mkString("/")} probes=${arrD(cP)}")
+      println(s"""{"metric":"stress_compact","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"batches":$batches,"docs":$nDocs,"prod":{"threshold":64,"batch_secs":${arrD(pB)},"probe_secs":${arrD(pP)},"probe_sys_pct":${arrD(pS)},"live_shards":${arrI(pL)}},"control":{"threshold":"inf","batch_secs":${arrD(cB)},"probe_secs":${arrD(cP)},"probe_sys_pct":${arrD(cS)},"live_shards":${arrI(cL)}},"match":true,"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
       spark.stop()
       return
     }
