@@ -71,6 +71,14 @@ def main() -> int:
                  "revision, which differs from the surrounding queries' "
                  "campaign revision"),
     }
+    # storm-aware passes (r19) carry per-repeat timings, per-repeat sys%
+    # and the discard count — keep them for adjudication when present
+    for extra, field in (("steady_repeats", "steady_repeats_per_pass"),
+                         ("pass_sys_pct", "pass_sys_pct_per_pass"),
+                         ("storm_discarded", "storm_discarded_per_pass")):
+        vals = [p[KEY].get(extra) for p in passes]
+        if any(v is not None for v in vals):
+            tier["queries"][KEY][field] = vals
     with open(tier_path, "w") as f:
         json.dump(tier, f, indent=1)
         f.write("\n")
