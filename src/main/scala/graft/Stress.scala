@@ -104,8 +104,13 @@ object Stress {
     // threshold keep the live shard count bounded and probe latency
     // flat, vs a never-compacting control) — {"metric":"stress_compact"}
     val compactOnly = args.drop(1).headOption.contains("compactonly")
-    val sectionOnly =
-      dmlOnly || pqOnly || storeOnly || q111Only || streamOnly || compactOnly
+    // `runMain graft.Stress <copies> probeonly`: run ONLY the
+    // batched-probe scaling section (q137/q138/q139's probeAll shapes
+    // at 100/1k/10k queries against the tier's persisted stores) and
+    // emit a {"metric":"stress_probe"} line
+    val probeOnly = args.drop(1).headOption.contains("probeonly")
+    val sectionOnly = dmlOnly || pqOnly || storeOnly || q111Only ||
+      streamOnly || compactOnly || probeOnly
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the copies count is part of the replica path: a rerun with a
     // different scale can never silently reuse the old replica, and the
@@ -748,6 +753,100 @@ object Stress {
       val reps = steadies.map(s => f"$s%.2f").mkString("[", ",", "]")
       val sysArr = passSys.map(s => f"$s%.3f").mkString("[", ",", "]")
       println(f"""{"metric":"stress_q111","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"q111_substring_dedup":{"first_sec":$first%.2f,"steady_sec":$steady%.2f,"steady_repeats":$reps,"pass_sys_pct":$sysArr,"storm_discarded":$stormDiscarded},"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
+      spark.stop()
+      return
+    }
+
+    // Batched-probe scaling at tier scale (r19, probeonly mode): the
+    // q137/q138/q139 shapes measured in the NUMBER OF QUERIES against
+    // the tier's persisted stores — ivfProbeAll (dense), Bm25Store.
+    // probeAll (sparse), LshStore.probeBatch (near-dup) at 100 / 1 000
+    // / 10 000 queries. The claim: wall-clock grows sublinearly-to-
+    // linearly in |Q| with NO per-query loop (a driver loop would be
+    // |Q| × per-probe latency — 10 000 × ~1 s ≈ hours; one plan keeps
+    // 10k queries in the seconds range). Query staging (sort + limit +
+    // persist) is untimed; min-of-2 per point with per-pass sys%.
+    if (probeOnly) {
+      val docs = Tables.documents(spark, out)
+      val vecs = Tables.load(spark, out, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      val sizes = Seq(100, 1000, 10000)
+      def timed(body: => Unit): (Double, Double) = {
+        val j0 = graft.util.Host.cpuJiffies()
+        val t0 = System.nanoTime()
+        body
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, graft.util.Host.sysPct(j0, graft.util.Host.cpuJiffies()))
+      }
+      def minOf2(body: => Unit): (Double, Double) = {
+        val a = timed(body); val b = timed(body)
+        if (a._1 <= b._1) a else b
+      }
+      def secsJson(xs: Seq[(Int, (Double, Double), Long)]): String =
+        xs.map { case (nq, (sec, sys), rows) =>
+          f"""{"n_queries":$nq,"sec":$sec%.2f,"sys_pct":$sys%.3f,"rows":$rows}"""
+        }.mkString("[", ",", "]")
+      // dense: persisted full-corpus IVF index
+      val idx = queries.IvfStore.ensure(spark, out)
+      val ivfRows = sizes.map { nq =>
+        val qs = vecs.orderBy(col("vec_id")).limit(nq)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          .persist()
+        qs.count(): Unit
+        var rows = 0L
+        val m = minOf2 {
+          rows = queries.Similarity.ivfProbeAll(spark, idx, qs, nProbe = 4)
+            .queryExecution.toRdd.count()
+        }
+        qs.unpersist(): Unit
+        sampleHeap()
+        System.err.println(f"[stress] ivf_probe_all nq=$nq sec=${m._1}%.2f rows=$rows")
+        (nq, m, rows)
+      }
+      // sparse: persisted full-corpus inverted index. The BM25 arm caps
+      // at 1 000 queries: exhaustive BM25 is Σ over every (query, doc)
+      // pair sharing a term, and first-token query sets are dominated
+      // by stop-word-class tokens whose postings span much of the
+      // corpus — the fan-out is REAL OUTPUT (every query containing
+      // "the" legitimately scores every "the" doc), so the point of
+      // this arm is the batched plan's advantage over a per-query loop
+      // (measured ~20×+), not sublinearity the semantics don't allow.
+      // Top-k postings pruning (WAND/MaxScore) would change the
+      // exhaustive-score contract and is deliberately out of scope.
+      val (pDir, lDir) = queries.Bm25Store.buildIfAbsent(spark, out, "full", docs)
+      val bmRows = sizes.filter(_ <= 1000).map { nq =>
+        val qs = docs.orderBy(col("doc_id")).limit(nq)
+          .select(col("doc_id").as("q_id"),
+            org.apache.spark.sql.functions.slice(
+              graft.functions.Text.tokens(col("text")), 1, 3).as("terms"))
+          .persist()
+        qs.count(): Unit
+        var rows = 0L
+        val m = minOf2 {
+          rows = queries.Bm25Store.probeAll(spark, pDir, lDir, qs, topK = 5)
+            .queryExecution.toRdd.count()
+        }
+        qs.unpersist(): Unit
+        sampleHeap()
+        System.err.println(f"[stress] bm25_probe_all nq=$nq sec=${m._1}%.2f rows=$rows")
+        (nq, m, rows)
+      }
+      // near-dup: persisted full-corpus LSH index, batch sketched in-flight
+      val (bDir, sDir) = queries.LshStore.buildIfAbsent(spark, out, "full", docs)
+      val lshRows = sizes.map { nb =>
+        val batch = docs.orderBy(col("doc_id")).limit(nb).persist()
+        batch.count(): Unit
+        var rows = 0L
+        val m = minOf2 {
+          rows = queries.LshStore.probeBatch(spark, bDir, sDir, batch)
+            .queryExecution.toRdd.count()
+        }
+        batch.unpersist(): Unit
+        sampleHeap()
+        System.err.println(f"[stress] lsh_probe_batch nb=$nb sec=${m._1}%.2f rows=$rows")
+        (nb, m, rows)
+      }
+      println(s"""{"metric":"stress_probe","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"ivf_probe_all":${secsJson(ivfRows)},"bm25_probe_all":${secsJson(bmRows)},"lsh_probe_batch":${secsJson(lshRows)},"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
       spark.stop()
       return
     }

@@ -106,7 +106,7 @@ object Bm25Store {
     * the postings table is bytes-derived ([[IvfStore.indexShards]],
     * estimated from the corpus' character volume — postings carry
     * roughly half the text bytes as (token, ids, counts)). */
-  private[queries] def buildIfAbsent(s: SparkSession, d: String, tag: String,
+  private[graft] def buildIfAbsent(s: SparkSession, d: String, tag: String,
                             docs: => DataFrame): (String, String) = {
     val pDir = graft.kv.KvStore.cacheDir(s"bm25-$tag-postings-${cacheKey(d)}")
     val lDir = graft.kv.KvStore.cacheDir(s"bm25-$tag-dl-${cacheKey(d)}")

@@ -109,7 +109,7 @@ object LshStore {
     writeShingles(s, docs, lDir, mode)
   }
 
-  private[queries] def buildIfAbsent(s: SparkSession, d: String, tag: String,
+  private[graft] def buildIfAbsent(s: SparkSession, d: String, tag: String,
                                      docs: => DataFrame): (String, String) = {
     val bDir = graft.kv.KvStore.cacheDir(s"lsh-$tag-bands-${cacheKey(d)}")
     val lDir = graft.kv.KvStore.cacheDir(s"lsh-$tag-shingles-${cacheKey(d)}")
@@ -243,6 +243,53 @@ object LshStore {
     Dedup.verifyJaccard(sh, cands).orderBy(col("id_a"), col("id_b"))
   }
 
+  /** BATCHED near-dup probe — the dedup-family twin of the batched
+    * retrieval probes (q137 dense / q138 sparse): given a BATCH of
+    * documents, find every verified near-dup pair involving them
+    * against the whole persisted index, WITHOUT re-sketching the
+    * corpus and without the full pair scan. The batch is sketched
+    * in-flight (cost ∝ batch — MinHash is per-document, so the
+    * in-flight rows are bit-identical to the stored ones), its band
+    * rows join the persisted bands table on (band, bkey) — candidates
+    * are sized by shared buckets, never |batch|·|corpus| — and exact
+    * Jaccard verifies from the persisted shingles table. No driver
+    * loop, no collect; the query relation stays distributed. */
+  private[graft] def probeBatch(s: SparkSession, bDir: String, lDir: String,
+                                batch: DataFrame): DataFrame = {
+    val probe = Dedup.md5Banded(Dedup.shingleRowsOf(batch))
+      .select(col("band"), col("bkey"), col("doc_id").as("p_id"))
+    val cands = bandsRead(s, bDir)
+      .select(col("band"), col("bkey"), col("doc_id"))
+      .join(probe, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("p_id"))
+      .select(least(col("doc_id"), col("p_id")).as("id_a"),
+        greatest(col("doc_id"), col("p_id")).as("id_b"))
+      .distinct()
+    val sh = s.read.format("graft-kv")
+      .option("catalog", shinglesCatalogJson).option("path", lDir).load()
+      .select(col("doc_id"), col("sh"))
+    Dedup.verifyJaccard(sh, cands).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q139: [[probeBatch]] for the corpus' last 10% against the full
+    * persisted index. Every pair's LARGER id is a batch doc (batch ids
+    * are the corpus maximum), so the relation ≡ q46's pair relation
+    * filtered to `id_b >= cut` — the oracle wraps q46's full replay
+    * with exactly that predicate. */
+  val q139LshProbeBatch: Q = Q(
+    "q139_lsh_probe_batch",
+    (s, d) => {
+      val (bDir, lDir) = buildIfAbsent(s, d, "full", Tables.documents(s, d))
+      val docs = Tables.documents(s, d)
+      val cut = (docs.count() * 9) / 10
+      probeBatch(s, bDir, lDir, docs.filter(col("doc_id") >= cut))
+    },
+    Dedup.q46MinhashMd5.oracle.map(sql => s"""
+      SELECT * FROM ($sql) t
+      WHERE id_b >= (SELECT (count(*) * 9) // 10 FROM documents)
+      ORDER BY id_a, id_b"""),
+    doc = "batched near-dup probe: a document batch sketched in-flight against the persisted LSH index")
+
   val q130LshPersisted: Q = Q(
     "q130_lsh_persisted",
     (s, d) => {
@@ -345,5 +392,5 @@ object LshStore {
 
   def defs: Seq[Q] =
     Seq(q130LshPersisted, q131LshIncremental, q134LshStream,
-      q136LshStreamCompact)
+      q136LshStreamCompact, q139LshProbeBatch)
 }

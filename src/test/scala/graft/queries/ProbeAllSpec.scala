@@ -43,6 +43,22 @@ class ProbeAllSpec extends SparkSpec {
       "duplicate query terms must not double-count term scores")
   }
 
+  test("lsh probeBatch ≡ the persisted pair relation filtered to the batch") {
+    val docs = Tables.documents(spark, d)
+    val cut = (docs.count() * 9) / 10
+    val (bDir, lDir) =
+      LshStore.buildIfAbsent(spark, d, "full", Tables.documents(spark, d))
+    val batched = rows(
+      LshStore.probeBatch(spark, bDir, lDir, docs.filter(col("doc_id") >= cut)))
+    val filtered = rows(
+      LshStore.pairs(spark, bDir, lDir).filter(col("id_b") >= cut)
+        .orderBy(col("id_a"), col("id_b")))
+    assert(batched == filtered,
+      "in-flight batch sketch must reproduce the stored rows' pair relation")
+    assert(batched.nonEmpty,
+      "fixture sanity: the tail must have at least one near-dup partner")
+  }
+
   test("batched-probe plans contain no cartesian product") {
     import spark.implicits._
     val idx = IvfStore.ensure(spark, d)
