@@ -88,6 +88,16 @@ object Bench {
     * reported timings are never silently dropped, only re-measured. */
   private def stormSysPct = sys.env.getOrElse("SPARK_GRAFT_STORM_SYS_PCT", "0.35").toDouble
   private def stormRetries = sys.env.getOrElse("SPARK_GRAFT_STORM_RETRIES", "2").toInt
+  /** Spread widening (r20): a storm window that spans the WHOLE repeat
+    * loop inflates every pass without any single pass tripping the
+    * sys% guard hard enough to discard — the r19 driver rows q121/q122
+    * whipsawed exactly this way. When the repeat loop's max/min spread
+    * exceeds [[SpreadFactor]] the pass count widens (bounded by this
+    * cap) so the reported min gets more chances to land outside the
+    * storm window. Cheap queries already widen via fast/mid repeats;
+    * this catches the expensive ones. */
+  private def spreadRepeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_REPEATS", "8").toInt
+  private val SpreadFactor = 1.4
 
   def main(args: Array[String]): Unit = {
     // every number below rides f"...%.2f" into JSON — under a
@@ -96,13 +106,21 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
       case Some(csv) => // child: time the named queries, print one JSON line
-        val (results, failed, colds, storms) =
-          runQueries(csv.split(",").filter(_.nonEmpty).toSeq)
-        println(resultJson(results, failed, skipped = Nil, colds = colds,
-          storms = storms))
+        val out = runQueries(csv.split(",").filter(_.nonEmpty).toSeq)
+        println(resultJson(out, skipped = Nil))
       case None => parent()
     }
   }
+
+  /** One batch's measurements: per-query steady mins, failures, the
+    * cache-cold datapoints with their pass sys% (a cold pass is a
+    * ONE-shot number — if it overlapped a storm the artifact must say
+    * so), and per-query storm-discard counts. */
+  private case class RunOut(results: Seq[(String, Double)],
+                            failed: Seq[String],
+                            colds: Seq[(String, Double)],
+                            coldSys: Seq[(String, Double)],
+                            storms: Seq[(String, Int)])
 
   private def parent(): Unit = {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(oracleOnly)
@@ -119,7 +137,7 @@ object Bench {
     // and the output says so — timings from a fallback batch carry the
     // single-JVM caveat and must not silently pass for fresh-JVM numbers
     val fallbackBatches = scala.collection.mutable.ListBuffer[String]()
-    val acc = scala.collection.mutable.ListBuffer[(Seq[(String, Double)], Seq[String], Seq[(String, Double)], Seq[(String, Int)])]()
+    val acc = scala.collection.mutable.ListBuffer[RunOut]()
     batches.zipWithIndex.foreach { case (batch, i) =>
       System.err.println(s"[bench] batch ${i + 1}/${batches.length}: ${batch.head}..${batch.last}")
       acc += (try runChild(batch)
@@ -134,15 +152,11 @@ object Bench {
       // ends with a complete, parseable line covering everything
       // measured so far ("partial":true) instead of nothing at all
       if (i + 1 < batches.length)
-        println(compactJson(acc.flatMap(_._1).toSeq, acc.flatMap(_._2).toSeq,
-          acc.flatMap(_._3).toSeq, acc.flatMap(_._4).toSeq, partial = true))
+        println(compactJson(merge(acc.toSeq), partial = true))
     }
-    val perBatch = acc.toSeq
-    val (results, failed, colds, storms) =
-      (perBatch.flatMap(_._1), perBatch.flatMap(_._2), perBatch.flatMap(_._3),
-        perBatch.flatMap(_._4))
-    val json = resultJson(results, failed, skipped = oracleOnly.toSeq.sorted,
-      fallback = fallbackBatches.toSeq, colds = colds, storms = storms)
+    val all = merge(acc.toSeq)
+    val json = resultJson(all, skipped = oracleOnly.toSeq.sorted,
+      fallback = fallbackBatches.toSeq)
     // the driver's bench artifact keeps only a BOUNDED TAIL of stdout
     // (~2000 chars): the full-name full-precision line (~3200 chars for
     // ~100 queries) gets truncated mid-map and the round artifact
@@ -152,7 +166,7 @@ object Bench {
     // immutable BENCH_rNN.json carries a complete parseable map. The
     // full-fidelity line persists in BENCH_LOCAL.json (committed per
     // round as BENCH_rNN_full.json via tools/snapshot_bench.py).
-    println(compactJson(results, failed, colds, storms))
+    println(compactJson(all))
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json: ${e.getMessage}") }
@@ -179,10 +193,13 @@ object Bench {
     f"""{"child_heap":"$childHeap","batch":${sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "1")},"repeats":$repeats,"cpus":"$cpus","avail_gb":$availGb%.1f,"load1":$load1,"java":"$jv"}"""
   }
 
-  private def compactJson(results: Seq[(String, Double)], failed: Seq[String],
-                          colds: Seq[(String, Double)],
-                          storms: Seq[(String, Int)] = Nil,
-                          partial: Boolean = false): String = {
+  private def merge(batches: Seq[RunOut]): RunOut =
+    RunOut(batches.flatMap(_.results), batches.flatMap(_.failed),
+      batches.flatMap(_.colds), batches.flatMap(_.coldSys),
+      batches.flatMap(_.storms))
+
+  private def compactJson(out: RunOut, partial: Boolean = false): String = {
+    import out._
     def short(n: String): String = n.split("_").head
     // q-number prefixes are unique today; if a future name collides,
     // fall back to full names for the colliding entries rather than
@@ -196,6 +213,8 @@ object Bench {
     val failedArr = failed.map(n => "\"" + key(n) + "\"").mkString("[", ",", "]")
     val coldMap = colds.sortBy(_._1)
       .map { case (k, v) => "\"" + key(k) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val coldSysMap = coldSys.sortBy(_._1)
+      .map { case (k, v) => "\"" + key(k) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     // partial progress lines carry a DISTINCT metric: a consumer that
     // greps the FIRST "metric":"total" match must never read a partial
     // cumulative sum as the run's result (the "partial":true field alone
@@ -203,12 +222,11 @@ object Bench {
     val metric = if (partial) "total_partial" else "total"
     val stormMap = storms.sortBy(_._1)
       .map { case (k, v) => "\"" + key(k) + "\":" + v }.mkString("{", ",", "}")
-    f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"partial":$partial,"failed":$failedArr,"cold_first_sec":$coldMap,"storm_discarded":$stormMap,"env":${envJson()},"full_map":"BENCH_LOCAL.json"}"""
+    f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"partial":$partial,"failed":$failedArr,"cold_first_sec":$coldMap,"cold_sys_pct":$coldSysMap,"storm_discarded":$stormMap,"env":${envJson()},"full_map":"BENCH_LOCAL.json"}"""
   }
 
   /** Fork one fresh JVM for `batch`, parse its JSON line. */
-  private def runChild(batch: Seq[String])
-      : (Seq[(String, Double)], Seq[String], Seq[(String, Double)], Seq[(String, Int)]) = {
+  private def runChild(batch: Seq[String]): RunOut = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     // inherit module opens / -D flags (a child without the --add-opens
     // list cannot even build a SparkSession on JDK 17+) but NOT the
@@ -240,16 +258,18 @@ object Bench {
     val colds = Option(root.get("cold_first_sec")).toSeq.flatMap { node =>
       node.fieldNames.asScala.toSeq.map(n => n -> node.get(n).asDouble)
     }
+    val coldSys = Option(root.get("cold_sys_pct")).toSeq.flatMap { node =>
+      node.fieldNames.asScala.toSeq.map(n => n -> node.get(n).asDouble)
+    }
     val storms = Option(root.get("storm_discarded")).toSeq.flatMap { node =>
       node.fieldNames.asScala.toSeq.map(n => n -> node.get(n).asInt)
     }
-    (results, failed, colds, storms)
+    RunOut(results, failed, colds, coldSys, storms)
   }
 
   /** Time `names` in THIS JVM (min over `repeats`); the original
     * single-JVM loop, now per-batch. */
-  private def runQueries(names: Seq[String])
-      : (Seq[(String, Double)], Seq[String], Seq[(String, Double)], Seq[(String, Int)]) = {
+  private def runQueries(names: Seq[String]): RunOut = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -270,20 +290,47 @@ object Bench {
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val colds = scala.collection.mutable.ListBuffer[(String, Double)]()
+    val coldSys = scala.collection.mutable.ListBuffer[(String, Double)]()
     val storms = scala.collection.mutable.ListBuffer[(String, Int)]()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       // cache-cold datapoint first: release the shared relations, pay
       // the one-time build inside the measurement, THEN let the normal
-      // repeat loop measure the warm steady floor
+      // repeat loop measure the warm steady floor. The cold number is a
+      // one-shot, so it gets the same storm treatment as steady passes
+      // (r20): a storm-tainted cold run is retried (caches re-released
+      // — the build re-runs, so the retry is still genuinely cold) and
+      // the pass's sys% is emitted under cold_sys_pct either way, so a
+      // tainted survivor is disclosed rather than silently kept.
       if (coldMeasured(name)) {
-        queries.Dedup.releaseShingles()
-        queries.Curation.releaseTokenCounts()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count()
-              colds += name -> (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name cold run failed: ${e.getMessage}") }
+        var coldTries = 0
+        var done = false
+        while (!done && coldTries <= stormRetries) {
+          queries.Dedup.releaseShingles()
+          queries.Curation.releaseTokenCounts()
+          val j0 = util.Host.cpuJiffies()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            val sysPct = util.Host.sysPct(j0, util.Host.cpuJiffies())
+            if (sysPct >= stormSysPct && coldTries < stormRetries) {
+              coldTries += 1
+              System.err.println(f"[bench] $name: cold pass overlapped a kernel " +
+                f"storm (sys=${sysPct * 100}%.0f%%), re-running cold ($coldTries/$stormRetries)")
+            } else {
+              if (sysPct >= stormSysPct) System.err.println(
+                f"[bench] $name: cold storm retries exhausted, keeping a " +
+                  f"tainted cold pass (sys=${sysPct * 100}%.0f%%)")
+              colds += name -> dt
+              coldSys += name -> sysPct
+              done = true
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name cold run failed: ${e.getMessage}")
+            done = true
+          }
+        }
       }
       // one UNTIMED execution first: in the batched protocol a query
       // inherited JIT/codegen warmth from its batchmates; a per-query
@@ -298,10 +345,15 @@ object Bench {
       var attempts = 0
       var discarded = 0
       // base repeats for everyone; sub-second queries keep going (up to
-      // fastRepeats) so the reported min is a real floor, not load noise
+      // fastRepeats) so the reported min is a real floor, not load noise;
+      // any query whose passes SPREAD past SpreadFactor keeps going too
+      // (up to spreadRepeats) — a storm window spanning the base repeats
+      // otherwise poisons the min without tripping any per-pass guard
       while (attempts < repeats ||
              (attempts < fastRepeats && times.nonEmpty && times.min < FastThresholdSec) ||
-             (attempts < midRepeats && times.nonEmpty && times.min < MidThresholdSec)) {
+             (attempts < midRepeats && times.nonEmpty && times.min < MidThresholdSec) ||
+             (attempts < spreadRepeats && times.nonEmpty &&
+               times.max / times.min > SpreadFactor)) {
         val j0 = util.Host.cpuJiffies()
         val t0 = System.nanoTime()
         // toRdd.count() materializes the FULL physical plan (projections,
@@ -339,13 +391,12 @@ object Bench {
     queries.Dedup.releaseShingles() // free the dedup pass's persisted blocks
     queries.Curation.releaseTokenCounts()
     spark.stop()
-    (results, failed.toSeq, colds.toSeq, storms.toSeq)
+    RunOut(results, failed.toSeq, colds.toSeq, coldSys.toSeq, storms.toSeq)
   }
 
-  private def resultJson(results: Seq[(String, Double)], failed: Seq[String],
-                         skipped: Seq[String], fallback: Seq[String] = Nil,
-                         colds: Seq[(String, Double)] = Nil,
-                         storms: Seq[(String, Int)] = Nil): String = {
+  private def resultJson(out: RunOut, skipped: Seq[String],
+                         fallback: Seq[String] = Nil): String = {
+    import out._
     val qs = results.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + (if (v.isNaN) "null" else v.toString) }
       .mkString("{", ",", "}")
@@ -353,8 +404,10 @@ object Bench {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val coldMap = colds.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v.toString }.mkString("{", ",", "}")
+    val coldSysMap = coldSys.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v.toString }.mkString("{", ",", "}")
     val stormMap = storms.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":${arr(failed)},"cold_first_sec":$coldMap,"storm_discarded":$stormMap,"storm_sys_pct":$stormSysPct,"cached_relations":${arr(cachedRelations.toSeq.sorted)},"skipped_oracle_twins":${arr(skipped)},"single_jvm_fallback":${arr(fallback)},"env":${envJson()}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"failed":${arr(failed)},"cold_first_sec":$coldMap,"cold_sys_pct":$coldSysMap,"storm_discarded":$stormMap,"storm_sys_pct":$stormSysPct,"cached_relations":${arr(cachedRelations.toSeq.sorted)},"skipped_oracle_twins":${arr(skipped)},"single_jvm_fallback":${arr(fallback)},"env":${envJson()}}"""
   }
 }

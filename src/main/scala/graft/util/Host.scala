@@ -14,12 +14,15 @@ object Host {
 
   /** (system-mode jiffies, total jiffies) from /proc/stat's aggregate
     * cpu line; (0, 0) where unreadable — callers' sys% then reads 0 and
-    * the guard never fires (sound degradation off-Linux). */
+    * the guard never fires (sound degradation off-Linux). The total
+    * sums only fields 1–8 (user..steal): the kernel already folds
+    * guest/guest_nice into user/nice, so including them would
+    * double-count guest time and understate sys% on VM hosts. */
   def cpuJiffies(): (Long, Long) =
     try {
       val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
         .split("\\s+").drop(1).map(_.toLong)
-      (f(2), f.sum)
+      (f(2), f.take(8).sum)
     } catch { case _: Exception => (0L, 0L) }
 
   /** Fraction of CPU time spent in system mode between two samples;

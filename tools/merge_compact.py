@@ -60,7 +60,22 @@ def main() -> int:
             return 1
     base = dict(passes[0])
     for arm in ("prod", "control"):
+        # live-shard trajectories are deterministic: same engine, same
+        # tier, same batch schedule -> identical across passes. A
+        # mismatch means the passes are not measuring the same thing,
+        # so refuse instead of silently keeping pass 1's copy.
+        shard_lists = [p[arm]["live_shards"] for p in passes]
+        if any(sl != shard_lists[0] for sl in shard_lists[1:]):
+            print(f"refusing: {arm} live_shards trajectories differ across "
+                  f"passes (not the same deterministic run)", file=sys.stderr)
+            return 1
         probe_lists = [p[arm]["probe_secs"] for p in passes]
+        if len(set(len(pl) for pl in probe_lists)) != 1:
+            print(f"refusing: {arm} probe_secs lengths differ across passes "
+                  f"({[len(pl) for pl in probe_lists]}) — a truncated pass "
+                  f"would silently shorten the median trajectory",
+                  file=sys.stderr)
+            return 1
         base[arm]["probe_secs"] = [
             median([pl[i] for pl in probe_lists])
             for i in range(min(len(pl) for pl in probe_lists))]
