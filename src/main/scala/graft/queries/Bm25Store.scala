@@ -89,11 +89,15 @@ object Bm25Store {
   }
 
   private[graft] def writePostings(s: SparkSession, p: DataFrame, dir: String,
-                            mode: String, shards: Int): Unit =
+                            mode: String, shards: Int): Unit = {
+    // a rebuild invalidates any coverage claim from a prior generation
+    // (a stale stamp ahead of the fresh table would silently skip docs)
+    if (mode == "overwrite") stampFile(dir).delete(): Unit
     p.repartitionByRange(shards, col("pk"))
       .write.format("graft-kv")
       .option("catalog", postingsCatalogJson).option("path", dir)
       .mode(mode).save()
+  }
 
   private[graft] def writeDl(s: SparkSession, dl: DataFrame, dir: String,
                       mode: String): Unit =
@@ -143,6 +147,53 @@ object Bm25Store {
     else s.read.format("graft-kv")
       .option("catalog", catalogJson).option("path", dir).load()
       .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
+
+  /** Postings COVERAGE stamp (r20). The postings table's own
+    * `max(doc_id)` cannot express "this doc was tokenized and
+    * contributed NO rows": a delta whose tail documents are token-less
+    * leaves the postings max short of the dl frontier forever, and
+    * every later batch then takes the divergent-frontier crash-replay
+    * branch (tokenize twice) even though no crash occurred. The stamp
+    * is a tiny sidecar next to the manifest recording the max doc_id
+    * whose tokenization OUTCOME the postings table already reflects —
+    * rows committed, or known token-less. It is written atomically
+    * (tmp + ATOMIC_MOVE), strictly AFTER the postings commit it covers
+    * (so it never claims coverage ahead of durable rows: a crash
+    * before the stamp leaves the old claim, and replay re-derives the
+    * missing tail from the table max), monotone, carried by
+    * [[StreamMaint.copyDir]], and untouched by compaction/vacuum
+    * (which only reclaim .kv shards, archived manifests and bloom
+    * sidecars — `KvCompactor.vacuumAt`). */
+  private def stampFile(pDir: String): File = new File(s"$pDir/_frontier.stamp")
+
+  private def readStamp(pDir: String): Long = {
+    val f = stampFile(pDir)
+    if (!f.exists()) -1L
+    else try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+    catch { case _: Exception => -1L } // unreadable = no claim; table max still rules
+  }
+
+  private def writeStamp(pDir: String, v: Long): Unit =
+    if (v > readStamp(pDir)) {
+      val tmp = new File(s"$pDir/_frontier.stamp.tmp")
+      java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, stampFile(pDir).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+
+  /** The postings table's effective frontier: committed rows OR stamped
+    * token-less coverage, whichever reaches further. */
+  private def postingsFrontier(s: SparkSession, pDir: String): Long =
+    math.max(tableFrontier(s, postingsCatalogJson, pDir), readStamp(pDir))
+
+  /** Both effective frontiers, exposed for the steady-state-invariant
+    * spec: after ANY crash-free batch — token-less tails included —
+    * these must be equal (the steady-state single-tokenize path's
+    * entry condition). */
+  private[graft] def frontiers(s: SparkSession, pDir: String,
+                               lDir: String): (Long, Long) =
+    (postingsFrontier(s, pDir), tableFrontier(s, dlCatalogJson, lDir))
 
   /** The BM25 probe over the persisted tables: prefix-seek the terms'
     * postings (rowkey StartsWith ranges; the token-column equality is
@@ -304,23 +355,35 @@ object Bm25Store {
     * zero postings rows; appending the empty postings frame would
     * churn table versions forever (the postings frontier can never
     * catch up to dl's), so both branches skip a table's write when the
-    * delta contributes no rows to it. */
+    * delta contributes no rows to it. The skipped write still ADVANCES
+    * the postings frontier through the coverage stamp (r20): without
+    * it, one token-less tail document left `fP < fDl` forever and
+    * permanently evicted every later batch from this steady-state
+    * single-tokenize path into the double-tokenize reconciliation
+    * below. Stamp ordering is the crash discipline: rows commit first,
+    * stamp second, dl last — so a crash at any point leaves the stamp
+    * at or behind the durable postings coverage and replay re-admits
+    * exactly the missing rows. */
   private[graft] def maintainBatch(s: SparkSession, batch: DataFrame,
                                    pDir: String, lDir: String): Long = {
-    val fP = tableFrontier(s, postingsCatalogJson, pDir)
+    val fP = postingsFrontier(s, pDir)
     val fDl = tableFrontier(s, dlCatalogJson, lDir)
     if (fP == fDl) {
       // steady state: same delta for both tables — one tokenize pass
       val toks = tokensOf(batch.filter(col("doc_id") > fDl)).persist()
       try {
         val st = toks.agg(count(lit(1)).as("docs"),
-          coalesce(sum(size(col("t"))), lit(0L)).as("toks")).head()
+          coalesce(sum(size(col("t"))), lit(0L)).as("toks"),
+          coalesce(max(col("doc_id")), lit(-1L)).as("mx")).head()
         val nDelta = st.getLong(0)
         if (nDelta > 0) {
           if (st.getLong(1) > 0) {
             writePostings(s, postingsOf(toks), pDir, "append", 2)
             StreamMaint.maybeCompact(s, pDir)
           }
+          // coverage reaches the delta max either way: rows just
+          // committed above, or the uncovered tail is token-less
+          writeStamp(pDir, st.getLong(2))
           writeDl(s, dlOf(toks), lDir, "append")
           StreamMaint.maybeCompact(s, lDir)
         }
@@ -329,12 +392,15 @@ object Bm25Store {
     } else {
       // divergent frontiers: a crash landed between the two commits —
       // reconcile each table against its own delta
-      val pRows = postingsOf(tokensOf(batch.filter(col("doc_id") > fP))).persist()
+      val pDelta = batch.filter(col("doc_id") > fP)
+      val pRows = postingsOf(tokensOf(pDelta)).persist()
       try {
         if (pRows.limit(1).count() > 0) {
           writePostings(s, pRows, pDir, "append", 2)
           StreamMaint.maybeCompact(s, pDir)
         }
+        val mx = pDelta.agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
+        if (mx >= 0) writeStamp(pDir, mx)
       } finally { pRows.unpersist(); () }
       val nPastDl = batch.filter(col("doc_id") > fDl).count()
       if (nPastDl > 0) {

@@ -70,6 +70,79 @@ class StreamMaintPropSpec extends SparkSpec {
     assert(res.passed, s"property falsified: ${res.status}")
   }
 
+  /** The token-less-delta arm (r20): random schedules where whole
+    * batches — or just their TAILS — carry empty text. The contract
+    * under test is the steady-state invariant the coverage stamp
+    * restores: after any crash-free batch the two effective frontiers
+    * are EQUAL (so the next batch takes the single-tokenize path), the
+    * postings table's version churns only when the batch actually
+    * contributed postings rows (an all-token-less delta appends
+    * nothing), replay appends nothing, and the probe still equals the
+    * direct pipeline over the same (partially emptied) prefix corpus. */
+  test("BM25 token-less deltas: frontiers converge, no postings churn, probes pinned") {
+    import org.apache.spark.sql.functions.{lit, not, round, when}
+    val docs = Tables.documents(spark, d)
+    val n = docs.count()
+    val seedN = n / 2
+    val schedGen: Gen[(List[Long], List[Int])] = for {
+      k <- Gen.chooseNum(0, 2)
+      cuts <- Gen.listOfN(k, Gen.chooseNum(seedN + 1, n - 1))
+      bounds = (seedN +: cuts.distinct.sorted :+ n).distinct.sorted
+      // 0 = normal, 1 = every doc token-less, 2 = token-less tail (last 2)
+      modes <- Gen.listOfN(bounds.length - 1, Gen.chooseNum(0, 2))
+        .suchThat(_.exists(_ > 0)) // at least one batch exercises the branch
+    } yield (cuts.distinct.sorted, modes)
+    val prop = Prop.forAll(schedGen) { case (cuts, modes) =>
+      val bounds = (seedN +: cuts :+ n).distinct.sorted
+      val steps = bounds.zip(bounds.tail).zip(modes)
+      val emptyCond = steps.map {
+        case ((lo, hi), 1) => col("doc_id") >= lo && col("doc_id") < hi
+        case ((lo, hi), 2) => col("doc_id") >= math.max(lo, hi - 2) && col("doc_id") < hi
+        case _ => lit(false)
+      }.reduce(_ || _)
+      val modDocs = docs.withColumn("text",
+        when(emptyCond, lit("")).otherwise(col("text")))
+      val pDir = Files.createTempDirectory("bm25-empty-p").toString
+      val lDir = Files.createTempDirectory("bm25-empty-l").toString
+      val (p0, dl0) = Bm25Store.indexRows(modDocs.filter(col("doc_id") < seedN))
+      Bm25Store.writePostings(spark, p0, pDir, "overwrite", 2)
+      Bm25Store.writeDl(spark, dl0, lDir, "overwrite")
+      steps.forall { case ((lo, hi), _) =>
+        val batch = modDocs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select("doc_id", "text")
+        val expectChurn =
+          batch.filter(not(emptyCond)).limit(1).count() > 0
+        val pv0 = graft.kv.KvStore.readMeta(pDir).version
+        val indexed = Bm25Store.maintainBatch(spark, batch, pDir, lDir)
+        val pv1 = graft.kv.KvStore.readMeta(pDir).version
+        val replay = Bm25Store.maintainBatch(spark, batch, pDir, lDir)
+        val pv2 = graft.kv.KvStore.readMeta(pDir).version
+        val (fp, fdl) = Bm25Store.frontiers(spark, pDir, lDir)
+        val prefixDir = Files.createTempDirectory("bm25-empty-corpus").toString
+        modDocs.filter(col("doc_id") < hi)
+          .write.mode("overwrite").parquet(s"$prefixDir/documents.parquet")
+        val direct = bm25Rows(
+          TextOps.bm25RankedWith(spark, prefixDir, Terms).filter(col("rk") <= 10)
+            .select(col("rk"), col("doc_id"), round(col("score"), 6).as("bm25_r"))
+            .orderBy(col("rk")))
+        val got = bm25Rows(Bm25Store.probe(spark, pDir, lDir, Terms))
+        val ok = indexed == hi - lo && replay == 0L &&
+          fp == fdl && fdl == hi - 1 &&
+          (pv1 == pv0 + 1) == expectChurn && (!expectChurn || pv1 == pv0 + 1) &&
+          (expectChurn || pv1 == pv0) && pv2 == pv1 &&
+          got == direct
+        if (!ok) System.err.println(
+          s"BM25 EMPTY-DELTA MISMATCH cuts=$cuts modes=$modes step=[$lo,$hi) " +
+            s"indexed=$indexed replay=$replay fp=$fp fdl=$fdl " +
+            s"pv=$pv0->$pv1->$pv2 expectChurn=$expectChurn")
+        ok
+      }
+    }
+    val res = PropTest.check(
+      PropTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
   test("IVF maintainBatch over random schedules ≡ one-batch twin at every step") {
     val vecs = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))
