@@ -803,18 +803,18 @@ object Stress {
         System.err.println(f"[stress] ivf_probe_all nq=$nq sec=${m._1}%.2f rows=$rows")
         (nq, m, rows)
       }
-      // sparse: persisted full-corpus inverted index. The BM25 arm caps
-      // at 1 000 queries: exhaustive BM25 is Σ over every (query, doc)
-      // pair sharing a term, and first-token query sets are dominated
-      // by stop-word-class tokens whose postings span much of the
-      // corpus — the fan-out is REAL OUTPUT (every query containing
-      // "the" legitimately scores every "the" doc), so the point of
-      // this arm is the batched plan's advantage over a per-query loop
-      // (measured ~20×+), not sublinearity the semantics don't allow.
-      // Top-k postings pruning (WAND/MaxScore) would change the
-      // exhaustive-score contract and is deliberately out of scope.
+      // sparse: persisted full-corpus inverted index. r19 capped this
+      // arm at 1 000 queries: the then-exhaustive probeAll scored every
+      // (query, doc) pair sharing a term, and first-token query sets
+      // are dominated by stop-word-class tokens whose postings span
+      // much of the corpus (96.75 s / 1k queries at 100×). r20's
+      // MaxScore pruning (rank-safe — ProbeAllSpec pins bit-equality
+      // with the exhaustive plan, the q138 oracle is unchanged) keeps
+      // stop-word terms out of the fan-out whenever a selective term
+      // sets the query's top-k floor, so the 10 000-query point now
+      // runs here like the other two arms.
       val (pDir, lDir) = queries.Bm25Store.buildIfAbsent(spark, out, "full", docs)
-      val bmRows = sizes.filter(_ <= 1000).map { nq =>
+      val bmRows = sizes.map { nq =>
         val qs = docs.orderBy(col("doc_id")).limit(nq)
           .select(col("doc_id").as("q_id"),
             org.apache.spark.sql.functions.slice(
@@ -846,7 +846,29 @@ object Stress {
         System.err.println(f"[stress] lsh_probe_batch nb=$nb sec=${m._1}%.2f rows=$rows")
         (nb, m, rows)
       }
-      println(s"""{"metric":"stress_probe","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"ivf_probe_all":${secsJson(ivfRows)},"bm25_probe_all":${secsJson(bmRows)},"lsh_probe_batch":${secsJson(lshRows)},"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
+      // skew audit of ivfProbeAll's one corpus-sized exchange (r20):
+      // per-cell candidate load at the 10k-query point. A hot cell is a
+      // straggler task at cluster scale; the committed ratio decides
+      // whether salting / AQE skew-split is warranted (threshold ~4).
+      // Also report the load re-bucketed by the shuffle's actual hash
+      // partitioning — adjacent hot cells can collide into one task.
+      val skewJson = {
+        val qs = vecs.orderBy(col("vec_id")).limit(10000)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val loads = queries.Similarity.ivfCellLoad(spark, idx, qs, nProbe = 4)
+          .select(col("cell"), col("candidates")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val cands: Seq[Long] = loads.map(_._2).sorted.toSeq
+        val byPart: Seq[Long] = loads.groupBy { case (cell, _) =>
+          java.lang.Long.hashCode(cell) % shuffleParts.toInt }
+          .map(_._2.map(_._2).sum).toSeq.sorted
+        def med(xs: Seq[Long]): Long = if (xs.isEmpty) 0L else xs(xs.length / 2)
+        val (cMax, cMed) = (cands.lastOption.getOrElse(0L), med(cands))
+        val (pMax, pMed) = (byPart.lastOption.getOrElse(0L), med(byPart))
+        f"""{"n_queries":10000,"n_probe":4,"cells":${cands.length},"cell_max":$cMax,"cell_median":$cMed,"cell_ratio":${if (cMed > 0) cMax.toDouble / cMed else -1.0}%.2f,"partition_max":$pMax,"partition_median":$pMed,"partition_ratio":${if (pMed > 0) pMax.toDouble / pMed else -1.0}%.2f}"""
+      }
+      System.err.println(s"[stress] ivf_cell_skew $skewJson")
+      println(s"""{"metric":"stress_probe","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"ivf_probe_all":${secsJson(ivfRows)},"bm25_probe_all":${secsJson(bmRows)},"lsh_probe_batch":${secsJson(lshRows)},"ivf_cell_skew":$skewJson,"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")
       spark.stop()
       return
     }

@@ -241,26 +241,163 @@ object Bm25Store {
       .orderBy(col("rk"))
   }
 
+  /** Past this many exploded (q_id, token) rows the small-side
+    * broadcast hints drop and Catalyst falls back to shuffle joins:
+    * forcing a broadcast of the query vocabulary / df / max-score
+    * relations at the "millions of queries" scale risks driver OOM
+    * (ADVICE r19). Below it — every committed workload, up to 10k
+    * queries × a handful of terms — the broadcasts keep the |Q|-sized
+    * relations off the shuffle. */
+  private[graft] val ProbeBroadcastMaxTokens = 4000000L
+
+  /** Rank-safety margin for MaxScore pruning: a doc is pruned only when
+    * its score UPPER BOUND sits this far below the per-query top-k
+    * floor. The final ranking compares round(score, 6), so the margin
+    * must dominate one rounding ulp (1e-6) plus cross-plan fp summation
+    * noise; 1e-4 does, at the cost of keeping a vanishing sliver of
+    * provably-losing candidates. */
+  private val PruneMargin = 1e-4
+
   /** BATCHED retrieval over the persisted index — [[probe]] for a query
     * RELATION `(q_id, terms array<string>)` instead of one literal term
     * set. The single-probe prefix-seek shape cannot scale to millions
     * of queries (it plans one rowkey range per term, driver-side); the
-    * batched shape is pure joins, no collect, no driver loop:
+    * batched shape is pure joins, no collect, no driver loop.
     *
-    *  - the probed VOCABULARY (distinct tokens across all queries)
-    *    semi-join-prunes the postings table once for ALL queries;
-    *  - BM25's per-(token, doc) term score is query-INDEPENDENT
-    *    (idf · tf-saturation · length-norm), so it is computed once
-    *    per posting row and only then fanned out to the queries that
-    *    probe that token — |Q| never multiplies the scoring stage;
-    *  - per-query scores are one (q_id, doc_id) aggregate and the
-    *    top-k one q_id window (rank-pushed, no global sort).
+    * r20: the fan-out stage is MaxScore-pruned (public knowledge:
+    * Turtle & Flood's max-score and the WAND/block-max family; champion
+    * lists per Manning et al., IR book ch.7). The r19 exhaustive shape
+    * ([[probeAllExhaustive]]) joined every query to EVERY posting of
+    * each of its terms — stop-word-class terms fanned out to the whole
+    * corpus per query (96.75 s / 1k queries at the 100× tier). The
+    * pruned plan is rank-SAFE (bit-identical output, pinned by
+    * ProbeAllSpec and the q138 oracle) and keeps every stage |Q|-free
+    * except |Q|-proportional small relations:
+    *
+    *  1. per-(token, doc) term scores over the probed vocabulary's
+    *     postings, exactly as before (query-independent, computed once);
+    *  2. ONE window over those rows yields per-token CHAMPIONS (top-C
+    *     postings by term score) and the per-token max score ms(t)
+    *     (the rn = 1 row);
+    *  3. champions fan out to queries (≤ C·|terms| rows per query) and
+    *     their partial sums give each query a top-k FLOOR θ_q — a true
+    *     lower bound, since champion partial sums understate full
+    *     scores;
+    *  4. MaxScore split: sort each query's terms by ms ascending; the
+    *     maximal prefix with cumulative Σms < θ_q − margin is
+    *     NON-ESSENTIAL — a doc containing only those terms provably
+    *     cannot reach the floor. Only ESSENTIAL terms' postings
+    *     generate candidates, so a stop-word riding along with a
+    *     selective term never fans out;
+    *  5. candidates re-score EXACTLY over all their query terms
+    *     (candidate × term lookup against the term-score relation), so
+    *     survivors carry the same scores the exhaustive plan computes —
+    *     pruning changes cost, never values.
     *
     * Ranking matches [[probe]]: rounded score desc, doc_id tiebreak —
     * per query. Duplicate terms inside one query collapse (set
-    * semantics, as [[probe]]'s isin). */
+    * semantics, as [[probe]]'s isin). A query whose champion floor
+    * does not exist (fewer than topK candidate docs) prunes nothing
+    * (θ = −∞ ⇒ every term essential ⇒ the exhaustive plan for that
+    * query). */
   private[graft] def probeAll(s: SparkSession, pDir: String, lDir: String,
                               queries: DataFrame, topK: Int = 10): DataFrame = {
+    val qt = queries
+      .select(col("q_id"), explode(col("terms")).as("token")).distinct()
+    // gate the small-side hints on the actual probed size (one
+    // |Q|-scale job, corpus-free); past the bound Catalyst plans
+    // shuffle joins instead of a forced driver-side broadcast
+    val qtRows = qt.count()
+    def hint(small: DataFrame): DataFrame =
+      if (qtRows <= ProbeBroadcastMaxTokens) broadcast(small) else small
+    val vocab = qt.select("token").distinct()
+    val pm = s.read.format("graft-kv")
+      .option("catalog", postingsCatalogJson).option("path", pDir).load()
+      .select(col("token"), col("doc_id"), col("tf"))
+      .join(hint(vocab), Seq("token"), "left_semi")
+    val dl = s.read.format("graft-kv")
+      .option("catalog", dlCatalogJson).option("path", lDir).load()
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+        count(when(col("dl") > 0, 1)).as("npos"))
+      .select(col("n"),
+        (col("sdl").cast("double") / col("npos").cast("double")).as("avgdl"))
+    val df = pm.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    def termScores: DataFrame = pm
+      .join(hint(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+    // champions + per-token max score from the term-score relation.
+    // TWO-phase top-C: a stop-word token's postings would land in ONE
+    // window partition — at cluster scale a straggler task sorting the
+    // whole posting list. Phase 1 takes top-C per (token, 64-way
+    // doc-hash salt), bounding per-task work by df/64; phase 2 reduces
+    // the ≤ 64·C survivors per token to the EXACT global top-C (the
+    // global top-C is contained in the per-salt top-Cs).
+    val champC = math.max(topK * 4, 32)
+    val wCh1 = Window.partitionBy(col("token"), col("salt"))
+      .orderBy(col("term_score").desc, col("doc_id"))
+    val wCh2 = Window.partitionBy(col("token"))
+      .orderBy(col("term_score").desc, col("doc_id"))
+    val champ = termScores
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(64)))
+      .withColumn("rn1", row_number().over(wCh1)).filter(col("rn1") <= champC)
+      .withColumn("rn", row_number().over(wCh2)).filter(col("rn") <= champC)
+      .select(col("token"), col("doc_id"), col("term_score"), col("rn"))
+    val ms = champ.filter(col("rn") === 1)
+      .select(col("token"), col("term_score").as("ms"))
+    // per-query top-k floor from champion partial sums (a true lower
+    // bound: champions understate full scores, and a k-th best over a
+    // subset never exceeds the k-th best overall)
+    val wTh = Window.partitionBy(col("q_id"))
+      .orderBy(col("partial").desc, col("doc_id"))
+    val theta = champ.join(hint(qt), "token")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("partial"))
+      .withColumn("trk", row_number().over(wTh))
+      .filter(col("trk") === topK)
+      .select(col("q_id"), col("partial").as("theta"))
+    // MaxScore split: ascending-ms prefix sums; a term is ESSENTIAL
+    // once its cumulative sum reaches the floor (minus the margin) —
+    // docs holding only the prefix below that provably cannot qualify
+    val wCum = Window.partitionBy(col("q_id"))
+      .orderBy(col("ms").asc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val essential = qt.join(hint(ms), "token")
+      .withColumn("cum", sum(col("ms")).over(wCum))
+      .join(hint(theta), Seq("q_id"), "left")
+      .filter(col("cum") >= coalesce(col("theta"), lit(-1e18)) - PruneMargin)
+      .select(col("q_id"), col("token"))
+    // candidates: docs reachable through an essential term only
+    val cand = hint(essential).join(pm, "token")
+      .select(col("q_id"), col("doc_id")).distinct()
+    // exact re-score of every candidate over ALL its query's terms —
+    // one (candidate × term) lookup against the term-score relation;
+    // survivors carry exactly the exhaustive plan's scores
+    val scored = cand.join(hint(qt), "q_id")
+      .join(termScores, Seq("token", "doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("doc_id"),
+        round(col("score"), 6).as("bm25_r"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** The r19 exhaustive batched probe, kept as the rank-safety BASELINE
+    * for [[probeAll]]'s MaxScore pruning: ProbeAllSpec asserts the two
+    * are bit-identical on real query batches, so any drift in the
+    * pruning math fails fast. Joins every query to every posting of
+    * each of its terms — linear in |Q| × df and deliberately unpruned. */
+  private[graft] def probeAllExhaustive(s: SparkSession, pDir: String,
+                                        lDir: String, queries: DataFrame,
+                                        topK: Int = 10): DataFrame = {
     val qt = queries
       .select(col("q_id"), explode(col("terms")).as("token")).distinct()
     val vocab = qt.select("token").distinct()

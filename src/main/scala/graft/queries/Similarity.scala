@@ -445,20 +445,7 @@ object Similarity {
   def ivfProbeAll(s: SparkSession, idx: IvfIndex, queries: DataFrame,
                   nProbe: Int, topK: Int = 5): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    val wg = Window.partitionBy(col("q_id")).orderBy(col("gcos").desc, col("gid"))
-    val qg = queries.crossJoin(broadcast(idx.coarse))
-      .select(col("q_id"), col("q_emb"), col("gid"),
-        call_function("cosine_sim", col("q_emb"), col("gemb")).as("gcos"))
-      .withColumn("grk", row_number().over(wg))
-      .select(col("q_id"), col("q_emb"), col("gid"), col("grk"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("grk"), col("cos").desc, col("cid"))
-    val probes = qg.join(broadcast(idx.centRouted), "gid")
-      .select(col("q_id"), col("q_emb"), col("cid"), col("grk"),
-        call_function("cosine_sim", col("q_emb"), col("cemb")).as("cos"))
-      .withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("cid").as("cell"))
+    val probes = probesAll(idx, queries, nProbe)
     val cands = idx.assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
     val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
@@ -468,6 +455,48 @@ object Similarity {
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** The distributed (q_id, q_emb, cell) probe relation behind
+    * [[ivfProbeAll]]: route every query through broadcast(coarse) →
+    * broadcast(centRouted) and keep its top-nProbe cells. Shared with
+    * [[ivfCellLoad]] so the skew audit measures exactly the relation
+    * the production probe shuffles. */
+  private def probesAll(idx: IvfIndex, queries: DataFrame,
+                        nProbe: Int): DataFrame = {
+    val wg = Window.partitionBy(col("q_id")).orderBy(col("gcos").desc, col("gid"))
+    val qg = queries.crossJoin(broadcast(idx.coarse))
+      .select(col("q_id"), col("q_emb"), col("gid"),
+        call_function("cosine_sim", col("q_emb"), col("gemb")).as("gcos"))
+      .withColumn("grk", row_number().over(wg))
+      .select(col("q_id"), col("q_emb"), col("gid"), col("grk"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("grk"), col("cos").desc, col("cid"))
+    qg.join(broadcast(idx.centRouted), "gid")
+      .select(col("q_id"), col("q_emb"), col("cid"), col("grk"),
+        call_function("cosine_sim", col("q_emb"), col("cemb")).as("cos"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cid").as("cell"))
+  }
+
+  /** Skew audit of [[ivfProbeAll]]'s one corpus-sized exchange (r20):
+    * the candidates join keys on `cell`, and a real embedding
+    * distribution makes HOT cells — at cluster scale a hot cell is a
+    * straggler task. Returns one row per probed cell with its probe
+    * fan-in, assigned population, and candidate-pair load
+    * (n_probes · n_vecs — exactly the rows that cell contributes to
+    * the rescoring stage), so the harness can report the max/median
+    * load ratio and decide whether salting is warranted. */
+  def ivfCellLoad(s: SparkSession, idx: IvfIndex, queries: DataFrame,
+                  nProbe: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val pc = probesAll(idx, queries, nProbe)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_probes"))
+    val ac = idx.assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    pc.join(ac, Seq("cell"))
+      .select(col("cell"), col("n_probes"), col("n_vecs"),
+        (col("n_probes") * col("n_vecs")).as("candidates"))
   }
 
   /** Production probe width: cover ~[[AdaptiveProbeTarget]] vectors'

@@ -43,6 +43,23 @@ class ProbeAllSpec extends SparkSpec {
       "duplicate query terms must not double-count term scores")
   }
 
+  test("bm25 probeAll MaxScore pruning is rank-safe: ≡ exhaustive on a real batch") {
+    import org.apache.spark.sql.functions.slice
+    val (pDir, lDir) =
+      Bm25Store.buildIfAbsent(spark, d, "full", Tables.documents(spark, d))
+    // first-token query sets are stop-word-heavy — exactly the shape
+    // the pruning exists for; include some with < topK matches so the
+    // no-floor (θ = -inf) path is exercised too
+    val queries = Tables.documents(spark, d).filter(col("doc_id") < 100)
+      .select(col("doc_id").as("q_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 3).as("terms"))
+    for (k <- Seq(1, 5, 10)) {
+      assert(rows(Bm25Store.probeAll(spark, pDir, lDir, queries, topK = k)) ==
+        rows(Bm25Store.probeAllExhaustive(spark, pDir, lDir, queries, topK = k)),
+        s"MaxScore pruning must be bit-identical to the exhaustive plan at topK=$k")
+    }
+  }
+
   test("lsh probeBatch ≡ the persisted pair relation filtered to the batch") {
     val docs = Tables.documents(spark, d)
     val cut = (docs.count() * 9) / 10

@@ -69,6 +69,16 @@ def main() -> int:
              "sys_pct_per_pass": [ps[i]["sys_pct"] for ps in pts],
              "rows": pts[0][i]["rows"]}
             for i in range(len(pts[0]))]
+    # the r20 skew audit rides the same pass artifact; the per-cell
+    # counts are deterministic (same index, same queries), so refuse
+    # passes that disagree instead of silently keeping one
+    skews = [p.get("ivf_cell_skew") for p in passes]
+    if any(s is not None for s in skews):
+        if any(s != skews[0] for s in skews[1:]):
+            print(f"refusing: ivf_cell_skew differs across passes: {skews}",
+                  file=sys.stderr)
+            return 1
+        merged["ivf_cell_skew"] = skews[0]
     merged["passes"] = len(passes)
     merged["revision"] = revisions[0]
     merged["note"] = ("section added after the tier campaign froze; measured "
