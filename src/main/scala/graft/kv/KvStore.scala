@@ -736,7 +736,28 @@ object KvStore {
     // per int, which profiled as ~70% of single-threaded full-scan time.
     // Here every length/value parse is straight-line array indexing over
     // a 1 MiB buffer with one refill branch.
-    private val in = new FileInputStream(s"$tableDir/${shard.file}")
+    //
+    // The open runs at READER CONSTRUCTION (task start), which is the
+    // race boundary with retain-mode compaction + vacuum: a task that
+    // has reached this line holds the fd and keeps reading its shard
+    // even after vacuum unlinks the path (POSIX unlink-while-open), so
+    // an IN-FLIGHT scan is never corrupted by reclamation — pinned by
+    // ProbeCompactionRaceSpec. A task whose file vanished BEFORE it
+    // started (scan planned, then compact + vacuum won the race inside
+    // the grace window) gets the contract error below instead of a raw
+    // FileNotFoundException: the fix is operational (vacuum grace must
+    // exceed the longest-running scan — KvCompactor.vacuum's documented
+    // contract), not a retry.
+    private val in =
+      try new FileInputStream(s"$tableDir/${shard.file}")
+      catch {
+        case e: java.io.FileNotFoundException => throw new IllegalStateException(
+          s"shard ${shard.file} was deleted from under this scan — if a " +
+            "compact+vacuum cycle ran since the scan was planned, its grace " +
+            "period undercut a running reader: size graft.ivfVacuumGraceMs " +
+            "(or the vacuum grace argument) beyond the longest-running " +
+            "probe. See KvCompactor.vacuum.", e)
+      }
     private var buf = new Array[Byte](1 << 20)
     private var pos = 0 // next unread byte
     private var lim = 0 // valid bytes in buf

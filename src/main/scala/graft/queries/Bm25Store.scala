@@ -213,9 +213,14 @@ object Bm25Store {
       .filter(col("token").isin(terms: _*))
       .select(col("token"), col("doc_id"), col("tf"))
 
+  /** `postingsTap` wraps the postings-side scan before any join —
+    * identity in production; ProbeCompactionRaceSpec injects a gate
+    * there to hold the probe's scan tasks in flight while a
+    * compact+vacuum cycle races them. */
   private[graft] def probe(s: SparkSession, pDir: String, lDir: String,
-                             terms: Seq[String], topK: Int = 10): DataFrame = {
-    val p = postingsRead(s, pDir, terms)
+                             terms: Seq[String], topK: Int = 10,
+                             postingsTap: DataFrame => DataFrame = identity): DataFrame = {
+    val p = postingsTap(postingsRead(s, pDir, terms))
     val dl = s.read.format("graft-kv")
       .option("catalog", dlCatalogJson).option("path", lDir).load()
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
