@@ -808,11 +808,16 @@ object Stress {
       // (query, doc) pair sharing a term, and first-token query sets
       // are dominated by stop-word-class tokens whose postings span
       // much of the corpus (96.75 s / 1k queries at 100×). r20's
-      // MaxScore pruning (rank-safe — ProbeAllSpec pins bit-equality
-      // with the exhaustive plan, the q138 oracle is unchanged) keeps
-      // stop-word terms out of the fan-out whenever a selective term
-      // sets the query's top-k floor, so the 10 000-query point now
-      // runs here like the other two arms.
+      // MaxScore pruning through the persisted champion sidecar
+      // (rank-safe — ProbeAllSpec pins bit-equality with the exhaustive
+      // plan, the q138 oracle is unchanged) keeps stop-word terms out
+      // of the fan-out whenever a selective term sets the query's top-k
+      // floor, so the 10 000-query point now runs here like the other
+      // two arms. The FIRST timed pass of the first pruned-size point
+      // includes the one-time sidecar build (ensureChampions — the
+      // min-of-2 "sec" is the steady state; per-pass list discloses
+      // the build); the 100-query point rides probeAllExhaustive by
+      // the size switch, exactly as production would.
       val (pDir, lDir) = queries.Bm25Store.buildIfAbsent(spark, out, "full", docs)
       val bmRows = sizes.map { nq =>
         val qs = docs.orderBy(col("doc_id")).limit(nq)

@@ -263,98 +263,190 @@ object Bm25Store {
     * provably-losing candidates. */
   private val PruneMargin = 1e-4
 
+  /** The BM25 per-(token, doc) term-score column — one definition so
+    * the sidecar build and the pruned re-score can never drift from
+    * each other (and it is character-identical to [[probe]]'s and
+    * [[probeAllExhaustive]]'s inline copies: identical expression tree
+    * -> identical codegen -> bitwise-identical doubles). */
+  private def termScoreCol: Column =
+    (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+
+  private def dlRead(s: SparkSession, lDir: String): DataFrame =
+    s.read.format("graft-kv")
+      .option("catalog", dlCatalogJson).option("path", lDir).load()
+
+  /** Corpus stats (N, avgdl) — one pushed-aggregate-friendly pass over
+    * the dl table, exactly [[probe]]'s formula. */
+  private def corpusStats(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+        count(when(col("dl") > 0, 1)).as("npos"))
+      .select(col("n"),
+        (col("sdl").cast("double") / col("npos").cast("double")).as("avgdl"))
+
+  /** Champions per token persisted in the sidecar: enough for exact
+    * floors at any topK <= C (larger topK still gets VALID floors —
+    * champion partial sums are lower bounds at every k — just looser
+    * ones, so correctness never depends on C). */
+  private[graft] val ChampC = 64
+
+  private def md5Hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Content fingerprint of one KV table: version + sorted live shard
+    * files with row counts and CRCs. Pins CONTENT, not just the version
+    * counter — a pristine-seed restore (StreamMaint.copyDir) rolls the
+    * version sequence back, so two different states can share a version
+    * number; they cannot share shard CRCs. */
+  private def tableFp(dir: String): String = {
+    val m = graft.kv.KvStore.readMeta(dir)
+    md5Hex(m.version.toString + "|" +
+      m.shards.map(sh => s"${sh.file}:${sh.rows}:${sh.crc32cHex}")
+        .sorted.mkString("|"))
+  }
+
+  /** CHAMPION-LIST sidecar (r20): per-token impact metadata computed
+    * ONCE per index state and persisted next to the postings manifest —
+    * the batch analogue of impact-ordered postings (champion lists per
+    * Manning et al., IR book ch.7; max-score per Turtle & Flood). One
+    * parquet relation `(token, df, doc_id, term_score, rn <= ChampC)`
+    * holding each token's exact top-C postings by term score; `rn = 1`
+    * carries the token's max score ms(t), and its df rides every row.
+    *
+    * Lifecycle: the sidecar lives at `pDir/_champ/<fp>` where `fp`
+    * fingerprints BOTH tables' content ([[tableFp]]) — any append,
+    * compaction, DML rewrite or pristine-seed restore changes the
+    * fingerprint and the next large probe rebuilds (build = one
+    * postings pass for df, one postings+dl pass for scores, salted
+    * two-phase exact top-C windows; written to a tmp dir and atomically
+    * renamed, so concurrent builders race benignly). Stale fingerprints
+    * are reclaimed on the same grace discipline as shard vacuum (1 h
+    * mtime grace — a probe planned against the old sidecar finishes
+    * long before). Compaction/vacuum never touch `_champ` (they reclaim
+    * only .kv shards, archived manifests, bloom sidecars). */
+  private[graft] def ensureChampions(s: SparkSession, pDir: String,
+                                     lDir: String): String = {
+    val fp = md5Hex(tableFp(pDir) + "|" + tableFp(lDir) + s"|C=$ChampC")
+    val root = new File(s"$pDir/_champ")
+    val dir = new File(root, fp)
+    if (new File(dir, "_SUCCESS").exists()) return dir.toString
+    root.mkdirs(): Unit
+    val pm = s.read.format("graft-kv")
+      .option("catalog", postingsCatalogJson).option("path", pDir).load()
+      .select(col("token"), col("doc_id"), col("tf"))
+    val dl = dlRead(s, lDir)
+    val stats = corpusStats(dl)
+    val dfRel = pm.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val ts = pm.join(dfRel, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("df"), col("doc_id"),
+        termScoreCol.as("term_score"))
+    // TWO-phase exact top-C: a stop-word token's postings would land in
+    // ONE window partition — at cluster scale a straggler task sorting
+    // the whole posting list. Phase 1 takes top-C per (token, 64-way
+    // doc-hash salt), bounding per-task sort input by df/64; phase 2
+    // reduces the <= 64·C survivors per token to the EXACT global top-C
+    // (the global top-C is contained in the union of per-salt top-Cs).
+    val wCh1 = Window.partitionBy(col("token"), col("salt"))
+      .orderBy(col("term_score").desc, col("doc_id"))
+    val wCh2 = Window.partitionBy(col("token"))
+      .orderBy(col("term_score").desc, col("doc_id"))
+    val champ = ts
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(64)))
+      .withColumn("rn1", row_number().over(wCh1)).filter(col("rn1") <= ChampC)
+      .withColumn("rn", row_number().over(wCh2)).filter(col("rn") <= ChampC)
+      .select(col("token"), col("df"), col("doc_id"), col("term_score"),
+        col("rn"))
+    val tmp = new File(root, s"tmp-${java.util.UUID.randomUUID()}")
+    champ.write.mode("overwrite").parquet(tmp.toString)
+    if (!tmp.renameTo(dir)) {
+      StreamMaint.rmrf(tmp) // lost the build race — the winner's is live
+      require(new File(dir, "_SUCCESS").exists(),
+        s"champion sidecar build failed to land at $dir")
+    }
+    // grace-based reclamation of superseded fingerprints (mirrors the
+    // shard-vacuum contract: a probe planned against the old sidecar
+    // must finish within the grace window)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName != fp &&
+        System.currentTimeMillis() - f.lastModified() > 3600000L)
+      .foreach(StreamMaint.rmrf)
+    dir.toString
+  }
+
   /** BATCHED retrieval over the persisted index — [[probe]] for a query
     * RELATION `(q_id, terms array<string>)` instead of one literal term
     * set. The single-probe prefix-seek shape cannot scale to millions
     * of queries (it plans one rowkey range per term, driver-side); the
     * batched shape is pure joins, no collect, no driver loop.
     *
-    * r20: the fan-out stage is MaxScore-pruned (public knowledge:
-    * Turtle & Flood's max-score and the WAND/block-max family; champion
-    * lists per Manning et al., IR book ch.7). The r19 exhaustive shape
+    * r20: MaxScore-pruned through the persisted champion sidecar
+    * ([[ensureChampions]]). The r19 exhaustive shape
     * ([[probeAllExhaustive]]) joined every query to EVERY posting of
     * each of its terms — stop-word-class terms fanned out to the whole
-    * corpus per query (96.75 s / 1k queries at the 100× tier). The
-    * pruned plan is rank-SAFE (bit-identical output, pinned by
-    * ProbeAllSpec and the q138 oracle) and keeps every stage |Q|-free
-    * except |Q|-proportional small relations:
+    * corpus per query (96.75 s / 1k queries at the 100x tier); an
+    * inline MaxScore cut without the sidecar recomputed the
+    * corpus-sized term-score relation in three plan branches and was
+    * slower still. With champions persisted, the probe itself touches
+    * the corpus exactly twice, both passes semi-join-pruned to the
+    * probed vocabulary:
     *
-    *  1. per-(token, doc) term scores over the probed vocabulary's
-    *     postings, exactly as before (query-independent, computed once);
-    *  2. ONE window over those rows yields per-token CHAMPIONS (top-C
-    *     postings by term score) and the per-token max score ms(t)
-    *     (the rn = 1 row);
-    *  3. champions fan out to queries (≤ C·|terms| rows per query) and
-    *     their partial sums give each query a top-k FLOOR θ_q — a true
-    *     lower bound, since champion partial sums understate full
-    *     scores;
-    *  4. MaxScore split: sort each query's terms by ms ascending; the
-    *     maximal prefix with cumulative Σms < θ_q − margin is
-    *     NON-ESSENTIAL — a doc containing only those terms provably
-    *     cannot reach the floor. Only ESSENTIAL terms' postings
-    *     generate candidates, so a stop-word riding along with a
-    *     selective term never fans out;
-    *  5. candidates re-score EXACTLY over all their query terms
-    *     (candidate × term lookup against the term-score relation), so
-    *     survivors carry the same scores the exhaustive plan computes —
-    *     pruning changes cost, never values.
+    *  1. champions x queries (champion-sized joins) give each query a
+    *     top-k FLOOR theta_q — a true lower bound, since champion
+    *     partial sums understate full scores;
+    *  2. per-(query, token) SCORE FLOORS on postings (block-max style):
+    *     a doc reaches theta_q through token t only if its term score
+    *     clears theta_q - margin - sum of the OTHER terms' max scores.
+    *     Candidate generation (corpus pass 1) computes term scores
+    *     inline over the floor-surviving tokens' postings, prefilters
+    *     by the per-token minimum floor BEFORE any query fan-out, then
+    *     exact-filters per (q, t) — so a stop word never fans out
+    *     corpus-wide, whether it rides along with a selective term OR
+    *     makes up the whole query (the floor then sits just below
+    *     ms(t), admitting only champion-depth postings);
+    *  3. candidates re-score EXACTLY over all their query terms against
+    *     the postings (corpus pass 2), dl, the sidecar's df and the
+    *     same stats — [[termScoreCol]] — so survivors carry precisely
+    *     the exhaustive plan's scores: pruning changes cost, never
+    *     values.
     *
     * Ranking matches [[probe]]: rounded score desc, doc_id tiebreak —
     * per query. Duplicate terms inside one query collapse (set
-    * semantics, as [[probe]]'s isin). A query whose champion floor
-    * does not exist (fewer than topK candidate docs) prunes nothing
-    * (θ = −∞ ⇒ every term essential ⇒ the exhaustive plan for that
-    * query). */
+    * semantics, as [[probe]]'s isin). A query whose champion floor does
+    * not exist (fewer than topK champion docs) prunes nothing (theta =
+    * -inf => every term essential => the exhaustive plan for that
+    * query).
+    *
+    * Small batches (<= `graft.bm25ProbeExhaustiveMaxTokens` exploded
+    * query-terms, default 512) take [[probeAllExhaustive]] outright:
+    * below the corpus-pass fixed cost the unpruned fan-out is cheaper,
+    * and the two plans are interchangeable BY CONSTRUCTION (rank-safe
+    * bit-equality, pinned by ProbeAllSpec, which forces the pruned path
+    * through the conf). */
   private[graft] def probeAll(s: SparkSession, pDir: String, lDir: String,
                               queries: DataFrame, topK: Int = 10): DataFrame = {
     val qt = queries
       .select(col("q_id"), explode(col("terms")).as("token")).distinct()
-    // gate the small-side hints on the actual probed size (one
-    // |Q|-scale job, corpus-free); past the bound Catalyst plans
-    // shuffle joins instead of a forced driver-side broadcast
+    // gate the plan choice and the small-side hints on the actual
+    // probed size (one |Q|-scale job, corpus-free); past the broadcast
+    // bound Catalyst plans shuffle joins instead of a forced
+    // driver-side broadcast
     val qtRows = qt.count()
+    val exhaustiveMax =
+      s.conf.get("graft.bm25ProbeExhaustiveMaxTokens", "512").toLong
+    if (qtRows <= exhaustiveMax)
+      return probeAllExhaustive(s, pDir, lDir, queries, topK)
     def hint(small: DataFrame): DataFrame =
       if (qtRows <= ProbeBroadcastMaxTokens) broadcast(small) else small
     val vocab = qt.select("token").distinct()
-    val pm = s.read.format("graft-kv")
-      .option("catalog", postingsCatalogJson).option("path", pDir).load()
-      .select(col("token"), col("doc_id"), col("tf"))
+    val champ = s.read.parquet(ensureChampions(s, pDir, lDir))
       .join(hint(vocab), Seq("token"), "left_semi")
-    val dl = s.read.format("graft-kv")
-      .option("catalog", dlCatalogJson).option("path", lDir).load()
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
-        count(when(col("dl") > 0, 1)).as("npos"))
-      .select(col("n"),
-        (col("sdl").cast("double") / col("npos").cast("double")).as("avgdl"))
-    val df = pm.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    def termScores: DataFrame = pm
-      .join(hint(df), "token")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("token"), col("doc_id"),
-        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * 2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-          .as("term_score"))
-    // champions + per-token max score from the term-score relation.
-    // TWO-phase top-C: a stop-word token's postings would land in ONE
-    // window partition — at cluster scale a straggler task sorting the
-    // whole posting list. Phase 1 takes top-C per (token, 64-way
-    // doc-hash salt), bounding per-task work by df/64; phase 2 reduces
-    // the ≤ 64·C survivors per token to the EXACT global top-C (the
-    // global top-C is contained in the per-salt top-Cs).
-    val champC = math.max(topK * 4, 32)
-    val wCh1 = Window.partitionBy(col("token"), col("salt"))
-      .orderBy(col("term_score").desc, col("doc_id"))
-    val wCh2 = Window.partitionBy(col("token"))
-      .orderBy(col("term_score").desc, col("doc_id"))
-    val champ = termScores
-      .withColumn("salt", pmod(hash(col("doc_id")), lit(64)))
-      .withColumn("rn1", row_number().over(wCh1)).filter(col("rn1") <= champC)
-      .withColumn("rn", row_number().over(wCh2)).filter(col("rn") <= champC)
-      .select(col("token"), col("doc_id"), col("term_score"), col("rn"))
-    val ms = champ.filter(col("rn") === 1)
-      .select(col("token"), col("term_score").as("ms"))
+    val heads = champ.filter(col("rn") === 1)
+    val ms = heads.select(col("token"), col("term_score").as("ms"))
+    val dfRel = heads.select(col("token"), col("df"))
     // per-query top-k floor from champion partial sums (a true lower
     // bound: champions understate full scores, and a k-th best over a
     // subset never exceeds the k-th best overall)
@@ -366,25 +458,66 @@ object Bm25Store {
       .withColumn("trk", row_number().over(wTh))
       .filter(col("trk") === topK)
       .select(col("q_id"), col("partial").as("theta"))
-    // MaxScore split: ascending-ms prefix sums; a term is ESSENTIAL
-    // once its cumulative sum reaches the floor (minus the margin) —
-    // docs holding only the prefix below that provably cannot qualify
-    val wCum = Window.partitionBy(col("q_id"))
-      .orderBy(col("ms").asc, col("token").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val essential = qt.join(hint(ms), "token")
-      .withColumn("cum", sum(col("ms")).over(wCum))
+    // Per-(query, token) SCORE FLOOR on postings — the block-max-style
+    // refinement of the term-level MaxScore split. A doc d matched to
+    // query q through token t scores at most
+    // ts(t,d) + Σ_{t'∈q, t'≠t} ms(t'), so d can only reach q's floor
+    // through t when ts(t,d) >= θ_q − margin − (msSum_q − ms(t)).
+    // A term-level essential/non-essential split alone is NOT enough:
+    // an all-stop-word query keeps its largest stop word essential and
+    // fans out to that term's corpus-sized posting list; the score
+    // floor instead admits only the postings that can still qualify —
+    // for such a query the floor sits just under ms(t), i.e. at
+    // champion depth. (A token every query makes non-essential gets a
+    // floor above its ms and drops out entirely.)
+    val msSum = qt.join(hint(ms), "token")
+      .groupBy(col("q_id")).agg(sum(col("ms")).as("ms_sum"))
+    val qFloor = qt.join(hint(ms), "token")
+      .join(hint(msSum), "q_id")
       .join(hint(theta), Seq("q_id"), "left")
-      .filter(col("cum") >= coalesce(col("theta"), lit(-1e18)) - PruneMargin)
-      .select(col("q_id"), col("token"))
-    // candidates: docs reachable through an essential term only
-    val cand = hint(essential).join(pm, "token")
+      .select(col("q_id"), col("token"),
+        (coalesce(col("theta"), lit(-1e18)) - PruneMargin -
+          (col("ms_sum") - col("ms"))).as("ts_floor"))
+    // per-token prefilter floor (min over the probing queries), applied
+    // BEFORE the query fan-out so |Q| never multiplies the filter input;
+    // tokens whose floor clears even their max score generate nothing
+    // and are dropped from the candidate scan's vocabulary outright
+    val liveTok = qFloor.groupBy(col("token"))
+      .agg(min(col("ts_floor")).as("tok_floor"))
+      .join(hint(ms), "token")
+      .filter(col("tok_floor") <= col("ms"))
+      .select(col("token"), col("tok_floor"))
+    val dl = dlRead(s, lDir)
+    val stats = corpusStats(dl)
+    val pm = s.read.format("graft-kv")
+      .option("catalog", postingsCatalogJson).option("path", pDir).load()
+      .select(col("token"), col("doc_id"), col("tf"))
+      .join(hint(vocab), Seq("token"), "left_semi")
+    // candidates: inline term scores over the live tokens' postings
+    // (one streaming pass — no aggregation buffers corpus-sized state),
+    // prefiltered by the token floor, then exact-filtered per (q, t)
+    val tsLive = s.read.format("graft-kv")
+      .option("catalog", postingsCatalogJson).option("path", pDir).load()
+      .select(col("token"), col("doc_id"), col("tf"))
+      .join(hint(liveTok), "token")
+      .join(dl, "doc_id")
+      .join(hint(dfRel), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"),
+        termScoreCol.as("ts"), col("tok_floor"))
+      .filter(col("ts") >= col("tok_floor"))
+    val cand = tsLive.join(hint(qFloor), "token")
+      .filter(col("ts") >= col("ts_floor"))
       .select(col("q_id"), col("doc_id")).distinct()
     // exact re-score of every candidate over ALL its query's terms —
-    // one (candidate × term) lookup against the term-score relation;
+    // candidate-sized joins against postings, dl and the sidecar's df;
     // survivors carry exactly the exhaustive plan's scores
     val scored = cand.join(hint(qt), "q_id")
-      .join(termScores, Seq("token", "doc_id"))
+      .join(pm, Seq("token", "doc_id"))
+      .join(dl, "doc_id")
+      .join(hint(dfRel), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), termScoreCol.as("term_score"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
     val w = Window.partitionBy(col("q_id"))

@@ -26,6 +26,13 @@ class ProbeAllSpec extends SparkSpec {
       "the distributed batched probe must rank exactly like the exemplar probe")
   }
 
+  /** Force the MaxScore path regardless of batch size — without this,
+    * small batches take probeAllExhaustive by design and the
+    * pruning-equivalence assertions would compare the exhaustive plan
+    * to itself. */
+  private def pruned[T](body: => T): T =
+    StreamMaint.withConfs(spark, "graft.bm25ProbeExhaustiveMaxTokens" -> "0")(body)
+
   test("bm25 probeAll ≡ probe for the same term set, with set semantics") {
     import spark.implicits._
     val (pDir, lDir) =
@@ -33,13 +40,18 @@ class ProbeAllSpec extends SparkSpec {
     val single = rows(Bm25Store.probe(spark, pDir, lDir, Terms)
       .select("rk", "doc_id", "bm25_r"))
     val batched = Seq((7L, Terms)).toDF("q_id", "terms")
+    // both plan regimes must reproduce the single probe: the default
+    // (small batch -> exhaustive) and the forced MaxScore path
     assert(rows(Bm25Store.probeAll(spark, pDir, lDir, batched)
         .select("rk", "doc_id", "bm25_r")) == single,
       "a one-query batch must reproduce the single probe exactly")
+    assert(pruned(rows(Bm25Store.probeAll(spark, pDir, lDir, batched)
+        .select("rk", "doc_id", "bm25_r"))) == single,
+      "the MaxScore path must reproduce the single probe exactly")
     // duplicate terms inside a query collapse — probe's isin semantics
     val duped = Seq((7L, Terms ++ Terms.take(2))).toDF("q_id", "terms")
-    assert(rows(Bm25Store.probeAll(spark, pDir, lDir, duped)
-        .select("rk", "doc_id", "bm25_r")) == single,
+    assert(pruned(rows(Bm25Store.probeAll(spark, pDir, lDir, duped)
+        .select("rk", "doc_id", "bm25_r"))) == single,
       "duplicate query terms must not double-count term scores")
   }
 
@@ -54,10 +66,43 @@ class ProbeAllSpec extends SparkSpec {
       .select(col("doc_id").as("q_id"),
         slice(graft.functions.Text.tokens(col("text")), 1, 3).as("terms"))
     for (k <- Seq(1, 5, 10)) {
-      assert(rows(Bm25Store.probeAll(spark, pDir, lDir, queries, topK = k)) ==
+      assert(pruned(rows(Bm25Store.probeAll(spark, pDir, lDir, queries, topK = k))) ==
         rows(Bm25Store.probeAllExhaustive(spark, pDir, lDir, queries, topK = k)),
         s"MaxScore pruning must be bit-identical to the exhaustive plan at topK=$k")
     }
+  }
+
+  test("bm25 champion sidecar tracks index content: append invalidates, rebuild stays rank-safe") {
+    import org.apache.spark.sql.functions.slice
+    val docs = Tables.documents(spark, d)
+    val cut = (docs.count() * 9) / 10
+    // fresh (non-cacheDir) store: this test MUTATES the index, and a
+    // buildIfAbsent-cached store would arrive already grown on the next
+    // JVM, turning the append into a frontier no-op
+    val (pDir, lDir) = {
+      val p = java.nio.file.Files.createTempDirectory("champ-p").toString + "/t"
+      val l = java.nio.file.Files.createTempDirectory("champ-l").toString + "/t"
+      val (pr, dlr) = Bm25Store.indexRows(docs.filter(col("doc_id") < cut))
+      Bm25Store.writePostings(spark, pr, p, "overwrite", 2)
+      Bm25Store.writeDl(spark, dlr, l, "overwrite")
+      (p, l)
+    }
+    val queries = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("q_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 3).as("terms"))
+    val before = pruned(rows(Bm25Store.probeAll(spark, pDir, lDir, queries)))
+    val sidecarBefore = Bm25Store.ensureChampions(spark, pDir, lDir)
+    // append the tail through maintenance: content fingerprint changes
+    Bm25Store.maintainBatch(spark, docs, pDir, lDir): Unit
+    val sidecarAfter = Bm25Store.ensureChampions(spark, pDir, lDir)
+    assert(sidecarAfter != sidecarBefore,
+      "an append must invalidate the champion sidecar (content fingerprint)")
+    val after = pruned(rows(Bm25Store.probeAll(spark, pDir, lDir, queries)))
+    assert(after ==
+      rows(Bm25Store.probeAllExhaustive(spark, pDir, lDir, queries)),
+      "the rebuilt sidecar must stay rank-safe against the grown index")
+    assert(after != before,
+      "fixture sanity: the appended tail must actually change some ranking")
   }
 
   test("lsh probeBatch ≡ the persisted pair relation filtered to the batch") {
@@ -89,9 +134,15 @@ class ProbeAllSpec extends SparkSpec {
       Bm25Store.buildIfAbsent(spark, d, "full", Tables.documents(spark, d))
     val queries = Seq((1L, Seq("table")), (2L, Seq("vector", "stream")))
       .toDF("q_id", "terms")
-    val bmPlan = Bm25Store.probeAll(spark, pDir, lDir, queries)
-      .queryExecution.executedPlan.toString
-    assert(!bmPlan.contains("CartesianProduct"),
-      "probeAll must never degrade to a cartesian product")
+    for (forcePruned <- Seq(false, true)) {
+      val bmPlan =
+        if (forcePruned)
+          pruned(Bm25Store.probeAll(spark, pDir, lDir, queries)
+            .queryExecution.executedPlan.toString)
+        else Bm25Store.probeAll(spark, pDir, lDir, queries)
+          .queryExecution.executedPlan.toString
+      assert(!bmPlan.contains("CartesianProduct"),
+        s"probeAll (pruned=$forcePruned) must never degrade to a cartesian product")
+    }
   }
 }
