@@ -397,16 +397,17 @@ object Bm25Store {
     *  1. champions x queries (champion-sized joins) give each query a
     *     top-k FLOOR theta_q — a true lower bound, since champion
     *     partial sums understate full scores;
-    *  2. per-(query, token) SCORE FLOORS on postings (block-max style):
-    *     a doc reaches theta_q through token t only if its term score
-    *     clears theta_q - margin - sum of the OTHER terms' max scores.
-    *     Candidate generation (corpus pass 1) computes term scores
-    *     inline over the floor-surviving tokens' postings, prefilters
-    *     by the per-token minimum floor BEFORE any query fan-out, then
-    *     exact-filters per (q, t) — so a stop word never fans out
-    *     corpus-wide, whether it rides along with a selective term OR
-    *     makes up the whole query (the floor then sits just below
-    *     ms(t), admitting only champion-depth postings);
+    *  2. the MaxScore ESSENTIAL split (ascending-ms prefix sums vs the
+    *     floor) takes stop words riding along with a selective term out
+    *     of the fan-out, and per-(query, essential token) SCORE FLOORS
+    *     on postings (block-max style: a doc reaches theta_q through t
+    *     only if its term score clears theta_q - margin - the other
+    *     terms' max-score sum) bound the all-stop-word query the split
+    *     alone cannot — its floor sits just below ms(t), admitting only
+    *     champion-depth postings. Candidate generation (corpus pass 1)
+    *     computes term scores inline over the floor-surviving tokens'
+    *     postings, prefiltered by the per-token minimum floor BEFORE
+    *     any query fan-out, then exact-filtered per (q, t);
     *  3. candidates re-score EXACTLY over all their query terms against
     *     the postings (corpus pass 2), dl, the sidecar's df and the
     *     same stats — [[termScoreCol]] — so survivors carry precisely
@@ -458,21 +459,37 @@ object Bm25Store {
       .withColumn("trk", row_number().over(wTh))
       .filter(col("trk") === topK)
       .select(col("q_id"), col("partial").as("theta"))
-    // Per-(query, token) SCORE FLOOR on postings — the block-max-style
-    // refinement of the term-level MaxScore split. A doc d matched to
-    // query q through token t scores at most
-    // ts(t,d) + Σ_{t'∈q, t'≠t} ms(t'), so d can only reach q's floor
-    // through t when ts(t,d) >= θ_q − margin − (msSum_q − ms(t)).
-    // A term-level essential/non-essential split alone is NOT enough:
-    // an all-stop-word query keeps its largest stop word essential and
-    // fans out to that term's corpus-sized posting list; the score
-    // floor instead admits only the postings that can still qualify —
-    // for such a query the floor sits just under ms(t), i.e. at
-    // champion depth. (A token every query makes non-essential gets a
-    // floor above its ms and drops out entirely.)
+    // MaxScore split: ascending-ms prefix sums; a term is ESSENTIAL
+    // once its cumulative sum reaches the floor (minus the margin).
+    // A doc holding ONLY non-essential terms provably cannot qualify,
+    // so only essential terms generate candidates — this is what keeps
+    // a stop word riding along with a selective term out of the
+    // fan-out (its per-term score floor below would NOT: that bound
+    // charges the selective term's max score to every doc, including
+    // the stop-only docs that don't contain it).
+    val wCum = Window.partitionBy(col("q_id"))
+      .orderBy(col("ms").asc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val essential = qt.join(hint(ms), "token")
+      .withColumn("cum", sum(col("ms")).over(wCum))
+      .join(hint(theta), Seq("q_id"), "left")
+      .filter(col("cum") >= coalesce(col("theta"), lit(-1e18)) - PruneMargin)
+      .select(col("q_id"), col("token"), col("ms"))
+    // Per-(query, essential token) SCORE FLOOR on postings — the
+    // block-max-style refinement the essential split alone lacks: an
+    // all-stop-word query keeps its largest stop word essential, and
+    // without a floor that term fans out its corpus-sized posting
+    // list. A doc d matched to q through t scores at most
+    // ts(t,d) + Σ_{t'∈q, t'≠t} ms(t'), so d can reach q's floor
+    // through t only when ts(t,d) >= θ_q − margin − (msSum_q − ms(t));
+    // for the all-stop query that floor sits just under ms(t) —
+    // champion depth. Both prunings are sound together: a doc with no
+    // essential term is out by the prefix bound, and a doc whose every
+    // matched essential term misses its floor is out by the per-term
+    // bound.
     val msSum = qt.join(hint(ms), "token")
       .groupBy(col("q_id")).agg(sum(col("ms")).as("ms_sum"))
-    val qFloor = qt.join(hint(ms), "token")
+    val qFloor = essential
       .join(hint(msSum), "q_id")
       .join(hint(theta), Seq("q_id"), "left")
       .select(col("q_id"), col("token"),
