@@ -32,7 +32,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Bm25Store {
 
-  private val postingsCatalogJson =
+  private[queries] val postingsCatalogJson =
     """{
       |  "table": {"namespace": "default", "name": "bm25_postings"},
       |  "rowkey": "pk",
@@ -44,7 +44,7 @@ object Bm25Store {
       |  }
       |}""".stripMargin
 
-  private val dlCatalogJson =
+  private[queries] val dlCatalogJson =
     """{
       |  "table": {"namespace": "default", "name": "bm25_dl"},
       |  "rowkey": "doc_id",
@@ -377,20 +377,168 @@ object Bm25Store {
     dir.toString
   }
 
+  /** `round(x, 6)` with exactly Spark's `Round` semantics (HALF_UP over
+    * the decimal expansion) — the dense kernel ranks by this, and it
+    * must agree bit-for-bit with the plans that rank by the SQL
+    * `round(score, 6)`. */
+  private def round6(x: Double): Double =
+    scala.math.BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** DENSE batched scoring for the small-vocabulary regime.
+    *
+    * When a large query batch probes few distinct tokens, every token
+    * is corpus-common and the exact answer depends on most postings —
+    * no sound upper bound prunes (measured: the per-term score floors
+    * keep 433M of 433M candidate pairs on a 1k-query batch over 30
+    * tokens at the 100x tier). What CAN collapse is the |Q| dimension:
+    *
+    *  1. queries dedup to term-set SIGNATURES (sorted distinct terms —
+    *     identical sets share their entire answer; [[probe]]'s isin is
+    *     set-semantics too);
+    *  2. each doc's term scores over the probed vocabulary become ONE
+    *     dense vector (V <= `graft.bm25DenseVocabMax` doubles), built
+    *     with one corpus pass;
+    *  3. a `mapPartitions` kernel streams doc vectors once, maintaining
+    *     a bounded top-k buffer PER SIGNATURE — pure double adds, no
+    *     row materialization, no |Q|- or |sigs|-sized shuffle; each
+    *     partition emits <= |sigs|·k rows and one tiny window merges
+    *     them exactly (local top-k per partition is sound for global
+    *     top-k since a (sig, doc) score is complete within the doc's
+    *     row). mapPartitions is deliberate here: Spark has no bounded
+    *     multi-group top-k aggregate, and an explode to (sig x doc)
+    *     rows would materialize billions of rows just to throw them
+    *     away — this is the one genuinely per-partition-imperative
+    *     operator in the BM25 family.
+    *
+    * Ranking is bit-identical to [[probeAllExhaustive]]: scores are the
+    * same [[termScoreCol]] doubles summed per (sig, doc), compared by
+    * (round(score, 6) desc, doc_id asc) — [[round6]] replicates the SQL
+    * round — and zero-score docs (no shared token) are excluded exactly
+    * as the join-based plans exclude them. Work is |sigs| x |docs with
+    * any probed token|; the `graft.bm25DenseBudget` gate (default 2e10)
+    * returns None past it and the caller falls back to MaxScore. */
+  private def probeAllDense(s: SparkSession, pDir: String, lDir: String,
+                            queries: DataFrame, qt: DataFrame,
+                            vocab: DataFrame, topK: Int,
+                            hint: DataFrame => DataFrame): Option[DataFrame] = {
+    import s.implicits._
+    val qsig = queries.select(col("q_id"),
+      array_sort(array_distinct(col("terms"))).as("sig"))
+    val sigRel = qsig.select(col("sig")).distinct()
+      .withColumn("sig_id",
+        (row_number().over(Window.orderBy(col("sig"))) - 1).cast("int"))
+    val vocabIdx = vocab.withColumn("tok_idx",
+      (row_number().over(Window.orderBy(col("token"))) - 1).cast("int"))
+    val nSigs = sigRel.count()
+    val dl = dlRead(s, lDir)
+    val nDocs = dl.count() // pushed aggregate — manifest-cheap
+    val budget = s.conf.get("graft.bm25DenseBudget", "20000000000").toLong
+    if (nSigs * nDocs > budget) return None
+    // signature -> ascending token indexes, driver-side (bounded by the
+    // budget gate; ascending order makes the kernel's sum deterministic)
+    val sigIdx: Array[Array[Int]] = {
+      val arr = Array.fill(nSigs.toInt)(Array.empty[Int])
+      sigRel.select(col("sig_id"), explode(col("sig")).as("token"))
+        .join(vocabIdx, "token")
+        .groupBy(col("sig_id"))
+        .agg(collect_list(col("tok_idx")).as("idxs"))
+        .collect()
+        .foreach(r => arr(r.getInt(0)) = r.getSeq[Int](1).toArray.sorted)
+      arr
+    }
+    val bSig = s.sparkContext.broadcast(sigIdx)
+    val stats = corpusStats(dl)
+    val pm = s.read.format("graft-kv")
+      .option("catalog", postingsCatalogJson).option("path", pDir).load()
+      .select(col("token"), col("doc_id"), col("tf"))
+      .join(hint(vocab), Seq("token"), "left_semi")
+    val dfR = pm.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val ts = pm.join(hint(dfR), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"), termScoreCol.as("ts"))
+      .join(hint(vocabIdx), "token")
+      .select(col("doc_id"), col("tok_idx"), col("ts"))
+    val v = vocabIdx.count().toInt
+    val docVec = ts.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("tok_idx"), col("ts")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(v - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("vec"))
+      .as[(Long, Seq[Double])]
+    val (k, nS) = (topK, nSigs.toInt)
+    val local = docVec.mapPartitions { it =>
+      val sigs = bSig.value
+      // head of each buffer = the WORST kept row under the ranking
+      // (smaller round-6 score is worse; ties: larger doc_id is worse)
+      val worstFirst =
+        Ordering.by[(Double, Long), (Double, Long)] { case (r6, d) => (-r6, d) }
+      val heaps = Array.fill(nS)(
+        new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+      it.foreach { case (doc, vec) =>
+        var i = 0
+        while (i < nS) {
+          val idxs = sigs(i)
+          var sum = 0.0
+          var j = 0
+          while (j < idxs.length) { sum += vec(idxs(j)); j += 1 }
+          if (sum > 0.0) {
+            val r6 = round6(sum)
+            val h = heaps(i)
+            if (h.size < k) h.enqueue((r6, doc))
+            else {
+              val (wr, wd) = h.head
+              if (r6 > wr || (r6 == wr && doc < wd)) {
+                h.dequeue(): Unit; h.enqueue((r6, doc))
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (r6, doc) => (i, r6, doc) }
+      }
+    }.toDF("sig_id", "bm25_r", "doc_id")
+    // exact global merge of the per-partition survivors (tiny relation)
+    val wS = Window.partitionBy(col("sig_id"))
+      .orderBy(col("bm25_r").desc, col("doc_id"))
+    val topPerSig = local.withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= k)
+    Some(qsig.join(hint(sigRel), "sig")
+      .join(hint(topPerSig), "sig_id")
+      .select(col("q_id"), col("rk"), col("doc_id"), col("bm25_r"))
+      .orderBy(col("q_id"), col("rk")))
+  }
+
   /** BATCHED retrieval over the persisted index — [[probe]] for a query
     * RELATION `(q_id, terms array<string>)` instead of one literal term
     * set. The single-probe prefix-seek shape cannot scale to millions
     * of queries (it plans one rowkey range per term, driver-side); the
     * batched shape is pure joins, no collect, no driver loop.
     *
-    * r20: MaxScore-pruned through the persisted champion sidecar
-    * ([[ensureChampions]]). The r19 exhaustive shape
-    * ([[probeAllExhaustive]]) joined every query to EVERY posting of
+    * r20: a three-regime dispatch, all rank-safe bit-identical
+    * (ProbeAllSpec forces each path against the exhaustive baseline):
+    *
+    *  - SMALL batches (<= `graft.bm25ProbeExhaustiveMaxTokens` exploded
+    *    query-terms, default 512): [[probeAllExhaustive]] — below the
+    *    corpus-pass fixed cost the unpruned fan-out is cheaper;
+    *  - SMALL VOCABULARY (<= `graft.bm25DenseVocabMax` distinct probed
+    *    tokens): [[probeAllDense]] — the common-terms regime where no
+    *    sound upper bound prunes; signature-dedup + dense per-doc
+    *    vectors + a bounded top-k kernel;
+    *  - otherwise: MaxScore through the persisted champion sidecar
+    *    ([[ensureChampions]]), below — the selective-vocabulary regime
+    *    where floors bite.
+    *
+    * The r19 exhaustive shape joined every query to EVERY posting of
     * each of its terms — stop-word-class terms fanned out to the whole
     * corpus per query (96.75 s / 1k queries at the 100x tier); an
     * inline MaxScore cut without the sidecar recomputed the
     * corpus-sized term-score relation in three plan branches and was
-    * slower still. With champions persisted, the probe itself touches
+    * slower still. With champions persisted, the MaxScore probe touches
     * the corpus exactly twice, both passes semi-join-pruned to the
     * probed vocabulary:
     *
@@ -443,6 +591,19 @@ object Bm25Store {
     def hint(small: DataFrame): DataFrame =
       if (qtRows <= ProbeBroadcastMaxTokens) broadcast(small) else small
     val vocab = qt.select("token").distinct()
+    // COMMON-TERMS regime: when the probed vocabulary is small, every
+    // term is frequent and upper-bound pruning provably cannot help (a
+    // measured 1k-query batch over 30 distinct corpus-common tokens
+    // yields 433M candidate pairs under the tightest sound bound — the
+    // true top-k genuinely depends on most postings). The DENSE kernel
+    // below answers that regime exactly without any |Q|-sized shuffle.
+    val denseVocabMax = s.conf.get("graft.bm25DenseVocabMax", "256").toInt
+    if (vocab.count() <= denseVocabMax) {
+      probeAllDense(s, pDir, lDir, queries, qt, vocab, topK, hint) match {
+        case Some(df) => return df
+        case None => // signature budget exceeded — fall through to MaxScore
+      }
+    }
     val champ = s.read.parquet(ensureChampions(s, pDir, lDir))
       .join(hint(vocab), Seq("token"), "left_semi")
     val heads = champ.filter(col("rn") === 1)

@@ -26,12 +26,23 @@ class ProbeAllSpec extends SparkSpec {
       "the distributed batched probe must rank exactly like the exemplar probe")
   }
 
-  /** Force the MaxScore path regardless of batch size — without this,
-    * small batches take probeAllExhaustive by design and the
-    * pruning-equivalence assertions would compare the exhaustive plan
-    * to itself. */
-  private def pruned[T](body: => T): T =
-    StreamMaint.withConfs(spark, "graft.bm25ProbeExhaustiveMaxTokens" -> "0")(body)
+  /** Force a specific probeAll regime regardless of batch/vocab size —
+    * without this, small batches take probeAllExhaustive by design and
+    * the equivalence assertions would compare the exhaustive plan to
+    * itself. `dense` disables only the small-batch switch (a small
+    * vocabulary then rides the dense kernel); `maxScore` disables the
+    * dense kernel too, forcing the champion-sidecar path. */
+  private def dense[T](body: => T): T =
+    StreamMaint.withConfs(spark,
+      "graft.bm25ProbeExhaustiveMaxTokens" -> "0",
+      "graft.bm25DenseVocabMax" -> "1000000")(body)
+
+  private def maxScore[T](body: => T): T =
+    StreamMaint.withConfs(spark,
+      "graft.bm25ProbeExhaustiveMaxTokens" -> "0",
+      "graft.bm25DenseVocabMax" -> "0")(body)
+
+  private def pruned[T](body: => T): T = maxScore(body)
 
   test("bm25 probeAll ≡ probe for the same term set, with set semantics") {
     import spark.implicits._
@@ -66,9 +77,14 @@ class ProbeAllSpec extends SparkSpec {
       .select(col("doc_id").as("q_id"),
         slice(graft.functions.Text.tokens(col("text")), 1, 3).as("terms"))
     for (k <- Seq(1, 5, 10)) {
-      assert(pruned(rows(Bm25Store.probeAll(spark, pDir, lDir, queries, topK = k))) ==
-        rows(Bm25Store.probeAllExhaustive(spark, pDir, lDir, queries, topK = k)),
+      val exhaustive =
+        rows(Bm25Store.probeAllExhaustive(spark, pDir, lDir, queries, topK = k))
+      assert(maxScore(rows(Bm25Store.probeAll(spark, pDir, lDir, queries, topK = k))) ==
+        exhaustive,
         s"MaxScore pruning must be bit-identical to the exhaustive plan at topK=$k")
+      assert(dense(rows(Bm25Store.probeAll(spark, pDir, lDir, queries, topK = k))) ==
+        exhaustive,
+        s"the dense kernel must be bit-identical to the exhaustive plan at topK=$k")
     }
   }
 
