@@ -454,7 +454,8 @@ object Stress {
     // (cosine is scale-invariant, so the exact ground truth still
     // asserts recall; the handful of deleted truth rows are disclosed
     // by region_rows/vectors).
-    val ivfDmlJson = if (pqOnly || storeOnly || q111Only || streamOnly) "" else {
+    val ivfDmlJson = if (pqOnly || storeOnly || q111Only || streamOnly ||
+        probeOnly || compactOnly) "" else {
       val root = s"$out/_kv_ivfdml"
       val corpus = s"$root/corpus"
       def rmrfD(f: File): Unit = {
@@ -861,11 +862,14 @@ object Stress {
         val qs = vecs.orderBy(col("vec_id")).limit(10000)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val loads = queries.Similarity.ivfCellLoad(spark, idx, qs, nProbe = 4)
-          .select(col("cell"), col("candidates")).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
+          // pmod(hash(cell), parts) IS Spark's HashPartitioning function,
+          // so `part` is the exact task each cell's candidates land on
+          .select(col("cell").cast("long").as("cell"), col("candidates"),
+            pmod(hash(col("cell")), lit(shuffleParts.toInt)).as("part"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
         val cands: Seq[Long] = loads.map(_._2).sorted.toSeq
-        val byPart: Seq[Long] = loads.groupBy { case (cell, _) =>
-          java.lang.Long.hashCode(cell) % shuffleParts.toInt }
+        val byPart: Seq[Long] = loads.groupBy(_._3)
           .map(_._2.map(_._2).sum).toSeq.sorted
         def med(xs: Seq[Long]): Long = if (xs.isEmpty) 0L else xs(xs.length / 2)
         val (cMax, cMed) = (cands.lastOption.getOrElse(0L), med(cands))

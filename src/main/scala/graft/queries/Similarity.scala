@@ -435,19 +435,54 @@ object Similarity {
     *    reuses the same q_id partitioning, so no second exchange);
     *  - probes carry `q_emb` forward, so candidates never join back to
     *    the query relation;
-    *  - candidates: `assigned ⋈ probes` shuffles on `cell` — the one
-    *    corpus-sized exchange, sized by nProbe·|Q| probe rows against
-    *    the assignment table, never |Q|·n;
+    *  - candidates: `assigned ⋈ probes` — the one corpus-sized join,
+    *    sized by nProbe·|Q| probe rows against the assignment table,
+    *    never |Q|·n;
     *  - per-query top-k: one more q_id window over the candidate
     *    stream.
+    *
+    * The candidates join is SKEW-AWARE (r20). The r19 shape shuffled
+    * `assigned` on `cell`, and the measured per-cell candidate load is
+    * badly skewed (100× audit: hottest cell 783k candidate pairs vs a
+    * 7.1k median — ratio 110; `ivf_cell_skew` in the probeonly stress
+    * rows): queries are corpus-shaped, so a populous cell draws
+    * probes AND holds vectors — load grows ~quadratically in cell
+    * population. At 64 local partitions hash-bundling masks it
+    * (task ratio 3.2), but at cluster scale, where partitions ≫
+    * cells, the task ratio converges to the CELL ratio — a hot cell
+    * is one straggler task. Two regimes, both exact:
+    *
+    *  - probes ≤ `graft.ivfProbeBroadcastMaxRows` (default 500k rows
+    *    ≈ 150 MB of (q_id, q_emb, cell)): BROADCAST the probe side —
+    *    the corpus never shuffles at all; every assigned partition
+    *    hash-joins locally and skew cannot exist. This covers every
+    *    committed workload (10k queries × nProbe 4 = 40k rows).
+    *  - larger probe relations: SALT the join key — `assigned` gains
+    *    `pmod(hash(vec_id), S)` (uniform within each cell by
+    *    construction), probes explode ×S (`graft.ivfProbeSaltFactor`,
+    *    default 16), and the join keys on (cell, salt): the hottest
+    *    cell's candidates spread across S tasks, cutting the
+    *    straggler ratio by ~S at the cost of an S×-replicated (but
+    *    |Q|-sized, corpus-free) probe shuffle.
     *
     * No driver loop, no collect: #queries only widens the shuffles. */
   def ivfProbeAll(s: SparkSession, idx: IvfIndex, queries: DataFrame,
                   nProbe: Int, topK: Int = 5): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val probes = probesAll(idx, queries, nProbe)
-    val cands = idx.assigned.join(probes, Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
+    val bcastMax =
+      s.conf.get("graft.ivfProbeBroadcastMaxRows", "500000").toLong
+    val joined =
+      if (queries.count() * nProbe <= bcastMax)
+        idx.assigned.join(broadcast(probes), Seq("cell"))
+      else {
+        val saltF = s.conf.get("graft.ivfProbeSaltFactor", "16").toInt
+        idx.assigned
+          .withColumn("salt", pmod(hash(col("vec_id")), lit(saltF)))
+          .join(probes.withColumn("salt",
+            explode(sequence(lit(0), lit(saltF - 1)))), Seq("cell", "salt"))
+      }
+    val cands = joined.filter(col("vec_id") =!= col("q_id"))
     val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
       expr("cosine_sim(q_emb, embedding)").as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))

@@ -17,13 +17,21 @@ class ProbeAllSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq
 
-  test("ivfProbeAll ≡ ivfProbe on the same query set") {
+  test("ivfProbeAll ≡ ivfProbe on the same query set — broadcast AND salted join regimes") {
     val idx = IvfStore.ensure(spark, d)
     val qs = Tables.embeddings(spark, d).filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    assert(rows(Similarity.ivfProbeAll(spark, idx, qs, nProbe = 4)) ==
-      rows(Similarity.ivfProbe(spark, idx, qs, nProbe = 4)),
+    val exemplar = rows(Similarity.ivfProbe(spark, idx, qs, nProbe = 4))
+    assert(rows(Similarity.ivfProbeAll(spark, idx, qs, nProbe = 4)) == exemplar,
       "the distributed batched probe must rank exactly like the exemplar probe")
+    // force the large-|Q| salted regime (broadcast bound 0): the hot-cell
+    // mitigation must be invisible in the results — same pairs, same
+    // exact cosines, same ranking
+    val salted = StreamMaint.withConfs(spark,
+      "graft.ivfProbeBroadcastMaxRows" -> "0")(
+      rows(Similarity.ivfProbeAll(spark, idx, qs, nProbe = 4)))
+    assert(salted == exemplar,
+      "the salted skew-mitigated join must rank exactly like the exemplar probe")
   }
 
   /** Force a specific probeAll regime regardless of batch/vocab size —
@@ -146,6 +154,16 @@ class ProbeAllSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!ivfPlan.contains("CartesianProduct"),
       "ivfProbeAll must never degrade to a cartesian product")
+    assert(ivfPlan.contains("BroadcastHashJoin"),
+      "small probe relations must broadcast — the corpus side must not shuffle")
+    val saltedPlan = StreamMaint.withConfs(spark,
+      "graft.ivfProbeBroadcastMaxRows" -> "0")(
+      Similarity.ivfProbeAll(spark, idx, qs, nProbe = 4)
+        .queryExecution.executedPlan.toString)
+    assert(!saltedPlan.contains("CartesianProduct"),
+      "the salted regime must never degrade to a cartesian product")
+    assert(saltedPlan.contains("salt"),
+      "the large-|Q| regime must key the candidates join on (cell, salt)")
     val (pDir, lDir) =
       Bm25Store.buildIfAbsent(spark, d, "full", Tables.documents(spark, d))
     val queries = Seq((1L, Seq("table")), (2L, Seq("vector", "stream")))
