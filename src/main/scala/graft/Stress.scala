@@ -874,7 +874,21 @@ object Stress {
         def med(xs: Seq[Long]): Long = if (xs.isEmpty) 0L else xs(xs.length / 2)
         val (cMax, cMed) = (cands.lastOption.getOrElse(0L), med(cands))
         val (pMax, pMed) = (byPart.lastOption.getOrElse(0L), med(byPart))
-        f"""{"n_queries":10000,"n_probe":4,"cells":${cands.length},"cell_max":$cMax,"cell_median":$cMed,"cell_ratio":${if (cMed > 0) cMax.toDouble / cMed else -1.0}%.2f,"partition_max":$pMax,"partition_median":$pMed,"partition_ratio":${if (pMed > 0) pMax.toDouble / pMed else -1.0}%.2f}"""
+        // the same load under the salted regime's exact (cell, salt)
+        // key — the distribution the mitigation actually shuffles
+        val saltF = spark.conf.get("graft.ivfProbeSaltFactor", "16").toInt
+        val sLoads = queries.Similarity
+          .ivfCellLoadSalted(spark, idx, qs, nProbe = 4, saltF = saltF)
+          .select(col("candidates"),
+            pmod(hash(col("cell"), col("salt")), lit(shuffleParts.toInt))
+              .as("part"))
+          .collect().map(r => (r.getLong(0), r.getInt(1)))
+        val sCands: Seq[Long] = sLoads.map(_._1).sorted.toSeq
+        val sByPart: Seq[Long] = sLoads.groupBy(_._2)
+          .map(_._2.map(_._1).sum).toSeq.sorted
+        val (sMax, sMed) = (sCands.lastOption.getOrElse(0L), med(sCands))
+        val (spMax, spMed) = (sByPart.lastOption.getOrElse(0L), med(sByPart))
+        f"""{"n_queries":10000,"n_probe":4,"cells":${cands.length},"cell_max":$cMax,"cell_median":$cMed,"cell_ratio":${if (cMed > 0) cMax.toDouble / cMed else -1.0}%.2f,"partition_max":$pMax,"partition_median":$pMed,"partition_ratio":${if (pMed > 0) pMax.toDouble / pMed else -1.0}%.2f,"salted":{"salt_factor":$saltF,"keys":${sCands.length},"key_max":$sMax,"key_median":$sMed,"key_ratio":${if (sMed > 0) sMax.toDouble / sMed else -1.0}%.2f,"partition_max":$spMax,"partition_median":$spMed,"partition_ratio":${if (spMed > 0) spMax.toDouble / spMed else -1.0}%.2f}}"""
       }
       System.err.println(s"[stress] ivf_cell_skew $skewJson")
       println(s"""{"metric":"stress_probe","copies":$copies,"base":"$base","revision":"$revision","shuffle_partitions":$shuffleParts,"ivf_probe_all":${secsJson(ivfRows)},"bm25_probe_all":${secsJson(bmRows)},"lsh_probe_batch":${secsJson(lshRows)},"ivf_cell_skew":$skewJson,"peak_heap_mb":$peakHeapMb,"host":${hostJson()}}""")

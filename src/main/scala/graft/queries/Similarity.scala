@@ -534,6 +534,27 @@ object Similarity {
         (col("n_probes") * col("n_vecs")).as("candidates"))
   }
 
+  /** [[ivfCellLoad]] under the salted regime's EXACT join key: per
+    * (cell, pmod(hash(vec_id), saltF)) candidate load — n_probes(cell)
+    * stays constant across a cell's salts (every probe row replicates
+    * to all S salts) while its vectors split by the same hash the
+    * mitigation uses, so this relation IS the task-load distribution
+    * the salted join produces. The audit harness reports max/median of
+    * both keyings side by side: the unsalted ratio is the straggler
+    * bound the mitigation removes, this one is what remains. */
+  def ivfCellLoadSalted(s: SparkSession, idx: IvfIndex, queries: DataFrame,
+                        nProbe: Int, saltF: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val pc = probesAll(idx, queries, nProbe)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_probes"))
+    val ac = idx.assigned
+      .withColumn("salt", pmod(hash(col("vec_id")), lit(saltF)))
+      .groupBy(col("cell"), col("salt")).agg(count(lit(1)).as("n_vecs"))
+    ac.join(pc, Seq("cell"))
+      .select(col("cell"), col("salt"),
+        (col("n_probes") * col("n_vecs")).as("candidates"))
+  }
+
   /** Production probe width: cover ~[[AdaptiveProbeTarget]] vectors'
     * worth of cells, never fewer than 4 cells. At the design point
     * (cells ≈ 256 vectors) this pins nProbe at 4–5 (4 exactly when
