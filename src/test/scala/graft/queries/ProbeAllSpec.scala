@@ -129,6 +129,54 @@ class ProbeAllSpec extends SparkSpec {
       "fixture sanity: the appended tail must actually change some ranking")
   }
 
+  test("bm25 probeAll regimes agree on seeded-random batches (fuzz)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, collect_set}
+    val (pDir, lDir) =
+      Bm25Store.buildIfAbsent(spark, d, "full", Tables.documents(spark, d))
+    // real corpus vocabulary, frequent first — so random draws mix
+    // stop-word-class and selective terms the way real queries do
+    val vocab = Tables.documents(spark, d)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t"))
+      .limit(200).select("t").as[String].collect()
+    val rnd = new scala.util.Random(20260816L)
+    for (round <- 1 to 3) {
+      val topK = 1 + rnd.nextInt(10)
+      val queries = (0 until 40).map { q =>
+        val n = 1 + rnd.nextInt(4)
+        (q.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))))
+      }.toDF("q_id", "terms")
+      val exhaustive =
+        rows(Bm25Store.probeAllExhaustive(spark, pDir, lDir, queries, topK))
+      assert(maxScore(rows(
+        Bm25Store.probeAll(spark, pDir, lDir, queries, topK))) == exhaustive,
+        s"fuzz round $round (topK=$topK): MaxScore must match exhaustive")
+      assert(dense(rows(
+        Bm25Store.probeAll(spark, pDir, lDir, queries, topK))) == exhaustive,
+        s"fuzz round $round (topK=$topK): dense kernel must match exhaustive")
+    }
+  }
+
+  test("salted skew audit conserves the unsalted candidate load per cell") {
+    import org.apache.spark.sql.functions.sum
+    val idx = IvfStore.ensure(spark, d)
+    val qs = Tables.embeddings(spark, d).filter(col("vec_id") < 200)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val raw = Similarity.ivfCellLoad(spark, idx, qs, nProbe = 4)
+      .select(col("cell").cast("long"), col("candidates"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Σ_salt candidates(cell, salt) = candidates(cell): the salted keying
+    // repartitions the load, it must never create or drop candidate pairs
+    val salted = Similarity.ivfCellLoadSalted(spark, idx, qs, nProbe = 4, saltF = 16)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(sum(col("candidates")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == raw,
+      "per-cell candidate load must be conserved across the salted keying")
+    assert(raw.nonEmpty, "fixture sanity: the audit must see probed cells")
+  }
+
   test("lsh probeBatch ≡ the persisted pair relation filtered to the batch") {
     val docs = Tables.documents(spark, d)
     val cut = (docs.count() * 9) / 10
