@@ -109,7 +109,7 @@ object Recall {
     val wideExact = pairs(wideExactDf)
     val wideExact1 = rank1(wideExactDf)
     val wideJson = Seq(1, 2, 4, 8, 16).map { p =>
-      val got = pairs(Similarity.ivfProbeAll(s, idx, all, p))
+      val got = pairs(Similarity.ivfProbeAll(s, idx, all, p, nQueriesHint = Some(nQ)))
       f""""$p":{"recall_at_5":${recallAt(wideExact, got, k)}%.4f,"top1_in_top5":${top1Hit(wideExact1, got)}%.4f}"""
     }.mkString("{", ",", "}")
 

@@ -796,7 +796,8 @@ object Stress {
         qs.count(): Unit
         var rows = 0L
         val m = minOf2 {
-          rows = queries.Similarity.ivfProbeAll(spark, idx, qs, nProbe = 4)
+          rows = queries.Similarity.ivfProbeAll(spark, idx, qs, nProbe = 4,
+              nQueriesHint = Some(nq.toLong))
             .queryExecution.toRdd.count()
         }
         qs.unpersist(): Unit

@@ -26,7 +26,15 @@ object LangId {
     * the argmax comparator order-dependent). */
   def predict(df: DataFrame): DataFrame = {
     val txt = coalesce(col("text"), lit(""))
-    val toks = Text.tokens(lower(txt))
+    // Bind the token array ONCE (r21): the five per-language filters all
+    // reference the tokenizer expression, and inlining it would re-run
+    // split(trim(lower(text))) five times per row — the same
+    // O(consumers × tokenize) trap [[Text.shinglesOf]]'s scaladoc pins
+    // (and the `lang_best` binding below already fixes one level up).
+    // CollapseProject keeps the binding projection separate because the
+    // alias is non-cheap and multiply-referenced, so each row tokenizes
+    // exactly once. Dropped before return — output schema unchanged.
+    val toks = col("_langid_toks")
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
         size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long").as("s"),
@@ -51,10 +59,11 @@ object LangId {
     // work). CollapseProject refuses to merge the two projections
     // because the inner alias is non-cheap and referenced twice, so the
     // sort runs once and the two field reads hit the bound struct.
-    df.withColumn("lang_best", best)
+    df.withColumn("_langid_toks", Text.tokens(lower(txt)))
+      .withColumn("lang_best", best)
       .withColumn("pred_lang",
         when(col("lang_best").getField("s") === 0L, lit("und"))
           .otherwise(col("lang_best").getField("l")))
-      .drop("lang_best")
+      .drop("lang_best", "_langid_toks")
   }
 }

@@ -100,11 +100,23 @@ object Bm25Store {
   }
 
   private[graft] def writeDl(s: SparkSession, dl: DataFrame, dir: String,
-                      mode: String): Unit =
-    dl.repartitionByRange(2, col("doc_id"))
+                      mode: String, shards: Int = 2): Unit =
+    dl.repartitionByRange(shards, col("doc_id"))
       .write.format("graft-kv")
       .option("catalog", dlCatalogJson).option("path", dir)
       .mode(mode).save()
+
+  /** Shard count for a DELTA append, sized from the delta itself
+    * (r21, guide §6): the fixed per-append constants made every
+    * micro-batch pay a range-sampling pass plus N write tasks and leave
+    * N sliver shards per batch, regardless of whether the delta was 100
+    * rows or 100 GB. Bytes-derived via [[IvfStore.indexShards]] with a
+    * floor of 1 — a typical micro-batch lands ONE range-tight shard
+    * (repartitionByRange(1, …) skips the sampling job entirely), while
+    * a bulk backfill still fans out by its real volume. Fewer sliver
+    * shards also means less self-compaction churn per cycle. */
+  private def deltaShards(s: SparkSession, estBytes: Long): Int =
+    IvfStore.indexShards(s, estBytes, 1)
 
   /** Build the persisted index over `docs` if absent. Shard count for
     * the postings table is bytes-derived ([[IvfStore.indexShards]],
@@ -831,13 +843,16 @@ object Bm25Store {
         val nDelta = st.getLong(0)
         if (nDelta > 0) {
           if (st.getLong(1) > 0) {
-            writePostings(s, postingsOf(toks), pDir, "append", 2)
+            // ~24 B per (token#id key, token, doc_id, tf) posting row
+            writePostings(s, postingsOf(toks), pDir, "append",
+              deltaShards(s, st.getLong(1) * 24))
             StreamMaint.maybeCompact(s, pDir)
           }
           // coverage reaches the delta max either way: rows just
           // committed above, or the uncovered tail is token-less
           writeStamp(pDir, st.getLong(2))
-          writeDl(s, dlOf(toks), lDir, "append")
+          // ~16 B per (doc_id, dl) row
+          writeDl(s, dlOf(toks), lDir, "append", deltaShards(s, nDelta * 16))
           StreamMaint.maybeCompact(s, lDir)
         }
         nDelta

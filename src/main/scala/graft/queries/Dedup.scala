@@ -519,11 +519,14 @@ object Dedup {
       val docs = Tables.documents(s, d)
       val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
       val survivors = docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      val toks = Text.tokens(col("text"))
-      val scored = survivors.select(
-        col("doc_id"), col("lang"),
-        size(toks).as("n_tokens"),
-        Text.stopwordHits(toks).as("n_stop"))
+      // bind the token array once (r21): size() and stopwordHits() both
+      // reference it; inlined, each row tokenized twice
+      val scored = survivors
+        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"), col("lang"),
+          size(col("_toks")).as("n_tokens"),
+          Text.stopwordHits(col("_toks")).as("n_stop"))
       scored
         .filter(col("n_tokens") >= 5 && col("n_tokens") <= 1000 &&
                 col("n_stop") * 2 <= col("n_tokens")) // stop ratio <= 1/2, integer test

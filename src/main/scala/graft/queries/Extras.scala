@@ -257,38 +257,51 @@ object Extras {
       ORDER BY l_returnflag"""),
     doc = "FILTER-clause conditional aggregation")
 
-  /** Exact per-group quantiles (median + p90) via the sort-based window
-    * formulation — the pattern that stays EXACT at scale: one shuffle on
-    * the group key, per-group sort, rank arithmetic. (Engine-native
-    * percentile functions interpolate with engine-specific formulas and
-    * approx sketches aren't hash-comparable; the discrete rank
-    * `ceil(p·n)` is identical everywhere. Ties need no tie-break: every
-    * row at a rank carries the same value.) The group count uses the
-    * SAME (partition, order) spec with an unbounded frame so both
-    * window functions evaluate in ONE Window operator over one sort —
-    * a partition-only count would plan a second Window pass.
+  /** Exact per-group quantiles (median + p90) — r21 OPTIMIZATION: the
+    * value-at-rank `ceil(p·n)` is selected from per-(group, value)
+    * COUNTS instead of a per-group row sort. The value at rank k in the
+    * sorted stratum is the unique value whose cumulative-count interval
+    * `(cum − cnt, cum]` contains k — identical to the r20 row_number
+    * selection for every p (ties collapse into one counted row, and a
+    * rank landing anywhere inside a tie run reads that run's value
+    * either way). What changes is the SHAPE (guide §2.3, aggregate
+    * before you shuffle): `GROUP BY (l_returnflag, l_quantity)`
+    * partial-aggregates map-side, so the one full-data pass shuffles
+    * ~|groups × distinct values| partial rows (4 × 50 here) instead of
+    * every fact row, and the windows run over that tiny relation. The
+    * r20 sort-based window shape shuffled the WHOLE fact table into ~4
+    * stratum tasks and sorted each — the labeled 100 TB straggler this
+    * family carried since r8 (its caveat steered production to q94's
+    * approx twin). The exact query now has the same partial-agg scale
+    * shape as the twin; q94 stays the bounded-memory choice only when
+    * the value domain itself is huge (continuous doubles), where the
+    * count relation degenerates to the row count.
     *
-    * CAVEAT — this is the STRATUM-BOUNDED EXACT BASELINE (the q91 /
-    * q51 role): `l_returnflag` has ~4 values, so the window sorts the
-    * whole fact table inside ~4 tasks. Invisible at sf0.1; at 100 TB it
-    * is THE straggler. The scale path is q94's `percentile_approx`
-    * twin — a partial-aggregated sketch with no per-stratum sort —
-    * pinned to this query by OperatorSpec's rank-tolerance test. Keep
-    * q37 as the oracle-checkable truth; run q94 in production. */
+    * Equivalence: every rank r ∈ [1, n] satisfies exactly one value's
+    * interval (cum is strictly increasing by cnt ≥ 1 and ends at n);
+    * grouping doubles by value is exact here (same parquet bits; no
+    * NaN/−0.0 in the domain — and Spark normalizes −0.0 group keys).
+    * Oracle SQL unchanged — the DuckDB side still runs the sort-based
+    * formulation, so the hash-compare is a cross-shape proof. */
   val q37ExactQuantiles: Q = Q(
     "q37_exact_quantiles",
     (s, d) => {
       Tables.registerAll(s, d)
       s.sql("""
-        WITH r AS (
-          SELECT l_returnflag, l_quantity,
-                 row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
-                 count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n
-          FROM lineitem)
+        WITH c AS (
+          SELECT l_returnflag, l_quantity, count(*) AS cnt
+          FROM lineitem
+          GROUP BY l_returnflag, l_quantity),
+        r AS (
+          SELECT l_returnflag, l_quantity, cnt,
+                 sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+                 sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+          FROM c)
         SELECT l_returnflag,
-               max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS median_qty,
-               max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_quantity END) AS p90_qty,
+               max(CASE WHEN cum - cnt < CAST(ceil(0.5 * n) AS BIGINT)
+                         AND CAST(ceil(0.5 * n) AS BIGINT) <= cum THEN l_quantity END) AS median_qty,
+               max(CASE WHEN cum - cnt < CAST(ceil(0.9 * n) AS BIGINT)
+                         AND CAST(ceil(0.9 * n) AS BIGINT) <= cum THEN l_quantity END) AS p90_qty,
                max(n) AS n
         FROM r GROUP BY l_returnflag
         ORDER BY l_returnflag""")

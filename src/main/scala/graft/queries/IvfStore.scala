@@ -506,7 +506,8 @@ object IvfStore {
       val idx = ensure(s, d)
       val queries = Tables.embeddings(s, d).filter(col("vec_id") < 100)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      Similarity.ivfProbeAll(s, idx, queries, nProbe = 4)
+      Similarity.ivfProbeAll(s, idx, queries, nProbe = 4,
+        nQueriesHint = Some(100L)) // vec_id < 100 on a dense 0-based id space
     },
     Some(Similarity.ivfOracleSqlFrom("", "dbl",
       queryPred = "q.vec_id < 100")),
@@ -776,7 +777,17 @@ object IvfStore {
         java.nio.file.Files.write(pendingMarker(root).toPath,
           mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(marker))
         val frozen = loadPinned(s, root, meta)
+        // register on the BATCH's session, not (only) the outer one:
+        // inside a streaming foreachBatch the batch frame belongs to the
+        // stream's CLONED session (cloned at stream start, registry
+        // copied then), so registering on `s` alone leaves cosine_sim
+        // unresolvable in the session that analyzes this plan. The bug
+        // was latent — every cold run registered it via the seed build
+        // BEFORE the stream cloned — and surfaced the first time q133
+        // ran against an already-cached stage (r21, found while
+        // profiling; reproduced on the r20 HEAD).
         graft.functions.CosineSimilarity.register(s)
+        graft.functions.CosineSimilarity.register(batch.sparkSession)
         Similarity.assignRouted(fresh, frozen.coarse, frozen.centRouted,
             meta.path("k").asLong())
           .select(col("vec_id"), col("embedding"), col("cell"))

@@ -1103,7 +1103,17 @@ object KvQueries {
                 s.read.format("graft-kv").option("catalog", keepersCatalogJson)
                   .option("path", sinkDir).load().select("fp"),
                 Seq("fp"), "left_anti")
-            fresh.repartitionByRange(2, col("fp"))
+            // delta-sized append (r21, guide §6): the fixed 2-way range
+            // repartition paid a sampling pass + 2 sliver shards per
+            // micro-batch; size shards from the BATCH's manifest-derived
+            // plan statistics instead (keeper rows are strictly narrower
+            // than the document rows the estimate counts, so this only
+            // ever over-shards). A typical micro-batch lands one shard —
+            // repartitionByRange(1, …) skips the sampling job.
+            val shards = IvfStore.indexShards(s,
+              batch.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+                .max(1L), 1)
+            fresh.repartitionByRange(shards, col("fp"))
               .write.format("graft-kv")
               .option("catalog", keepersCatalogJson).option("path", sinkDir)
               .mode("append").save()

@@ -68,12 +68,13 @@ object LshStore {
     * shingles the delta ONCE and feeds both table writes from the
     * cached rows. */
   private[graft] def writeBandsFrom(s: SparkSession, sh: DataFrame,
-                                    bDir: String, mode: String): Unit =
+                                    bDir: String, mode: String,
+                                    shards: Int = 4): Unit =
     Dedup.md5Banded(sh).select(
         concat(col("band").cast("string"), lit("|"), col("bkey"), lit("#"),
           pad(col("doc_id"))).as("pk"),
         col("band"), col("bkey"), col("doc_id"))
-      .repartitionByRange(4, col("pk"))
+      .repartitionByRange(shards, col("pk"))
       .write.format("graft-kv")
       .option("catalog", bandsCatalogJson).option("path", bDir)
       .mode(mode).save()
@@ -87,12 +88,13 @@ object LshStore {
 
   /** The shingles half from the shared shingle relation. */
   private[graft] def writeShinglesFrom(s: SparkSession, sh: DataFrame,
-                                       lDir: String, mode: String): Unit =
+                                       lDir: String, mode: String,
+                                       shards: Int = 4): Unit =
     sh.select(
         concat(pad(col("doc_id")), lit("#"),
           md5(col("sh").cast("binary"))).as("pk"),
         col("doc_id"), col("sh"))
-      .repartitionByRange(4, col("pk"))
+      .repartitionByRange(shards, col("pk"))
       .write.format("graft-kv")
       .option("catalog", shinglesCatalogJson).option("path", lDir)
       .mode(mode).save()
@@ -171,16 +173,24 @@ object LshStore {
     val fB = tableFrontier(s, bandsCatalogJson, bDir)
     val fS = tableFrontier(s, shinglesCatalogJson, lDir)
     if (fB == fS) {
-      // steady state: same delta for both tables — one shingle pass
+      // steady state: same delta for both tables — one shingle pass.
+      // Delta appends are shard-sized from the delta itself (r21, guide
+      // §6): the fixed 4-way range repartition made every micro-batch
+      // pay a sampling pass + 4 write tasks and leave 4 sliver shards
+      // per table per batch; bytes-derived with a floor of 1, a typical
+      // micro-batch lands ONE range-tight shard (repartitionByRange(1,…)
+      // skips the sampling job) while a bulk backfill still fans out.
+      // ~4 KiB/doc covers band rows (32 fixed-width) and shingle rows.
       val delta = batch.filter(col("doc_id") > fB)
       val nDocs = delta.count()
       if (nDocs > 0) {
+        val shards = IvfStore.indexShards(s, nDocs * 4096, 1)
         val sh = Dedup.shingleRowsOf(delta).persist()
         try {
           if (sh.limit(1).count() > 0) {
-            writeBandsFrom(s, sh, bDir, "append")
+            writeBandsFrom(s, sh, bDir, "append", shards)
             StreamMaint.maybeCompact(s, bDir)
-            writeShinglesFrom(s, sh, lDir, "append")
+            writeShinglesFrom(s, sh, lDir, "append", shards)
             StreamMaint.maybeCompact(s, lDir)
           }
         } finally { sh.unpersist(); () }
@@ -194,14 +204,16 @@ object LshStore {
       if (nPastB > 0) {
         val shB = Dedup.shingleRowsOf(batch.filter(col("doc_id") > fB)).persist()
         try if (shB.limit(1).count() > 0) {
-          writeBandsFrom(s, shB, bDir, "append")
+          writeBandsFrom(s, shB, bDir, "append",
+            IvfStore.indexShards(s, nPastB * 4096, 1))
           StreamMaint.maybeCompact(s, bDir)
         } finally { shB.unpersist(); () }
       }
       if (nPastS > 0) {
         val shS = Dedup.shingleRowsOf(batch.filter(col("doc_id") > fS)).persist()
         try if (shS.limit(1).count() > 0) {
-          writeShinglesFrom(s, shS, lDir, "append")
+          writeShinglesFrom(s, shS, lDir, "append",
+            IvfStore.indexShards(s, nPastS * 4096, 1))
           StreamMaint.maybeCompact(s, lDir)
         } finally { shS.unpersist(); () }
       }

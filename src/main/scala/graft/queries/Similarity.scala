@@ -465,18 +465,47 @@ object Similarity {
     *    straggler ratio by ~S at the cost of an S×-replicated (but
     *    |Q|-sized, corpus-free) probe shuffle.
     *
-    * No driver loop, no collect: #queries only widens the shuffles. */
+    * No driver loop, no collect: #queries only widens the shuffles.
+    *
+    * Regime dispatch is PLAN-TIME (r21): the r20 shape ran an eager
+    * `queries.count()` per call — a full Spark job even for plan-only
+    * inspection, a second evaluation of the query relation on top of
+    * the join's own (and, for a non-deterministic input, a regime
+    * decided on different data than the join saw), contradicting the
+    * "no collect" contract above. Both regimes are exact, so the
+    * decision only needs an ESTIMATE: the caller's `nQueriesHint` when
+    * it knows its batch size (every production call site does), else
+    * Catalyst's row-count statistic, else rows estimated from the
+    * optimized plan's `sizeInBytes` at `graft.ivfProbeQueryRowBytes`
+    * per row (default 300 B — exactly the calibration behind the
+    * 500k-row default ≈ 150 MB), so one row threshold governs every
+    * path and the conf-forced regimes (`...BroadcastMaxRows = 0`)
+    * keep working. A misestimate can only pick the salted regime for
+    * a small batch (slower, never wrong); no code path runs an extra
+    * action. */
   def ivfProbeAll(s: SparkSession, idx: IvfIndex, queries: DataFrame,
-                  nProbe: Int, topK: Int = 5): DataFrame = {
+                  nProbe: Int, topK: Int = 5,
+                  nQueriesHint: Option[Long] = None): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val probes = probesAll(idx, queries, nProbe)
     val bcastMax =
       s.conf.get("graft.ivfProbeBroadcastMaxRows", "500000").toLong
+    val nQueriesEst: Long = nQueriesHint
+      .orElse(queries.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+      .getOrElse {
+        val rowBytes =
+          s.conf.get("graft.ivfProbeQueryRowBytes", "300").toLong.max(1L)
+        (queries.queryExecution.optimizedPlan.stats.sizeInBytes / rowBytes).toLong
+      }
+    val useBroadcast = nQueriesEst * nProbe <= bcastMax
     val joined =
-      if (queries.count() * nProbe <= bcastMax)
+      if (useBroadcast)
         idx.assigned.join(broadcast(probes), Seq("cell"))
       else {
         val saltF = s.conf.get("graft.ivfProbeSaltFactor", "16").toInt
+        require(saltF >= 1, s"graft.ivfProbeSaltFactor must be >= 1, got $saltF " +
+          "(pmod(_, 0) is null under non-ANSI semantics — the salted join " +
+          "would silently match nothing)")
         idx.assigned
           .withColumn("salt", pmod(hash(col("vec_id")), lit(saltF)))
           .join(probes.withColumn("salt",
@@ -544,6 +573,7 @@ object Similarity {
     * bound the mitigation removes, this one is what remains. */
   def ivfCellLoadSalted(s: SparkSession, idx: IvfIndex, queries: DataFrame,
                         nProbe: Int, saltF: Int): DataFrame = {
+    require(saltF >= 1, s"saltF must be >= 1, got $saltF")
     graft.functions.CosineSimilarity.register(s)
     val pc = probesAll(idx, queries, nProbe)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_probes"))

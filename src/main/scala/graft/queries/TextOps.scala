@@ -36,9 +36,16 @@ object TextOps {
     "q31_quality_score",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val tokArr = graft.functions.Text.tokens(col("text"))
+      // materialize the token array before fanning out to the four
+      // consumers (r21): inlined, the split-tokenize tree is duplicated
+      // into every consumer expression and runs ~5× per row — the
+      // [[graft.functions.Text.shinglesOf]] trap. The binding projection
+      // survives CollapseProject (non-cheap alias, multiply referenced).
+      val tokArr = col("_toks")
       val toks = size(tokArr)
-      docs.select(
+      docs.select(col("doc_id"), col("text"),
+          graft.functions.Text.tokens(col("text")).as("_toks"))
+        .select(
           col("doc_id"),
           toks.as("n_tokens"),
           graft.functions.Text.stopwordHits(tokArr).as("n_stop"),
@@ -275,7 +282,12 @@ object TextOps {
                         element_at(col("t"), i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val cbi = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbi"))
-      val cleft = bi.groupBy(col("w1")).agg(count(lit(1)).as("cleft"))
+      // cleft(w1) = Σ_w2 cbi(w1, w2) exactly (integer sums over the same
+      // bigram instances) — r21 derives it from the distinct-bigram
+      // relation instead of re-running the tokenize + bigram-explode
+      // corpus pass a third time; the sum's input is |distinct bigrams|,
+      // not |bigram instances|
+      val cleft = cbi.groupBy(col("w1")).agg(sum(col("cbi")).as("cleft"))
       val vocab = toks.select(explode(col("t")).as("w"))
         .agg(countDistinct(col("w")).as("v"))
       // explicit broadcasts: without the hint AQE reuses the count
@@ -352,11 +364,22 @@ object TextOps {
                                     d: String, terms: Seq[String])
       : org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
-    val tf = docs
+    val toks = docs
       .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
+    val tf = toks
       .select(col("doc_id"), explode(col("t")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // dl = Σ_token tf(doc, token) ≡ size(tokens) per doc, exactly (both
+    // count every token instance; tf rows exist only for docs with ≥ 1
+    // token, so the size > 0 filter keeps the SAME doc set). r21: the
+    // r20 shape re-ran the tokenize + explode + (doc_id, token) shuffle
+    // + second aggregate just to re-derive the per-doc token count the
+    // token array already carries — this drops the query's one
+    // corpus-sized unfiltered shuffle (the postings arm's shuffle is
+    // term-filtered before the exchange). Guide §2.4: remove shuffles
+    // outright.
+    val dl = toks.filter(size(col("t")) > 0)
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
     val postings = tf.filter(col("token").isin(terms: _*))

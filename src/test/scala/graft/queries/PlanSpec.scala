@@ -72,10 +72,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "per-part aggregate must run as a window")
   }
 
-  test("q37: both window functions share one Window operator (one sort pass)") {
+  test("q37: the fact scan feeds a partial aggregate — no fact-row window sort") {
+    // r21 shape: the one full-data pass partial-aggregates
+    // (l_returnflag, l_quantity) counts map-side BEFORE any exchange, so
+    // the windows (cumulative rank intervals) run over ~|groups × values|
+    // partial rows, never the fact table — the r20 one-Window-pass
+    // invariant protected a per-stratum sort of ALL fact rows, the shape
+    // this round removed (its scaladoc's own 100 TB straggler caveat).
     val p = plan(Extras.q37ExactQuantiles.fn(spark, d))
-    val windows = p.linesIterator.count(l => l.trim.matches("""\(\d+\) Window"""))
-    assert(windows == 1, s"rank and count must share one Window pass, saw $windows:\n$p")
+    val lines = p.linesIterator.toSeq
+    // formatted plans number operators bottom-up: (1) is the scan, so
+    // (2) — the scan's direct consumer — must be the partial
+    // HashAggregate, i.e. aggregation happens BELOW the first exchange
+    val scanNo = lines.collectFirst {
+      case l if l.trim.matches("""\(\d+\) Scan parquet\s*""") =>
+        l.trim.drop(1).takeWhile(_ != ')').toInt
+    }
+    assert(scanNo.contains(1), s"expected the scan at node (1):\n$p")
+    assert(lines.exists(_.trim.startsWith("(2) HashAggregate")),
+      s"q37's scan must feed a partial (flag, quantity) count aggregate, not a window sort:\n$p")
+    assert(lines.exists(_.trim.matches("""\(\d+\) Window""")), p)
   }
 
   test("q54: int8 scoring stays inside whole-stage codegen") {

@@ -131,7 +131,7 @@ class ProbeAllSpec extends SparkSpec {
 
   test("bm25 probeAll regimes agree on seeded-random batches (fuzz)") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{explode, collect_set}
+    import org.apache.spark.sql.functions.explode
     val (pDir, lDir) =
       Bm25Store.buildIfAbsent(spark, d, "full", Tables.documents(spark, d))
     // real corpus vocabulary, frequent first — so random draws mix
