@@ -863,8 +863,15 @@ object Stress {
         val qs = vecs.orderBy(col("vec_id")).limit(10000)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val loads = queries.Similarity.ivfCellLoad(spark, idx, qs, nProbe = 4)
-          // pmod(hash(cell), parts) IS Spark's HashPartitioning function,
-          // so `part` is the exact task each cell's candidates land on
+          // pmod(hash(cell), parts) IS Spark's static HashPartitioning
+          // function, so `part` models the task each cell's candidates
+          // land on UNDER A PLAIN HASH EXCHANGE. Caveats (ADVICE r20):
+          // with AQE partition coalescing / skew-split enabled the
+          // runtime task mapping can differ, and in the broadcast (or
+          // auto-broadcast) regime no (cell[, salt]) exchange exists at
+          // all — the committed ratios are the model of the SALTED/HASH
+          // regime's exchange, which is exactly the regime the audit
+          // exists to size, not a trace of whatever plan local[32] ran.
           .select(col("cell").cast("long").as("cell"), col("candidates"),
             pmod(hash(col("cell")), lit(shuffleParts.toInt)).as("part"))
           .collect()

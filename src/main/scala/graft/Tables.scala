@@ -6,8 +6,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * One parquet file per table under `$sfDir/<name>.parquet`.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Memoized ANALYZED RELATIONS per (session, corpus dir, table) — r21.
+    * `spark.read.parquet` runs a footer/schema job every call, and
+    * `registerAll` loads all ten tables, so every invocation of a SQL
+    * query paid ~10 × 35 ms of driver-side schema jobs before its first
+    * real task (measured via graft.JobProfile on q79). The cache holds
+    * the DataFrame (plan + resolved file index) only — every action
+    * still scans the parquet from disk, so no results or data are ever
+    * reused across runs; this is the file-listing/schema cache the
+    * optimization guide (§6) prescribes for repeatedly-read tables.
+    * Keyed by session so fresh sessions (bench children) re-resolve.
+    *
+    * Freshness: a cached relation pins its FILE INDEX, and some callers
+    * read corpora that mutate (the IVF staging flows append parquet
+    * files into their corpus dir; specs rewrite corpora outright — the
+    * first cut of this cache failed exactly those suites with stale
+    * listings). Every hit therefore revalidates against a cheap stat
+    * token — (mtime, length) of the path, plus each child's
+    * (name, mtime, length) when it is a directory — a ~50 µs listing
+    * versus the ~35 ms schema job; any mutation re-resolves. */
+  private val relCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), (String, DataFrame)]
+
+  private def statToken(path: String): String = {
+    val f = new java.io.File(path)
+    val kids = Option(f.listFiles()).map(_.sortBy(_.getName)
+      .map(c => s"${c.getName}:${c.lastModified}:${c.length}").mkString("|"))
+      .getOrElse("")
+    s"${f.lastModified}:${f.length}:${kids.hashCode}"
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val key = (spark, new java.io.File(sfDir).getAbsolutePath, name)
+    val token = statToken(path)
+    relCache.get(key) match {
+      case Some((t, df)) if t == token => df
+      case _ =>
+        val df = spark.read.parquet(path)
+        relCache.put(key, (token, df))
+        df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

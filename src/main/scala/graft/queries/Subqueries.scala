@@ -112,12 +112,20 @@ object Subqueries {
       s.udf.register("from_iso_string", (v: String) =>
         java.sql.Timestamp.from(java.time.ZonedDateTime.parse(v).toInstant))
       val o = Tables.orders(s, d)
-      o.select(
+      // sort FIRST, on the narrow (key, date) relation, then format +
+      // parse above the Sort (r21): orderBy is a range shuffle whose
+      // sampling pass re-executes its child, so with the UDF below the
+      // sort every row paid format + parse TWICE per run (JobProfile:
+      // two ~0.7 s jobs, the sampler and the sort). A projection above
+      // Sort preserves the sorted order; rows and output order are
+      // identical (o_orderkey is unique).
+      o.select(col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+        .select(
           col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
         .withColumn("parsed_ts", call_udf("from_iso_string", col("iso")))
         .withColumn("parsed_date", to_date(col("parsed_ts")))
-        .orderBy(col("o_orderkey"))
     },
     Some("""
       SELECT o_orderkey,

@@ -204,14 +204,22 @@ class ProbeAllSpec extends SparkSpec {
       "ivfProbeAll must never degrade to a cartesian product")
     assert(ivfPlan.contains("BroadcastHashJoin"),
       "small probe relations must broadcast — the corpus side must not shuffle")
+    // the CANDIDATES join specifically (ADVICE r20: coarse/centRouted are
+    // broadcast anyway, so the bare BroadcastHashJoin assertion above
+    // would pass even if the candidates join shuffled): in the broadcast
+    // regime no exchange may hash-partition on `cell` at all
+    assert(!"""hashpartitioning\(cell#""".r.findFirstIn(ivfPlan).isDefined,
+      s"broadcast regime must not shuffle the assigned side on cell:\n$ivfPlan")
     val saltedPlan = StreamMaint.withConfs(spark,
       "graft.ivfProbeBroadcastMaxRows" -> "0")(
       Similarity.ivfProbeAll(spark, idx, qs, nProbe = 4)
         .queryExecution.executedPlan.toString)
     assert(!saltedPlan.contains("CartesianProduct"),
       "the salted regime must never degrade to a cartesian product")
-    assert(saltedPlan.contains("salt"),
-      "the large-|Q| regime must key the candidates join on (cell, salt)")
+    // the exchange must key on BOTH cell and salt (a plan that merely
+    // carries a `salt` column would pass the r20 contains("salt") check)
+    assert("""hashpartitioning\(cell#\d+L?, salt#""".r.findFirstIn(saltedPlan).isDefined,
+      s"the large-|Q| regime must key the candidates exchange on (cell, salt):\n$saltedPlan")
     val (pDir, lDir) =
       Bm25Store.buildIfAbsent(spark, d, "full", Tables.documents(spark, d))
     val queries = Seq((1L, Seq("table")), (2L, Seq("vector", "stream")))
