@@ -383,9 +383,14 @@ object Bench {
           val sysPct = util.Host.sysPct(j0, util.Host.cpuJiffies())
           // sub-second passes trip the guard at a LOWER sys% (see
           // fastStormFactor): moderate sustained interference that an
-          // expensive query rides out poisons every pass of a 0.5 s one
+          // expensive query rides out poisons every pass of a 0.5 s one.
+          // Band membership uses the BEST time seen so far, not this
+          // pass's own dt — a storm-inflated pass of a 0.4 s query reads
+          // > 1 s and would otherwise escape its own band's guard.
+          val bestSoFar = if (times.isEmpty) dt else math.min(times.min, dt)
           val threshold =
-            if (dt < FastThresholdSec) stormSysPct * fastStormFactor else stormSysPct
+            if (bestSoFar < FastThresholdSec) stormSysPct * fastStormFactor
+            else stormSysPct
           if (sysPct >= threshold && discarded < stormRetries) {
             discarded += 1
             System.err.println(f"[bench] $name: pass overlapped a kernel storm " +
